@@ -1,0 +1,316 @@
+"""CDCLake — the engine's public API: epoch-driven, exactly-once lake upsert.
+
+One epoch = one micro-batch of change events (the reference's queue
+micro-batch of 32 events, ``host.json:22-29``, scaled up to a seq-range of a
+binlog). Per epoch:
+
+    read change slice (column-pruned, seq-fenced at the scan)
+      → validate (zero-copy Arrow map_batches) ┬→ quarantine parquet (dead-letter)
+      → partition + within-batch combiner      └ (invalid rows)
+      → groupby(part).map_groups(merge)   [the ONE shuffle]
+      → staged partition files (deterministic names)
+      → driver: rename into lake, append lineage, publish manifest (atomic)
+
+Crash anywhere before manifest publish ⇒ previous epoch remains the visible
+table; re-running the epoch is idempotent (staged names deterministic, merge
+fenced by ``applied_offset``). This mirrors the reference's
+stage-blocks-then-commitBlockList exactly-once pattern
+(``RouteIngestedFile.kt:470-550``) and idempotent overwrite (``:251``).
+
+No function here calls ``ray.init``; the caller owns the session.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+import ray.data
+
+from data_exchange_routing_ray.schemas import TRANSCRIPT_SCHEMA
+from data_exchange_routing_ray.stages.upsert import (
+    PART_COLUMN,
+    add_partition_column,
+    combine_batch,
+    make_merge_fn,
+)
+from data_exchange_routing_ray.stages.validate import (
+    keep_invalid,
+    validate_and_keep_valid,
+    validate_batch,
+)
+from data_exchange_routing_ray.state.lineage import LineageLog
+from data_exchange_routing_ray.state.manifest import (
+    Manifest,
+    ManifestStore,
+    PartitionEntry,
+)
+
+
+@dataclass
+class EpochResult:
+    epoch: int
+    applied_offset: int
+    partitions_touched: int
+    changes_applied: int
+    changes_fenced: int
+    rows_quarantined: int
+    total_rows: int
+    stats: pd.DataFrame = field(repr=False, default=None)
+
+
+class CDCLake:
+    """A partitioned, manifest-committed transcript lake."""
+
+    def __init__(self, lake_dir: str, num_partitions: int = 64):
+        self.lake_dir = lake_dir
+        os.makedirs(lake_dir, exist_ok=True)
+        self.store = ManifestStore(lake_dir)
+        self.lineage = LineageLog(lake_dir)
+        current = self.store.load_current()
+        # resuming a lake keeps its partition count (files are keyed by it)
+        self.num_partitions = (
+            current.num_partitions if current and current.num_partitions else num_partitions
+        )
+
+    # ------------------------------------------------------------------ state
+    @property
+    def manifest(self) -> Manifest:
+        m = self.store.load_current()
+        return m if m is not None else Manifest(num_partitions=self.num_partitions)
+
+    @property
+    def applied_offset(self) -> int:
+        return self.manifest.applied_offset
+
+    def _stage_dir(self) -> str:
+        return os.path.join(self.lake_dir, "_tmp")
+
+    # ------------------------------------------------------------- bootstrap
+    def bootstrap(self, transcripts: ray.data.Dataset, default_seq: int = 0) -> EpochResult:
+        """Initial load: treat every row as an insert at ``default_seq``."""
+
+        def to_changes(batch: pa.Table) -> pa.Table:
+            if "seq" not in batch.column_names:
+                batch = batch.append_column(
+                    "seq", pa.array([default_seq] * batch.num_rows, pa.int64())
+                )
+            if "op" not in batch.column_names:
+                batch = batch.append_column(
+                    "op", pa.array(["insert"] * batch.num_rows, pa.string())
+                )
+            return batch
+
+        changes = transcripts.map_batches(to_changes, batch_format="pyarrow")
+        return self.apply_changes(changes, fence=False)
+
+    # ---------------------------------------------------------------- epochs
+    def apply_changes(
+        self,
+        changes: ray.data.Dataset,
+        quarantine: bool = True,
+        fence: bool = True,
+    ) -> EpochResult:
+        """Apply one epoch of change events; atomically commit; return stats."""
+        t0 = time.time()
+        man = self.manifest
+        epoch = man.epoch + 1
+        fence_below = man.applied_offset if fence else -(2**62)
+        P = self.num_partitions
+        stage_dir = self._stage_dir()
+
+        # ---- dead-letter pass (only when requested; separate cheap scan) ----
+        rows_quarantined = 0
+        if quarantine:
+            quar = changes.map_batches(
+                validate_batch, batch_format="pyarrow", zero_copy_batch=True
+            ).map_batches(keep_invalid, batch_format="pyarrow")
+            qdir = os.path.join(self.lake_dir, "quarantine", f"epoch={epoch:012d}")
+            if os.path.exists(qdir):
+                shutil.rmtree(qdir)  # crashed attempt; dead-letter is epoch-keyed
+            qtab = quar.to_arrow_refs()
+            qtables = [ray.get(r) for r in qtab]
+            qtables = [t for t in qtables if t.num_rows]
+            if qtables:
+                os.makedirs(qdir, exist_ok=True)
+                merged = pa.concat_tables(qtables, promote_options="permissive")
+                pq.write_table(merged, os.path.join(qdir, "deadletter.parquet"))
+                rows_quarantined = merged.num_rows
+
+        # ---- hot path: validate → partition → combine → merge ---------------
+        base_files = {pid: e.file for pid, e in man.partitions.items()}
+        merge_fn = make_merge_fn(
+            self.lake_dir, stage_dir, epoch, fence_below, base_files
+        )
+
+        valid = changes.map_batches(
+            validate_and_keep_valid, batch_format="pyarrow", zero_copy_batch=True
+        ).map_batches(
+            lambda b: combine_batch(add_partition_column(b, P)),
+            batch_format="pyarrow",
+        )
+        stats_ds = valid.groupby(PART_COLUMN).map_groups(
+            merge_fn, batch_format="pyarrow"
+        )
+        stats = stats_ds.to_pandas()  # ≤ P tiny rows
+
+        # ---- commit (driver only): rename staged files, lineage, manifest ---
+        new_partitions = dict(man.partitions)
+        applied_offset = man.applied_offset
+        if len(stats):
+            for row in stats.itertuples():
+                rel = os.path.join(
+                    "partitions", f"part-{row.partition:05d}-epoch-{epoch:012d}.parquet"
+                )
+                dst = os.path.join(self.lake_dir, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(row.file, dst)
+                new_partitions[int(row.partition)] = PartitionEntry(
+                    file=rel,
+                    rows=int(row.row_count),
+                    applied_offset=int(row.applied_offset),
+                    epoch=epoch,
+                )
+            applied_offset = max(applied_offset, int(stats["applied_offset"].max()))
+
+            t1 = time.time()
+            lineage_rows = stats.assign(
+                status="SUCCESS",
+                start_ts=pd.Timestamp(int(t0 * 1e6), unit="us"),
+                end_ts=pd.Timestamp(int(t1 * 1e6), unit="us"),
+            )[
+                [
+                    "partition",
+                    "epoch",
+                    "applied_offset",
+                    "row_count",
+                    "changes_applied",
+                    "changes_fenced",
+                    "status",
+                    "start_ts",
+                    "end_ts",
+                ]
+            ]
+            self.lineage.append_epoch(epoch, lineage_rows)
+
+        new_man = Manifest(
+            epoch=epoch,
+            applied_offset=applied_offset,
+            num_partitions=P,
+            schema_names=man.schema_names,
+            partitions=new_partitions,
+        )
+        self.store.publish(new_man)  # the atomic commitBlockList
+        shutil.rmtree(os.path.join(stage_dir, f"epoch={epoch:012d}"), ignore_errors=True)
+
+        return EpochResult(
+            epoch=epoch,
+            applied_offset=applied_offset,
+            partitions_touched=len(stats),
+            changes_applied=int(stats["changes_applied"].sum()) if len(stats) else 0,
+            changes_fenced=int(stats["changes_fenced"].sum()) if len(stats) else 0,
+            rows_quarantined=rows_quarantined,
+            total_rows=sum(e.rows for e in new_partitions.values()),
+            stats=stats,
+        )
+
+    def replay_files(
+        self,
+        files: list[str],
+        files_per_epoch: int = 1,
+        quarantine: bool = True,
+        columns: list[str] | None = None,
+    ) -> list[EpochResult]:
+        """Replay a change log laid out as seq-ordered parquet shards.
+
+        Resume: shards whose max(seq) ≤ the committed watermark are skipped
+        without reading data (parquet column statistics only) — crash-resume
+        from checkpoint per the north rule.
+        """
+        results = []
+        watermark = self.applied_offset
+        pending = []
+        for f in files:
+            lo, hi = _seq_range(f)
+            if hi is not None and hi <= watermark:
+                continue  # fully committed; skip at file granularity
+            pending.append(f)
+        for i in range(0, len(pending), files_per_epoch):
+            chunk = pending[i : i + files_per_epoch]
+            ds = ray.data.read_parquet(chunk, columns=columns)
+            results.append(self.apply_changes(ds, quarantine=quarantine))
+        return results
+
+    # --------------------------------------------------------------- readers
+    def final_dataset(self, columns: list[str] | None = None) -> ray.data.Dataset:
+        files = self.store.data_files(self.manifest)
+        if not files:
+            schema = TRANSCRIPT_SCHEMA
+            return ray.data.from_arrow(schema.empty_table())
+        return ray.data.read_parquet(files, columns=columns)
+
+    def final_table(self, with_seq: bool = False) -> pa.Table:
+        """Materialized final state (small lakes / tests only), stable order."""
+        files = self.store.data_files(self.manifest)
+        if not files:
+            return TRANSCRIPT_SCHEMA.empty_table()
+        tables = [pq.read_table(f) for f in files]
+        out = pa.concat_tables(tables, promote_options="permissive")
+        out = out.sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending"), ("ts", "ascending")]
+        )
+        if not with_seq and "seq" in out.column_names:
+            out = out.drop_columns(["seq"])
+        return out
+
+    def quarantine_table(self) -> pa.Table | None:
+        qdir = os.path.join(self.lake_dir, "quarantine")
+        if not os.path.exists(qdir):
+            return None
+        ds = pads.dataset(qdir, format="parquet")
+        return ds.to_table()
+
+    def vacuum(self) -> int:
+        """Delete partition files not referenced by the current manifest."""
+        live = {
+            os.path.abspath(p) for p in self.store.data_files(self.manifest)
+        }
+        pdir = os.path.join(self.lake_dir, "partitions")
+        removed = 0
+        if os.path.exists(pdir):
+            for name in os.listdir(pdir):
+                path = os.path.abspath(os.path.join(pdir, name))
+                if path not in live:
+                    os.remove(path)
+                    removed += 1
+        return removed
+
+
+def _seq_range(parquet_file: str) -> tuple[int | None, int | None]:
+    """(min, max) of the seq column from parquet row-group statistics."""
+    try:
+        meta = pq.ParquetFile(parquet_file).metadata
+        idx = None
+        for i in range(meta.num_columns):
+            if meta.row_group(0).column(i).path_in_schema == "seq":
+                idx = i
+                break
+        if idx is None:
+            return None, None
+        lo, hi = None, None
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None, None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        return lo, hi
+    except Exception:
+        return None, None

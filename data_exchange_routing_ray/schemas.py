@@ -1,0 +1,70 @@
+"""Arrow schemas for the CDC engine (see FIXTURES.md).
+
+The reference engine is schemaless (string-keyed metadata maps + opaque
+payloads, ``Common.kt:110-139``); we pin explicit Arrow schemas and handle
+evolution by unification + null backfill instead of ``getOrDefault`` chains
+(``RouteIngestedFile.kt:125-140``).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+# The lake table: multi-turn conversation / agent transcripts.
+# Primary key (conv_id, turn_idx) — the analog of the reference's composite
+# document key "$dataStreamId-$dataStreamRoute" (RouteIngestedFile.kt:453).
+TRANSCRIPT_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+# Binlog change events. `seq` is the globally-unique LSN, playing the role of
+# Azure's per-blob `sequencer` ordering token (HL7Message.kt:25).
+CHANGE_SCHEMA = pa.schema(
+    [
+        ("seq", pa.int64()),
+        ("op", pa.string()),  # insert | update | delete
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+# Columns a lake partition file persists beyond the logical table: the
+# last-writer seq per surviving row (needed for LWW on later merges and for
+# lineage audits).
+LAKE_EXTRA_COLUMNS = ("seq",)
+
+# Per-(partition, epoch) lineage rows — analog of PSReportEnvelope/StageInfo
+# (fns-routing/.../PSReportEnvelope.kt:7-58).
+LINEAGE_SCHEMA = pa.schema(
+    [
+        ("partition", pa.int32()),
+        ("epoch", pa.int64()),
+        ("applied_offset", pa.int64()),
+        ("row_count", pa.int64()),
+        ("changes_applied", pa.int64()),
+        ("changes_fenced", pa.int64()),
+        ("status", pa.string()),  # SUCCESS | FAILURE
+        ("start_ts", pa.timestamp("us")),
+        ("end_ts", pa.timestamp("us")),
+    ]
+)
+
+VALID_OPS = ("insert", "update", "delete")
+
+# Key columns of the lake table.
+KEY_COLUMNS = ("conv_id", "turn_idx")
+
+# Stable output ordering for comparison (SURVEY.md §2.6 O1: order restored at
+# commit time, reference RouteIngestedFile.kt:537-547).
+ORDER_COLUMNS = ("conv_id", "turn_idx", "ts")

@@ -1,0 +1,240 @@
+"""Hash-partitioned last-writer-wins merge-apply (the CDC upsert).
+
+Stage layout (SURVEY.md §7.1):
+
+1. ``add_partition_column`` — stable ``part = hash(conv_id) % P`` column
+   (vectorized, zero-copy in, the one shuffle key reused everywhere).
+2. ``combine_batch`` — the COMBINER: within each Arrow batch, drop duplicate
+   redeliveries (same ``seq``) and keep only the last event per
+   ``(conv_id, turn_idx)``. Runs before the shuffle so a hot conversation's
+   event storm collapses to ~unique-keys-per-batch before any data moves —
+   this is the pre-aggregation that keeps the single ``groupby(part)``
+   exchange small at 10^10-event scale.
+3. ``make_merge_fn`` — per-partition merge executed via
+   ``groupby("part").map_groups``: fence stale seqs, LWW against the
+   partition's current base file, apply deletes, unify schemas
+   (evolution: added columns backfill null, widened types promote), stable
+   ``(conv_id, turn_idx, ts)`` sort, write the staged file under a
+   deterministic name (idempotent under Ray task retry), return a stats row.
+   Only the driver later publishes the manifest (see state/manifest.py).
+
+Reference parity: idempotent overwrite ``upload(stream, true)``
+(``RouteIngestedFile.kt:251``), ordered commit (``:537-547``), per-event
+metadata defaulting → our null backfill (``:125-140``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from data_exchange_routing_ray.hashing import partition_ids
+from data_exchange_routing_ray.schemas import KEY_COLUMNS, ORDER_COLUMNS
+
+PART_COLUMN = "part"
+SALT_COLUMN = "salt"
+
+# Columns that are CDC-plumbing, never persisted to the lake file.
+_PLUMBING = (PART_COLUMN, SALT_COLUMN, "op", "error")
+
+
+def add_partition_column(batch: pa.Table, num_partitions: int) -> pa.Table:
+    pid = partition_ids(batch["conv_id"], num_partitions)
+    if PART_COLUMN in batch.column_names:
+        batch = batch.drop_columns([PART_COLUMN])
+    return batch.append_column(PART_COLUMN, pa.array(pid, type=pa.int32()))
+
+
+def _last_per_key_indices(
+    seq: np.ndarray, conv: np.ndarray, turn: np.ndarray
+) -> np.ndarray:
+    """Row indices of the winning (max-seq, first-delivery) event per key."""
+    df = pd.DataFrame({"seq": seq, "conv_id": conv, "turn_idx": turn})
+    df = df.sort_values("seq", kind="stable")
+    # duplicate redelivery: same (seq, key) re-emitted → keep first delivery
+    df = df.drop_duplicates(["seq", "conv_id", "turn_idx"], keep="first")
+    df = df.drop_duplicates(["conv_id", "turn_idx"], keep="last")
+    return np.sort(df.index.to_numpy())
+
+
+def combine_batch(batch: pa.Table) -> pa.Table:
+    """Within-batch partial reduce: last event per key, dup seqs dropped."""
+    if batch.num_rows == 0:
+        return batch
+    idx = _last_per_key_indices(
+        batch["seq"].to_numpy(),
+        batch["conv_id"].to_numpy(zero_copy_only=False),
+        batch["turn_idx"].to_numpy(),
+    )
+    if len(idx) == batch.num_rows:
+        return batch
+    return batch.take(pa.array(idx))
+
+
+def unify_and_concat(tables: list[pa.Table]) -> pa.Table:
+    """Concat with schema evolution: added columns backfill null, numeric
+    types widen, timestamp units promote to the finer unit."""
+    tables = [t for t in tables if t is not None and t.num_rows >= 0]
+    if len(tables) == 1:
+        return tables[0]
+    try:
+        schema = pa.unify_schemas([t.schema for t in tables], promote_options="permissive")
+    except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError):
+        schema = _manual_unify([t.schema for t in tables])
+    casted = []
+    for t in tables:
+        missing = [f for f in schema if f.name not in t.column_names]
+        for f in missing:
+            t = t.append_column(f.name, pa.nulls(t.num_rows, f.type))
+        t = t.select([f.name for f in schema])
+        casted.append(t.cast(schema))
+    return pa.concat_tables(casted)
+
+
+def _manual_unify(schemas: list[pa.Schema]) -> pa.Schema:
+    fields: dict[str, pa.Field] = {}
+    order: list[str] = []
+    for s in schemas:
+        for f in s:
+            if f.name not in fields:
+                fields[f.name] = f
+                order.append(f.name)
+            else:
+                fields[f.name] = pa.field(f.name, _promote(fields[f.name].type, f.type))
+    return pa.schema([fields[n] for n in order])
+
+
+def _promote(a: pa.DataType, b: pa.DataType) -> pa.DataType:
+    if a.equals(b):
+        return a
+    ints = {pa.int8(): 8, pa.int16(): 16, pa.int32(): 32, pa.int64(): 64}
+    if a in ints and b in ints:
+        return a if ints[a] >= ints[b] else b
+    units = {"s": 0, "ms": 1, "us": 2, "ns": 3}
+    if pa.types.is_timestamp(a) and pa.types.is_timestamp(b):
+        return a if units[a.unit] >= units[b.unit] else b
+    if pa.types.is_floating(a) or pa.types.is_floating(b):
+        return pa.float64()
+    if pa.types.is_large_string(a) or pa.types.is_large_string(b):
+        return pa.large_string()
+    raise TypeError(f"cannot promote {a} vs {b}")
+
+
+def stage_file_path(stage_dir: str, epoch: int, pid: int) -> str:
+    return os.path.join(stage_dir, f"epoch={epoch:012d}", f"part-{pid:05d}.parquet")
+
+
+def merge_tables(
+    base: pa.Table | None, changes: pa.Table, fence_below: int
+) -> tuple[pa.Table, dict]:
+    """Pure merge: (base ∪ changes) → new partition table + stats.
+
+    ``changes`` must carry CHANGE columns (op, seq, key, payload); ``base``
+    carries lake columns + seq. Returns the new lake table sorted by
+    ORDER_COLUMNS.
+    """
+    n_in = changes.num_rows
+    # fence stale / replayed seqs (exactly-once no-op on redelivery)
+    changes = changes.filter(pc.greater(changes["seq"], pa.scalar(fence_below)))
+    n_fenced = n_in - changes.num_rows
+
+    if changes.num_rows:
+        idx = _last_per_key_indices(
+            changes["seq"].to_numpy(),
+            changes["conv_id"].to_numpy(zero_copy_only=False),
+            changes["turn_idx"].to_numpy(),
+        )
+        changes = changes.take(pa.array(idx))
+
+    applied_offset = (
+        int(pc.max(changes["seq"]).as_py()) if changes.num_rows else fence_below
+    )
+
+    if base is not None and base.num_rows and changes.num_rows:
+        # drop base rows whose key is overwritten or deleted
+        base_keys = pd.MultiIndex.from_arrays(
+            [
+                base["conv_id"].to_numpy(zero_copy_only=False),
+                base["turn_idx"].to_numpy(),
+            ]
+        )
+        change_keys = pd.MultiIndex.from_arrays(
+            [
+                changes["conv_id"].to_numpy(zero_copy_only=False),
+                changes["turn_idx"].to_numpy(),
+            ]
+        )
+        keep = ~base_keys.isin(change_keys)
+        if not keep.all():
+            base = base.filter(pa.array(keep))
+
+    surviving = changes.filter(
+        pc.not_equal(changes["op"], pa.scalar("delete"))
+    ) if changes.num_rows else changes
+    drop = [c for c in _PLUMBING if c in surviving.column_names]
+    if drop:
+        surviving = surviving.drop_columns(drop)
+
+    parts = []
+    if base is not None and base.num_rows:
+        parts.append(base)
+    if surviving.num_rows:
+        parts.append(surviving)
+    if not parts:
+        out = surviving  # empty, correct schema
+    else:
+        out = unify_and_concat(parts)
+    if out.num_rows:
+        out = out.sort_by([(c, "ascending") for c in ORDER_COLUMNS])
+    stats = {
+        "changes_applied": int(changes.num_rows),
+        "changes_fenced": int(n_fenced),
+        "applied_offset": applied_offset,
+        "row_count": int(out.num_rows),
+    }
+    return out, stats
+
+
+def make_merge_fn(
+    lake_dir: str,
+    stage_dir: str,
+    epoch: int,
+    fence_below: int,
+    base_files: dict[int, str],
+):
+    """Build the per-group merge callable for groupby(part).map_groups.
+
+    ``base_files`` maps partition id → lake-relative base file path (from the
+    current manifest); small (P entries), shipped in the task closure — the
+    broadcast-config pattern (analog of ConfigCache, ``Common.kt:20-41``).
+    """
+
+    def merge_group(group: pa.Table) -> pd.DataFrame:
+        pid = int(group[PART_COLUMN][0].as_py())
+        base = None
+        rel = base_files.get(pid)
+        if rel is not None:
+            base = pq.read_table(os.path.join(lake_dir, rel))
+        out, stats = merge_tables(base, group, fence_below)
+        path = stage_file_path(stage_dir, epoch, pid)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".inprogress"
+        pq.write_table(out, tmp)
+        os.replace(tmp, path)  # deterministic name → retry overwrites, idempotent
+        return pd.DataFrame(
+            [
+                {
+                    "partition": pid,
+                    "epoch": epoch,
+                    "file": path,
+                    **stats,
+                }
+            ]
+        )
+
+    return merge_group

@@ -1,0 +1,111 @@
+"""Two-phase manifest commit: exactly-once visibility for the lake.
+
+Semantics transplanted from the reference's chunked upload
+(``RouteIngestedFile.kt:470-550``): workers stage immutable data files under
+deterministic names (the ``stageBlock`` phase — a retried task overwrites its
+own staged file, so Ray task retries are idempotent), then the DRIVER alone
+publishes a manifest that atomically swaps the table to the new epoch (the
+ordered ``commitBlockList`` phase). Readers only ever see files referenced by
+the current manifest, so a crash between staging and publish leaves the
+previous epoch fully intact.
+
+Fencing: the manifest records ``applied_offset`` (max ``seq`` applied).
+Replayed / late change batches with ``seq <= applied_offset`` are no-ops
+(analog of queue redelivery tolerated via idempotent overwrite,
+``host.json:26-27`` + ``RouteIngestedFile.kt:251``).
+
+On a real object store the same protocol holds: stage objects under
+deterministic keys, publish the manifest object last.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass
+class PartitionEntry:
+    file: str  # path relative to lake root
+    rows: int
+    applied_offset: int  # max seq applied to this partition
+    epoch: int  # epoch that last rewrote this partition
+
+
+@dataclass
+class Manifest:
+    epoch: int = -1
+    applied_offset: int = -1  # global fence: max seq committed
+    num_partitions: int = 0
+    schema_names: list[str] = field(default_factory=list)
+    partitions: dict[int, PartitionEntry] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "epoch": self.epoch,
+                "applied_offset": self.applied_offset,
+                "num_partitions": self.num_partitions,
+                "schema_names": self.schema_names,
+                "partitions": {
+                    str(pid): vars(e) for pid, e in sorted(self.partitions.items())
+                },
+            },
+            indent=1,
+        )
+
+    @classmethod
+    def from_json(cls, text: str) -> "Manifest":
+        d = json.loads(text)
+        return cls(
+            epoch=d["epoch"],
+            applied_offset=d["applied_offset"],
+            num_partitions=d["num_partitions"],
+            schema_names=d.get("schema_names", []),
+            partitions={
+                int(pid): PartitionEntry(**e) for pid, e in d["partitions"].items()
+            },
+        )
+
+
+class ManifestStore:
+    """Filesystem-backed manifest log under ``<lake>/manifests/``."""
+
+    def __init__(self, lake_dir: str):
+        self.lake_dir = lake_dir
+        self.dir = os.path.join(lake_dir, "manifests")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _current_path(self) -> str:
+        return os.path.join(self.dir, "current.json")
+
+    def load_current(self) -> Manifest | None:
+        path = self._current_path()
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return Manifest.from_json(f.read())
+
+    def publish(self, manifest: Manifest) -> None:
+        """Atomic publish: write temp, fsync, rename (the commitBlockList)."""
+        payload = manifest.to_json()
+        archive = os.path.join(self.dir, f"manifest-{manifest.epoch:012d}.json")
+        tmp = archive + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, archive)
+        tmp2 = self._current_path() + ".tmp"
+        with open(tmp2, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp2, self._current_path())
+
+    def data_files(self, manifest: Manifest) -> list[str]:
+        return [
+            os.path.join(self.lake_dir, e.file)
+            for _, e in sorted(manifest.partitions.items())
+        ]
