@@ -1,0 +1,458 @@
+"""Deduplication operators for training-data pipelines.
+
+All variants follow the same scale shape: a vectorized per-batch signature
+stage (``map_batches``, Arrow in), an explode to small bucket-key rows, ONE
+``groupby`` on the bucket key (the only shuffle), candidate-pair
+verification inside each bucket group, and a driver-side reduce over the
+(bounded, tiny) pair set. The reference's only dedup is delivery dedup via
+idempotent overwrite (``CHANGELOG.md:42``, ``RouteIngestedFile.kt:251``);
+these are the content-dedup operators a 100 TB corpus needs.
+
+- exact: content-hash partition + first-wins per group
+- MinHash + LSH: word-shingle → 64-perm minhash → banded buckets →
+  signature-estimated Jaccard verification
+- SimHash: token-hash bit votes → 64-bit simhash → 16-bit band buckets →
+  Hamming-distance verification
+- n-gram Jaccard: exact shingle-set Jaccard for candidate pairs
+- embedding near-dup: cosine over an embedding column, label/bucket-blocked
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from data_exchange_routing_ray.hashing import stable_hash_strings
+
+# ------------------------------------------------------------------ exact
+
+def add_content_hash(batch: pa.Table, col: str = "text", out_col: str = "content_hash") -> pa.Table:
+    h = stable_hash_strings(batch[col]).astype(np.int64)
+    return batch.append_column(out_col, pa.array(h, pa.int64()))
+
+
+def exact_dedup(
+    ds: ray.data.Dataset, col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Keep the lowest-id row per distinct content (hash-partitioned)."""
+    hashed = ds.map_batches(
+        lambda b: add_content_hash(b, col), batch_format="pyarrow"
+    )
+
+    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col, kind="stable").head(1)
+
+    out = hashed.groupby("content_hash").map_groups(
+        first_per_group, batch_format="pandas"
+    )
+    return out.drop_columns(["content_hash"])
+
+
+# ------------------------------------------------------------------ shingles
+
+def _doc_shingle_hashes(texts: list[str | None], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Flattened shingle hashes + doc boundaries (offsets into the flat array).
+
+    Per-doc Python builds the shingle strings; the hashing of the flattened
+    array is one vectorized SipHash call.
+    """
+    shingles: list[str] = []
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = t.split() if t else []
+        if len(toks) >= k:
+            shingles.extend(
+                " ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)
+            )
+        elif toks:
+            shingles.append(" ".join(toks))
+        offsets[i + 1] = len(shingles)
+    if shingles:
+        flat = stable_hash_strings(np.array(shingles, dtype=object))
+    else:
+        flat = np.zeros(0, dtype=np.uint64)
+    return flat, offsets
+
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 61, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 61, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    texts: list[str | None], k: int = 3, num_perm: int = 64, seed: int = 42
+) -> np.ndarray:
+    """(n_docs, num_perm) uint64 minhash signatures over word k-shingles."""
+    flat, offsets = _doc_shingle_hashes(texts, k)
+    A, B = _perm_params(num_perm, seed)
+    n = len(texts)
+    sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(flat) == 0:
+        return sig
+    lens = np.diff(offsets)
+    nonempty = np.nonzero(lens > 0)[0]
+    starts = offsets[nonempty]
+    for p in range(num_perm):
+        v = A[p] * flat + B[p]  # universal-ish hash, wraps mod 2^64
+        mins = np.minimum.reduceat(v, starts)
+        sig[nonempty, p] = mins
+    return sig
+
+
+def _band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, bands) int64 band bucket keys from a signature matrix."""
+    n, num_perm = sig.shape
+    r = num_perm // bands
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    keys = np.zeros((n, bands), dtype=np.uint64)
+    for b in range(bands):
+        chunk = sig[:, b * r : (b + 1) * r]
+        acc = np.zeros(n, dtype=np.uint64)
+        for j in range(r):
+            acc = (acc ^ chunk[:, j]) * mix
+        keys[:, b] = acc
+    return keys.astype(np.int64)
+
+
+def make_minhash_band_stage(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+):
+    """map_batches stage: docs → (band, band_key, id, signature-bytes) rows."""
+
+    def stage(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sig = minhash_signatures(texts, k=k, num_perm=num_perm, seed=seed)
+        keys = _band_keys(sig, bands)
+        n = len(texts)
+        band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
+        doc_rep = np.repeat(ids, bands)
+        sig_bytes = [sig[i].tobytes() for i in range(n)]
+        sig_rep = [sig_bytes[i] for i in range(n) for _ in range(bands)]
+        return pa.table(
+            {
+                "band": pa.array(band_ids, pa.int32()),
+                "band_key": pa.array(keys.reshape(-1), pa.int64()),
+                id_col: pa.array(doc_rep),
+                "sig": pa.array(sig_rep, pa.binary()),
+            }
+        )
+
+    return stage
+
+
+def make_bucket_pair_fn(id_col: str = "doc_id", threshold: float = 0.7):
+    """map_groups fn: one LSH bucket → verified candidate pairs.
+
+    Verification = signature-estimated Jaccard (mean of equal minhash slots);
+    exact-Jaccard re-verification is `verify_jaccard_pairs`.
+    """
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col).sort_values(id_col)
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+                 "est_jaccard": pd.Series(dtype="float64")}
+            )
+        sigs = np.stack(
+            [np.frombuffer(s, dtype=np.uint64) for s in g["sig"].to_numpy()]
+        )
+        ids = g[id_col].to_numpy()
+        ia, ib = np.triu_indices(n, k=1)
+        est = (sigs[ia] == sigs[ib]).mean(axis=1)
+        keep = est >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia][keep].astype(np.int64),
+                "id_b": ids[ib][keep].astype(np.int64),
+                "est_jaccard": np.round(est[keep], 6),
+            }
+        )
+
+    return bucket_pairs
+
+
+def minhash_candidate_pairs(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """MinHash-LSH near-duplicate candidate pairs (deduplicated, id_a<id_b)."""
+    band_rows = ds.map_batches(
+        make_minhash_band_stage(text_col, id_col, k, num_perm, bands, seed),
+        batch_format="pyarrow",
+    )
+    pairs = band_rows.groupby(["band", "band_key"]).map_groups(
+        make_bucket_pair_fn(id_col, threshold), batch_format="pandas"
+    )
+
+    # same pair can surface from several bands → dedup on the pair key
+    def first_pair(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        first_pair, batch_format="pandas"
+    )
+
+
+def dedup_by_pairs(
+    ds: ray.data.Dataset, pairs: pd.DataFrame, id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Drop near-duplicates: union-find over the (small, driver-side) pair
+    set; each connected component keeps its minimum id. The pair set is
+    bounded (threshold-filtered), the corpus itself never leaves Ray."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    drop = {x for x in parent if find(x) != x}
+    if not drop:
+        return ds
+    drop_arr = pa.array(sorted(drop), pa.int64())
+
+    def keep_fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.invert(pc.is_in(batch[id_col], value_set=drop_arr))
+        return batch.filter(mask)
+
+    return ds.map_batches(keep_fn, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ jaccard
+
+def verify_jaccard_pairs(
+    docs: pd.DataFrame, pairs: pd.DataFrame, text_col="text", id_col="doc_id", k=3
+) -> pd.DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (verification stage)."""
+    texts = dict(zip(docs[id_col], docs[text_col]))
+
+    def shingle_set(t):
+        toks = t.split() if t else []
+        if len(toks) < k:
+            return {" ".join(toks)} if toks else set()
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    cache: dict[int, set] = {}
+    out = []
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        sa = cache.setdefault(a, shingle_set(texts.get(a)))
+        sb = cache.setdefault(b, shingle_set(texts.get(b)))
+        union = len(sa | sb)
+        out.append(len(sa & sb) / union if union else 0.0)
+    res = pairs.copy()
+    res["jaccard"] = np.round(out, 6)
+    return res
+
+
+# ------------------------------------------------------------------ simhash
+
+def simhash_batch(texts: list[str | None]) -> np.ndarray:
+    """64-bit simhash per doc: sign of per-bit votes over token hashes."""
+    flat_tokens: list[str] = []
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = t.split() if t else []
+        flat_tokens.extend(toks)
+        offsets[i + 1] = len(flat_tokens)
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    if not flat_tokens:
+        return out
+    h = stable_hash_strings(np.array(flat_tokens, dtype=object))
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.int32
+    ) * 2 - 1
+    lens = np.diff(offsets)
+    nonempty = np.nonzero(lens > 0)[0]
+    votes = np.add.reduceat(bits, offsets[nonempty], axis=0)
+    sh = (votes > 0).astype(np.uint64)
+    packed = (sh << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+    out[nonempty] = packed
+    return out
+
+
+def make_simhash_stage(text_col="text", id_col="doc_id"):
+    def stage(batch: pa.Table) -> pa.Table:
+        sh = simhash_batch(batch[text_col].to_pylist())
+        ids = batch[id_col]
+        bands = []
+        for b in range(4):
+            bands.append(((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64))
+        n = batch.num_rows
+        return pa.table(
+            {
+                "band": pa.array(np.repeat(np.arange(4, dtype=np.int32), n)),
+                "band_key": pa.array(np.concatenate(bands)),
+                id_col: pa.concat_arrays([ids.combine_chunks()] * 4)
+                if isinstance(ids, pa.ChunkedArray)
+                else pa.concat_arrays([ids] * 4),
+                "simhash": pa.array(
+                    np.tile(sh.astype(np.int64), 4), pa.int64()
+                ),
+            }
+        )
+
+    return stage
+
+
+def make_simhash_pair_fn(id_col="doc_id", max_hamming: int = 3):
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col).sort_values(id_col)
+        n = len(g)
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "hamming": pd.Series(dtype="int64")}
+        )
+        if n < 2:
+            return empty
+        sh = g["simhash"].to_numpy().astype(np.int64).astype(np.uint64)
+        ids = g[id_col].to_numpy()
+        ia, ib = np.triu_indices(n, k=1)
+        x = sh[ia] ^ sh[ib]
+        ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia][keep].astype(np.int64),
+                "id_b": ids[ib][keep].astype(np.int64),
+                "hamming": ham[keep].astype(np.int64),
+            }
+        )
+
+    return bucket_pairs
+
+
+def simhash_candidate_pairs(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> ray.data.Dataset:
+    rows = ds.map_batches(make_simhash_stage(text_col, id_col), batch_format="pyarrow")
+    pairs = rows.groupby(["band", "band_key"]).map_groups(
+        make_simhash_pair_fn(id_col, max_hamming), batch_format="pandas"
+    )
+
+    def first_pair(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(first_pair, batch_format="pandas")
+
+
+# ------------------------------------------------------- embedding near-dup
+
+def embedding_neardup_pairs_blocked(
+    ds: ray.data.Dataset,
+    block_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.3,
+) -> ray.data.Dataset:
+    """Cosine near-dup pairs within blocking groups (exact within block —
+    SQL-verifiable). For unblocked scale use `lsh_neardup_pairs`."""
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        M = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        Mn = M / norms[:, None]
+        sims = Mn @ Mn.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        s = sims[ia, ib]
+        keep = s > threshold
+        order = np.argsort(ids)
+        # canonical id order (id_a < id_b)
+        a, b = ids[ia][keep], ids[ib][keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {
+                "id_a": lo.astype(np.int64),
+                "id_b": hi.astype(np.int64),
+                "cosine": np.round(s[keep], 6),
+            }
+        )
+
+    return ds.groupby(block_col).map_groups(block_pairs, batch_format="pandas")
+
+
+def lsh_neardup_pairs(
+    ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.3,
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Random-hyperplane LSH blocking + exact cosine verify within buckets.
+
+    Scale path: the bucket key is the ONE shuffle key; recall < 1 by design
+    (approximate), tested against the blocked-exact variant in pytest.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, num_planes))
+
+    def bucket_stage(batch: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        df = batch.to_pandas()
+        M = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        signs = (M @ planes) > 0
+        key = np.zeros(len(df), dtype=np.int64)
+        for j in range(num_planes):
+            key |= signs[:, j].astype(np.int64) << j
+        df = df[[id_col, vec_col]]
+        df["bucket"] = key
+        return df
+
+    rows = ds.map_batches(bucket_stage, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        M = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        Mn = M / norms[:, None]
+        sims = Mn @ Mn.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        s = sims[ia, ib]
+        keep = s > threshold
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ids[ia][keep], ids[ib][keep]).astype(np.int64),
+                "id_b": np.maximum(ids[ia][keep], ids[ib][keep]).astype(np.int64),
+                "cosine": np.round(s[keep], 6),
+            }
+        )
+
+    return rows.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")

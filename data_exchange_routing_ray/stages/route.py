@@ -1,0 +1,240 @@
+"""Config-driven routing: broadcast lookup, 1→N expansion, enrichment.
+
+Re-expresses the reference's routing core as vectorized batch transforms:
+
+- route-config lookup keyed by ``(data_stream_id, data_stream_route)`` with
+  miss → dead-letter (inner join + anti-join spill to quarantine;
+  ``RouteIngestedFile.kt:150-184, 452-462``)
+- 1→N route expansion: one event × config.routes[] → one output row per
+  destination (``RouteIngestedFile.kt:193, 272``)
+- per-route static metadata overlay (config-driven column overlay,
+  ``RouteIngestedFile.kt:196-209``)
+- enrichment: ``system_provider``, deterministic ``upload_id``, ingest
+  timestamp (``RouteIngestedFile.kt:196-209``, ``:138-140``)
+- ``folders_to_path`` date-partition template expansion — tokens
+  ``:f :y :m :d :h :mm`` (``Common.kt:231-250``;
+  ``fn-ingestion-router/README.md:17-33``)
+
+The route config is SMALL (a dimension): it rides in the task closure /
+actor constructor — the broadcast-small-side join pattern — never a shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from data_exchange_routing_ray.hashing import stable_hash_strings
+
+ERR_NO_ROUTE = "No routing configuration found for "
+
+STREAM_ID_COLUMN = "data_stream_id"
+STREAM_ROUTE_COLUMN = "data_stream_route"
+
+# Legacy alias resolution (reference RouteIngestedFile.kt:125-133).
+LEGACY_ALIASES = {
+    "meta_destination_id": STREAM_ID_COLUMN,
+    "meta_ext_event": STREAM_ROUTE_COLUMN,
+}
+
+
+def load_route_config(config: dict | str) -> pd.DataFrame:
+    """Normalize a route-config document into a flat lookup DataFrame.
+
+    One row per (data_stream_id, data_stream_route, destination). Validates
+    unique route ids (route-config-schema.json demands uniqueItems).
+    """
+    if isinstance(config, str):
+        with open(config) as f:
+            config = json.load(f)
+    rows = []
+    for route in config["routes"]:
+        match = route.get("match", {})
+        rows.append(
+            {
+                STREAM_ID_COLUMN: match.get(STREAM_ID_COLUMN, ""),
+                STREAM_ROUTE_COLUMN: match.get(STREAM_ROUTE_COLUMN, ""),
+                "route_id": route["id"],
+                "destination": route["destination"],
+                "partition_folder": route.get("partition_folder", ""),
+                "route_metadata": json.dumps(route.get("metadata", {}), sort_keys=True),
+            }
+        )
+    df = pd.DataFrame(rows)
+    if df["route_id"].duplicated().any():
+        raise ValueError("route ids must be unique (uniqueItems)")
+    return df
+
+
+def resolve_stream_columns(batch: pa.Table) -> pa.Table:
+    """Resolve legacy alias columns into the canonical stream id/route pair."""
+    for legacy, canonical in LEGACY_ALIASES.items():
+        if legacy in batch.column_names:
+            if canonical in batch.column_names:
+                merged = pc.coalesce(batch[canonical], batch[legacy])
+                batch = batch.set_column(
+                    batch.schema.get_field_index(canonical),
+                    pa.field(canonical, pa.string()),
+                    merged.cast(pa.string()),
+                )
+            else:
+                batch = batch.append_column(
+                    canonical, batch[legacy].cast(pa.string())
+                )
+            batch = batch.drop_columns([legacy])
+    return batch
+
+
+def folders_to_path(
+    ts: pa.ChunkedArray | pa.Array,
+    template: str,
+    filename: pa.ChunkedArray | pa.Array | None = None,
+) -> pa.Array:
+    """Expand a destination-folder template per row (Common.kt:231-250).
+
+    Tokens: ``:y`` year, ``:m`` month, ``:d`` day, ``:h`` hour, ``:mm``
+    minute, ``:f`` the per-row filename. Empty segments are dropped.
+    """
+    segments = []
+    for seg in template.split("/"):
+        if not seg:
+            continue
+        if seg == ":f":
+            if filename is None:
+                continue
+            segments.append(pc.cast(filename, pa.string()))
+        else:
+            fmt = (
+                seg.replace(":mm", "%M")
+                .replace(":y", "%Y")
+                .replace(":m", "%m")
+                .replace(":d", "%d")
+                .replace(":h", "%H")
+            )
+            segments.append(pc.strftime(ts, format=fmt))
+    if not segments:
+        return pa.nulls(len(ts), pa.string())
+    return pc.binary_join_element_wise(*segments, "/")
+
+
+def deterministic_upload_id(batch: pa.Table) -> pa.Array:
+    """Stable per-event upload id (reference defaults to random UUID,
+    RouteIngestedFile.kt:140; ours is deterministic for replay-idempotence)."""
+    key = pc.binary_join_element_wise(
+        pc.cast(batch["conv_id"], pa.string()),
+        pc.cast(batch["turn_idx"], pa.string()),
+        pc.cast(batch["seq"], pa.string()) if "seq" in batch.column_names
+        else pa.array([""] * batch.num_rows),
+        "-",
+    )
+    h = stable_hash_strings(key)
+    return pa.array([f"up-{v:016x}" for v in h], pa.string())
+
+
+def make_router(
+    config: dict | str | pd.DataFrame,
+    expand_metadata: bool = True,
+    enrich: bool = True,
+):
+    """Build the routing ``map_batches`` callable.
+
+    Output = matched rows × their destinations (columns ``route_id``,
+    ``destination``, ``dest_path`` and metadata-overlay columns) plus
+    unmatched rows annotated with an ``error`` column for quarantine.
+    """
+    routes = config if isinstance(config, pd.DataFrame) else load_route_config(config)
+    meta_cols: dict[str, dict[str, str]] = {
+        r.route_id: json.loads(r.route_metadata) for r in routes.itertuples()
+    }
+    all_meta_keys = sorted({k for m in meta_cols.values() for k in m})
+
+    def route_batch(batch: pa.Table) -> pa.Table:
+        batch = resolve_stream_columns(batch)
+        df = batch.to_pandas()
+        n = len(df)
+        if STREAM_ID_COLUMN not in df.columns:
+            df[STREAM_ID_COLUMN] = ""
+        if STREAM_ROUTE_COLUMN not in df.columns:
+            df[STREAM_ROUTE_COLUMN] = ""
+        df["_row"] = np.arange(n)
+        merged = df.merge(
+            routes, on=[STREAM_ID_COLUMN, STREAM_ROUTE_COLUMN], how="left"
+        )
+        matched = merged[merged["route_id"].notna()].copy()
+        missed = merged[merged["route_id"].isna()].drop_duplicates("_row").copy()
+
+        out_parts = []
+        if len(matched):
+            matched["error"] = None
+            if expand_metadata:
+                for k in all_meta_keys:
+                    matched[k] = matched["route_id"].map(
+                        lambda rid, k=k: meta_cols.get(rid, {}).get(k)
+                    )
+            out_parts.append(matched)
+        if len(missed):
+            missed["error"] = (
+                ERR_NO_ROUTE
+                + missed[STREAM_ID_COLUMN].fillna("").astype(str)
+                + "-"
+                + missed[STREAM_ROUTE_COLUMN].fillna("").astype(str)
+            )
+            for k in (["destination", "partition_folder"] + all_meta_keys if expand_metadata else ["destination", "partition_folder"]):
+                if k not in missed.columns:
+                    missed[k] = None
+            out_parts.append(missed)
+        out = pd.concat(out_parts, ignore_index=True).sort_values(
+            ["_row", "route_id"], kind="stable", na_position="last"
+        )
+        out = out.drop(columns=["_row", "route_metadata"], errors="ignore")
+        result = pa.Table.from_pandas(out, preserve_index=False)
+
+        if enrich:
+            result = result.append_column(
+                "system_provider",
+                pa.array(["DEX-ROUTING-RAY"] * result.num_rows, pa.string()),
+            )
+            if "conv_id" in result.column_names and "turn_idx" in result.column_names:
+                result = result.append_column(
+                    "upload_id", deterministic_upload_id(result)
+                )
+            if "ts" in result.column_names:
+                tmpl_per_route = dict(
+                    zip(routes["route_id"], routes["partition_folder"])
+                )
+                # per-route template expansion: group rows by template value
+                pf = result["partition_folder"]
+                dest = result["destination"]
+                paths = np.empty(result.num_rows, dtype=object)
+                pf_np = pf.to_numpy(zero_copy_only=False)
+                dest_np = dest.to_numpy(zero_copy_only=False)
+                ts_col = result["ts"]
+                for tmpl in set(x for x in pf_np if x is not None):
+                    mask = pf_np == tmpl
+                    idx = np.nonzero(mask)[0]
+                    sub = ts_col.take(pa.array(idx))
+                    expanded = folders_to_path(sub, tmpl).to_numpy(
+                        zero_copy_only=False
+                    )
+                    base = dest_np[idx]
+                    joined = [
+                        (f"{b}/{e}" if e else str(b)) if b is not None else None
+                        for b, e in zip(base, expanded)
+                    ]
+                    paths[idx] = joined
+                result = result.append_column(
+                    "dest_path", pa.array(paths, pa.string())
+                )
+        return result
+
+    return route_batch
+
+
+def split_routed(batch: pa.Table) -> tuple[pa.Table, pa.Table]:
+    """(matched, unmatched-for-quarantine) from a routed batch."""
+    ok = pc.is_null(batch["error"])
+    return batch.filter(ok), batch.filter(pc.invert(ok))

@@ -1,0 +1,208 @@
+"""Text analysis, dedup, similarity-search and multimodal operator tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from data_exchange_routing_ray.functions.dedup import (
+    dedup_by_pairs,
+    embedding_neardup_pairs_blocked,
+    exact_dedup,
+    lsh_neardup_pairs,
+    minhash_candidate_pairs,
+    simhash_candidate_pairs,
+    verify_jaccard_pairs,
+)
+from data_exchange_routing_ray.functions.multimodal import (
+    DecodeMedia,
+    ExtractMediaFeatures,
+    sample_frames,
+    synthesize_media_batch,
+)
+from data_exchange_routing_ray.functions.similarity import IVFIndex, topk_cosine
+from data_exchange_routing_ray.functions.text import (
+    RedactText,
+    add_lang_id,
+    add_md5_fingerprint,
+    add_quality_score,
+    add_text_stats,
+    add_winnow_fingerprint,
+)
+
+
+def _docs_table():
+    return pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": [
+                "The quick brown fox jumps over the lazy dog and runs to the forest",
+                "The quick brown fox jumps over the lazy dog and runs to the woods",
+                "el perro corre en la casa y el gato duerme en el sofa de la sala",
+                "completely different content about databases and query engines here",
+                "The quick brown fox jumps over the lazy dog and runs to the forest",
+            ],
+        }
+    )
+
+
+def test_text_stats_and_quality():
+    out = add_quality_score(add_text_stats(_docs_table()))
+    df = out.to_pandas()
+    assert df.loc[0, "n_tokens"] == 14
+    assert (df["quality"] >= 0).all() and (df["quality"] <= 1).all()
+    assert df.loc[0, "stop_hits"] >= 3  # the, over(x0), the, and, to, the
+
+
+def test_lang_id_heuristic():
+    out = add_lang_id(_docs_table()).to_pandas()
+    assert out.loc[0, "lang_pred"] == "en"
+    assert out.loc[2, "lang_pred"] == "es"
+    zh = add_lang_id(pa.table({"doc_id": [9], "text": ["这是中文文本"]})).to_pandas()
+    assert zh.loc[0, "lang_pred"] == "zh"
+
+
+def test_fingerprints():
+    out = add_winnow_fingerprint(add_md5_fingerprint(_docs_table())).to_pandas()
+    # identical docs → identical fingerprints
+    assert out.loc[0, "fp_md5"] == out.loc[4, "fp_md5"]
+    assert out.loc[0, "fp_winnow"] == out.loc[4, "fp_winnow"]
+    assert out.loc[0, "fp_md5"] != out.loc[3, "fp_md5"]
+    import hashlib
+
+    assert out.loc[0, "fp_md5"] == hashlib.md5(
+        _docs_table()["text"][0].as_py().encode()
+    ).hexdigest()
+
+
+def test_redactor():
+    t = pa.table(
+        {"text": ["call 555-123-4567 or mail bob@example.com ssn 123-45-6789"]}
+    )
+    out = RedactText()(t)["text"][0].as_py()
+    assert "[PHONE]" in out and "[EMAIL]" in out and "[SSN]" in out
+    assert "bob@" not in out and "123-45-6789" not in out
+
+
+def test_exact_dedup(ray_session):
+    import ray.data
+
+    out = exact_dedup(ray.data.from_arrow(_docs_table())).to_pandas()
+    # doc 4 is an exact dup of doc 0 → dropped, lowest id kept
+    assert sorted(out["doc_id"]) == [0, 1, 2, 3]
+
+
+def test_minhash_lsh_finds_neardups(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(_docs_table())
+    pairs = minhash_candidate_pairs(ds, threshold=0.5).to_pandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 4) in found  # exact dup
+    assert (0, 1) in found or (1, 4) in found  # near dup (one word differs)
+    assert not any(3 in p for p in found)  # unrelated doc never pairs
+
+    verified = verify_jaccard_pairs(_docs_table().to_pandas(), pairs)
+    exact_pair = verified[(verified.id_a == 0) & (verified.id_b == 4)]
+    assert float(exact_pair["jaccard"].iloc[0]) == 1.0
+
+    kept = dedup_by_pairs(ds, pairs[pairs.est_jaccard >= 0.9], id_col="doc_id")
+    ids = sorted(kept.to_pandas()["doc_id"])
+    assert 0 in ids and 4 not in ids
+
+
+def test_simhash_pairs(ray_session):
+    import ray.data
+
+    pairs = simhash_candidate_pairs(ray.data.from_arrow(_docs_table())).to_pandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 4) in found
+    ham = dict(zip(zip(pairs["id_a"], pairs["id_b"]), pairs["hamming"]))
+    assert ham[(0, 4)] == 0
+
+
+def _emb_table(n=200, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    M = rng.standard_normal((n, dim))
+    # plant near-duplicates: vec 10 ≈ vec 11 (adjacent ids) and vec 10 ≈ vec 15
+    # (same `label` block: 10 % 5 == 15 % 5 == 0)
+    M[11] = M[10] + rng.standard_normal(dim) * 0.01
+    M[15] = M[10] + rng.standard_normal(dim) * 0.01
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array([r.astype(np.float32).tolist() for r in M], pa.list_(pa.float32())),
+            "label": pa.array((np.arange(n) % 5).astype(np.int32), pa.int32()),
+        }
+    )
+
+
+def test_embedding_neardup_blocked(ray_session):
+    import ray.data
+
+    t = _emb_table()
+    pairs = embedding_neardup_pairs_blocked(
+        ray.data.from_arrow(t), threshold=0.95
+    ).to_pandas()
+    assert (10, 15) in set(zip(pairs["id_a"], pairs["id_b"]))
+    # (10, 11) is near-dup but in different label blocks → not found (blocked
+    # semantics; the LSH variant below finds it)
+    assert (10, 11) not in set(zip(pairs["id_a"], pairs["id_b"]))
+
+
+def test_embedding_neardup_lsh(ray_session):
+    import ray.data
+
+    t = _emb_table()
+    pairs = lsh_neardup_pairs(
+        ray.data.from_arrow(t), threshold=0.95, dim=16
+    ).to_pandas()
+    assert (10, 11) in set(zip(pairs["id_a"], pairs["id_b"]))
+
+
+def test_topk_cosine_and_ivf_recall(ray_session):
+    import ray.data
+
+    t = _emb_table(n=400, dim=16)
+    ds = ray.data.from_arrow(t)
+    q = np.asarray(t["embedding"][10].as_py())
+    exact = topk_cosine(ds, q, k=10)
+    assert exact.loc[0, "vec_id"] == 10  # itself, cosine 1.0
+    assert 11 in set(exact["vec_id"].head(2))  # planted near-dup right behind
+
+    ivf = IVFIndex(num_clusters=8, seed=42).fit(ds)
+    approx = ivf.search(ds, q, k=10, nprobe=4)
+    recall = len(set(exact["vec_id"]) & set(approx["vec_id"])) / 10
+    assert recall >= 0.6
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data
+
+    docs = _docs_table()
+    media = synthesize_media_batch(docs)
+    assert media.schema.names == [
+        "media_id",
+        "media_type",
+        "payload",
+        "meta_width",
+        "meta_height",
+        "meta_sample_rate",
+    ]
+    ds = ray.data.from_arrow(media)
+    decoded = ds.map_batches(
+        DecodeMedia, batch_format="pyarrow", concurrency=1
+    ).map_batches(ExtractMediaFeatures, batch_format="pyarrow", concurrency=1)
+    df = decoded.to_pandas()
+    assert (df["decoded_bytes"] > 0).all()
+    assert all(len(f) == 8 for f in df["features"])
+    # identical payloads → identical fake features (deterministic stub)
+    f0 = list(df.loc[df.media_id == 0, "features"].iloc[0])
+    f4 = list(df.loc[df.media_id == 4, "features"].iloc[0])
+    assert f0 == f4
+
+    frames = sample_frames(media, frame_size=8, every_nth=2)
+    assert frames.num_rows > 0
+    assert set(frames.column_names) == {"media_id", "frame_idx", "frame"}
+    with pytest.raises(NotImplementedError):
+        DecodeMedia(decode="real")
