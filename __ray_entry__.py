@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself; nothing here (or in the library)
+initialises or shuts down Ray.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()`` — flagship CDC pipeline on sf0.001 (full engine: validation,
+  hash-partitioned LWW merge-apply, exactly-once manifest commit).
+- ``queries()`` — one entry per implemented operator/pipeline (SURVEY.md §2
+  + the training-data operators).
+- ``oracle_sql()`` — DuckDB-equivalent SQL per query where expressible; the
+  CDC queries derive a deterministic change stream FROM the ``events`` table
+  (formula documented in ``pipelines/events_cdc.py``) so the upsert engine's
+  final state is checkable against a window-function oracle.
 """
 
 from __future__ import annotations
@@ -18,27 +18,258 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from data_exchange_routing_ray.pipelines import events_cdc as q
+
+# Shared CTE: the deterministic events → change-stream derivation.
+# MUST stay in sync with pipelines/events_cdc.py::derive_changes_batch.
+_CH = """
+WITH ch AS (
+  SELECT event_id AS seq,
+         CASE WHEN event_id % 10 < 7 THEN 'insert'
+              WHEN event_id % 10 < 9 THEN 'update'
+              ELSE 'delete' END AS op,
+         'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 10 >= 9 THEN NULL
+              WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN event_id % 10 >= 9 THEN NULL
+              ELSE 'e-' || CAST(event_id AS VARCHAR) END AS text,
+         CASE WHEN event_id % 10 >= 9 THEN NULL ELSE event_type END AS tool,
+         ts
+  FROM events
+)
+"""
+
+_FINAL_STATE_SQL = (
+    _CH
+    + """
+, last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM ch
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM last WHERE rn = 1 AND op <> 'delete'
+"""
+)
+
+_CORRUPT_CH = """
+WITH ch AS (
+  SELECT event_id AS seq,
+         CASE WHEN event_id % 101 = 1 THEN 'upsert?'
+              WHEN event_id % 10 < 7 THEN 'insert'
+              WHEN event_id % 10 < 9 THEN 'update'
+              ELSE 'delete' END AS op,
+         CASE WHEN event_id % 101 = 0 THEN NULL
+              ELSE 'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') END AS conv_id,
+         CASE WHEN event_id % 101 = 3 THEN NULL
+              ELSE CAST(event_id % 25 AS INTEGER) END AS turn_idx,
+         CASE WHEN event_id % 10 >= 9 THEN NULL
+              WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN event_id % 10 >= 9 THEN NULL
+              ELSE 'e-' || CAST(event_id AS VARCHAR) END AS text,
+         CASE WHEN event_id % 101 = 2 THEN NULL ELSE ts END AS ts
+  FROM events
+)
+"""
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full CDC replay of the derived change stream at sf0.001."""
+    return q.cdc_final_state("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # ---- CDC engine (SURVEY.md §2.2/2.3/2.5/2.7/2.8, §7) ----
+        "cdc_final_state": q.cdc_final_state,
+        "cdc_final_state_multi_epoch": q.cdc_final_state_multi_epoch,
+        "cdc_quarantine_counts": q.cdc_quarantine_counts,
+        "cdc_conv_watermarks": q.cdc_conv_watermarks,
+        # ---- routing / config (J1-J6, M3, M4) ----
+        "cdc_route_expansion": q.cdc_route_expansion,
+        "cdc_unroutable_count": q.cdc_unroutable_count,
+        "cdc_partition_paths": q.cdc_partition_paths,
+        # ---- record splitters (M7, S16) ----
+        "cdc_debatch": q.cdc_debatch,
+        # ---- relational / aggregate operators ----
+        "agg_pricing_summary": q.agg_pricing_summary,
+        "join_broadcast_segments": q.join_broadcast_segments,
+        "sort_topk_orders": q.sort_topk_orders,
+        "distinct_event_types": q.distinct_event_types,
+        "split_by_category": q.split_by_category,
+        "sessionize_events": q.sessionize_events,
+        # ---- text analysis ----
+        "text_stats": q.text_stats,
+        "text_quality": q.text_quality,
+        "text_langid": q.text_langid,
+        "text_fingerprint_md5": q.text_fingerprint_md5,
+        "text_fingerprint_winnow": q.text_fingerprint_winnow,
+        # ---- dedup ----
+        "dedup_exact_events_props": q.dedup_exact_events_props,
+        "dedup_minhash_pairs": q.dedup_minhash_pairs,
+        "dedup_simhash_pairs": q.dedup_simhash_pairs,
+        "emb_neardup_blocked": q.emb_neardup_blocked,
+        "emb_neardup_lsh": q.emb_neardup_lsh,
+        # ---- similarity search ----
+        "ann_topk": q.ann_topk,
+        "ann_ivf_topk": q.ann_ivf_topk,
+        # ---- multimodal plumbing ----
+        "multimodal_decode": q.multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_final_state": _FINAL_STATE_SQL,
+        "cdc_final_state_multi_epoch": _FINAL_STATE_SQL,
+        "cdc_quarantine_counts": _CORRUPT_CH
+        + """
+SELECT error, count(*) AS n FROM (
+  SELECT CASE
+    WHEN op NOT IN ('insert','update','delete')
+      THEN 'Unsupported op; expected insert|update|delete'
+    WHEN conv_id IS NULL OR conv_id = '' THEN 'Missing conv_id in event'
+    WHEN turn_idx IS NULL THEN 'Missing turn_idx in event'
+    WHEN ts IS NULL THEN 'Missing or unparseable ts'
+    WHEN op = 'insert' AND role IS NULL AND text IS NULL
+      THEN 'Payload metadata is missing or empty for insert'
+    ELSE NULL END AS error
+  FROM ch
+) WHERE error IS NOT NULL GROUP BY error
+""",
+        "cdc_conv_watermarks": _CH
+        + """
+SELECT conv_id, max(seq) AS watermark, count(*) AS n_events FROM ch GROUP BY conv_id
+""",
+        "cdc_route_expansion": """
+WITH ev AS (
+  SELECT CASE WHEN event_type = 'error' THEN 'errors' ELSE 'transcripts' END AS dsid,
+         CASE WHEN event_type IN ('click','view') THEN 'main' ELSE 'raw' END AS route
+  FROM events
+),
+routes(dsid, route, destination) AS (
+  VALUES ('transcripts', 'main', 'lake/clickview'),
+         ('transcripts', 'main', 'audit/clickview'),
+         ('transcripts', 'raw', 'lake/raw')
+)
+SELECT destination, count(*) AS n FROM ev JOIN routes USING (dsid, route)
+GROUP BY destination
+""",
+        "cdc_unroutable_count": """
+SELECT count(*) AS n_unroutable FROM events WHERE event_type = 'error'
+""",
+        "cdc_partition_paths": """
+SELECT 'lake/transcripts/' || strftime(ts, '%Y/%m/%d') AS dest_path, count(*) AS n
+FROM events GROUP BY 1
+""",
+        "cdc_debatch": """
+SELECT event_id, CAST(0 AS INTEGER) AS msg_idx,
+       'm' || CAST(event_id AS VARCHAR) || '-0' AS text FROM events
+UNION ALL
+SELECT event_id, CAST(1 AS INTEGER), 'm' || CAST(event_id AS VARCHAR) || '-1'
+FROM events WHERE event_id % 3 = 0
+UNION ALL
+SELECT event_id, CAST(2 AS INTEGER), 'm' || CAST(event_id AS VARCHAR) || '-2'
+FROM events WHERE event_id % 3 = 0
+""",
+        "agg_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_quantity) / count(*), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "join_broadcast_segments": """
+SELECT c_mktsegment, round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+        "sort_topk_orders": """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+""",
+        "distinct_event_types": """
+SELECT DISTINCT event_type FROM events
+""",
+        "split_by_category": """
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY event_type
+""",
+        "sessionize_events": """
+SELECT user_id, count(*) AS n_events,
+       CAST(1 + sum(CASE WHEN gap > 1800.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM (
+  SELECT user_id,
+         epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+  FROM events
+)
+GROUP BY user_id
+""",
+        "text_stats": r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(length(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+       CAST(length(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS BIGINT) AS stop_hits
+FROM documents
+""",
+        "text_quality": r"""
+SELECT doc_id,
+  round(
+    least(CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE), 200.0) / 200.0
+    * (1.0 - CAST(length(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+             / greatest(CAST(length(text) AS DOUBLE), 1.0))
+    * (0.5 + 0.5 * least(
+        CAST(length(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS DOUBLE)
+        * 5.0 / greatest(CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0),
+        1.0))
+  , 6) AS quality
+FROM documents
+""",
+        "text_langid": r"""
+SELECT doc_id,
+  CASE WHEN s_zh > 0 THEN 'zh'
+       WHEN s_en >= greatest(s_es, s_fr, s_de) AND s_en > 0 THEN 'en'
+       WHEN s_es >= greatest(s_fr, s_de) AND s_es > 0 THEN 'es'
+       WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+       WHEN s_de > 0 THEN 'de'
+       ELSE 'unknown' END AS lang_pred
+FROM (
+  SELECT doc_id,
+    length(regexp_extract_all(text, '\p{Han}')) AS s_zh,
+    length(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for)\b')) AS s_en,
+    length(regexp_extract_all(lower(text), '\b(el|los|las|de|que|y|en|una)\b')) AS s_es,
+    length(regexp_extract_all(lower(text), '\b(le|les|des|et|une|dans|pour)\b')) AS s_fr,
+    length(regexp_extract_all(lower(text), '\b(der|die|das|und|ein|eine|zu|mit|von)\b')) AS s_de
+  FROM documents
+)
+""",
+        "text_fingerprint_md5": """
+SELECT doc_id, md5(text) AS fp_md5 FROM documents
+""",
+        "dedup_exact_events_props": """
+SELECT event_id, props FROM (
+  SELECT event_id, props,
+         row_number() OVER (PARTITION BY props ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+        "emb_neardup_blocked": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.3
+""",
+        "ann_topk": """
+SELECT vec_id,
+       round(list_cosine_similarity(embedding,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10
+""",
+        # no oracle (approximate / stateful / binary-payload ops):
+        # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,
+        # emb_neardup_lsh, ann_ivf_topk, multimodal_decode
+    }

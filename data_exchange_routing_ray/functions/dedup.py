@@ -385,12 +385,11 @@ def embedding_neardup_pairs_blocked(
         M = np.stack(g[vec_col].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(M, axis=1)
         norms[norms == 0] = 1.0
-        Mn = M / norms[:, None]
-        sims = Mn @ Mn.T
+        # dot / (|a||b|) — matches SQL list_cosine_similarity bit-for-bit
+        sims = (M @ M.T) / np.outer(norms, norms)
         ia, ib = np.triu_indices(len(ids), k=1)
         s = sims[ia, ib]
         keep = s > threshold
-        order = np.argsort(ids)
         # canonical id order (id_a < id_b)
         a, b = ids[ia][keep], ids[ib][keep]
         lo, hi = np.minimum(a, b), np.maximum(a, b)

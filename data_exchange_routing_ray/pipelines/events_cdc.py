@@ -1,0 +1,557 @@
+"""Driver-verifiable query pipelines over the standard test tables.
+
+Each function here is a ``queries()`` entry in ``__ray_entry__`` with a
+DuckDB oracle in ``oracle_sql()``. The CDC pipelines derive a deterministic
+binlog change stream FROM the ``events`` table with a formula both Ray and
+ANSI SQL can compute, then run the REAL engine (CDCLake: validation,
+partitioned LWW merge, manifest commits) and compare final state against a
+SQL window-function oracle.
+
+Derivation (shared contract — keep in sync with the SQL in __ray_entry__):
+
+    seq      = event_id
+    op       = insert if event_id%10<7, update if <9, else delete
+    conv_id  = 'conv-' || lpad(user_id, 6, '0')
+    turn_idx = int32(event_id % 25)
+    role     = user/assistant by event_id parity   (NULL for delete)
+    text     = 'e-' || event_id                    (NULL for delete)
+    tool     = event_type                          (NULL for delete)
+    ts       = ts
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Sum
+
+from data_exchange_routing_ray.functions.text import (
+    add_lang_id,
+    add_md5_fingerprint,
+    add_quality_score,
+    add_text_stats,
+    add_winnow_fingerprint,
+)
+from data_exchange_routing_ray.pipelines.cdc import CDCLake
+from data_exchange_routing_ray.stages.debatch import debatch_json_array
+from data_exchange_routing_ray.stages.route import folders_to_path, make_router, split_routed
+from data_exchange_routing_ray.stages.validate import keep_invalid, validate_batch
+
+
+def _events(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=columns
+    )
+
+
+def _documents(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
+
+
+def _embeddings(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# --------------------------------------------------------------- derivation
+
+def derive_changes_batch(batch: pa.Table, corrupt: bool = False) -> pa.Table:
+    """events rows → CHANGE_SCHEMA rows (vectorized; formula above)."""
+    ev = batch["event_id"].to_numpy()
+    uid = batch["user_id"].to_numpy()
+    etype = batch["event_type"].to_numpy(zero_copy_only=False)
+    mod10 = ev % 10
+    op = np.select(
+        [mod10 < 7, mod10 < 9], ["insert", "update"], default="delete"
+    ).astype(object)
+    is_del = mod10 >= 9
+    conv = np.char.add("conv-", np.char.zfill(uid.astype(np.str_), 6)).astype(object)
+    turn = (ev % 25).astype(np.int32)
+    role = np.where(ev % 2 == 0, "user", "assistant").astype(object)
+    text = np.char.add("e-", ev.astype(np.str_)).astype(object)
+    tool = etype.copy()
+    role[is_del] = None
+    text[is_del] = None
+    tool[is_del] = None
+
+    ts = batch["ts"]
+    if corrupt:
+        kind = ev % 101
+        conv[kind == 0] = None
+        op[kind == 1] = "upsert?"
+        ts = pc.if_else(
+            pa.array(kind == 2), pa.nulls(batch.num_rows, pa.timestamp("us")), ts
+        )
+        turn_arr = pa.array(turn, pa.int32())
+        turn_col = pc.if_else(
+            pa.array(kind == 3), pa.nulls(batch.num_rows, pa.int32()), turn_arr
+        )
+    else:
+        turn_col = pa.array(turn, pa.int32())
+
+    return pa.table(
+        {
+            "seq": pa.array(ev, pa.int64()),
+            "op": pa.array(op, pa.string()),
+            "conv_id": pa.array(conv, pa.string()),
+            "turn_idx": turn_col,
+            "role": pa.array(role, pa.string()),
+            "text": pa.array(text, pa.string()),
+            "tool": pa.array(tool, pa.string()),
+            "ts": ts.cast(pa.timestamp("us")),
+        }
+    )
+
+
+def derived_change_stream(sf_dir: str, corrupt: bool = False) -> ray.data.Dataset:
+    return _events(sf_dir, columns=["event_id", "user_id", "event_type", "ts"]).map_batches(
+        lambda b: derive_changes_batch(b, corrupt=corrupt), batch_format="pyarrow"
+    )
+
+
+# ------------------------------------------------------------- CDC queries
+
+def cdc_final_state(sf_dir: str) -> pa.Table:
+    """Full engine replay (single epoch): validate → partition → LWW merge →
+    manifest commit; returns the committed lake state."""
+    with tempfile.TemporaryDirectory(prefix="cdclake-") as d:
+        lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
+        lake.apply_changes(derived_change_stream(sf_dir), quarantine=False)
+        return lake.final_table()
+
+
+def cdc_final_state_multi_epoch(sf_dir: str, epochs: int = 4) -> pa.Table:
+    """Same result via N seq-ordered epoch micro-batches + a replayed epoch
+    (fencing proves idempotence end-to-end)."""
+    stream = derived_change_stream(sf_dir)
+    hi = _events(sf_dir, columns=["event_id"]).max("event_id")
+    bounds = np.linspace(0, hi + 1, epochs + 1).astype(np.int64)
+    with tempfile.TemporaryDirectory(prefix="cdclake-") as d:
+        lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
+        for i in range(epochs):
+            lo, up = int(bounds[i]), int(bounds[i + 1])
+            epoch_ds = stream.filter(
+                expr=f"seq >= {lo} and seq < {up}"
+            )
+            lake.apply_changes(epoch_ds, quarantine=False)
+        # redeliver the last epoch verbatim — must be a fenced no-op
+        replay = stream.filter(expr=f"seq >= {int(bounds[-2])} and seq < {int(bounds[-1])}")
+        res = lake.apply_changes(replay, quarantine=False)
+        assert res.changes_applied == 0, "fencing must no-op a replayed epoch"
+        return lake.final_table()
+
+
+def cdc_quarantine_counts(sf_dir: str) -> pa.Table:
+    """Validation matrix over a corrupted stream: dead-letter rows per exact
+    error message (first-failing-rule order)."""
+    bad = (
+        derived_change_stream(sf_dir, corrupt=True)
+        .map_batches(validate_batch, batch_format="pyarrow")
+        .map_batches(keep_invalid, batch_format="pyarrow")
+    )
+    out = bad.groupby("error").aggregate(Count(alias_name="n"))
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def cdc_conv_watermarks(sf_dir: str) -> pa.Table:
+    """Per-conversation applied-offset watermark + event count (A-aggregates)."""
+    out = (
+        derived_change_stream(sf_dir)
+        .groupby("conv_id")
+        .aggregate(Max("seq", alias_name="watermark"), Count(alias_name="n_events"))
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+ROUTE_CONFIG = {
+    "routes": [
+        {
+            "id": "transcripts-main-lake",
+            "match": {"data_stream_id": "transcripts", "data_stream_route": "main"},
+            "destination": "lake/clickview",
+            "partition_folder": "",
+            "metadata": {"tier": "hot"},
+        },
+        {
+            "id": "transcripts-main-audit",
+            "match": {"data_stream_id": "transcripts", "data_stream_route": "main"},
+            "destination": "audit/clickview",
+            "partition_folder": "",
+            "metadata": {"tier": "audit"},
+        },
+        {
+            "id": "transcripts-raw",
+            "match": {"data_stream_id": "transcripts", "data_stream_route": "raw"},
+            "destination": "lake/raw",
+            "partition_folder": "",
+            "metadata": {},
+        },
+    ]
+}
+
+
+def _with_stream_cols(batch: pa.Table) -> pa.Table:
+    etype = batch["event_type"].to_numpy(zero_copy_only=False)
+    dsid = np.where(etype == "error", "errors", "transcripts").astype(object)
+    route = np.where(np.isin(etype, ["click", "view"]), "main", "raw").astype(object)
+    batch = batch.append_column("data_stream_id", pa.array(dsid, pa.string()))
+    return batch.append_column("data_stream_route", pa.array(route, pa.string()))
+
+
+def cdc_route_expansion(sf_dir: str) -> pa.Table:
+    """Broadcast route lookup + 1→N expansion: events per destination."""
+    ds = _events(sf_dir, columns=["event_id", "event_type"]).map_batches(
+        _with_stream_cols, batch_format="pyarrow"
+    )
+    router = make_router(ROUTE_CONFIG, enrich=False)
+    routed = ds.map_batches(router, batch_format="pyarrow")
+    ok = routed.map_batches(lambda b: split_routed(b)[0], batch_format="pyarrow")
+    out = ok.groupby("destination").aggregate(Count(alias_name="n"))
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def cdc_unroutable_count(sf_dir: str) -> pa.Table:
+    """Anti-join side: events with no matching route (dead-letter count)."""
+    ds = _events(sf_dir, columns=["event_id", "event_type"]).map_batches(
+        _with_stream_cols, batch_format="pyarrow"
+    )
+    router = make_router(ROUTE_CONFIG, enrich=False)
+    routed = ds.map_batches(router, batch_format="pyarrow")
+    bad = routed.map_batches(lambda b: split_routed(b)[1], batch_format="pyarrow")
+    n = bad.count()
+    return pa.table({"n_unroutable": pa.array([n], pa.int64())})
+
+
+def cdc_partition_paths(sf_dir: str) -> pa.Table:
+    """Date-partition template expansion (:y/:m/:d) — rows per dest path."""
+
+    def to_path(batch: pa.Table) -> pa.Table:
+        p = folders_to_path(batch["ts"], ":y/:m/:d")
+        full = pc.binary_join_element_wise(
+            pa.array(["lake/transcripts"] * batch.num_rows), p, "/"
+        )
+        return pa.table({"dest_path": full})
+
+    ds = _events(sf_dir, columns=["ts"]).map_batches(to_path, batch_format="pyarrow")
+    out = ds.groupby("dest_path").aggregate(Count(alias_name="n"))
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def cdc_debatch(sf_dir: str) -> pa.Table:
+    """JSON-array debatcher: 1 event → 1 or 3 messages."""
+
+    def make_payload(batch: pa.Table) -> pa.Table:
+        ev = batch["event_id"].to_numpy()
+        payloads = np.where(
+            ev % 3 == 0,
+            [
+                f'["m{e}-0", "m{e}-1", "m{e}-2"]' for e in ev
+            ],
+            [f'["m{e}-0"]' for e in ev],
+        ).astype(object)
+        return pa.table(
+            {
+                "event_id": pa.array(ev, pa.int64()),
+                "text": pa.array(payloads, pa.string()),
+            }
+        )
+
+    ds = _events(sf_dir, columns=["event_id"]).map_batches(
+        make_payload, batch_format="pyarrow"
+    )
+    out = ds.map_batches(
+        lambda b: debatch_json_array(b, payload_col="text"), batch_format="pyarrow"
+    )
+    return pa.Table.from_pandas(
+        out.to_pandas()[["event_id", "msg_idx", "text"]], preserve_index=False
+    )
+
+
+# ------------------------------------------------------- relational queries
+
+def agg_pricing_summary(sf_dir: str) -> pa.Table:
+    """Pre-aggregated grouped summary over lineitem (partial-agg combiner
+    inside map_batches, then a tiny groupby — the scale pattern)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.less_equal(batch["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02")))
+        )
+        df = t.select(
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"]
+        ).to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_base_price=("l_extendedprice", "sum"),
+                sum_disc_price=("disc_price", "sum"),
+                count_order=("l_quantity", "size"),
+            )
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    out["avg_qty"] = np.round(out["sum_qty"] / out["count_order"], 6)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        out[c] = np.round(out[c], 4)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def join_broadcast_segments(sf_dir: str) -> pa.Table:
+    """orders ⋈ customer with the small side broadcast (ray.put once),
+    grouped revenue per market segment — the reference's config-dimension
+    join shape (J1/J2) on relational data."""
+    import ray as _ray
+
+    cust = pd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    seg_ref = _ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        seg_map = _ray.get(seg_ref)
+        df = batch.select(["o_custkey", "o_totalprice"]).to_pandas()
+        df["c_mktsegment"] = df["o_custkey"].map(seg_map)
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("revenue", alias_name="revenue"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+        .to_pandas()
+    )
+    out["revenue"] = np.round(out["revenue"], 4)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def sort_topk_orders(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_totalprice"]
+    )
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(20)
+    return pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+
+
+def distinct_event_types(sf_dir: str) -> pa.Table:
+    vals = sorted(_events(sf_dir, columns=["event_type"]).unique("event_type"))
+    return pa.table({"event_type": pa.array(vals, pa.string())})
+
+
+def split_by_category(sf_dir: str) -> pa.Table:
+    """Stream-split semantics (A5): per-category row count + value sum."""
+    out = (
+        _events(sf_dir, columns=["event_type", "value"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))
+        .to_pandas()
+    )
+    out["total_value"] = np.round(out["total_value"], 4)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def sessionize_events(sf_dir: str, gap_seconds: float = 1800.0) -> pa.Table:
+    """Session windows per user (30-min inactivity gap) — the streaming
+    window op Ray Data lacks natively, as groupby + per-group pandas."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        gap = g["ts"].diff().dt.total_seconds()
+        n_sessions = int((gap > gap_seconds).sum()) + 1
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(g)],
+                "n_sessions": [n_sessions],
+            }
+        )
+
+    out = (
+        _events(sf_dir, columns=["user_id", "event_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ------------------------------------------------------------- text queries
+
+def text_stats(sf_dir: str) -> pa.Table:
+    out = (
+        _documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(lambda b: add_text_stats(b), batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(
+        out[["doc_id", "n_tokens", "n_punct", "stop_hits"]], preserve_index=False
+    )
+
+
+def text_quality(sf_dir: str) -> pa.Table:
+    out = (
+        _documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(lambda b: add_quality_score(b), batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out[["doc_id", "quality"]], preserve_index=False)
+
+
+def text_langid(sf_dir: str) -> pa.Table:
+    out = (
+        _documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(lambda b: add_lang_id(b), batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out[["doc_id", "lang_pred"]], preserve_index=False)
+
+
+def text_fingerprint_md5(sf_dir: str) -> pa.Table:
+    out = (
+        _documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(lambda b: add_md5_fingerprint(b), batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out[["doc_id", "fp_md5"]], preserve_index=False)
+
+
+def text_fingerprint_winnow(sf_dir: str) -> pa.Table:
+    out = (
+        _documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(lambda b: add_winnow_fingerprint(b), batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out[["doc_id", "fp_winnow"]], preserve_index=False)
+
+
+# ------------------------------------------------------------ dedup queries
+
+def dedup_exact_events_props(sf_dir: str) -> pa.Table:
+    from data_exchange_routing_ray.functions.dedup import exact_dedup
+
+    ds = _events(sf_dir, columns=["event_id", "props"])
+    out = exact_dedup(ds, col="props", id_col="event_id").to_pandas()
+    return pa.Table.from_pandas(
+        out[["event_id", "props"]], preserve_index=False
+    )
+
+
+def dedup_minhash_pairs(sf_dir: str) -> pa.Table:
+    from data_exchange_routing_ray.functions.dedup import minhash_candidate_pairs
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    out = minhash_candidate_pairs(ds, threshold=0.5).to_pandas()
+    return pa.Table.from_pandas(
+        out[["id_a", "id_b", "est_jaccard"]], preserve_index=False
+    )
+
+
+def dedup_simhash_pairs(sf_dir: str) -> pa.Table:
+    from data_exchange_routing_ray.functions.dedup import simhash_candidate_pairs
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    out = simhash_candidate_pairs(ds, max_hamming=3).to_pandas()
+    return pa.Table.from_pandas(
+        out[["id_a", "id_b", "hamming"]], preserve_index=False
+    )
+
+
+def emb_neardup_blocked(sf_dir: str, threshold: float = 0.3) -> pa.Table:
+    from data_exchange_routing_ray.functions.dedup import (
+        embedding_neardup_pairs_blocked,
+    )
+
+    out = embedding_neardup_pairs_blocked(
+        _embeddings(sf_dir), threshold=threshold
+    ).to_pandas()
+    return pa.Table.from_pandas(
+        out[["id_a", "id_b", "cosine"]], preserve_index=False
+    )
+
+
+def emb_neardup_lsh(sf_dir: str, threshold: float = 0.3) -> pa.Table:
+    from data_exchange_routing_ray.functions.dedup import lsh_neardup_pairs
+
+    out = lsh_neardup_pairs(_embeddings(sf_dir), threshold=threshold).to_pandas()
+    return pa.Table.from_pandas(
+        out[["id_a", "id_b", "cosine"]], preserve_index=False
+    )
+
+
+def ann_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    from data_exchange_routing_ray.functions.similarity import topk_cosine
+
+    ds = _embeddings(sf_dir)
+    q = ds.filter(expr="vec_id == 0").take(1)[0]["embedding"]
+    out = topk_cosine(ds, np.asarray(q), k=k)
+    return pa.Table.from_pandas(out[["vec_id", "cosine"]], preserve_index=False)
+
+
+def ann_ivf_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    from data_exchange_routing_ray.functions.similarity import IVFIndex
+
+    ds = _embeddings(sf_dir)
+    q = ds.filter(expr="vec_id == 0").take(1)[0]["embedding"]
+    idx = IVFIndex(num_clusters=16, seed=42).fit(ds)
+    out = idx.search(ds, np.asarray(q), k=k, nprobe=4)
+    return pa.Table.from_pandas(out[["vec_id", "cosine"]], preserve_index=False)
+
+
+def multimodal_decode(sf_dir: str) -> pa.Table:
+    from data_exchange_routing_ray.functions.multimodal import (
+        DecodeMedia,
+        ExtractMediaFeatures,
+        synthesize_media_batch,
+    )
+
+    ds = (
+        _documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(synthesize_media_batch, batch_format="pyarrow")
+        .map_batches(DecodeMedia, batch_format="pyarrow", concurrency=2)
+        .map_batches(ExtractMediaFeatures, batch_format="pyarrow", concurrency=2)
+    )
+    out = ds.to_pandas()
+    return pa.Table.from_pandas(
+        out[["media_id", "media_type", "decoded_bytes", "checksum"]],
+        preserve_index=False,
+    )
