@@ -1,0 +1,264 @@
+"""Benchmark harness for the Ray-Data CDC/ingest engine.
+
+Default mode: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)`` and print ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "cdc_events_per_sec": R}
+
+Scaling mode (``--scaling``): run the identical CDC-replay job in FRESH
+processes at two parallelism levels (default ``num_cpus=8`` then ``32``) on
+the same input and report throughput at both plus scaling efficiency
+``(rate_hi / rate_lo) / (hi / lo)`` — the sandbox stand-in for N vs 4N Ray
+nodes (see BASELINE.md).  The replay input is the deterministic change
+stream derived from ``events.parquet`` (see pipelines/events_cdc.py),
+replicated ``--multiplier`` times with shifted seq ranges so the job is
+large enough to saturate the higher CPU count; the multiplier is reported.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# Headline pipelines: flagship CDC replay + one representative per operator
+# family (routing, splitter, relational agg/join/sort, window, text, dedup,
+# similarity).  Full operator coverage is check_queries.py's job; bench
+# tracks throughput of the families.
+HEADLINE = [
+    "cdc_final_state",
+    "cdc_final_state_multi_epoch",
+    "cdc_quarantine_counts",
+    "cdc_route_expansion",
+    "cdc_debatch",
+    "agg_pricing_summary",
+    "join_broadcast_segments",
+    "sort_topk_orders",
+    "sessionize_events",
+    "text_quality",
+    "text_langid",
+    "dedup_exact_events_props",
+    "dedup_minhash_pairs",
+    "emb_neardup_lsh",
+    "ann_topk",
+]
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    # warmup: force the worker pool to spawn + import numpy/pandas so the
+    # first timed pipeline measures steady-state, not process startup
+    import ray.data
+
+    ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+        _warm, batch_format="pyarrow"
+    ).count()
+
+
+def _warm(batch):
+    import numpy  # noqa: F401
+    import pandas  # noqa: F401
+
+    return batch
+
+
+def _consume(result) -> int:
+    """Force execution; return row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.count()
+    if isinstance(result, (pa.Table, pd.DataFrame)):
+        return len(result)
+    return 0
+
+
+def run_headline(sf_dir: str, num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        _consume(qs[name](sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship throughput: change-events/sec of the single-epoch full replay
+    n_events = _num_events(sf_dir)
+    rate = round(n_events / timings["cdc_final_state"], 1)
+    return {
+        "metric": "headline pipelines total wall time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "cdc_events_per_sec": rate,
+        "cdc_events": n_events,
+    }
+
+
+def _num_events(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata.num_rows
+
+
+# ------------------------------------------------------------------ scaling
+
+def _materialize_stream(sf_dir: str, multiplier: int, out_dir: str) -> int:
+    """Write the derived change stream ×multiplier as seq-ordered shards.
+
+    Seq ranges of the replicas are disjoint (replica j offset by j*max_seq)
+    so the replay is a valid binlog; each replica re-keys a third of the
+    conversations to widen the key space.  Returns total events written.
+    """
+    _init_ray(NUM_CPUS)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from data_exchange_routing_ray.pipelines.events_cdc import derived_change_stream
+
+    base = derived_change_stream(sf_dir).materialize()
+    tables = [ray_get_all(base)]
+    tab = pa.concat_tables(tables[0])
+    span = pc.max(tab["seq"]).as_py() + 1
+    total = 0
+    os.makedirs(out_dir, exist_ok=True)
+    for j in range(multiplier):
+        t = tab
+        if j:
+            t = t.set_column(
+                t.schema.get_field_index("seq"),
+                "seq",
+                pc.add(t["seq"], pa.scalar(j * span, pa.int64())),
+            )
+            conv = pc.binary_join_element_wise(
+                t["conv_id"], pa.array([f"r{j}"] * t.num_rows), "-"
+            )
+            t = t.set_column(t.schema.get_field_index("conv_id"), "conv_id", conv)
+        pq.write_table(t, os.path.join(out_dir, f"changes-{j:05d}.parquet"))
+        total += t.num_rows
+    return total
+
+
+def ray_get_all(ds):
+    import ray
+
+    return [ray.get(r) for r in ds.to_arrow_refs()]
+
+
+def run_replay_once(stream_dir: str, num_cpus: int, lake_dir: str) -> dict:
+    """One fresh-process replay: full engine (validate→merge→commit)."""
+    _init_ray(num_cpus)
+    import glob
+
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    files = sorted(glob.glob(os.path.join(stream_dir, "*.parquet")))
+    if not files:
+        raise SystemExit(f"no parquet change files under {stream_dir}")
+    import pyarrow.parquet as pq
+
+    n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    lake = CDCLake(lake_dir, num_partitions=max(64, num_cpus * 2))
+    t0 = time.time()
+    lake.replay_files(files, files_per_epoch=len(files), quarantine=False)
+    dt = time.time() - t0
+    return {"num_cpus": num_cpus, "events": n, "sec": round(dt, 3),
+            "events_per_sec": round(n / dt, 1)}
+
+
+def run_scaling(sf_dir: str, lo: int, hi: int, multiplier: int) -> dict:
+    with tempfile.TemporaryDirectory(prefix="bench-scaling-") as d:
+        stream_dir = os.path.join(d, "stream")
+        total = _materialize_stream(sf_dir, multiplier, stream_dir)
+        import ray
+
+        ray.shutdown()
+        results = []
+        for cpus in (lo, hi):
+            out = subprocess.run(
+                [
+                    sys.executable, os.path.abspath(__file__),
+                    "--replay-once", stream_dir,
+                    "--cpus", str(cpus),
+                    "--lake", os.path.join(d, f"lake-{cpus}"),
+                ],
+                capture_output=True, text=True, check=True, cwd=REPO,
+            )
+            results.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        r_lo, r_hi = results
+        eff = (r_hi["events_per_sec"] / r_lo["events_per_sec"]) / (hi / lo)
+        return {
+            "metric": "cdc replay scaling (fresh processes, same input)",
+            "value": round(eff, 3),
+            "unit": "efficiency",
+            "sf": sf_dir,
+            "events": total,
+            "multiplier": multiplier,
+            "lo": r_lo,
+            "hi": r_hi,
+            "scaling_efficiency": round(eff, 3),
+        }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--cpus-lo", type=int, default=8)
+    ap.add_argument("--cpus-hi", type=int, default=32)
+    ap.add_argument("--multiplier", type=int,
+                    default=int(os.environ.get("GRAFT_BENCH_MULTIPLIER", "80")))
+    ap.add_argument("--replay-once", metavar="STREAM_DIR", default=None,
+                    help="internal: one fresh-process replay")
+    ap.add_argument("--cpus", type=int, default=NUM_CPUS)
+    ap.add_argument("--lake", default=None)
+    args = ap.parse_args()
+
+    if args.replay_once:
+        res = run_replay_once(args.replay_once, args.cpus, args.lake)
+    elif args.scaling:
+        res = run_scaling(SF_DIR, args.cpus_lo, args.cpus_hi, args.multiplier)
+    else:
+        res = run_headline(SF_DIR, NUM_CPUS)
+    print(json.dumps(res))
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

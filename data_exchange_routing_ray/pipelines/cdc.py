@@ -37,14 +37,9 @@ import ray.data
 from data_exchange_routing_ray.schemas import TRANSCRIPT_SCHEMA
 from data_exchange_routing_ray.stages.upsert import (
     PART_COLUMN,
-    add_partition_column,
-    combine_batch,
+    QUARANTINE_PARTITION,
     make_merge_fn,
-)
-from data_exchange_routing_ray.stages.validate import (
-    keep_invalid,
-    validate_and_keep_valid,
-    validate_batch,
+    prepare_batch,
 )
 from data_exchange_routing_ray.state.lineage import LineageLog
 from data_exchange_routing_ray.state.manifest import (
@@ -69,7 +64,16 @@ class EpochResult:
 class CDCLake:
     """A partitioned, manifest-committed transcript lake."""
 
-    def __init__(self, lake_dir: str, num_partitions: int = 64):
+    def __init__(
+        self,
+        lake_dir: str,
+        num_partitions: int = 64,
+        combine_batch_size: int = 256 * 1024,
+    ):
+        # combine_batch_size: rows per fused validate/partition/combine batch.
+        # Larger ⇒ better pre-shuffle dedup and fewer shuffle blocks; 256Ki
+        # rows of transcript turns ≈ 25-50 MiB, well inside a worker heap.
+        self.combine_batch_size = combine_batch_size
         self.lake_dir = lake_dir
         os.makedirs(lake_dir, exist_ok=True)
         self.store = ManifestStore(lake_dir)
@@ -126,42 +130,40 @@ class CDCLake:
         P = self.num_partitions
         stage_dir = self._stage_dir()
 
-        # ---- dead-letter pass (only when requested; separate cheap scan) ----
-        rows_quarantined = 0
-        if quarantine:
-            quar = changes.map_batches(
-                validate_batch, batch_format="pyarrow", zero_copy_batch=True
-            ).map_batches(keep_invalid, batch_format="pyarrow")
-            qdir = os.path.join(self.lake_dir, "quarantine", f"epoch={epoch:012d}")
-            if os.path.exists(qdir):
-                shutil.rmtree(qdir)  # crashed attempt; dead-letter is epoch-keyed
-            qtab = quar.to_arrow_refs()
-            qtables = [ray.get(r) for r in qtab]
-            qtables = [t for t in qtables if t.num_rows]
-            if qtables:
-                os.makedirs(qdir, exist_ok=True)
-                merged = pa.concat_tables(qtables, promote_options="permissive")
-                pq.write_table(merged, os.path.join(qdir, "deadletter.parquet"))
-                rows_quarantined = merged.num_rows
-
-        # ---- hot path: validate → partition → combine → merge ---------------
+        # ---- hot path: ONE fused per-row stage + ONE shuffle ----------------
+        # validate → partition (invalid rows ride along as part = -1) →
+        # within-batch combine, all in a single map_batches over LARGE
+        # batches (combiner dedup ratio grows with batch size), then the
+        # single groupby(part) exchange feeding per-partition merges.
         base_files = {pid: e.file for pid, e in man.partitions.items()}
         merge_fn = make_merge_fn(
             self.lake_dir, stage_dir, epoch, fence_below, base_files
         )
 
-        valid = changes.map_batches(
-            validate_and_keep_valid, batch_format="pyarrow", zero_copy_batch=True
-        ).map_batches(
-            lambda b: combine_batch(add_partition_column(b, P)),
+        prepared = changes.map_batches(
+            lambda b: prepare_batch(b, P, keep_quarantine=quarantine),
             batch_format="pyarrow",
+            batch_size=self.combine_batch_size,
+            zero_copy_batch=True,
         )
-        stats_ds = valid.groupby(PART_COLUMN).map_groups(
+        stats_ds = prepared.groupby(PART_COLUMN).map_groups(
             merge_fn, batch_format="pyarrow"
         )
-        stats = stats_ds.to_pandas()  # ≤ P tiny rows
+        stats = stats_ds.to_pandas()  # ≤ P+1 tiny rows
 
         # ---- commit (driver only): rename staged files, lineage, manifest ---
+        rows_quarantined = 0
+        qmask = stats["partition"] == QUARANTINE_PARTITION if len(stats) else None
+        if qmask is not None and qmask.any():
+            qrow = stats[qmask].iloc[0]
+            qdir = os.path.join(self.lake_dir, "quarantine", f"epoch={epoch:012d}")
+            if os.path.exists(qdir):
+                shutil.rmtree(qdir)  # crashed attempt; dead-letter is epoch-keyed
+            os.makedirs(qdir, exist_ok=True)
+            os.replace(qrow.file, os.path.join(qdir, "deadletter.parquet"))
+            rows_quarantined = int(qrow.row_count)
+            stats = stats[~qmask].reset_index(drop=True)
+
         new_partitions = dict(man.partitions)
         applied_offset = man.applied_offset
         if len(stats):
@@ -234,6 +236,7 @@ class CDCLake:
         without reading data (parquet column statistics only) — crash-resume
         from checkpoint per the north rule.
         """
+        files_per_epoch = max(1, files_per_epoch)
         results = []
         watermark = self.applied_offset
         pending = []

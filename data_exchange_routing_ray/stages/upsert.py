@@ -50,6 +50,46 @@ def add_partition_column(batch: pa.Table, num_partitions: int) -> pa.Table:
     return batch.append_column(PART_COLUMN, pa.array(pid, type=pa.int32()))
 
 
+QUARANTINE_PARTITION = -1
+
+
+def prepare_batch(
+    batch: pa.Table, num_partitions: int, keep_quarantine: bool = True
+) -> pa.Table:
+    """The fused hot-path stage: validate → partition → within-batch combine.
+
+    One ``map_batches`` call does all per-row work before the single shuffle.
+    Feed it LARGE batches (``batch_size=256Ki``): the combiner's dedup ratio
+    grows with batch size, directly shrinking the exchange. Invalid rows are
+    tagged ``part = -1`` so the dead-letter sink rides the same shuffle
+    instead of a second full scan (the reference routes failures to the
+    ``route-deadletter`` container inside the same pipeline run,
+    ``RouteIngestedFile.kt:308-329``).
+    """
+    from data_exchange_routing_ray.stages.validate import (
+        ERROR_COLUMN,
+        validate_batch,
+    )
+
+    batch = validate_batch(batch)
+    err_null = pc.is_null(batch[ERROR_COLUMN])
+    valid = combine_batch(batch.filter(err_null))
+    valid = add_partition_column(valid, num_partitions)
+    if not keep_quarantine:
+        return valid
+    invalid = batch.filter(pc.invert(err_null))
+    if invalid.num_rows == 0:
+        return valid
+    invalid = invalid.append_column(
+        PART_COLUMN,
+        pa.array(
+            np.full(invalid.num_rows, QUARANTINE_PARTITION, dtype=np.int32),
+            pa.int32(),
+        ),
+    )
+    return pa.concat_tables([valid, invalid])
+
+
 def _last_per_key_indices(
     seq: np.ndarray, conv: np.ndarray, turn: np.ndarray
 ) -> np.ndarray:
@@ -216,6 +256,29 @@ def make_merge_fn(
 
     def merge_group(group: pa.Table) -> pd.DataFrame:
         pid = int(group[PART_COLUMN][0].as_py())
+        if pid == QUARANTINE_PARTITION:
+            # dead-letter group: stage as-is (error column retained)
+            out = group.drop_columns([PART_COLUMN])
+            path = stage_file_path(stage_dir, epoch, pid).replace(
+                f"part-{pid:05d}", "deadletter"
+            )
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + ".inprogress"
+            pq.write_table(out, tmp)
+            os.replace(tmp, path)
+            return pd.DataFrame(
+                [
+                    {
+                        "partition": pid,
+                        "epoch": epoch,
+                        "file": path,
+                        "changes_applied": 0,
+                        "changes_fenced": 0,
+                        "applied_offset": fence_below,
+                        "row_count": int(out.num_rows),
+                    }
+                ]
+            )
         base = None
         rel = base_files.get(pid)
         if rel is not None:
