@@ -85,6 +85,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_final_state_multi_epoch": q.cdc_final_state_multi_epoch,
         "cdc_quarantine_counts": q.cdc_quarantine_counts,
         "cdc_conv_watermarks": q.cdc_conv_watermarks,
+        "cdc_lineage_epochs": q.cdc_lineage_epochs,
+        "cdc_bootstrap_then_changes": q.cdc_bootstrap_then_changes,
+        # ---- config-driven orchestration (§2.9, OrchestratorDtos) ----
+        "orchestrate_config_pipeline": q.orchestrate_config_pipeline,
         # ---- routing / config (J1-J6, M3, M4) ----
         "cdc_route_expansion": q.cdc_route_expansion,
         "cdc_unroutable_count": q.cdc_unroutable_count,
@@ -98,20 +102,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": q.distinct_event_types,
         "split_by_category": q.split_by_category,
         "sessionize_events": q.sessionize_events,
+        "window_tumbling_daily": q.window_tumbling_daily,
+        "csv_source_roundtrip": q.csv_source_roundtrip,
         # ---- text analysis ----
         "text_stats": q.text_stats,
         "text_quality": q.text_quality,
         "text_langid": q.text_langid,
         "text_fingerprint_md5": q.text_fingerprint_md5,
         "text_fingerprint_winnow": q.text_fingerprint_winnow,
+        "text_token_counts": q.text_token_counts,
         # ---- dedup ----
         "dedup_exact_events_props": q.dedup_exact_events_props,
         "dedup_minhash_pairs": q.dedup_minhash_pairs,
         "dedup_simhash_pairs": q.dedup_simhash_pairs,
+        "dedup_ngram_jaccard": q.dedup_ngram_jaccard,
         "emb_neardup_blocked": q.emb_neardup_blocked,
         "emb_neardup_lsh": q.emb_neardup_lsh,
         # ---- similarity search ----
         "ann_topk": q.ann_topk,
+        "ann_batch_topk": q.ann_batch_topk,
         "ann_ivf_topk": q.ann_ivf_topk,
         # ---- multimodal plumbing ----
         "multimodal_decode": q.multimodal_decode,
@@ -140,6 +149,57 @@ SELECT error, count(*) AS n FROM (
         "cdc_conv_watermarks": _CH
         + """
 SELECT conv_id, max(seq) AS watermark, count(*) AS n_events FROM ch GROUP BY conv_id
+""",
+        "cdc_lineage_epochs": _CH
+        + """
+, m AS (SELECT max(seq) + 1 AS hi FROM ch),
+bounds AS (SELECT i, (i * hi) // 4 AS lo, ((i + 1) * hi) // 4 AS up
+           FROM range(4) t(i), m)
+SELECT CAST(b.i AS BIGINT) AS epoch,
+       CAST(count(DISTINCT conv_id || '#' || CAST(turn_idx AS VARCHAR)) AS BIGINT)
+         AS n_applied,
+       CAST(max(seq) AS BIGINT) AS watermark
+FROM ch JOIN bounds b ON ch.seq >= b.lo AND ch.seq < b.up
+GROUP BY b.i
+""",
+        "cdc_bootstrap_then_changes": _CH
+        + """
+, boot AS (
+  SELECT CAST(-1 AS BIGINT) AS seq, 'insert' AS op,
+         'conv-' || lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS conv_id,
+         CAST(0 AS INTEGER) AS turn_idx, 'system' AS role,
+         'profile-' || CAST(c_custkey AS VARCHAR) AS text,
+         '' AS tool, TIMESTAMP '2024-01-01' AS ts
+  FROM customer
+),
+allch AS (SELECT * FROM boot UNION ALL SELECT seq, op, conv_id, turn_idx, role, text, tool, ts FROM ch),
+last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM allch
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM last WHERE rn = 1 AND op <> 'delete'
+""",
+        "orchestrate_config_pipeline": _CORRUPT_CH
+        + """
+, flagged AS (
+  SELECT *, CASE
+    WHEN op NOT IN ('insert','update','delete')
+      THEN 'Unsupported op; expected insert|update|delete'
+    WHEN conv_id IS NULL OR conv_id = '' THEN 'Missing conv_id in event'
+    WHEN turn_idx IS NULL THEN 'Missing turn_idx in event'
+    WHEN ts IS NULL THEN 'Missing or unparseable ts'
+    WHEN op = 'insert' AND role IS NULL AND text IS NULL
+      THEN 'Payload metadata is missing or empty for insert'
+    ELSE NULL END AS error
+  FROM ch
+),
+q AS (SELECT count(*) AS n_quarantined FROM flagged WHERE error IS NOT NULL)
+SELECT op, count(*) AS n,
+       CAST(sum(length(regexp_extract_all(text, '[^\\w\\s]'))) AS BIGINT) AS sum_punct,
+       (SELECT n_quarantined FROM q) AS n_quarantined
+FROM flagged WHERE error IS NULL AND op <> 'delete'
+GROUP BY op
 """,
         "cdc_route_expansion": """
 WITH ev AS (
@@ -250,6 +310,34 @@ FROM (
         "text_fingerprint_md5": """
 SELECT doc_id, md5(text) AS fp_md5 FROM documents
 """,
+        "text_token_counts": r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents
+""",
+        "window_tumbling_daily": """
+SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+       count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY user_id, day
+""",
+        "csv_source_roundtrip": """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS sum_ticks
+FROM events GROUP BY event_type
+""",
+        "ann_batch_topk": """
+SELECT query_id, vec_id, cosine FROM (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding, q.embedding), 6) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(e.embedding, q.embedding), 6) DESC,
+                    e.vec_id
+         ) AS rn
+  FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
+) WHERE rn <= 10
+""",
         "dedup_exact_events_props": """
 SELECT event_id, props FROM (
   SELECT event_id, props,
@@ -271,5 +359,5 @@ FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,
-        # emb_neardup_lsh, ann_ivf_topk, multimodal_decode
+        # dedup_ngram_jaccard, emb_neardup_lsh, ann_ivf_topk, multimodal_decode
     }

@@ -27,6 +27,56 @@ import ray.data
 
 from data_exchange_routing_ray.hashing import stable_hash_strings
 
+# ----------------------------------------------------------- bucket helper
+#
+# groupby(fine_key).map_groups costs one Python UDF call PER GROUP; with
+# millions of tiny groups (LSH buckets, content hashes, pair keys) that
+# overhead dominates. The scale pattern used throughout this module: shuffle
+# on a COARSE bucket = hash(fine_key) % num_buckets (hundreds of groups,
+# sized ~4x cluster cores), then resolve the fine groups INSIDE each bucket
+# with vectorized pandas/numpy. Same result, ~constant Python overhead.
+
+DEFAULT_BUCKETS = 256
+
+
+def _mix_to_bucket(cols: list[np.ndarray], num_buckets: int) -> np.ndarray:
+    acc = np.zeros(len(cols[0]), dtype=np.uint64)
+    for c in cols:
+        acc = (acc ^ c.astype(np.int64).view(np.uint64)) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+    return (acc % np.uint64(num_buckets)).astype(np.int64)
+
+
+def _dedup_pairs(pairs: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset:
+    """Drop duplicate (id_a, id_b) rows (same pair found by several bands)."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = _mix_to_bucket(
+            [batch["id_a"].to_numpy(), batch["id_b"].to_numpy()], num_buckets
+        )
+        return batch.append_column("pair_bucket", pa.array(b, pa.int64()))
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"]).drop(columns=["pair_bucket"])
+
+    return (
+        pairs.map_batches(tag, batch_format="pyarrow")
+        .groupby("pair_bucket")
+        .map_groups(uniq, batch_format="pandas")
+    )
+
+
+def _run_starts(keys: list[np.ndarray]) -> np.ndarray:
+    """Start indices of equal-key runs in already-sorted parallel arrays."""
+    n = len(keys[0])
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for k in keys:
+        change[1:] |= k[1:] != k[:-1]
+    return np.nonzero(change)[0]
+
+
 # ------------------------------------------------------------------ exact
 
 def add_content_hash(batch: pa.Table, col: str = "text", out_col: str = "content_hash") -> pa.Table:
@@ -35,20 +85,29 @@ def add_content_hash(batch: pa.Table, col: str = "text", out_col: str = "content
 
 
 def exact_dedup(
-    ds: ray.data.Dataset, col: str = "text", id_col: str = "doc_id"
+    ds: ray.data.Dataset,
+    col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = DEFAULT_BUCKETS,
 ) -> ray.data.Dataset:
     """Keep the lowest-id row per distinct content (hash-partitioned)."""
-    hashed = ds.map_batches(
-        lambda b: add_content_hash(b, col), batch_format="pyarrow"
-    )
 
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col, kind="stable").head(1)
+    def tag(b: pa.Table) -> pa.Table:
+        b = add_content_hash(b, col)
+        bucket = _mix_to_bucket([b["content_hash"].to_numpy()], num_buckets)
+        return b.append_column("bucket", pa.array(bucket, pa.int64()))
 
-    out = hashed.groupby("content_hash").map_groups(
-        first_per_group, batch_format="pandas"
+    def first_per_hash(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="stable")
+        return g.drop_duplicates("content_hash", keep="first").drop(
+            columns=["bucket", "content_hash"]
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(first_per_hash, batch_format="pandas")
     )
-    return out.drop_columns(["content_hash"])
 
 
 # ------------------------------------------------------------------ shingles
@@ -155,34 +214,51 @@ def make_minhash_band_stage(
 
 
 def make_bucket_pair_fn(id_col: str = "doc_id", threshold: float = 0.7):
-    """map_groups fn: one LSH bucket → verified candidate pairs.
+    """map_groups fn: ONE COARSE BUCKET (= many fine (band, band_key) LSH
+    groups) → verified candidate pairs. Fine groups are resolved inside the
+    bucket with a vectorized sort + run-length scan — no per-group UDF calls.
 
     Verification = signature-estimated Jaccard (mean of equal minhash slots);
     exact-Jaccard re-verification is `verify_jaccard_pairs`.
     """
+    empty = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+         "est_jaccard": pd.Series(dtype="float64")}
+    )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(id_col).sort_values(id_col)
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-                 "est_jaccard": pd.Series(dtype="float64")}
-            )
-        sigs = np.stack(
-            [np.frombuffer(s, dtype=np.uint64) for s in g["sig"].to_numpy()]
+        g = g.drop_duplicates(["band", "band_key", id_col]).sort_values(
+            ["band", "band_key", id_col], kind="stable"
         )
+        band = g["band"].to_numpy()
+        key = g["band_key"].to_numpy()
+        starts = _run_starts([band, key])
+        ends = np.append(starts[1:], len(g))
+        sizes = ends - starts
+        multi = np.nonzero(sizes >= 2)[0]
+        if len(multi) == 0:
+            return empty
         ids = g[id_col].to_numpy()
-        ia, ib = np.triu_indices(n, k=1)
-        est = (sigs[ia] == sigs[ib]).mean(axis=1)
-        keep = est >= threshold
-        return pd.DataFrame(
-            {
-                "id_a": ids[ia][keep].astype(np.int64),
-                "id_b": ids[ib][keep].astype(np.int64),
-                "est_jaccard": np.round(est[keep], 6),
-            }
-        )
+        sig_col = g["sig"].to_numpy()
+        frames = []
+        for r in multi:
+            s, e = starts[r], ends[r]
+            n = e - s
+            sigs = np.stack([np.frombuffer(x, dtype=np.uint64) for x in sig_col[s:e]])
+            ia, ib = np.triu_indices(n, k=1)
+            est = (sigs[ia] == sigs[ib]).mean(axis=1)
+            keep = est >= threshold
+            if keep.any():
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[s:e][ia[keep]].astype(np.int64),
+                            "id_b": ids[s:e][ib[keep]].astype(np.int64),
+                            "est_jaccard": np.round(est[keep], 6),
+                        }
+                    )
+                )
+        return pd.concat(frames, ignore_index=True) if frames else empty
 
     return bucket_pairs
 
@@ -196,23 +272,24 @@ def minhash_candidate_pairs(
     bands: int = 16,
     threshold: float = 0.7,
     seed: int = 42,
+    num_buckets: int = DEFAULT_BUCKETS,
 ) -> ray.data.Dataset:
     """MinHash-LSH near-duplicate candidate pairs (deduplicated, id_a<id_b)."""
-    band_rows = ds.map_batches(
-        make_minhash_band_stage(text_col, id_col, k, num_perm, bands, seed),
-        batch_format="pyarrow",
-    )
-    pairs = band_rows.groupby(["band", "band_key"]).map_groups(
+    stage = make_minhash_band_stage(text_col, id_col, k, num_perm, bands, seed)
+
+    def band_and_bucket(batch: pa.Table) -> pa.Table:
+        out = stage(batch)
+        bucket = _mix_to_bucket(
+            [out["band"].to_numpy(), out["band_key"].to_numpy()], num_buckets
+        )
+        return out.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    band_rows = ds.map_batches(band_and_bucket, batch_format="pyarrow")
+    pairs = band_rows.groupby("bucket").map_groups(
         make_bucket_pair_fn(id_col, threshold), batch_format="pandas"
     )
-
     # same pair can surface from several bands → dedup on the pair key
-    def first_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        first_pair, batch_format="pandas"
-    )
+    return _dedup_pairs(pairs)
 
 
 def dedup_by_pairs(
@@ -325,28 +402,45 @@ def make_simhash_stage(text_col="text", id_col="doc_id"):
 
 
 def make_simhash_pair_fn(id_col="doc_id", max_hamming: int = 3):
+    """One coarse bucket → pairs; fine (band, band_key) groups resolved
+    vectorized inside the bucket (see `_mix_to_bucket` rationale above)."""
+    empty = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+         "hamming": pd.Series(dtype="int64")}
+    )
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(id_col).sort_values(id_col)
-        n = len(g)
-        empty = pd.DataFrame(
-            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-             "hamming": pd.Series(dtype="int64")}
+        g = g.drop_duplicates(["band", "band_key", id_col]).sort_values(
+            ["band", "band_key", id_col], kind="stable"
         )
-        if n < 2:
+        band = g["band"].to_numpy()
+        key = g["band_key"].to_numpy()
+        starts = _run_starts([band, key])
+        ends = np.append(starts[1:], len(g))
+        multi = np.nonzero(ends - starts >= 2)[0]
+        if len(multi) == 0:
             return empty
-        sh = g["simhash"].to_numpy().astype(np.int64).astype(np.uint64)
+        sh_all = g["simhash"].to_numpy().astype(np.int64).astype(np.uint64)
         ids = g[id_col].to_numpy()
-        ia, ib = np.triu_indices(n, k=1)
-        x = sh[ia] ^ sh[ib]
-        ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
-        keep = ham <= max_hamming
-        return pd.DataFrame(
-            {
-                "id_a": ids[ia][keep].astype(np.int64),
-                "id_b": ids[ib][keep].astype(np.int64),
-                "hamming": ham[keep].astype(np.int64),
-            }
-        )
+        frames = []
+        for r in multi:
+            s, e = starts[r], ends[r]
+            sh = sh_all[s:e]
+            ia, ib = np.triu_indices(e - s, k=1)
+            x = sh[ia] ^ sh[ib]
+            ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+            keep = ham <= max_hamming
+            if keep.any():
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[s:e][ia[keep]].astype(np.int64),
+                            "id_b": ids[s:e][ib[keep]].astype(np.int64),
+                            "hamming": ham[keep].astype(np.int64),
+                        }
+                    )
+                )
+        return pd.concat(frames, ignore_index=True) if frames else empty
 
     return bucket_pairs
 
@@ -356,16 +450,22 @@ def simhash_candidate_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    num_buckets: int = DEFAULT_BUCKETS,
 ) -> ray.data.Dataset:
-    rows = ds.map_batches(make_simhash_stage(text_col, id_col), batch_format="pyarrow")
-    pairs = rows.groupby(["band", "band_key"]).map_groups(
+    stage = make_simhash_stage(text_col, id_col)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        out = stage(batch)
+        bucket = _mix_to_bucket(
+            [out["band"].to_numpy(), out["band_key"].to_numpy()], num_buckets
+        )
+        return out.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    rows = ds.map_batches(tag, batch_format="pyarrow")
+    pairs = rows.groupby("bucket").map_groups(
         make_simhash_pair_fn(id_col, max_hamming), batch_format="pandas"
     )
-
-    def first_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pairs.groupby(["id_a", "id_b"]).map_groups(first_pair, batch_format="pandas")
+    return _dedup_pairs(pairs)
 
 
 # ------------------------------------------------------- embedding near-dup

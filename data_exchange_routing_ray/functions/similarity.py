@@ -61,6 +61,59 @@ def topk_cosine(
     return cand.reset_index(drop=True)
 
 
+def batch_topk_cosine(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Exact top-k per query for a BATCH of queries (one matmul per block
+    against the broadcast query matrix — batched model-inference shape).
+
+    Returns columns (query_id, vec_id, cosine); ties broken by lower vec_id.
+    Cosine is computed as dot / (|a||b|) in float64 — bit-for-bit the SQL
+    ``list_cosine_similarity`` formula, so the result is oracle-verifiable.
+    """
+    Q = np.asarray(queries, dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
+    q_ref = ray.put((Q, qn))
+    qid = np.asarray(query_ids, dtype=np.int64)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        Qv, qnv = ray.get(q_ref)
+        df = batch.select([id_col, vec_col]).to_pandas()
+        M = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        mn = np.linalg.norm(M, axis=1)
+        mn[mn == 0] = 1.0
+        S = (M @ Qv.T) / np.outer(mn, qnv)  # (rows, n_queries)
+        kk = min(k, S.shape[0])
+        idx = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (kk, n_queries)
+        ids = df[id_col].to_numpy()
+        out_q, out_id, out_s = [], [], []
+        for j in range(S.shape[1]):
+            out_q.append(np.full(kk, qid[j], dtype=np.int64))
+            out_id.append(ids[idx[:, j]].astype(np.int64))
+            out_s.append(S[idx[:, j], j])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                id_col: pa.array(np.concatenate(out_id), pa.int64()),
+                "cosine": pa.array(
+                    np.round(np.concatenate(out_s), 6), pa.float64()
+                ),
+            }
+        )
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(
+        ["query_id", "cosine", id_col], ascending=[True, False, True], kind="stable"
+    )
+    return cand.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+
+
 class IVFIndex:
     """Coarse-quantized (IVF-flat) approximate search.
 

@@ -23,6 +23,9 @@ import pyarrow.compute as pc
 TOKEN_RE = r"\S+"
 PUNCT_RE = r"[^\w\s]"
 STOP_RE = r"\b(the|a|and|of|to|in|is)\b"
+# BPE-ish pre-tokenizer: letter runs, digit runs, single other non-space —
+# the GPT-2-style pre-split shape, counted not materialized
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 LANG_RES = {
     "en": r"\b(the|and|of|to|in|is|that|for)\b",
@@ -56,6 +59,16 @@ def add_text_stats(batch: pa.Table, col: str = "text") -> pa.Table:
         pc.cast(_count_re(pc.utf8_lower(text), STOP_RE), pa.int64()),
     )
     return batch
+
+
+def add_bpe_token_count(
+    batch: pa.Table, col: str = "text", out_col: str = "n_bpe_tokens"
+) -> pa.Table:
+    """Sub-word-ish token count via the BPE pre-tokenizer regex (one Arrow
+    kernel call; the training-data 'token budget' estimator)."""
+    return batch.append_column(
+        out_col, pc.cast(_count_re(batch[col], BPE_RE), pa.int64())
+    )
 
 
 def add_quality_score(batch: pa.Table, col: str = "text") -> pa.Table:

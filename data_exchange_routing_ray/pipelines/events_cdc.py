@@ -537,6 +537,203 @@ def ann_ivf_topk(sf_dir: str, k: int = 10) -> pa.Table:
     return pa.Table.from_pandas(out[["vec_id", "cosine"]], preserve_index=False)
 
 
+def cdc_lineage_epochs(sf_dir: str, epochs: int = 4) -> pa.Table:
+    """Per-epoch lineage rollup after a seq-sliced multi-epoch replay: the
+    processing-status report stream (S9/S12) aggregated per commit epoch.
+    Integer epoch bounds: epoch i covers [i*hi//E, (i+1)*hi//E)."""
+    stream = derived_change_stream(sf_dir)
+    hi = int(_events(sf_dir, columns=["event_id"]).max("event_id")) + 1
+    with tempfile.TemporaryDirectory(prefix="cdclake-") as d:
+        lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
+        for i in range(epochs):
+            lo, up = i * hi // epochs, (i + 1) * hi // epochs
+            lake.apply_changes(
+                stream.filter(expr=f"seq >= {lo} and seq < {up}"), quarantine=False
+            )
+        lin = lake.lineage.read_all().to_pandas()
+    out = (
+        lin.groupby("epoch", as_index=False)
+        .agg(
+            n_applied=("changes_applied", "sum"),
+            watermark=("applied_offset", "max"),
+        )
+        .astype({"epoch": "int64", "n_applied": "int64", "watermark": "int64"})
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def cdc_bootstrap_then_changes(sf_dir: str) -> pa.Table:
+    """Initial lake load (bootstrap: every row an insert at seq=-1, from the
+    customer dimension) followed by an incremental change epoch — the ADF
+    spike's full-load-then-incremental `LoadType` semantics
+    (`ConfigObject.sql`, LastModifiedTime watermark)."""
+
+    def boot_batch(b: pa.Table) -> pa.Table:
+        keys = b["c_custkey"].to_numpy()
+        conv = np.char.add("conv-", np.char.zfill(keys.astype(np.str_), 6)).astype(object)
+        text = np.char.add("profile-", keys.astype(np.str_)).astype(object)
+        n = len(keys)
+        return pa.table(
+            {
+                "conv_id": pa.array(conv, pa.string()),
+                "turn_idx": pa.array(np.zeros(n, np.int32), pa.int32()),
+                "role": pa.array(["system"] * n, pa.string()),
+                "text": pa.array(text, pa.string()),
+                "tool": pa.array([""] * n, pa.string()),
+                "ts": pa.array(
+                    np.full(n, np.datetime64("2024-01-01", "us")),
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+
+    boot = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    ).map_batches(boot_batch, batch_format="pyarrow")
+    with tempfile.TemporaryDirectory(prefix="cdclake-") as d:
+        lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
+        lake.bootstrap(boot, default_seq=-1)
+        lake.apply_changes(derived_change_stream(sf_dir), quarantine=False)
+        return lake.final_table()
+
+
+ORCH_CONFIG = {
+    "steps": [
+        {"stepNumber": 1, "function": "validate_changes", "quarantineErrors": True},
+        {"stepNumber": 2, "function": "filter_expr", "config": {"expr": "op != 'delete'"}},
+        {"stepNumber": 3, "function": "text_stats", "config": {"col": "text"}},
+    ]
+}
+
+
+def orchestrate_config_pipeline(sf_dir: str) -> pa.Table:
+    """Config-driven step pipeline (the reference's OrchestratorConfiguration,
+    §2.9): validate (errors → quarantine) → filter → text stats, then a
+    per-op rollup of both branches' row counts."""
+    from data_exchange_routing_ray.pipelines.orchestrator import run_pipeline
+
+    res = run_pipeline(derived_change_stream(sf_dir, corrupt=True), ORCH_CONFIG)
+    out = (
+        res.output.groupby("op")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("n_punct", alias_name="sum_punct"),
+        )
+        .to_pandas()
+    )
+    n_quar = res.quarantine.count() if res.quarantine is not None else 0
+    out["n_quarantined"] = np.int64(n_quar)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def text_token_counts(sf_dir: str) -> pa.Table:
+    """BPE-ish sub-word token counting (token-budget estimator)."""
+    from data_exchange_routing_ray.functions.text import add_bpe_token_count
+
+    out = (
+        _documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(lambda b: add_bpe_token_count(b), batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out[["doc_id", "n_bpe_tokens"]], preserve_index=False)
+
+
+def dedup_ngram_jaccard(sf_dir: str, est_threshold: float = 0.5) -> pa.Table:
+    """Exact n-gram-Jaccard verification of MinHash-LSH candidates: the
+    two-stage find→verify dedup shape. Candidate set is bounded (LSH), so
+    only candidate ids' texts are gathered for verification."""
+    from data_exchange_routing_ray.functions.dedup import (
+        minhash_candidate_pairs,
+        verify_jaccard_pairs,
+    )
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    pairs = minhash_candidate_pairs(ds, threshold=est_threshold).to_pandas()
+    if not len(pairs):
+        return pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+    ids = pa.array(sorted(set(pairs["id_a"]) | set(pairs["id_b"])), pa.int64())
+    docs = ds.map_batches(
+        lambda b: b.filter(pc.is_in(b["doc_id"], value_set=ids)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    out = verify_jaccard_pairs(docs, pairs)[["id_a", "id_b", "jaccard"]]
+    return pa.Table.from_pandas(
+        out.sort_values(["id_a", "id_b"]).reset_index(drop=True), preserve_index=False
+    )
+
+
+def csv_source_roundtrip(sf_dir: str) -> pa.Table:
+    """Delimited-text source/sink (S15, PL_ReportStream): events → CSV files
+    → read_csv → grouped rollup. Value scaled to integer ticks before the
+    text roundtrip (floor(value*10000)) so float formatting cannot drift."""
+
+    def to_csv_cols(b: pa.Table) -> pa.Table:
+        v = np.floor(b["value"].to_numpy() * 10000.0).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "value_t": pa.array(v, pa.int64()),
+            }
+        )
+
+    with tempfile.TemporaryDirectory(prefix="csvrt-") as d:
+        _events(sf_dir, columns=["event_id", "event_type", "value"]).map_batches(
+            to_csv_cols, batch_format="pyarrow"
+        ).write_csv(d)
+        back = ray.data.read_csv(d)
+        out = (
+            back.groupby("event_type")
+            .aggregate(Count(alias_name="n"), Sum("value_t", alias_name="sum_ticks"))
+            .to_pandas()
+        )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def ann_batch_topk(sf_dir: str, k: int = 10, n_queries: int = 8) -> pa.Table:
+    """Batched exact top-k: one matmul per block against a broadcast query
+    matrix (the batched-inference shape for similarity search)."""
+    from data_exchange_routing_ray.functions.similarity import batch_topk_cosine
+
+    ds = _embeddings(sf_dir)
+    qdf = ds.filter(expr=f"vec_id < {n_queries}").to_pandas().sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = batch_topk_cosine(ds, Q, qdf["vec_id"].to_numpy(), k=k)
+    return pa.Table.from_pandas(
+        out[["query_id", "vec_id", "cosine"]], preserve_index=False
+    )
+
+
+def window_tumbling_daily(sf_dir: str) -> pa.Table:
+    """Tumbling 1-day window per user: partial agg inside map_batches, then
+    the small groupby — the windowed-aggregate pattern Ray Data lacks
+    natively."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.strftime(b["ts"], format="%Y-%m-%d")
+        t = pa.table(
+            {"user_id": b["user_id"], "day": day, "value": b["value"]}
+        ).to_pandas()
+        g = t.groupby(["user_id", "day"], as_index=False).agg(
+            n=("value", "size"), total_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        _events(sf_dir, columns=["user_id", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Sum("n", alias_name="n"), Sum("total_value", alias_name="total_value"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["total_value"] = np.round(out["total_value"], 4)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def multimodal_decode(sf_dir: str) -> pa.Table:
     from data_exchange_routing_ray.functions.multimodal import (
         DecodeMedia,
