@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_partition_paths": q.cdc_partition_paths,
         # ---- record splitters (M7, S16) ----
         "cdc_debatch": q.cdc_debatch,
+        "cdc_explode_archive": q.cdc_explode_archive,
         # ---- relational / aggregate operators ----
         "agg_pricing_summary": q.agg_pricing_summary,
         "join_broadcast_segments": q.join_broadcast_segments,
@@ -231,6 +232,12 @@ FROM events WHERE event_id % 3 = 0
 UNION ALL
 SELECT event_id, CAST(2 AS INTEGER), 'm' || CAST(event_id AS VARCHAR) || '-2'
 FROM events WHERE event_id % 3 = 0
+""",
+        "cdc_explode_archive": """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 5 IN (0, 2) THEN 2 ELSE 1 END AS BIGINT) AS n_entries,
+       CAST(CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_errors
+FROM documents
 """,
         "agg_pricing_summary": """
 SELECT l_returnflag, l_linestatus,

@@ -38,7 +38,10 @@ from data_exchange_routing_ray.schemas import TRANSCRIPT_SCHEMA
 from data_exchange_routing_ray.stages.upsert import (
     PART_COLUMN,
     QUARANTINE_PARTITION,
+    SALT_COLUMN,
+    add_salt_column,
     make_merge_fn,
+    partial_reduce_group,
     prepare_batch,
 )
 from data_exchange_routing_ray.state.lineage import LineageLog
@@ -69,11 +72,25 @@ class CDCLake:
         lake_dir: str,
         num_partitions: int = 64,
         combine_batch_size: int = 256 * 1024,
+        num_salts: int = 1,
+        merge_mode: str = "groupby",
+        pool_size: int = 8,
     ):
         # combine_batch_size: rows per fused validate/partition/combine batch.
         # Larger ⇒ better pre-shuffle dedup and fewer shuffle blocks; 256Ki
         # rows of transcript turns ≈ 25-50 MiB, well inside a worker heap.
+        # num_salts > 1 enables the salted pre-reduce for hot-key skew
+        # (groupby mode only; the actor pool reduces inside each actor).
+        # merge_mode: "groupby" = stateless Dataset shuffle (default);
+        # "actors" = named actor pool holding per-partition LSM state across
+        # epochs (state/merge_actors.py) — faster for many small epochs.
+        if merge_mode not in ("groupby", "actors"):
+            raise ValueError(f"merge_mode must be groupby|actors, got {merge_mode!r}")
         self.combine_batch_size = combine_batch_size
+        self.num_salts = num_salts
+        self.merge_mode = merge_mode
+        self.pool_size = pool_size
+        self._pool = None
         self.lake_dir = lake_dir
         os.makedirs(lake_dir, exist_ok=True)
         self.store = ManifestStore(lake_dir)
@@ -96,6 +113,26 @@ class CDCLake:
 
     def _stage_dir(self) -> str:
         return os.path.join(self.lake_dir, "_tmp")
+
+    def _actor_pool(self):
+        if self._pool is None:
+            import hashlib
+
+            from data_exchange_routing_ray.state.merge_actors import MergeActorPool
+
+            tag = hashlib.md5(
+                os.path.abspath(self.lake_dir).encode()
+            ).hexdigest()[:8]
+            self._pool = MergeActorPool(
+                self.lake_dir, self.pool_size, name_prefix=f"cdclake-{tag}-"
+            )
+        return self._pool
+
+    def close(self) -> None:
+        """Tear down the merge-actor pool (if any); lake state is on disk."""
+        if self._pool is not None:
+            self._pool.shutdown()
+            self._pool = None
 
     # ------------------------------------------------------------- bootstrap
     def bootstrap(self, transcripts: ray.data.Dataset, default_seq: int = 0) -> EpochResult:
@@ -146,10 +183,31 @@ class CDCLake:
             batch_size=self.combine_batch_size,
             zero_copy_batch=True,
         )
-        stats_ds = prepared.groupby(PART_COLUMN).map_groups(
-            merge_fn, batch_format="pyarrow"
-        )
-        stats = stats_ds.to_pandas()  # ≤ P+1 tiny rows
+        if self.merge_mode == "actors":
+            pool = self._actor_pool()
+            prepared.map_batches(
+                pool.make_dispatch_fn(), batch_format="pyarrow"
+            ).count()  # drive the dispatch; ingest futures are the backpressure
+            stats = pool.flush(
+                epoch, fence_below, base_files, stage_dir
+            )
+        else:
+            if self.num_salts > 1:
+                # skew breaker: pre-reduce per (part, salt) so a hot key's
+                # event storm is LWW-collapsed across S parallel groups before
+                # the final per-partition merge (associative reduce, §4)
+                S = self.num_salts
+                prepared = (
+                    prepared.map_batches(
+                        lambda b: add_salt_column(b, S), batch_format="pyarrow"
+                    )
+                    .groupby([PART_COLUMN, SALT_COLUMN])
+                    .map_groups(partial_reduce_group, batch_format="pyarrow")
+                )
+            stats_ds = prepared.groupby(PART_COLUMN).map_groups(
+                merge_fn, batch_format="pyarrow"
+            )
+            stats = stats_ds.to_pandas()  # ≤ P+1 tiny rows
 
         # ---- commit (driver only): rename staged files, lineage, manifest ---
         rows_quarantined = 0

@@ -537,6 +537,75 @@ def ann_ivf_topk(sf_dir: str, k: int = 10) -> pa.Table:
     return pa.Table.from_pandas(out[["vec_id", "cosine"]], preserve_index=False)
 
 
+def cdc_explode_archive(sf_dir: str) -> pa.Table:
+    """Archive exploder (S16 decompressor matrix, inc. nested zips + empty-
+    zip errors) over synthesized deterministic zip payloads; per-doc rollup
+    of produced entries + error rows — the full Unit_FnDecompressor matrix
+    as one pipeline."""
+    import io
+    import zipfile
+
+    from data_exchange_routing_ray.stages.debatch import explode_archive
+
+    def synth_payload(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        names, blobs = [], []
+        for d in ids:
+            m = d % 5
+            if m == 0:  # two plain entries
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w") as z:
+                    z.writestr("a.csv", f"x,{d}\n")
+                    z.writestr("b.csv", f"y,{d}\n")
+                names.append(f"doc{d}.zip"); blobs.append(buf.getvalue())
+            elif m == 1:  # empty archive -> error row
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w"):
+                    pass
+                names.append(f"doc{d}.zip"); blobs.append(buf.getvalue())
+            elif m == 2:  # nested zip: one plain + one inner entry
+                inner = io.BytesIO()
+                with zipfile.ZipFile(inner, "w") as z:
+                    z.writestr("c.csv", f"z,{d}\n")
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w") as z:
+                    z.writestr("a.csv", f"x,{d}\n")
+                    z.writestr("inner.zip", inner.getvalue())
+                names.append(f"doc{d}.zip"); blobs.append(buf.getvalue())
+            else:  # non-archive passthrough (single CSV fan-out case)
+                names.append(f"doc{d}.csv"); blobs.append(f"x,{d}\n".encode())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "file_name": pa.array(names, pa.string()),
+                "payload": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    ds = (
+        _documents(sf_dir, columns=["doc_id"])
+        .map_batches(synth_payload, batch_format="pyarrow")
+        .map_batches(lambda b: explode_archive(b), batch_format="pyarrow")
+    )
+
+    def rollup(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        g = df.groupby("doc_id", as_index=False).agg(
+            n_entries=("file_name", "size"),
+            n_errors=("error", "count"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(rollup, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_entries", alias_name="n_entries"), Sum("n_errors", alias_name="n_errors"))
+        .to_pandas()
+        .astype({"n_entries": "int64", "n_errors": "int64"})
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def cdc_lineage_epochs(sf_dir: str, epochs: int = 4) -> pa.Table:
     """Per-epoch lineage rollup after a seq-sliced multi-epoch replay: the
     processing-status report stream (S9/S12) aggregated per commit epoch.

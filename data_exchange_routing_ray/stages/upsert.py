@@ -53,6 +53,36 @@ def add_partition_column(batch: pa.Table, num_partitions: int) -> pa.Table:
 QUARANTINE_PARTITION = -1
 
 
+def add_salt_column(batch: pa.Table, num_salts: int) -> pa.Table:
+    """``salt = seq % S``: splits even a SINGLE hot key's event stream across
+    S sub-groups. Safe because LWW reduction is associative — each salt
+    group keeps its local max-seq row per key, and the final per-partition
+    merge re-reduces across salts (SURVEY.md §4 skew row). Duplicate
+    redeliveries share a seq, hence a salt, so dup-dropping stays local."""
+    seq = pc.fill_null(batch["seq"], 0).to_numpy()  # null seq = quarantine rows
+    salt = (seq % num_salts).astype(np.int32)
+    if SALT_COLUMN in batch.column_names:
+        batch = batch.drop_columns([SALT_COLUMN])
+    return batch.append_column(SALT_COLUMN, pa.array(salt, pa.int32()))
+
+
+def partial_reduce_group(group: pa.Table) -> pa.Table:
+    """Per-(part, salt) combiner stage: LWW-reduce before the final merge.
+    Quarantine groups pass through untouched."""
+    if group.num_rows == 0:
+        return group
+    if int(group[PART_COLUMN][0].as_py()) == QUARANTINE_PARTITION:
+        return group
+    idx = _last_per_key_indices(
+        group["seq"].to_numpy(),
+        group["conv_id"].to_numpy(zero_copy_only=False),
+        group["turn_idx"].to_numpy(),
+    )
+    if len(idx) == group.num_rows:
+        return group
+    return group.take(pa.array(idx))
+
+
 def prepare_batch(
     batch: pa.Table, num_partitions: int, keep_quarantine: bool = True
 ) -> pa.Table:
@@ -258,7 +288,9 @@ def make_merge_fn(
         pid = int(group[PART_COLUMN][0].as_py())
         if pid == QUARANTINE_PARTITION:
             # dead-letter group: stage as-is (error column retained)
-            out = group.drop_columns([PART_COLUMN])
+            out = group.drop_columns(
+                [c for c in (PART_COLUMN, SALT_COLUMN) if c in group.column_names]
+            )
             path = stage_file_path(stage_dir, epoch, pid).replace(
                 f"part-{pid:05d}", "deadletter"
             )
