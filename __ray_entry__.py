@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_final_state_multi_epoch": q.cdc_final_state_multi_epoch,
         "cdc_quarantine_counts": q.cdc_quarantine_counts,
         "cdc_conv_watermarks": q.cdc_conv_watermarks,
+        "cdc_schema_evolution": q.cdc_schema_evolution,
         "cdc_lineage_epochs": q.cdc_lineage_epochs,
         "cdc_bootstrap_then_changes": q.cdc_bootstrap_then_changes,
         # ---- config-driven orchestration (§2.9, OrchestratorDtos) ----
@@ -150,6 +151,21 @@ SELECT error, count(*) AS n FROM (
         "cdc_conv_watermarks": _CH
         + """
 SELECT conv_id, max(seq) AS watermark, count(*) AS n_events FROM ch GROUP BY conv_id
+""",
+        "cdc_schema_evolution": _CH
+        + """
+, m AS (SELECT (max(seq) + 1) // 2 AS mid FROM ch),
+ch2 AS (
+  SELECT ch.*, CASE WHEN seq >= mid THEN
+           (CASE WHEN seq % 2 = 0 THEN 'en' ELSE 'es' END) END AS lang
+  FROM ch, m
+),
+last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM ch2
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, tool, ts, lang
+FROM last WHERE rn = 1 AND op <> 'delete'
 """,
         "cdc_lineage_epochs": _CH
         + """

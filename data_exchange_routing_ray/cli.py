@@ -1,0 +1,143 @@
+"""CLI entry point — the ``ray job submit`` surface of the engine.
+
+On a real cluster::
+
+    ray job submit --working-dir . -- \
+        python -m data_exchange_routing_ray.cli replay \
+        --lake /mnt/lake --stream /mnt/changes --files-per-epoch 8
+
+Locally the same command runs against a local session. This module is the
+ONLY library-side owner of a Ray session, and only when none exists (the
+driver/test harness owns it otherwise).
+
+Subcommands:
+  replay   tail a directory of seq-ordered change shards into the lake
+           (resumes from the committed watermark; crash-safe)
+  status   print the lake's manifest summary + lineage tail as JSON
+  vacuum   delete partition files unreferenced by the current manifest
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def _ensure_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus is not None:
+            kwargs.update(address="local", num_cpus=num_cpus)
+        ray.init(**kwargs)
+
+
+def cmd_replay(args: argparse.Namespace) -> int:
+    _ensure_ray(args.num_cpus)
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    files = sorted(glob.glob(os.path.join(args.stream, "*.parquet")))
+    if not files:
+        print(f"error: no parquet change shards under {args.stream}", file=sys.stderr)
+        return 2
+    lake = CDCLake(
+        args.lake,
+        num_partitions=args.num_partitions,
+        num_salts=args.num_salts,
+        merge_mode=args.merge_mode,
+    )
+    try:
+        results = lake.replay_files(
+            files,
+            files_per_epoch=args.files_per_epoch,
+            quarantine=not args.no_quarantine,
+        )
+        for r in results:
+            print(
+                json.dumps(
+                    {
+                        "epoch": r.epoch,
+                        "applied_offset": r.applied_offset,
+                        "changes_applied": r.changes_applied,
+                        "changes_fenced": r.changes_fenced,
+                        "rows_quarantined": r.rows_quarantined,
+                        "total_rows": r.total_rows,
+                    }
+                )
+            )
+        if not results:
+            print(json.dumps({"skipped": "all shards at or below watermark"}))
+    finally:
+        lake.close()
+    return 0
+
+
+def cmd_status(args: argparse.Namespace) -> int:
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    if not os.path.isdir(args.lake):
+        print(f"error: no lake at {args.lake}", file=sys.stderr)
+        return 2
+    lake = CDCLake(args.lake)
+    man = lake.manifest
+    out = {
+        "lake": args.lake,
+        "epoch": man.epoch,
+        "applied_offset": man.applied_offset,
+        "num_partitions": man.num_partitions,
+        "partitions_committed": len(man.partitions),
+        "total_rows": sum(e.rows for e in man.partitions.values()),
+    }
+    lin = lake.lineage.read_all()
+    if lin.num_rows:
+        tail = lin.slice(max(0, lin.num_rows - args.lineage_tail)).to_pylist()
+        out["lineage_tail"] = [
+            {k: (str(v) if hasattr(v, "isoformat") else v) for k, v in r.items()}
+            for r in tail
+        ]
+    print(json.dumps(out, indent=1, default=str))
+    return 0
+
+
+def cmd_vacuum(args: argparse.Namespace) -> int:
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    removed = CDCLake(args.lake).vacuum()
+    print(json.dumps({"removed_files": removed}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="data_exchange_routing_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    rp = sub.add_parser("replay", help="replay change shards into the lake")
+    rp.add_argument("--lake", required=True)
+    rp.add_argument("--stream", required=True, help="dir of seq-ordered parquet shards")
+    rp.add_argument("--files-per-epoch", type=int, default=8)
+    rp.add_argument("--num-partitions", type=int, default=64)
+    rp.add_argument("--num-salts", type=int, default=1)
+    rp.add_argument("--merge-mode", choices=["groupby", "actors"], default="groupby")
+    rp.add_argument("--no-quarantine", action="store_true")
+    rp.add_argument("--num-cpus", type=int, default=None)
+    rp.set_defaults(fn=cmd_replay)
+
+    sp = sub.add_parser("status", help="manifest + lineage summary")
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--lineage-tail", type=int, default=8)
+    sp.set_defaults(fn=cmd_status)
+
+    vp = sub.add_parser("vacuum", help="remove unreferenced partition files")
+    vp.add_argument("--lake", required=True)
+    vp.set_defaults(fn=cmd_vacuum)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -211,6 +211,7 @@ class CDCLake:
 
         # ---- commit (driver only): rename staged files, lineage, manifest ---
         rows_quarantined = 0
+        quarantine_offset = man.applied_offset
         qmask = stats["partition"] == QUARANTINE_PARTITION if len(stats) else None
         if qmask is not None and qmask.any():
             qrow = stats[qmask].iloc[0]
@@ -220,10 +221,11 @@ class CDCLake:
             os.makedirs(qdir, exist_ok=True)
             os.replace(qrow.file, os.path.join(qdir, "deadletter.parquet"))
             rows_quarantined = int(qrow.row_count)
+            quarantine_offset = max(quarantine_offset, int(qrow.applied_offset))
             stats = stats[~qmask].reset_index(drop=True)
 
         new_partitions = dict(man.partitions)
-        applied_offset = man.applied_offset
+        applied_offset = quarantine_offset
         if len(stats):
             for row in stats.itertuples():
                 rel = os.path.join(

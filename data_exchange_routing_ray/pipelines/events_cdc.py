@@ -171,6 +171,44 @@ def cdc_conv_watermarks(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def cdc_schema_evolution(sf_dir: str) -> pa.Table:
+    """Two-epoch replay where the SECOND epoch's change batches carry an
+    evolved schema — an added ``lang`` column AND widened types
+    (``turn_idx`` int32→int64, ``ts`` us→ns). The merge unifies schemas;
+    epoch-1 survivors backfill ``lang`` with null (SURVEY.md §1.1 dynamic-
+    schema semantics: tolerant parse + defaults, RouteIngestedFile.kt:125-140)."""
+    stream = derived_change_stream(sf_dir)
+    hi = int(_events(sf_dir, columns=["event_id"]).max("event_id")) + 1
+    mid = hi // 2
+
+    def evolve(b: pa.Table) -> pa.Table:
+        seq = b["seq"].to_numpy()
+        lang = np.where(seq % 2 == 0, "en", "es").astype(object)
+        b = b.set_column(
+            b.schema.get_field_index("turn_idx"),
+            "turn_idx",
+            b["turn_idx"].cast(pa.int64()),
+        )
+        b = b.set_column(
+            b.schema.get_field_index("ts"), "ts", b["ts"].cast(pa.timestamp("ns"))
+        )
+        return b.append_column("lang", pa.array(lang, pa.string()))
+
+    with tempfile.TemporaryDirectory(prefix="cdclake-") as d:
+        lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
+        lake.apply_changes(stream.filter(expr=f"seq < {mid}"), quarantine=False)
+        evolved = stream.filter(expr=f"seq >= {mid}").map_batches(
+            evolve, batch_format="pyarrow"
+        )
+        lake.apply_changes(evolved, quarantine=False)
+        out = lake.final_table()
+    # normalize for the driver compare: us timestamps, stable column order
+    out = out.set_column(
+        out.schema.get_field_index("ts"), "ts", out["ts"].cast(pa.timestamp("us"))
+    )
+    return out.select(["conv_id", "turn_idx", "role", "text", "tool", "ts", "lang"])
+
+
 ROUTE_CONFIG = {
     "routes": [
         {

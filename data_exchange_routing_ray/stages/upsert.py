@@ -298,6 +298,10 @@ def make_merge_fn(
             tmp = path + ".inprogress"
             pq.write_table(out, tmp)
             os.replace(tmp, path)
+            # dead-lettered rows COUNT AS PROCESSED (the reference dead-
+            # letters and moves on, never reprocessing): their max seq
+            # advances the watermark so replayed shards skip them
+            qmax = pc.max(out["seq"]).as_py() if "seq" in out.column_names else None
             return pd.DataFrame(
                 [
                     {
@@ -306,7 +310,9 @@ def make_merge_fn(
                         "file": path,
                         "changes_applied": 0,
                         "changes_fenced": 0,
-                        "applied_offset": fence_below,
+                        "applied_offset": max(
+                            fence_below, qmax if qmax is not None else fence_below
+                        ),
                         "row_count": int(out.num_rows),
                     }
                 ]

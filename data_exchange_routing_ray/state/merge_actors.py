@@ -87,6 +87,15 @@ class PartitionMergeActor:
                 tmp = path + ".inprogress"
                 pq.write_table(delta, tmp)
                 os.replace(tmp, path)
+                # dead-lettered rows count as processed: advance the
+                # watermark past their seqs (see stages/upsert.py)
+                import pyarrow.compute as pc
+
+                qmax = (
+                    pc.max(delta["seq"]).as_py()
+                    if "seq" in delta.column_names
+                    else None
+                )
                 rows.append(
                     {
                         "partition": pid,
@@ -94,7 +103,9 @@ class PartitionMergeActor:
                         "file": path,
                         "changes_applied": 0,
                         "changes_fenced": 0,
-                        "applied_offset": fence_below,
+                        "applied_offset": max(
+                            fence_below, qmax if qmax is not None else fence_below
+                        ),
                         "row_count": int(delta.num_rows),
                     }
                 )

@@ -97,6 +97,21 @@ def test_actor_mode_crash_resume_cold_start(ray_session, tmp_path):
         lake2.close()
 
 
+def test_quarantined_seqs_advance_watermark(ray_session, tmp_path):
+    """Dead-lettered rows count as processed: a full re-replay of a stream
+    whose tail shard ends in malformed rows is skipped entirely (no
+    duplicate dead-letter rows, no re-run epochs)."""
+    changes = make_change_stream(num_convs=40, max_turns=6, malformed_frac=0.1, seed=8)
+    files = write_change_stream(changes, str(tmp_path / "stream"), num_files=4)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    first = lake.replay_files(files, files_per_epoch=2)
+    n_quar = sum(r.rows_quarantined for r in first)
+    assert n_quar > 0
+    assert lake.replay_files(files, files_per_epoch=2) == []
+    assert lake.quarantine_table().num_rows == n_quar  # not duplicated
+    _check(lake, oracle_apply(changes))
+
+
 def test_actor_and_groupby_modes_agree(ray_session, tmp_path):
     import ray.data
 
