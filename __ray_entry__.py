@@ -126,6 +126,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": q.ann_ivf_topk,
         # ---- multimodal plumbing ----
         "multimodal_decode": q.multimodal_decode,
+        "multimodal_resize_framesample": q.multimodal_resize_framesample,
+        # ---- composite training-data prep ----
+        "training_data_prep": q.training_data_prep,
     }
 
 
@@ -379,6 +382,46 @@ SELECT vec_id,
        round(list_cosine_similarity(embedding,
              (SELECT embedding FROM embeddings WHERE vec_id = 0)), 6) AS cosine
 FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10
+""",
+        "multimodal_resize_framesample": """
+SELECT doc_id AS media_id,
+       CAST(256 AS BIGINT) AS resized_bytes,
+       CAST(((octet_length(CAST(text AS BLOB)) // 32) + 1) // 2 AS BIGINT) AS n_frames
+FROM documents
+""",
+        "training_data_prep": r"""
+WITH s AS (
+  SELECT doc_id, text, source,
+    length(regexp_extract_all(text, '\p{Han}')) AS s_zh,
+    length(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for)\b')) AS s_en,
+    length(regexp_extract_all(lower(text), '\b(el|los|las|de|que|y|en|una)\b')) AS s_es,
+    length(regexp_extract_all(lower(text), '\b(le|les|des|et|une|dans|pour)\b')) AS s_fr,
+    length(regexp_extract_all(lower(text), '\b(der|die|das|und|ein|eine|zu|mit|von)\b')) AS s_de,
+    round(
+      least(CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE), 200.0) / 200.0
+      * (1.0 - CAST(length(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+               / greatest(CAST(length(text) AS DOUBLE), 1.0))
+      * (0.5 + 0.5 * least(
+          CAST(length(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS DOUBLE)
+          * 5.0 / greatest(CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0),
+          1.0))
+    , 6) AS quality,
+    CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+      AS n_bpe
+  FROM documents
+),
+f AS (
+  SELECT * FROM s
+  WHERE quality >= 0.1 AND s_zh = 0 AND s_en > 0
+    AND s_en >= greatest(s_es, s_fr, s_de)
+),
+d AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM f
+  ) WHERE rn = 1
+)
+SELECT source, count(*) AS n_docs, CAST(sum(n_bpe) AS BIGINT) AS total_tokens
+FROM d GROUP BY source
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

@@ -109,6 +109,43 @@ class ExtractMediaFeatures:
         )
 
 
+class ResizeMedia:
+    """Actor-pool resize stage: nearest-neighbor byte resample of the
+    payload to ``target_w × target_h`` (stub treating the payload as a
+    ``meta_width × meta_height`` byte raster — a real impl swaps in
+    Pillow/cv2 in ``__init__``; the batch plumbing and metadata update are
+    the real article)."""
+
+    def __init__(self, target_w: int = 32, target_h: int = 32):
+        self.tw, self.th = target_w, target_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        ws = batch["meta_width"].to_numpy()
+        hs = batch["meta_height"].to_numpy()
+        out = []
+        for p, w, h in zip(payloads, ws, hs):
+            w, h = max(int(w), 1), max(int(h), 1)  # zero/neg dims: 1px raster
+            b = np.frombuffer((p or b"\0").ljust(w * h, b"\0"), dtype=np.uint8)
+            img = b[: w * h].reshape(h, w)
+            yi = (np.arange(self.th) * img.shape[0] // self.th).clip(0, img.shape[0] - 1)
+            xi = (np.arange(self.tw) * img.shape[1] // self.tw).clip(0, img.shape[1] - 1)
+            out.append(img[np.ix_(yi, xi)].tobytes())
+        n = batch.num_rows
+        batch = batch.set_column(
+            batch.schema.get_field_index("payload"), "payload",
+            pa.array(out, pa.binary()),
+        )
+        batch = batch.set_column(
+            batch.schema.get_field_index("meta_width"), "meta_width",
+            pa.array(np.full(n, self.tw, np.int32), pa.int32()),
+        )
+        return batch.set_column(
+            batch.schema.get_field_index("meta_height"), "meta_height",
+            pa.array(np.full(n, self.th, np.int32), pa.int32()),
+        )
+
+
 def sample_frames(
     batch: pa.Table, frame_size: int = 64, every_nth: int = 4
 ) -> pa.Table:

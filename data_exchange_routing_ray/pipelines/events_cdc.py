@@ -841,6 +841,84 @@ def window_tumbling_daily(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def multimodal_resize_framesample(sf_dir: str) -> pa.Table:
+    """Resize (actor pool) + frame-sample (1→N exploder) plumbing over
+    synthetic media; per-media rollup of sampled frames + resized bytes."""
+    from data_exchange_routing_ray.functions.multimodal import (
+        ResizeMedia,
+        sample_frames,
+        synthesize_media_batch,
+    )
+
+    media = _documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        synthesize_media_batch, batch_format="pyarrow"
+    )
+    resized = media.map_batches(
+        ResizeMedia(target_w=16, target_h=16), batch_format="pyarrow", concurrency=2
+    )
+    frames = media.map_batches(
+        lambda b: sample_frames(b, frame_size=32, every_nth=2),
+        batch_format="pyarrow",
+    )
+    fcounts = (
+        frames.groupby("media_id").aggregate(Count(alias_name="n_frames")).to_pandas()
+    )
+    sizes = resized.map_batches(
+        lambda b: pa.table(
+            {
+                "media_id": b["media_id"],
+                "resized_bytes": pa.array(
+                    [len(p) for p in b["payload"].to_pylist()], pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    out = sizes.merge(fcounts, on="media_id", how="left").fillna({"n_frames": 0})
+    out["n_frames"] = out["n_frames"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def training_data_prep(sf_dir: str) -> pa.Table:
+    """Composite training-data prep pipeline: quality score → language ID →
+    quality/lang filter → exact dedup by md5 → per-source doc/token budget.
+    The end-to-end corpus-curation shape, fully SQL-verifiable."""
+    from data_exchange_routing_ray.functions.dedup import exact_dedup
+    from data_exchange_routing_ray.functions.text import (
+        add_bpe_token_count,
+        add_lang_id,
+        add_quality_score,
+    )
+
+    def annotate(b: pa.Table) -> pa.Table:
+        return add_bpe_token_count(add_lang_id(add_quality_score(b)))
+
+    ds = (
+        _documents(sf_dir, columns=["doc_id", "text", "source"])
+        .map_batches(annotate, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.filter(
+                pc.and_(
+                    pc.greater_equal(b["quality"], pa.scalar(0.1)),
+                    pc.equal(b["lang_pred"], pa.scalar("en")),
+                )
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    deduped = exact_dedup(ds, col="text", id_col="doc_id")
+    out = (
+        deduped.groupby("source")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_bpe_tokens", alias_name="total_tokens"),
+        )
+        .to_pandas()
+        .astype({"n_docs": "int64", "total_tokens": "int64"})
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def multimodal_decode(sf_dir: str) -> pa.Table:
     from data_exchange_routing_ray.functions.multimodal import (
         DecodeMedia,

@@ -116,6 +116,41 @@ def test_bpe_token_count():
     assert out["n_bpe_tokens"].to_pylist() == [5, 0, 3]
 
 
+def test_resize_media_stage():
+    from data_exchange_routing_ray.functions.multimodal import ResizeMedia
+
+    t = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "payload": pa.array([bytes(range(100)) * 10], pa.binary()),
+            "meta_width": pa.array([40], pa.int32()),
+            "meta_height": pa.array([25], pa.int32()),
+        }
+    )
+    out = ResizeMedia(target_w=8, target_h=8)(t)
+    assert [len(p) for p in out["payload"].to_pylist()] == [64]
+    assert out["meta_width"].to_pylist() == [8]
+    assert out["meta_height"].to_pylist() == [8]
+    # deterministic: same input → same bytes
+    assert out["payload"].to_pylist() == ResizeMedia(8, 8)(t)["payload"].to_pylist()
+
+
+def test_sample_frames_explodes():
+    from data_exchange_routing_ray.functions.multimodal import sample_frames
+
+    t = pa.table(
+        {
+            "media_id": pa.array([7, 8], pa.int64()),
+            "payload": pa.array([bytes(256), bytes(10)], pa.binary()),
+        }
+    )
+    out = sample_frames(t, frame_size=64, every_nth=2)
+    # media 7: 4 frames, every 2nd → idx 0, 2; media 8: too small → none
+    assert out["media_id"].to_pylist() == [7, 7]
+    assert out["frame_idx"].to_pylist() == [0, 2]
+    assert all(len(f) == 64 for f in out["frame"].to_pylist())
+
+
 def test_ngram_jaccard_verification():
     from data_exchange_routing_ray.functions.dedup import verify_jaccard_pairs
 
