@@ -13,9 +13,33 @@ import pyarrow as pa
 
 
 def stable_hash_strings(values) -> np.ndarray:
-    """uint64 stable hash of a string array (pyarrow or numpy or pandas)."""
+    """uint64 stable hash of a string array (pyarrow or numpy or pandas).
+
+    Arrow inputs take the dictionary path: hash only the UNIQUE values
+    (C-speed dictionary encode), then gather by code — avoids materializing
+    one Python object per row, which dominates at 256Ki-row batches.
+    """
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
-        values = values.to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pc
+
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        denc = pc.dictionary_encode(values)
+        uniq = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+        mask = pd.isna(uniq)
+        if mask.any():
+            uniq[mask] = ""
+        uh = pd.util.hash_array(uniq, categorize=False)
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        null_code = pd.isna(codes)
+        if null_code.any():
+            # nulls hash like "" (validation upstream rejects null keys)
+            empty = pd.util.hash_array(np.array([""], dtype=object))[0]
+            out = np.empty(len(codes), dtype=np.uint64)
+            out[null_code] = empty
+            out[~null_code] = uh[codes[~null_code].astype(np.int64)]
+            return out
+        return uh[codes.astype(np.int64)]
     arr = np.asarray(values, dtype=object)
     # Nulls hash to a fixed bucket; validation upstream rejects null keys.
     mask = pd.isna(arr)

@@ -73,11 +73,7 @@ def partial_reduce_group(group: pa.Table) -> pa.Table:
         return group
     if int(group[PART_COLUMN][0].as_py()) == QUARANTINE_PARTITION:
         return group
-    idx = _last_per_key_indices(
-        group["seq"].to_numpy(),
-        group["conv_id"].to_numpy(zero_copy_only=False),
-        group["turn_idx"].to_numpy(),
-    )
+    idx = _last_per_key_indices(group)
     if len(idx) == group.num_rows:
         return group
     return group.take(pa.array(idx))
@@ -103,8 +99,31 @@ def prepare_batch(
 
     batch = validate_batch(batch)
     err_null = pc.is_null(batch[ERROR_COLUMN])
-    valid = combine_batch(batch.filter(err_null))
-    valid = add_partition_column(valid, num_partitions)
+    valid = batch.filter(err_null)
+    # ONE dictionary encode of conv_id serves both the partition hash
+    # (stable hash of the unique values, gathered by code) and the combine
+    # keys (batch-local codes) — string scans dominate this stage's memory
+    # traffic, so encode once and derive both.
+    if valid.num_rows:
+        import pandas as _pd
+
+        conv = valid["conv_id"].combine_chunks()
+        enc = pc.dictionary_encode(conv)
+        codes = _np_int64(enc.indices.to_numpy(zero_copy_only=False), -1)
+        uniq = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        uh = _pd.util.hash_array(uniq, categorize=False)
+        pid = (uh % np.uint64(num_partitions)).astype(np.int32)[codes]
+        turn = _np_int64(valid["turn_idx"].to_numpy(zero_copy_only=False), -1)
+        key = _pack_keys(codes, turn)
+        seq = _np_int64(valid["seq"].to_numpy(zero_copy_only=False), -(2**62))
+        idx = _winners_from_keys(key, seq)
+        if PART_COLUMN in valid.column_names:
+            valid = valid.drop_columns([PART_COLUMN])
+        valid = valid.append_column(PART_COLUMN, pa.array(pid, pa.int32()))
+        if len(idx) < valid.num_rows:
+            valid = valid.take(pa.array(idx))
+    else:
+        valid = add_partition_column(valid, num_partitions)
     if not keep_quarantine:
         return valid
     invalid = batch.filter(pc.invert(err_null))
@@ -120,27 +139,74 @@ def prepare_batch(
     return pa.concat_tables([valid, invalid])
 
 
-def _last_per_key_indices(
-    seq: np.ndarray, conv: np.ndarray, turn: np.ndarray
-) -> np.ndarray:
-    """Row indices of the winning (max-seq, first-delivery) event per key."""
-    df = pd.DataFrame({"seq": seq, "conv_id": conv, "turn_idx": turn})
-    df = df.sort_values("seq", kind="stable")
-    # duplicate redelivery: same (seq, key) re-emitted → keep first delivery
-    df = df.drop_duplicates(["seq", "conv_id", "turn_idx"], keep="first")
-    df = df.drop_duplicates(["conv_id", "turn_idx"], keep="last")
-    return np.sort(df.index.to_numpy())
+def _np_int64(arr: np.ndarray, nan_fill: int) -> np.ndarray:
+    """int64 view of a numeric numpy array; NaN (from Arrow nulls) filled."""
+    if arr.dtype.kind == "f":
+        return np.nan_to_num(arr, nan=float(nan_fill)).astype(np.int64)
+    return arr.astype(np.int64, copy=False)
+
+
+def _key_codes(table: pa.Table, extra: pa.Table | None = None) -> np.ndarray:
+    """Exact int64 key per row for (conv_id, turn_idx): batch-local Arrow
+    dictionary codes (C-speed, collision-free) combined with the turn index.
+    When ``extra`` is given, its rows share the code space (appended after
+    ``table``'s rows) so keys are comparable across the two tables."""
+    chunks = list(table["conv_id"].chunks)
+    if extra is not None:
+        ex = extra["conv_id"]
+        if not ex.type.equals(chunks[0].type):
+            ex = ex.cast(chunks[0].type)
+        chunks += list(ex.chunks)
+    conv = pa.chunked_array(chunks).combine_chunks()
+    codes = _np_int64(
+        pc.dictionary_encode(conv).indices.to_numpy(zero_copy_only=False), -1
+    )
+    turn = table["turn_idx"].to_numpy(zero_copy_only=False)
+    if extra is not None:
+        turn = np.concatenate(
+            [turn, extra["turn_idx"].to_numpy(zero_copy_only=False)]
+        )
+    return _pack_keys(codes, _np_int64(turn, -1))
+
+
+def _pack_keys(codes: np.ndarray, turn: np.ndarray) -> np.ndarray:
+    """(dictionary code, turn) → one exact int64 key. Turn is normalized
+    into the low 32 bits; turn indexes are per-conversation ordinals, so a
+    >2^32 spread means corrupt data — fail loudly, never silently collide."""
+    if len(turn):
+        tmin = turn.min()
+        if int(turn.max()) - int(tmin) >= (1 << 32) - 1:
+            raise ValueError("turn_idx spread exceeds 2^32; cannot pack keys")
+        turn = turn - tmin
+    return (codes << np.int64(32)) | turn
+
+
+def _winners_from_keys(key: np.ndarray, seq: np.ndarray) -> np.ndarray:
+    """Indices of the winning (max-seq, first-delivery) row per key."""
+    order = np.lexsort((seq, key))  # by key, then seq; stable → delivery order
+    k, s = key[order], seq[order]
+    # duplicate redelivery: same (key, seq) re-emitted → keep first delivery
+    keep = np.r_[True, (k[1:] != k[:-1]) | (s[1:] != s[:-1])]
+    o2, k2 = order[keep], k[keep]
+    # winner per key = last (max-seq) row of each key run
+    last = np.nonzero(np.r_[k2[1:] != k2[:-1], True])[0]
+    return np.sort(o2[last])
+
+
+def _last_per_key_indices(table: pa.Table) -> np.ndarray:
+    """Row indices of the winning (max-seq, first-delivery) event per
+    (conv_id, turn_idx) key — pure numpy over batch-local dictionary codes
+    (no per-row Python objects; this is the combiner's hot loop)."""
+    key = _key_codes(table)
+    seq = _np_int64(table["seq"].to_numpy(zero_copy_only=False), -(2**62))
+    return _winners_from_keys(key, seq)
 
 
 def combine_batch(batch: pa.Table) -> pa.Table:
     """Within-batch partial reduce: last event per key, dup seqs dropped."""
     if batch.num_rows == 0:
         return batch
-    idx = _last_per_key_indices(
-        batch["seq"].to_numpy(),
-        batch["conv_id"].to_numpy(zero_copy_only=False),
-        batch["turn_idx"].to_numpy(),
-    )
+    idx = _last_per_key_indices(batch)
     if len(idx) == batch.num_rows:
         return batch
     return batch.take(pa.array(idx))
@@ -214,11 +280,7 @@ def merge_tables(
     n_fenced = n_in - changes.num_rows
 
     if changes.num_rows:
-        idx = _last_per_key_indices(
-            changes["seq"].to_numpy(),
-            changes["conv_id"].to_numpy(zero_copy_only=False),
-            changes["turn_idx"].to_numpy(),
-        )
+        idx = _last_per_key_indices(changes)
         changes = changes.take(pa.array(idx))
 
     applied_offset = (
@@ -226,20 +288,12 @@ def merge_tables(
     )
 
     if base is not None and base.num_rows and changes.num_rows:
-        # drop base rows whose key is overwritten or deleted
-        base_keys = pd.MultiIndex.from_arrays(
-            [
-                base["conv_id"].to_numpy(zero_copy_only=False),
-                base["turn_idx"].to_numpy(),
-            ]
-        )
-        change_keys = pd.MultiIndex.from_arrays(
-            [
-                changes["conv_id"].to_numpy(zero_copy_only=False),
-                changes["turn_idx"].to_numpy(),
-            ]
-        )
-        keep = ~base_keys.isin(change_keys)
+        # drop base rows whose key is overwritten or deleted: shared-code
+        # anti-join (exact; no Python string objects)
+        keys = _key_codes(base, extra=changes)
+        base_keys = keys[: base.num_rows]
+        change_keys = keys[base.num_rows :]
+        keep = ~np.isin(base_keys, change_keys)
         if not keep.all():
             base = base.filter(pa.array(keep))
 
