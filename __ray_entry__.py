@@ -92,7 +92,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orchestrate_config_pipeline": q.orchestrate_config_pipeline,
         # ---- routing / config (J1-J6, M3, M4) ----
         "cdc_route_expansion": q.cdc_route_expansion,
+        "cdc_route_default_fallback": q.cdc_route_default_fallback,
         "cdc_unroutable_count": q.cdc_unroutable_count,
+        "cdc_parse_urls": q.cdc_parse_urls,
         "cdc_partition_paths": q.cdc_partition_paths,
         # ---- record splitters (M7, S16) ----
         "cdc_debatch": q.cdc_debatch,
@@ -237,6 +239,32 @@ GROUP BY destination
 """,
         "cdc_unroutable_count": """
 SELECT count(*) AS n_unroutable FROM events WHERE event_type = 'error'
+""",
+        "cdc_route_default_fallback": """
+WITH ev AS (
+  SELECT CASE WHEN event_type = 'error' THEN 'errors' ELSE 'transcripts' END AS dsid,
+         CASE WHEN event_type IN ('click','view') THEN 'main' ELSE 'raw' END AS route
+  FROM events
+),
+routes(dsid, route, destination) AS (
+  VALUES ('transcripts', 'main', 'lake/clickview'),
+         ('transcripts', 'main', 'audit/clickview'),
+         ('transcripts', 'raw', 'lake/raw')
+),
+matched AS (
+  SELECT coalesce(r.destination, 'lake/misc') AS destination
+  FROM ev LEFT JOIN routes r USING (dsid, route)
+)
+SELECT destination, count(*) AS n FROM matched GROUP BY destination
+""",
+        "cdc_parse_urls": """
+SELECT event_id,
+       'acct' || CAST(event_id % 3 AS VARCHAR) AS storage_account,
+       'c' || CAST(event_id % 5 AS VARCHAR) AS container,
+       'f' || CAST(event_id % 7 AS VARCHAR) || '/d' || CAST(event_id % 2 AS VARCHAR)
+         AS folder_path,
+       'blob-' || CAST(event_id AS VARCHAR) || '.json' AS file_name
+FROM events
 """,
         "cdc_partition_paths": """
 SELECT 'lake/transcripts/' || strftime(ts, '%Y/%m/%d') AS dest_path, count(*) AS n

@@ -162,6 +162,18 @@ def add_winnow_fingerprint(
     return batch.append_column(out_col, pa.array(out.astype(np.int64), pa.int64()))
 
 
+def html_encode_column(batch: pa.Table, col: str) -> pa.Table:
+    """HTML-encode a string column before persistence (M11, the report
+    normalizer ``FnStoreReportingEvent.kt:68-71``) — chained Arrow kernels,
+    ampersand first."""
+    c = pc.cast(batch[col], pa.string())
+    for pat, repl in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                      ('"', "&quot;"), ("'", "&#39;")):
+        c = pc.replace_substring(c, pattern=pat, replacement=repl)
+    idx = batch.schema.get_field_index(col)
+    return batch.set_column(idx, pa.field(col, pa.string()), c)
+
+
 class RedactText:
     """PII-redaction stage (the reference redactor is a stub,
     ``fn-redactor/Function.kt:12-22``; ours actually scrubs). Stateful

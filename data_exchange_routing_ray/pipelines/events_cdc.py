@@ -283,6 +283,47 @@ def cdc_partition_paths(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def cdc_parse_urls(sf_dir: str) -> pa.Table:
+    """Vectorized event-URL parsing (M1 parseMessage): synthesize blob URLs
+    from events, derive account/container/folder/file columns."""
+    from data_exchange_routing_ray.stages.route import parse_event_urls
+
+    def synth_url(b: pa.Table) -> pa.Table:
+        ev = b["event_id"].to_numpy()
+        urls = [
+            f"https://acct{e % 3}.blob.example.com/c{e % 5}/f{e % 7}/d{e % 2}/blob-{e}.json"
+            for e in ev
+        ]
+        return pa.table(
+            {"event_id": pa.array(ev, pa.int64()), "url": pa.array(urls, pa.string())}
+        )
+
+    out = (
+        _events(sf_dir, columns=["event_id"])
+        .map_batches(synth_url, batch_format="pyarrow")
+        .map_batches(lambda b: parse_event_urls(b), batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(
+        out[["event_id", "storage_account", "container", "folder_path", "file_name"]],
+        preserve_index=False,
+    )
+
+
+def cdc_route_default_fallback(sf_dir: str) -> pa.Table:
+    """J4 default-route left join: unmatched events fall back to the misc
+    route instead of dead-lettering; counts per destination."""
+    cfg = {**ROUTE_CONFIG, "default_route": {"id": "misc", "destination": "lake/misc"}}
+    ds = _events(sf_dir, columns=["event_id", "event_type"]).map_batches(
+        _with_stream_cols, batch_format="pyarrow"
+    )
+    router = make_router(cfg, enrich=False)
+    routed = ds.map_batches(router, batch_format="pyarrow")
+    ok = routed.map_batches(lambda b: split_routed(b)[0], batch_format="pyarrow")
+    out = ok.groupby("destination").aggregate(Count(alias_name="n"))
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def cdc_debatch(sf_dir: str) -> pa.Table:
     """JSON-array debatcher: 1 event → 1 or 3 messages."""
 

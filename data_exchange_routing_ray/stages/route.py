@@ -70,6 +70,33 @@ def load_route_config(config: dict | str) -> pd.DataFrame:
     return df
 
 
+def parse_event_urls(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """Vectorized event-URL parser (M1, ``parseMessage`` Common.kt:211-229):
+    derive ``storage_account`` (host prefix before the first '.'),
+    ``container`` (first path segment), ``file_name`` (last segment) and
+    ``folder_path`` (segments between) — all pyarrow.compute kernels."""
+    url = pc.cast(batch[url_col], pa.string())
+    # strip scheme
+    rest = pc.replace_substring_regex(url, pattern=r"^[a-z][a-z0-9+.-]*://", replacement="")
+    host = pc.replace_substring_regex(rest, pattern=r"/.*$", replacement="")
+    account = pc.replace_substring_regex(host, pattern=r"\..*$", replacement="")
+    path = pc.replace_substring_regex(rest, pattern=r"^[^/]*/?", replacement="")
+    container = pc.replace_substring_regex(path, pattern=r"/.*$", replacement="")
+    after = pc.replace_substring_regex(path, pattern=r"^[^/]*/?", replacement="")
+    file_name = pc.replace_substring_regex(after, pattern=r"^.*/", replacement="")
+    folder = pc.replace_substring_regex(after, pattern=r"/?[^/]*$", replacement="")
+    for name, col in (
+        ("storage_account", account),
+        ("container", container),
+        ("folder_path", folder),
+        ("file_name", file_name),
+    ):
+        if name in batch.column_names:
+            batch = batch.drop_columns([name])
+        batch = batch.append_column(name, col)
+    return batch
+
+
 def resolve_stream_columns(batch: pa.Table) -> pa.Table:
     """Resolve legacy alias columns into the canonical stream id/route pair."""
     for legacy, canonical in LEGACY_ALIASES.items():
@@ -146,6 +173,12 @@ def make_router(
     ``destination``, ``dest_path`` and metadata-overlay columns) plus
     unmatched rows annotated with an ``error`` column for quarantine.
     """
+    default_route = None
+    if isinstance(config, dict) and config.get("default_route"):
+        # J4 default-route left join (RouteIngestedFile.cs:39-45, the
+        # FileType=="?" misc route): unmatched events fall back to this
+        # destination instead of dead-lettering
+        default_route = config["default_route"]
     routes = config if isinstance(config, pd.DataFrame) else load_route_config(config)
     meta_cols: dict[str, dict[str, str]] = {
         r.route_id: json.loads(r.route_metadata) for r in routes.itertuples()
@@ -176,6 +209,16 @@ def make_router(
                         lambda rid, k=k: meta_cols.get(rid, {}).get(k)
                     )
             out_parts.append(matched)
+        if len(missed) and default_route is not None:
+            missed["error"] = None
+            missed["route_id"] = default_route.get("id", "default")
+            missed["destination"] = default_route["destination"]
+            missed["partition_folder"] = default_route.get("partition_folder", "")
+            if expand_metadata:
+                for k in all_meta_keys:
+                    missed[k] = default_route.get("metadata", {}).get(k)
+            out_parts.append(missed)
+            missed = missed.iloc[0:0]
         if len(missed):
             missed["error"] = (
                 ERR_NO_ROUTE

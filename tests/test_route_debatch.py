@@ -134,6 +134,61 @@ def test_unique_route_ids_enforced():
 
 # ---------------------------------------------------------------- debatchers
 
+def test_parse_event_urls():
+    from data_exchange_routing_ray.stages.route import parse_event_urls
+
+    t = pa.table(
+        {
+            "url": pa.array(
+                [
+                    "https://myacct.blob.core.windows.net/ingest/a/b/file.csv",
+                    "https://x.example.com/cont/top.json",
+                    "s3://bucket/k.txt",
+                ]
+            )
+        }
+    )
+    out = parse_event_urls(t)
+    assert out["storage_account"].to_pylist() == ["myacct", "x", "bucket"]
+    assert out["container"].to_pylist() == ["ingest", "cont", "k.txt"]
+    assert out["folder_path"].to_pylist() == ["a/b", "", ""]
+    assert out["file_name"].to_pylist() == ["file.csv", "top.json", ""]
+
+
+def test_default_route_fallback():
+    from data_exchange_routing_ray.stages.route import make_router, split_routed
+
+    cfg = {
+        "routes": [
+            {
+                "id": "r1",
+                "match": {"data_stream_id": "a", "data_stream_route": "m"},
+                "destination": "d1",
+                "metadata": {},
+            }
+        ],
+        "default_route": {"id": "misc", "destination": "d-misc"},
+    }
+    t = pa.table(
+        {
+            "data_stream_id": pa.array(["a", "zzz"]),
+            "data_stream_route": pa.array(["m", "???"]),
+        }
+    )
+    routed = make_router(cfg, enrich=False)(t)
+    ok, bad = split_routed(routed)
+    assert bad.num_rows == 0  # nothing dead-letters with a default route
+    assert sorted(ok["destination"].to_pylist()) == ["d-misc", "d1"]
+
+
+def test_html_encode():
+    from data_exchange_routing_ray.functions.text import html_encode_column
+
+    t = pa.table({"x": pa.array(['<b>&"hi"\'</b>'])})
+    out = html_encode_column(t, "x")
+    assert out["x"].to_pylist() == ["&lt;b&gt;&amp;&quot;hi&quot;&#39;&lt;/b&gt;"]
+
+
 def test_debatch_json_array():
     batch = pa.table(
         {
