@@ -181,6 +181,25 @@ def test_default_route_fallback():
     assert sorted(ok["destination"].to_pylist()) == ["d-misc", "d1"]
 
 
+def test_config_hot_reload_between_epochs():
+    """S14 config hot-reload: routing config is a broadcast dict rebuilt per
+    epoch — swapping it between two runs changes routing without restart."""
+    from data_exchange_routing_ray.stages.route import make_router, split_routed
+
+    t = pa.table(
+        {
+            "data_stream_id": pa.array(["a"]),
+            "data_stream_route": pa.array(["m"]),
+        }
+    )
+    cfg_v1 = {"routes": [{"id": "r1", "match": {"data_stream_id": "a", "data_stream_route": "m"}, "destination": "d-old", "metadata": {}}]}
+    cfg_v2 = {"routes": [{"id": "r1", "match": {"data_stream_id": "a", "data_stream_route": "m"}, "destination": "d-new", "metadata": {}}]}
+    ok1, _ = split_routed(make_router(cfg_v1, enrich=False)(t))
+    ok2, _ = split_routed(make_router(cfg_v2, enrich=False)(t))
+    assert ok1["destination"].to_pylist() == ["d-old"]
+    assert ok2["destination"].to_pylist() == ["d-new"]
+
+
 def test_html_encode():
     from data_exchange_routing_ray.functions.text import html_encode_column
 
