@@ -471,24 +471,33 @@ def split_by_category(sf_dir: str) -> pa.Table:
 
 def sessionize_events(sf_dir: str, gap_seconds: float = 1800.0) -> pa.Table:
     """Session windows per user (30-min inactivity gap) — the streaming
-    window op Ray Data lacks natively, as groupby + per-group pandas."""
+    window op Ray Data lacks natively. Scale shape: ONE shuffle on a coarse
+    user-hash bucket (hundreds of groups), all per-user session logic
+    vectorized inside the bucket (sort + diff over the whole bucket frame,
+    boundaries masked at user changes) — no per-user Python calls."""
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        gap = g["ts"].diff().dt.total_seconds()
-        n_sessions = int((gap > gap_seconds).sum()) + 1
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [len(g)],
-                "n_sessions": [n_sessions],
-            }
+    def bucket(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy()
+        bk = (uid * np.int64(0x9E3779B9)) % 256
+        return b.append_column("bucket", pa.array(bk.astype(np.int64), pa.int64()))
+
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        gap = g["ts"].diff().dt.total_seconds().to_numpy()
+        new_session = new_user | (gap > gap_seconds)
+        out = pd.DataFrame({"user_id": uid, "one": 1, "ns": new_session.astype(np.int64)})
+        agg = out.groupby("user_id", as_index=False, sort=False).agg(
+            n_events=("one", "sum"), n_sessions=("ns", "sum")
         )
+        return agg
 
     out = (
         _events(sf_dir, columns=["user_id", "event_id", "ts"])
-        .groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessions_bucket, batch_format="pandas")
         .to_pandas()
     )
     return pa.Table.from_pandas(out, preserve_index=False)

@@ -1,0 +1,89 @@
+"""Two-phase-commit crash injection + hypothesis property test vs oracle."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_exchange_routing_ray.pipelines.cdc import CDCLake
+from data_exchange_routing_ray.state.manifest import ManifestStore
+from data_exchange_routing_ray.synth import make_change_stream, oracle_apply
+
+TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def _final(lake):
+    return lake.final_table().to_pandas()[TRANSCRIPT_COLS].reset_index(drop=True)
+
+
+def test_crash_between_stage_and_publish(ray_session, tmp_path, monkeypatch):
+    """Kill the commit AFTER files are staged/merged but BEFORE the manifest
+    publishes: readers still see the previous epoch; re-running the epoch
+    converges to the same final state (the commitBlockList guarantee)."""
+    import ray.data
+
+    first = make_change_stream(num_convs=40, max_turns=6, seed=51)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply_changes(ray.data.from_arrow(first), quarantine=False)
+    state_before = _final(lake)
+    epoch_before = lake.manifest.epoch
+
+    second = make_change_stream(num_convs=40, max_turns=6, seed=52, seq_start=100000)
+
+    real_publish = ManifestStore.publish
+
+    def exploding_publish(self, manifest):
+        raise RuntimeError("injected crash before manifest publish")
+
+    monkeypatch.setattr(ManifestStore, "publish", exploding_publish)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        lake.apply_changes(ray.data.from_arrow(second), quarantine=False)
+    monkeypatch.setattr(ManifestStore, "publish", real_publish)
+
+    # crashed epoch invisible: same manifest, same table
+    recovered = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    assert recovered.manifest.epoch == epoch_before
+    pd.testing.assert_frame_equal(_final(recovered), state_before)
+
+    # re-run the epoch normally → converges to oracle over both batches
+    recovered.apply_changes(ray.data.from_arrow(second), quarantine=False)
+    both = pa.concat_tables([first, second])
+    exp = oracle_apply(both)[TRANSCRIPT_COLS].reset_index(drop=True)
+    pd.testing.assert_frame_equal(_final(recovered), exp, check_dtype=False)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 10_000),
+    num_convs=st.integers(2, 60),
+    max_turns=st.integers(1, 12),
+    malformed=st.sampled_from([0.0, 0.05, 0.2]),
+    num_files=st.integers(1, 5),
+    parts=st.sampled_from([1, 3, 8]),
+    salts=st.sampled_from([1, 4]),
+)
+def test_property_replay_matches_oracle(
+    ray_session, tmp_path_factory, seed, num_convs, max_turns, malformed,
+    num_files, parts, salts,
+):
+    """Any seeded change stream, any sharding/partitioning/salting: the
+    engine's final state equals the serial pandas oracle bit-for-bit."""
+    from data_exchange_routing_ray.synth import write_change_stream
+
+    changes = make_change_stream(
+        num_convs=num_convs, max_turns=max_turns,
+        malformed_frac=malformed, seed=seed,
+    )
+    tmp = tmp_path_factory.mktemp(f"prop-{seed}-{num_convs}")
+    files = write_change_stream(changes, str(tmp / "stream"), num_files=num_files)
+    lake = CDCLake(str(tmp / "lake"), num_partitions=parts, num_salts=salts)
+    lake.replay_files(files, files_per_epoch=2)
+    got = _final(lake)
+    exp = oracle_apply(changes)[TRANSCRIPT_COLS].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
