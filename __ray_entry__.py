@@ -103,6 +103,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_pricing_summary": q.agg_pricing_summary,
         "join_broadcast_segments": q.join_broadcast_segments,
         "sort_topk_orders": q.sort_topk_orders,
+        "grouped_topk_orders": q.grouped_topk_orders,
+        "approx_distinct_users": q.approx_distinct_users,
+        "events_partitioned_write": q.events_partitioned_write,
         "distinct_event_types": q.distinct_event_types,
         "split_by_category": q.split_by_category,
         "sessionize_events": q.sessionize_events,
@@ -309,6 +312,21 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
         "distinct_event_types": """
 SELECT DISTINCT event_type FROM events
 """,
+        "grouped_topk_orders": """
+SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+        "events_partitioned_write": """
+SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n FROM events GROUP BY day
+""",
+        # approx_distinct_users: rows-only gate (HLL sketch is approximate;
+        # the 2%-of-exact bound is asserted in pytest)
         "split_by_category": """
 SELECT event_type, count(*) AS n, round(sum(value), 4) AS total_value
 FROM events GROUP BY event_type

@@ -503,6 +503,107 @@ def sessionize_events(sf_dir: str, gap_seconds: float = 1800.0) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def grouped_topk_orders(sf_dir: str, k: int = 3) -> pa.Table:
+    """Top-k rows per group (QUALIFY shape): per-batch local top-k per
+    group (bounded candidates), then a driver-side final top-k over the
+    tiny candidate set — no global sort."""
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df.sort_values(
+            ["o_orderpriority", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True], kind="stable",
+        )
+        return pa.Table.from_pandas(
+            df.groupby("o_orderpriority", sort=False).head(k),
+            preserve_index=False,
+        )
+
+    cand = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderpriority", "o_orderkey", "o_totalprice"],
+        )
+        .map_batches(local_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    cand = cand.sort_values(
+        ["o_orderpriority", "o_totalprice", "o_orderkey"],
+        ascending=[True, False, True], kind="stable",
+    )
+    out = cand.groupby("o_orderpriority", sort=False).head(k)
+    return pa.Table.from_pandas(
+        out[["o_orderpriority", "o_orderkey", "o_totalprice"]].reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+def approx_distinct_users(sf_dir: str, precision: int = 14) -> pa.Table:
+    """HyperLogLog approximate distinct count of users per event_type —
+    the mergeable-sketch aggregate a 100 TB pipeline needs (per-batch
+    sketches merged by max across registers; one tiny groupby). Gate:
+    rows-only (approximate), with exact count asserted within 2% in pytest."""
+    from data_exchange_routing_ray.functions.sketch import (
+        hll_estimate,
+        hll_sketch_batch,
+    )
+
+    m = 1 << precision
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(["event_type", "user_id"]).to_pandas()
+        rows = []
+        for etype, g in df.groupby("event_type", sort=False):
+            regs = hll_sketch_batch(g["user_id"].to_numpy(), precision)
+            rows.append({"event_type": etype, "regs": regs.tobytes()})
+        out = pd.DataFrame(rows)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(m, dtype=np.uint8)
+        for b in g["regs"]:
+            regs = np.maximum(regs, np.frombuffer(b, dtype=np.uint8))
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_users_approx": [int(round(hll_estimate(regs)))],
+            }
+        )
+
+    out = (
+        _events(sf_dir, columns=["event_type", "user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def events_partitioned_write(sf_dir: str) -> pa.Table:
+    """Resumable partitioned-output layout: write events partitioned by
+    event date (partition_cols), read the directory tree back, count rows
+    per partition dir — the 'never one giant file' output discipline."""
+    import pyarrow.dataset as pads
+
+    def with_day(b: pa.Table) -> pa.Table:
+        return b.append_column("day", pc.strftime(b["ts"], format="%Y-%m-%d"))
+
+    with tempfile.TemporaryDirectory(prefix="partwrite-") as d:
+        (
+            _events(sf_dir, columns=["event_id", "ts"])
+            .map_batches(with_day, batch_format="pyarrow")
+            .write_parquet(d, partition_cols=["day"])
+        )
+        back = pads.dataset(d, format="parquet", partitioning="hive")
+        t = back.to_table(columns=["event_id", "day"])
+    df = t.to_pandas()
+    df["day"] = df["day"].astype(str)
+    out = df.groupby("day", as_index=False).agg(n=("event_id", "size"))
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # ------------------------------------------------------------- text queries
 
 def text_stats(sf_dir: str) -> pa.Table:

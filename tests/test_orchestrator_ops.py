@@ -116,6 +116,28 @@ def test_bpe_token_count():
     assert out["n_bpe_tokens"].to_pylist() == [5, 0, 3]
 
 
+def test_hll_within_2pct_of_exact():
+    from data_exchange_routing_ray.functions.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch_batch,
+    )
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 10**12, size=200_000)
+    exact = len(np.unique(vals))
+    # sketch in 4 chunks, merge — mergeability is the point
+    regs = None
+    for chunk in np.array_split(vals, 4):
+        s = hll_sketch_batch(chunk, precision=14)
+        regs = s if regs is None else hll_merge(regs, s)
+    est = hll_estimate(regs)
+    assert abs(est - exact) / exact < 0.02, (est, exact)
+    # tiny cardinality uses linear counting and is near-exact
+    small = hll_estimate(hll_sketch_batch(np.arange(100), precision=14))
+    assert abs(small - 100) <= 2
+
+
 def test_resize_media_stage():
     from data_exchange_routing_ray.functions.multimodal import ResizeMedia
 
