@@ -130,21 +130,29 @@ def cdc_final_state(sf_dir: str) -> pa.Table:
 
 def cdc_final_state_multi_epoch(sf_dir: str, epochs: int = 4) -> pa.Table:
     """Same result via N seq-ordered epoch micro-batches + a replayed epoch
-    (fencing proves idempotence end-to-end)."""
-    stream = derived_change_stream(sf_dir)
+    (fencing proves idempotence end-to-end). The epoch's seq range is
+    pushed onto ``event_id`` at the PARQUET SCAN (seq = event_id by
+    derivation), so each epoch reads only its row groups."""
     hi = _events(sf_dir, columns=["event_id"]).max("event_id")
     bounds = np.linspace(0, hi + 1, epochs + 1).astype(np.int64)
+
+    def epoch_stream(lo: int, up: int) -> ray.data.Dataset:
+        return _events(
+            sf_dir, columns=["event_id", "user_id", "event_type", "ts"]
+        ).filter(expr=f"event_id >= {lo} and event_id < {up}").map_batches(
+            derive_changes_batch, batch_format="pyarrow"
+        )
+
     with tempfile.TemporaryDirectory(prefix="cdclake-") as d:
         lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
         for i in range(epochs):
-            lo, up = int(bounds[i]), int(bounds[i + 1])
-            epoch_ds = stream.filter(
-                expr=f"seq >= {lo} and seq < {up}"
+            lake.apply_changes(
+                epoch_stream(int(bounds[i]), int(bounds[i + 1])), quarantine=False
             )
-            lake.apply_changes(epoch_ds, quarantine=False)
         # redeliver the last epoch verbatim — must be a fenced no-op
-        replay = stream.filter(expr=f"seq >= {int(bounds[-2])} and seq < {int(bounds[-1])}")
-        res = lake.apply_changes(replay, quarantine=False)
+        res = lake.apply_changes(
+            epoch_stream(int(bounds[-2]), int(bounds[-1])), quarantine=False
+        )
         assert res.changes_applied == 0, "fencing must no-op a replayed epoch"
         return lake.final_table()
 
