@@ -522,8 +522,6 @@ def lsh_neardup_pairs(
     planes = rng.standard_normal((dim, num_planes))
 
     def bucket_stage(batch: pa.Table) -> pa.Table:
-        import pandas as _pd
-
         df = batch.to_pandas()
         M = np.stack(df[vec_col].to_numpy()).astype(np.float64)
         signs = (M @ planes) > 0

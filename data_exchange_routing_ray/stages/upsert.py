@@ -34,7 +34,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from data_exchange_routing_ray.hashing import partition_ids
-from data_exchange_routing_ray.schemas import KEY_COLUMNS, ORDER_COLUMNS
+from data_exchange_routing_ray.schemas import ORDER_COLUMNS
 
 PART_COLUMN = "part"
 SALT_COLUMN = "salt"

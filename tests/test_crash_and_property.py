@@ -64,13 +64,15 @@ def test_crash_between_stage_and_publish(ray_session, tmp_path, monkeypatch):
     num_convs=st.integers(2, 60),
     max_turns=st.integers(1, 12),
     malformed=st.sampled_from([0.0, 0.05, 0.2]),
+    redelivery=st.sampled_from([0.0, 0.15]),
+    hot=st.sampled_from([0.0, 0.3]),
     num_files=st.integers(1, 5),
     parts=st.sampled_from([1, 3, 8]),
     salts=st.sampled_from([1, 4]),
 )
 def test_property_replay_matches_oracle(
     ray_session, tmp_path_factory, seed, num_convs, max_turns, malformed,
-    num_files, parts, salts,
+    redelivery, hot, num_files, parts, salts,
 ):
     """Any seeded change stream, any sharding/partitioning/salting: the
     engine's final state equals the serial pandas oracle bit-for-bit."""
@@ -78,7 +80,8 @@ def test_property_replay_matches_oracle(
 
     changes = make_change_stream(
         num_convs=num_convs, max_turns=max_turns,
-        malformed_frac=malformed, seed=seed,
+        malformed_frac=malformed, redelivery_frac=redelivery,
+        hot_frac=hot, seed=seed,
     )
     tmp = tmp_path_factory.mktemp(f"prop-{seed}-{num_convs}")
     files = write_change_stream(changes, str(tmp / "stream"), num_files=num_files)
