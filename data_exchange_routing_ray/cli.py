@@ -76,6 +76,38 @@ def cmd_replay(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_tail(args: argparse.Namespace) -> int:
+    _ensure_ray(args.num_cpus)
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    lake = CDCLake(
+        args.lake, num_partitions=args.num_partitions, merge_mode=args.merge_mode
+    )
+    try:
+        for r in lake.tail(
+            args.stream,
+            poll_interval=args.poll_interval,
+            max_epochs=args.max_epochs,
+            idle_polls=args.idle_polls,
+            files_per_epoch=args.files_per_epoch,
+        ):
+            print(
+                json.dumps(
+                    {
+                        "epoch": r.epoch,
+                        "applied_offset": r.applied_offset,
+                        "changes_applied": r.changes_applied,
+                        "rows_quarantined": r.rows_quarantined,
+                        "total_rows": r.total_rows,
+                    }
+                ),
+                flush=True,
+            )
+    finally:
+        lake.close()
+    return 0
+
+
 def cmd_status(args: argparse.Namespace) -> int:
     from data_exchange_routing_ray.pipelines.cdc import CDCLake
 
@@ -125,6 +157,18 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--no-quarantine", action="store_true")
     rp.add_argument("--num-cpus", type=int, default=None)
     rp.set_defaults(fn=cmd_replay)
+
+    tp = sub.add_parser("tail", help="continuously tail a change-shard dir")
+    tp.add_argument("--lake", required=True)
+    tp.add_argument("--stream", required=True)
+    tp.add_argument("--poll-interval", type=float, default=2.0)
+    tp.add_argument("--max-epochs", type=int, default=None)
+    tp.add_argument("--idle-polls", type=int, default=None)
+    tp.add_argument("--files-per-epoch", type=int, default=8)
+    tp.add_argument("--num-partitions", type=int, default=64)
+    tp.add_argument("--merge-mode", choices=["groupby", "actors"], default="groupby")
+    tp.add_argument("--num-cpus", type=int, default=None)
+    tp.set_defaults(fn=cmd_tail)
 
     sp = sub.add_parser("status", help="manifest + lineage summary")
     sp.add_argument("--lake", required=True)

@@ -311,6 +311,53 @@ class CDCLake:
             results.append(self.apply_changes(ds, quarantine=quarantine))
         return results
 
+    def tail(
+        self,
+        stream_dir: str,
+        poll_interval: float = 2.0,
+        max_epochs: int | None = None,
+        idle_polls: int | None = None,
+        quarantine: bool = True,
+        files_per_epoch: int = 8,
+        columns: list[str] | None = None,
+    ):
+        """Continuously tail a directory of seq-ordered change shards — the
+        binlog-tail loop. Each poll lists ``*.parquet``, skips shards at or
+        below the committed watermark (parquet stats only), applies new ones
+        as epochs, and sleeps when idle. Yields each ``EpochResult`` as it
+        commits, so callers can stream metrics.
+
+        Stop conditions: ``max_epochs`` applied, or ``idle_polls``
+        consecutive empty polls (None = run until externally stopped).
+        Crash-safe by construction: re-running tail resumes from the
+        manifest watermark.
+        """
+        import glob as _glob
+        import time as _time
+
+        applied = 0
+        idle = 0
+        while True:
+            files = sorted(_glob.glob(os.path.join(stream_dir, "*.parquet")))
+            results = self.replay_files(
+                files,
+                files_per_epoch=files_per_epoch,
+                quarantine=quarantine,
+                columns=columns,
+            )
+            if results:
+                idle = 0
+                for r in results:
+                    applied += 1
+                    yield r
+                    if max_epochs is not None and applied >= max_epochs:
+                        return
+            else:
+                idle += 1
+                if idle_polls is not None and idle >= idle_polls:
+                    return
+                _time.sleep(poll_interval)
+
     # --------------------------------------------------------------- readers
     def final_dataset(self, columns: list[str] | None = None) -> ray.data.Dataset:
         files = self.store.data_files(self.manifest)

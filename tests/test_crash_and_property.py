@@ -54,6 +54,37 @@ def test_crash_between_stage_and_publish(ray_session, tmp_path, monkeypatch):
     pd.testing.assert_frame_equal(_final(recovered), exp, check_dtype=False)
 
 
+def test_tail_applies_progressively_arriving_shards(ray_session, tmp_path):
+    """Binlog tail: shards appearing over time are applied as epochs; the
+    final state equals a one-shot replay; idle polls terminate cleanly."""
+    import shutil
+
+    changes = make_change_stream(num_convs=50, max_turns=8, seed=77)
+    staged = str(tmp_path / "staged")
+    from data_exchange_routing_ray.synth import write_change_stream
+
+    files = write_change_stream(changes, staged, num_files=4)
+    live = tmp_path / "live"
+    live.mkdir()
+    # first two shards present before tail starts
+    for f in files[:2]:
+        shutil.copy(f, live / f.split("/")[-1])
+
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    results = []
+    gen = lake.tail(str(live), poll_interval=0.05, idle_polls=3, files_per_epoch=1)
+    for r in gen:
+        results.append(r)
+        if len(results) == 2:  # drop the remaining shards mid-tail
+            for f in files[2:]:
+                shutil.copy(f, live / f.split("/")[-1])
+    assert len(results) == 4
+    offsets = [r.applied_offset for r in results]
+    assert offsets == sorted(offsets)
+    exp = oracle_apply(changes)[TRANSCRIPT_COLS].reset_index(drop=True)
+    pd.testing.assert_frame_equal(_final(lake), exp, check_dtype=False)
+
+
 @settings(
     max_examples=8,
     deadline=None,
