@@ -102,6 +102,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- relational / aggregate operators ----
         "agg_pricing_summary": q.agg_pricing_summary,
         "join_broadcast_segments": q.join_broadcast_segments,
+        "join_multiway_region_revenue": q.join_multiway_region_revenue,
+        "anti_join_customers_no_orders": q.anti_join_customers_no_orders,
+        "union_event_streams": q.union_event_streams,
         "sort_topk_orders": q.sort_topk_orders,
         "grouped_topk_orders": q.grouped_topk_orders,
         "approx_distinct_users": q.approx_distinct_users,
@@ -304,6 +307,27 @@ GROUP BY l_returnflag, l_linestatus
 SELECT c_mktsegment, round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
+""",
+        "join_multiway_region_revenue": """
+SELECT r_name, round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+        "anti_join_customers_no_orders": """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+""",
+        "union_event_streams": _CH
+        + """
+SELECT op, count(*) AS n FROM (
+  SELECT op FROM ch WHERE op = 'insert'
+  UNION ALL
+  SELECT op FROM ch WHERE op <> 'insert'
+) GROUP BY op
 """,
         "sort_topk_orders": """
 SELECT o_orderkey, o_totalprice FROM orders

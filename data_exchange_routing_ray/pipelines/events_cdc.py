@@ -452,6 +452,99 @@ def join_broadcast_segments(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def join_multiway_region_revenue(sf_dir: str) -> pa.Table:
+    """Chained broadcast joins (orders→customer→nation→region): all three
+    dimension maps built once on the driver, composed into ONE int-array
+    gather chain inside map_batches, partial-agg, tiny final groupby."""
+    cust = pd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nat = pd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_regionkey"]
+    )
+    reg = pd.read_parquet(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    nat2reg = dict(zip(nat["n_nationkey"], nat["n_regionkey"]))
+    reg2name = dict(zip(reg["r_regionkey"], reg["r_name"]))
+    cust2region = {
+        ck: reg2name[nat2reg[nk]] for ck, nk in zip(cust["c_custkey"], cust["c_nationkey"])
+    }
+    import ray as _ray
+
+    ref = _ray.put(cust2region)
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = _ray.get(ref)
+        df = b.select(["o_custkey", "o_totalprice"]).to_pandas()
+        df["r_name"] = df["o_custkey"].map(m)
+        g = df.groupby("r_name", as_index=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["revenue"] = np.round(out["revenue"], 4)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def anti_join_customers_no_orders(sf_dir: str) -> pa.Table:
+    """Anti join: customers with no orders. The order-custkey set is
+    collected as a broadcast numpy array (small side = distinct keys);
+    customers stream through an is_in filter — no shuffle."""
+    import ray as _ray
+
+    keys = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+        )
+        .unique("o_custkey")
+    )
+    key_set = pa.array(sorted(keys), pa.int64())
+    ref = _ray.put(key_set)
+
+    def anti(b: pa.Table) -> pa.Table:
+        ks = _ray.get(ref)
+        mask = pc.invert(pc.is_in(b["c_custkey"], value_set=ks))
+        return b.filter(mask)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).map_batches(anti, batch_format="pyarrow")
+    tables = [t for t in (_ray.get(r) for r in ds.to_arrow_refs()) if t.num_rows]
+    if not tables:  # schema-preserving empty result
+        return pa.table(
+            {"c_custkey": pa.array([], pa.int64()),
+             "c_mktsegment": pa.array([], pa.string())}
+        )
+    out = pa.concat_tables(tables).sort_by([("c_custkey", "ascending")])
+    return out
+
+
+def union_event_streams(sf_dir: str) -> pa.Table:
+    """Union-all of two derived sub-streams (fan-in, A2): per-op counts over
+    the concatenation — Dataset.union keeps both sides lazy/streaming."""
+    a = derived_change_stream(sf_dir).filter(expr="op == 'insert'")
+    b = derived_change_stream(sf_dir).filter(expr="op != 'insert'")
+    out = (
+        a.union(b)
+        .groupby("op")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def sort_topk_orders(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_totalprice"]
