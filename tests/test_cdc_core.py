@@ -154,6 +154,23 @@ def test_hot_key_skew(ray_session, tmp_path):
     assert_matches_oracle(lake, oracle_apply(changes))
 
 
+def test_large_string_payloads(ray_session, tmp_path):
+    """Wide-text safety (SURVEY §7.3): large_string columns flow through
+    validate → combine → merge → commit and match the oracle."""
+    import pyarrow as pa
+    import ray.data
+
+    changes = make_change_stream(num_convs=25, max_turns=6, seed=61)
+    for col in ("text", "conv_id", "role", "tool", "op"):
+        i = changes.schema.get_field_index(col)
+        changes = changes.set_column(
+            i, pa.field(col, pa.large_string()), changes[col].cast(pa.large_string())
+        )
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply_changes(ray.data.from_arrow(changes))
+    assert_matches_oracle(lake, oracle_apply(changes))
+
+
 def test_schema_evolution_added_column(ray_session, tmp_path):
     import ray.data
 
