@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_by_category": q.split_by_category,
         "sessionize_events": q.sessionize_events,
         "window_tumbling_daily": q.window_tumbling_daily,
+        "window_sliding_7d": q.window_sliding_7d,
+        "asof_join_clicks_purchases": q.asof_join_clicks_purchases,
         "csv_source_roundtrip": q.csv_source_roundtrip,
         # ---- text analysis ----
         "text_stats": q.text_stats,
@@ -416,6 +418,32 @@ FROM documents
 SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
        count(*) AS n, round(sum(value), 4) AS total_value
 FROM events GROUP BY user_id, day
+""",
+        "window_sliding_7d": """
+WITH d AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, sum(value) AS v
+  FROM events GROUP BY user_id, day
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       round(sum(v) OVER (
+         PARTITION BY user_id ORDER BY day
+         RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+       ), 4) AS v7
+FROM d
+""",
+        "asof_join_clicks_purchases": """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+r0 AS (
+  SELECT user_id, ts, round(value, 4) AS last_purchase_value,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'
+),
+r AS (SELECT user_id, ts, last_purchase_value FROM r0 WHERE rn = 1)
+SELECT l.event_id, l.user_id, r.last_purchase_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
 """,
         "csv_source_roundtrip": """
 SELECT event_type, count(*) AS n,

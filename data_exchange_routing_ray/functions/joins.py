@@ -1,0 +1,143 @@
+"""Temporal join operators Ray Data lacks natively: as-of join, sliding
+windows.
+
+Scale shape (documented partitioning assumption): both sides are bucketed
+by ``hash(by) % num_buckets`` — the ONE shuffle — and the temporal logic
+runs vectorized inside each bucket (``pd.merge_asof`` / prefix sums), so a
+bucket must hold every row of the ``by`` keys it owns. Hot keys are fine
+(a bucket is processed columnar, not per key); keys never span buckets.
+
+The reference has no as-of/range joins (SURVEY.md §2.4); its merge-apply is
+the degenerate latest-per-key case. These are the general operators.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bucket_of(keys: np.ndarray, num_buckets: int) -> np.ndarray:
+    return ((keys.astype(np.int64).view(np.uint64) * _MIX) % np.uint64(
+        num_buckets
+    )).astype(np.int64)
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    by: str,
+    on: str,
+    right_value_cols: list[str],
+    num_buckets: int = 256,
+) -> ray.data.Dataset:
+    """For each left row, attach the most recent right row of the same
+    ``by`` key with ``right.on <= left.on`` (backward as-of, inclusive —
+    ASOF LEFT JOIN semantics). Right-side ties on (by, on) are broken by
+    keeping the last row in input order.
+
+    One shuffle (coarse ``by``-hash bucket); ``pd.merge_asof`` inside each
+    bucket does the vectorized scan.
+    """
+
+    def tag(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            k = b[by].to_numpy()
+            b = b.append_column("_bucket", pa.array(_bucket_of(k, num_buckets)))
+            return b.append_column(
+                "_side", pa.array(np.full(b.num_rows, side, np.int8), pa.int8())
+            )
+
+        return fn
+
+    lcols = left.schema().names
+    right_keep = [by, on, *right_value_cols]
+
+    def norm_right(b: pa.Table) -> pa.Table:
+        return b.select(right_keep)
+
+    l_tagged = left.map_batches(tag(0), batch_format="pyarrow")
+    r_tagged = right.map_batches(norm_right, batch_format="pyarrow").map_batches(
+        tag(1), batch_format="pyarrow"
+    )
+    both = l_tagged.union(r_tagged)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["_side"] == 0]
+        rf = g[g["_side"] == 1]
+        lf = lf[[c for c in lf.columns if c not in ("_bucket", "_side")]]
+        lf = lf[[c for c in lf.columns if c in lcols]]
+        if rf.empty:
+            out = lf.copy()
+            for c in right_value_cols:
+                out[c] = np.nan
+            return out.sort_values([by, on], kind="stable")
+        rf = rf[right_keep].sort_values([by, on], kind="stable")
+        # ties on (by, on): keep the last delivered right row
+        rf = rf.drop_duplicates([by, on], keep="last")
+        lf = lf.sort_values(on, kind="stable")
+        rf = rf.sort_values(on, kind="stable")
+        out = pd.merge_asof(
+            lf, rf, on=on, by=by, direction="backward", allow_exact_matches=True
+        )
+        return out.sort_values([by, on], kind="stable")
+
+    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def sliding_window_sum(
+    ds: ray.data.Dataset,
+    by: str,
+    day_col_source: str,
+    value_col: str,
+    window_days: int = 7,
+    num_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Per-(by, day) rolling ``window_days``-day sum of ``value_col``
+    (RANGE frame over calendar days, missing days respected). Daily partial
+    agg inside map_batches, one bucket shuffle, prefix-sum + searchsorted
+    inside each bucket."""
+    import pyarrow.compute as pc
+
+    def daily(b: pa.Table) -> pa.Table:
+        df = pa.table(
+            {
+                by: b[by],
+                "day": pc.strftime(b[day_col_source], format="%Y-%m-%d"),
+                value_col: b[value_col],
+            }
+        ).to_pandas()
+        g = df.groupby([by, "day"], as_index=False).agg(v=(value_col, "sum"))
+        g["_bucket"] = _bucket_of(g[by].to_numpy(), num_buckets)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(daily, batch_format="pyarrow")
+
+    def roll_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.groupby([by, "day"], as_index=False).agg(v=("v", "sum"))
+            .sort_values([by, "day"], kind="stable")
+            .reset_index(drop=True)
+        )
+        day_ord = pd.to_datetime(g["day"]).map(pd.Timestamp.toordinal).to_numpy()
+        keys = g[by].to_numpy()
+        v = g["v"].to_numpy()
+        out = np.empty(len(g))
+        start = 0
+        # per-key vectorized: prefix sums + searchsorted for the frame start
+        key_change = np.r_[True, keys[1:] != keys[:-1]]
+        starts = np.nonzero(key_change)[0]
+        ends = np.append(starts[1:], len(g))
+        for s, e in zip(starts, ends):
+            pref = np.concatenate([[0.0], np.cumsum(v[s:e])])
+            lo = np.searchsorted(day_ord[s:e], day_ord[s:e] - (window_days - 1), side="left")
+            out[s:e] = pref[np.arange(1, e - s + 1)] - pref[lo]
+        g["v7"] = np.round(out, 4)
+        return g[[by, "day", "v7"]]
+
+    return partials.groupby("_bucket").map_groups(roll_bucket, batch_format="pandas")

@@ -705,6 +705,51 @@ def events_partitioned_write(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def asof_join_clicks_purchases(sf_dir: str) -> pa.Table:
+    """As-of join (backward, inclusive): each click event gets the same
+    user's most recent purchase value at or before the click. The temporal
+    join Ray Data lacks; oracle = DuckDB ASOF LEFT JOIN."""
+    from data_exchange_routing_ray.functions.joins import asof_join
+
+    clicks = _events(sf_dir, columns=["event_id", "user_id", "ts", "event_type"]).filter(
+        expr="event_type == 'click'"
+    ).map_batches(lambda b: b.drop_columns(["event_type"]), batch_format="pyarrow")
+    purchases = _events(
+        sf_dir, columns=["event_id", "user_id", "ts", "value", "event_type"]
+    ).filter(expr="event_type == 'purchase'").map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "last_purchase_value": pc.round(b["value"], 4),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = asof_join(
+        clicks, purchases, by="user_id", on="ts",
+        right_value_cols=["last_purchase_value"],
+    ).to_pandas()
+    out = out[["event_id", "user_id", "last_purchase_value"]].astype(
+        {"event_id": "int64", "user_id": "int64"}
+    )
+    return pa.Table.from_pandas(
+        out.sort_values("event_id").reset_index(drop=True), preserve_index=False
+    )
+
+
+def window_sliding_7d(sf_dir: str) -> pa.Table:
+    """Sliding 7-calendar-day value sum per (user, day) — RANGE-frame window
+    with missing days respected."""
+    from data_exchange_routing_ray.functions.joins import sliding_window_sum
+
+    out = sliding_window_sum(
+        _events(sf_dir, columns=["user_id", "ts", "value"]),
+        by="user_id", day_col_source="ts", value_col="value",
+    ).to_pandas()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # ------------------------------------------------------------- text queries
 
 def text_stats(sf_dir: str) -> pa.Table:
