@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling_daily": q.window_tumbling_daily,
         "window_sliding_7d": q.window_sliding_7d,
         "asof_join_clicks_purchases": q.asof_join_clicks_purchases,
+        "range_join_clicks_purchases": q.range_join_clicks_purchases,
         "csv_source_roundtrip": q.csv_source_roundtrip,
         # ---- text analysis ----
         "text_stats": q.text_stats,
@@ -443,6 +444,22 @@ r0 AS (
 r AS (SELECT user_id, ts, last_purchase_value FROM r0 WHERE rn = 1)
 SELECT l.event_id, l.user_id, r.last_purchase_value
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+""",
+        "range_join_clicks_purchases": """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT l.event_id, l.user_id,
+       count(r.ts) AS n_in_window,
+       round(coalesce(sum(r.value), 0), 4) AS sum_in_window
+FROM l LEFT JOIN r
+  ON l.user_id = r.user_id AND r.ts > l.ts
+     AND r.ts <= l.ts + INTERVAL 1 HOUR
+GROUP BY l.event_id, l.user_id
 ORDER BY l.event_id
 """,
         "csv_source_roundtrip": """

@@ -90,6 +90,77 @@ def asof_join(
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
 
 
+def range_join_agg(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    by: str,
+    on: str,
+    value_col: str,
+    window: int,
+    num_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Range join + aggregate: for each left row, count/sum right rows of
+    the same ``by`` key with ``l.on < r.on <= l.on + window`` (units of the
+    ``on`` column, e.g. µs for timestamp64). Same bucket-shuffle shape as
+    asof_join; inside a bucket it's two searchsorted calls + a prefix sum
+    per key run — no per-row or per-key Python."""
+
+    def tag(side: int, keep: list[str]):
+        def fn(b: pa.Table) -> pa.Table:
+            b = b.select(keep)
+            k = b[by].to_numpy()
+            b = b.append_column("_bucket", pa.array(_bucket_of(k, num_buckets)))
+            return b.append_column(
+                "_side", pa.array(np.full(b.num_rows, side, np.int8), pa.int8())
+            )
+
+        return fn
+
+    lcols = left.schema().names
+    l_tagged = left.map_batches(tag(0, lcols), batch_format="pyarrow")
+    r_tagged = right.map_batches(
+        tag(1, [by, on, value_col]), batch_format="pyarrow"
+    )
+    both = l_tagged.union(r_tagged)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["_side"] == 0].sort_values([by, on], kind="stable")
+        rf = g[g["_side"] == 1].sort_values([by, on], kind="stable")
+        out = lf[[c for c in lcols]].copy()
+        n = np.zeros(len(lf), dtype=np.int64)
+        s = np.zeros(len(lf), dtype=np.float64)
+        if len(rf):
+            l_on = lf[on].to_numpy().astype(np.int64)
+            l_by = lf[by].to_numpy()
+            r_on = rf[on].to_numpy().astype(np.int64)
+            r_by = rf[by].to_numpy()
+            r_val = rf[value_col].to_numpy().astype(np.float64)
+            # per right-key prefix sums; left rows matched by key-run slices
+            r_change = np.r_[True, r_by[1:] != r_by[:-1]]
+            r_starts = np.nonzero(r_change)[0]
+            r_key_of_start = r_by[r_starts]
+            r_ends = np.append(r_starts[1:], len(rf))
+            key_to_span = {k: (st, en) for k, st, en in zip(r_key_of_start, r_starts, r_ends)}
+            l_change = np.r_[True, l_by[1:] != l_by[:-1]]
+            l_starts = np.nonzero(l_change)[0]
+            l_ends = np.append(l_starts[1:], len(lf))
+            for ls, le in zip(l_starts, l_ends):
+                span = key_to_span.get(l_by[ls])
+                if span is None:
+                    continue
+                st, en = span
+                pref = np.concatenate([[0.0], np.cumsum(r_val[st:en])])
+                lo = np.searchsorted(r_on[st:en], l_on[ls:le], side="right")
+                hi = np.searchsorted(r_on[st:en], l_on[ls:le] + window, side="right")
+                n[ls:le] = hi - lo
+                s[ls:le] = pref[hi] - pref[lo]
+        out["n_in_window"] = n
+        out["sum_in_window"] = np.round(s, 4)
+        return out
+
+    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+
+
 def sliding_window_sum(
     ds: ray.data.Dataset,
     by: str,

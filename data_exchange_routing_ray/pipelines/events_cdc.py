@@ -738,6 +738,31 @@ def asof_join_clicks_purchases(sf_dir: str) -> pa.Table:
     )
 
 
+def range_join_clicks_purchases(sf_dir: str) -> pa.Table:
+    """Range join: purchases by the same user within 1 hour AFTER each
+    click (count + value sum) — the conversion-attribution shape."""
+    from data_exchange_routing_ray.functions.joins import range_join_agg
+
+    clicks = _events(sf_dir, columns=["event_id", "user_id", "ts", "event_type"]).filter(
+        expr="event_type == 'click'"
+    ).map_batches(lambda b: b.drop_columns(["event_type"]), batch_format="pyarrow")
+    purchases = _events(
+        sf_dir, columns=["user_id", "ts", "value", "event_type"]
+    ).filter(expr="event_type == 'purchase'").map_batches(
+        lambda b: b.drop_columns(["event_type"]), batch_format="pyarrow"
+    )
+    out = range_join_agg(
+        clicks, purchases, by="user_id", on="ts", value_col="value",
+        window=3600 * 10**6,  # 1 hour in µs
+    ).to_pandas()
+    out = out[["event_id", "user_id", "n_in_window", "sum_in_window"]].astype(
+        {"event_id": "int64", "user_id": "int64", "n_in_window": "int64"}
+    )
+    return pa.Table.from_pandas(
+        out.sort_values("event_id").reset_index(drop=True), preserve_index=False
+    )
+
+
 def window_sliding_7d(sf_dir: str) -> pa.Table:
     """Sliding 7-calendar-day value sum per (user, day) — RANGE-frame window
     with missing days respected."""
