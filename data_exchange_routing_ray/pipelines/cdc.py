@@ -158,14 +158,27 @@ class CDCLake:
         changes: ray.data.Dataset,
         quarantine: bool = True,
         fence: bool = True,
+        rebuild: bool = False,
     ) -> EpochResult:
-        """Apply one epoch of change events; atomically commit; return stats."""
+        """Apply one epoch of change events; atomically commit; return stats.
+
+        ``rebuild=True`` starts the epoch from an EMPTY partition set (no
+        base files, no inherited entries) while preserving the epoch counter
+        and watermark — the repartition/compaction path."""
         t0 = time.time()
         man = self.manifest
         epoch = man.epoch + 1
         fence_below = man.applied_offset if fence else -(2**62)
         P = self.num_partitions
         stage_dir = self._stage_dir()
+        if rebuild:
+            man = Manifest(
+                epoch=man.epoch,
+                applied_offset=man.applied_offset,
+                num_partitions=P,
+                schema_names=man.schema_names,
+                partitions={},
+            )
 
         # ---- hot path: ONE fused per-row stage + ONE shuffle ----------------
         # validate → partition (invalid rows ride along as part = -1) →
@@ -359,16 +372,56 @@ class CDCLake:
                 _time.sleep(poll_interval)
 
     # --------------------------------------------------------------- readers
-    def final_dataset(self, columns: list[str] | None = None) -> ray.data.Dataset:
-        files = self.store.data_files(self.manifest)
+    def manifest_at(self, epoch: int) -> Manifest:
+        """Time travel: the manifest as of a committed epoch (manifests are
+        archived per epoch at publish time — the Delta-style log)."""
+        m = self.store.load_epoch(epoch)
+        if m is None:
+            raise ValueError(f"no committed manifest for epoch {epoch}")
+        return m
+
+    def final_dataset(
+        self, columns: list[str] | None = None, epoch: int | None = None
+    ) -> ray.data.Dataset:
+        man = self.manifest if epoch is None else self.manifest_at(epoch)
+        files = self.store.data_files(man)
         if not files:
             schema = TRANSCRIPT_SCHEMA
             return ray.data.from_arrow(schema.empty_table())
         return ray.data.read_parquet(files, columns=columns)
 
-    def final_table(self, with_seq: bool = False) -> pa.Table:
+    def repartition_lake(self, new_num_partitions: int) -> "EpochResult":
+        """Compaction/re-partitioning: rewrite the lake into a different
+        partition count as one epoch (manifest swap is the atomic commit;
+        old files become vacuumable). Needed when key cardinality outgrows
+        the original P. Rows re-enter as inserts carrying their seq, so
+        LWW state is preserved exactly."""
+        current = self.final_dataset()  # includes seq column
+        old_p = self.num_partitions
+        self.num_partitions = new_num_partitions
+        if self._pool is not None:
+            self._pool.reset()  # held tables are keyed by the OLD pid space
+
+        def as_changes(b: pa.Table) -> pa.Table:
+            if "op" not in b.column_names:
+                b = b.append_column("op", pa.array(["insert"] * b.num_rows))
+            return b
+
+        try:
+            return self.apply_changes(
+                current.map_batches(as_changes, batch_format="pyarrow"),
+                quarantine=False,
+                fence=False,
+                rebuild=True,
+            )
+        except BaseException:
+            self.num_partitions = old_p
+            raise
+
+    def final_table(self, with_seq: bool = False, epoch: int | None = None) -> pa.Table:
         """Materialized final state (small lakes / tests only), stable order."""
-        files = self.store.data_files(self.manifest)
+        man = self.manifest if epoch is None else self.manifest_at(epoch)
+        files = self.store.data_files(man)
         if not files:
             return TRANSCRIPT_SCHEMA.empty_table()
         tables = [pq.read_table(f) for f in files]

@@ -80,6 +80,14 @@ class ManifestStore:
     def _current_path(self) -> str:
         return os.path.join(self.dir, "current.json")
 
+    def load_epoch(self, epoch: int) -> Manifest | None:
+        """Archived manifest of a committed epoch (time-travel read)."""
+        path = os.path.join(self.dir, f"manifest-{epoch:012d}.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return Manifest.from_json(f.read())
+
     def load_current(self) -> Manifest | None:
         path = self._current_path()
         if not os.path.exists(path):

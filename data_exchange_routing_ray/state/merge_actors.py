@@ -201,6 +201,11 @@ class MergeActorPool:
             ],
         )
 
+    def reset(self) -> None:
+        """Drop all in-memory partition state (required before a lake
+        repartition: pid→key mapping changes, so held tables are stale)."""
+        ray.get([a.reset.remote() for a in self.actors])
+
     def shutdown(self) -> None:
         for a in self.actors:
             ray.kill(a)

@@ -112,6 +112,50 @@ def test_quarantined_seqs_advance_watermark(ray_session, tmp_path):
     _check(lake, oracle_apply(changes))
 
 
+def test_time_travel_reads(ray_session, tmp_path):
+    """final_table(epoch=N) reproduces the lake as of any committed epoch."""
+    changes = make_change_stream(num_convs=40, max_turns=6, seed=71)
+    files = write_change_stream(changes, str(tmp_path / "stream"), num_files=3)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    snaps = []
+    for f in files:
+        lake.replay_files([f], quarantine=False)
+        snaps.append(lake.final_table())
+    for i, snap in enumerate(snaps):
+        assert lake.final_table(epoch=i).equals(snap)
+    assert lake.final_table().equals(snaps[-1])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no committed manifest"):
+        lake.final_table(epoch=99)
+
+
+def test_repartition_lake_preserves_state(ray_session, tmp_path):
+    """Compaction/re-partitioning: new partition count, identical content;
+    subsequent epochs keep fencing and merging correctly."""
+    import ray.data
+
+    changes = make_change_stream(num_convs=60, max_turns=8, seed=73)
+    files = write_change_stream(changes, str(tmp_path / "stream"), num_files=4)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.replay_files(files[:2], quarantine=False)
+    before = lake.final_table()
+    watermark = lake.applied_offset
+
+    res = lake.repartition_lake(16)
+    assert lake.num_partitions == 16
+    assert lake.manifest.num_partitions == 16
+    assert res.partitions_touched > 4
+    assert lake.applied_offset == watermark  # watermark preserved
+    assert lake.final_table().equals(before)
+    # old partition files become unreferenced -> vacuumable
+    assert lake.vacuum() > 0
+
+    # the remaining epochs apply into the NEW layout and match the oracle
+    lake.replay_files(files, quarantine=False)
+    _check(lake, oracle_apply(changes))
+
+
 def test_actor_and_groupby_modes_agree(ray_session, tmp_path):
     import ray.data
 
