@@ -143,6 +143,28 @@ def cmd_vacuum(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_repartition(args: argparse.Namespace) -> int:
+    if not os.path.isdir(args.lake):
+        print(f"error: no lake at {args.lake}", file=sys.stderr)
+        return 2
+    _ensure_ray(args.num_cpus)
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    lake = CDCLake(args.lake)
+    r = lake.repartition_lake(args.num_partitions)
+    print(
+        json.dumps(
+            {
+                "epoch": r.epoch,
+                "num_partitions": args.num_partitions,
+                "total_rows": r.total_rows,
+                "applied_offset": r.applied_offset,
+            }
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="data_exchange_routing_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -178,6 +200,12 @@ def main(argv: list[str] | None = None) -> int:
     vp = sub.add_parser("vacuum", help="remove unreferenced partition files")
     vp.add_argument("--lake", required=True)
     vp.set_defaults(fn=cmd_vacuum)
+
+    rpp = sub.add_parser("repartition", help="rewrite the lake into a new partition count")
+    rpp.add_argument("--lake", required=True)
+    rpp.add_argument("--num-partitions", type=int, required=True)
+    rpp.add_argument("--num-cpus", type=int, default=None)
+    rpp.set_defaults(fn=cmd_repartition)
 
     args = p.parse_args(argv)
     return args.fn(args)
