@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- record splitters (M7, S16) ----
         "cdc_debatch": q.cdc_debatch,
         "cdc_explode_archive": q.cdc_explode_archive,
+        "cdc_explode_turns": q.cdc_explode_turns,
         # ---- relational / aggregate operators ----
         "agg_pricing_summary": q.agg_pricing_summary,
         "join_broadcast_segments": q.join_broadcast_segments,
@@ -288,6 +289,12 @@ FROM events WHERE event_id % 3 = 0
 UNION ALL
 SELECT event_id, CAST(2 AS INTEGER), 'm' || CAST(event_id AS VARCHAR) || '-2'
 FROM events WHERE event_id % 3 = 0
+""",
+        "cdc_explode_turns": """
+WITH t(i) AS (VALUES (0), (1), (2))
+SELECT event_id, CAST(i AS INTEGER) AS turn_idx,
+       't' || CAST(event_id AS VARCHAR) || '-' || CAST(i AS VARCHAR) AS text
+FROM events JOIN t ON i <= event_id % 3
 """,
         "cdc_explode_archive": """
 SELECT doc_id,

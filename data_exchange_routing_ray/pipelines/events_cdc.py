@@ -291,6 +291,39 @@ def cdc_partition_paths(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def cdc_explode_turns(sf_dir: str) -> pa.Table:
+    """Nested-type exploder: one change-batch row whose ``turns`` column is
+    list<struct<turn_idx,text>> → N flat change rows (Arrow list-flatten,
+    no Python loop)."""
+    from data_exchange_routing_ray.stages.debatch import explode_turns
+
+    def nest(b: pa.Table) -> pa.Table:
+        ev = b["event_id"].to_numpy()
+        n_turns = (ev % 3 + 1).astype(np.int64)  # 1..3 turns per batch row
+        parent = np.repeat(np.arange(len(ev)), n_turns)
+        ti = np.concatenate([np.arange(k) for k in n_turns]).astype(np.int32)
+        tx = np.array(
+            [f"t{e}-{i}" for e, i in zip(ev[parent], ti)], dtype=object
+        )
+        flat = pa.StructArray.from_arrays(
+            [pa.array(ti, pa.int32()), pa.array(tx, pa.string())],
+            names=["turn_idx", "text"],
+        )
+        offsets = np.concatenate([[0], np.cumsum(n_turns)]).astype(np.int32)
+        turns = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+        return pa.table({"event_id": pa.array(ev, pa.int64()), "turns": turns})
+
+    out = (
+        _events(sf_dir, columns=["event_id"])
+        .map_batches(nest, batch_format="pyarrow")
+        .map_batches(explode_turns, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(
+        out[["event_id", "turn_idx", "text"]], preserve_index=False
+    )
+
+
 def cdc_parse_urls(sf_dir: str) -> pa.Table:
     """Vectorized event-URL parsing (M1 parseMessage): synthesize blob URLs
     from events, derive account/container/folder/file columns."""
