@@ -290,6 +290,11 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.replay_once:
+        # fair accounting: Arrow's global pool defaults to ALL host cores,
+        # letting a low-num_cpus session exceed its budget through reader/
+        # sort/compression threads; cap it to the 1-CPU-per-task grant
+        os.environ.setdefault("ARROW_CPU_COUNT", "1")
+        os.environ.setdefault("ARROW_IO_THREADS", "2")
         res = run_replay_once(args.replay_once, args.cpus, args.lake)
     elif args.scaling:
         res = run_scaling(SF_DIR, args.cpus_lo, args.cpus_hi, args.multiplier)

@@ -175,7 +175,7 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--files-per-epoch", type=int, default=8)
     rp.add_argument("--num-partitions", type=int, default=64)
     rp.add_argument("--num-salts", type=int, default=1)
-    rp.add_argument("--merge-mode", choices=["groupby", "actors"], default="groupby")
+    rp.add_argument("--merge-mode", choices=["groupby", "exchange", "actors"], default="groupby")
     rp.add_argument("--no-quarantine", action="store_true")
     rp.add_argument("--num-cpus", type=int, default=None)
     rp.set_defaults(fn=cmd_replay)
@@ -188,7 +188,7 @@ def main(argv: list[str] | None = None) -> int:
     tp.add_argument("--idle-polls", type=int, default=None)
     tp.add_argument("--files-per-epoch", type=int, default=8)
     tp.add_argument("--num-partitions", type=int, default=64)
-    tp.add_argument("--merge-mode", choices=["groupby", "actors"], default="groupby")
+    tp.add_argument("--merge-mode", choices=["groupby", "exchange", "actors"], default="groupby")
     tp.add_argument("--num-cpus", type=int, default=None)
     tp.set_defaults(fn=cmd_tail)
 

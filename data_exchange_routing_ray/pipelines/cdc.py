@@ -84,8 +84,10 @@ class CDCLake:
         # merge_mode: "groupby" = stateless Dataset shuffle (default);
         # "actors" = named actor pool holding per-partition LSM state across
         # epochs (state/merge_actors.py) — faster for many small epochs.
-        if merge_mode not in ("groupby", "actors"):
-            raise ValueError(f"merge_mode must be groupby|actors, got {merge_mode!r}")
+        if merge_mode not in ("groupby", "exchange", "actors"):
+            raise ValueError(
+                f"merge_mode must be groupby|exchange|actors, got {merge_mode!r}"
+            )
         self.combine_batch_size = combine_batch_size
         self.num_salts = num_salts
         self.merge_mode = merge_mode
@@ -203,6 +205,13 @@ class CDCLake:
             ).count()  # drive the dispatch; ingest futures are the backpressure
             stats = pool.flush(
                 epoch, fence_below, base_files, stage_dir
+            )
+        elif self.merge_mode == "exchange":
+            from data_exchange_routing_ray.state.exchange import exchange_merge
+
+            stats = exchange_merge(
+                prepared, P, self.lake_dir, stage_dir, epoch, fence_below,
+                base_files,
             )
         else:
             if self.num_salts > 1:

@@ -39,6 +39,24 @@ from data_exchange_routing_ray.schemas import ORDER_COLUMNS
 PART_COLUMN = "part"
 SALT_COLUMN = "salt"
 
+_ARROW_LIMITED = False
+
+
+def _limit_arrow_threads() -> None:
+    """Cap Arrow's internal thread pool to the task's resource grant.
+
+    A Ray map/merge task is scheduled as 1 CPU, but Arrow's global pool
+    defaults to ALL host cores — sorts and parquet compression inside one
+    task silently steal the whole machine. That oversubscribes busy nodes
+    and invalidates any num_cpus-based scaling measurement (a 2-CPU session
+    was observed running at 3.7× its per-core budget through this leak).
+    Called once per worker process from the hot-path entry points."""
+    global _ARROW_LIMITED
+    if not _ARROW_LIMITED:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+        _ARROW_LIMITED = True
+
 # Columns that are CDC-plumbing, never persisted to the lake file.
 _PLUMBING = (PART_COLUMN, SALT_COLUMN, "op", "error")
 
@@ -97,6 +115,7 @@ def prepare_batch(
         validate_batch,
     )
 
+    _limit_arrow_threads()
     batch = validate_batch(batch)
     err_null = pc.is_null(batch[ERROR_COLUMN])
     valid = batch.filter(err_null)
@@ -339,6 +358,7 @@ def make_merge_fn(
     """
 
     def merge_group(group: pa.Table) -> pd.DataFrame:
+        _limit_arrow_threads()
         pid = int(group[PART_COLUMN][0].as_py())
         if pid == QUARANTINE_PARTITION:
             # dead-letter group: stage as-is (error column retained)

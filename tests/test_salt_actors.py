@@ -112,6 +112,21 @@ def test_quarantined_seqs_advance_watermark(ray_session, tmp_path):
     _check(lake, oracle_apply(changes))
 
 
+def test_exchange_mode_matches_groupby_and_oracle(ray_session, tmp_path):
+    """Raw-task hash exchange backend: identical lake + quarantine to the
+    Dataset-native path; fenced re-replay is a no-op."""
+    changes = make_change_stream(num_convs=60, max_turns=8, malformed_frac=0.08, seed=19)
+    files = write_change_stream(changes, str(tmp_path / "s"), num_files=4)
+    ex = CDCLake(str(tmp_path / "ex"), num_partitions=8, merge_mode="exchange")
+    gb = CDCLake(str(tmp_path / "gb"), num_partitions=8)
+    ex.replay_files(files, files_per_epoch=2)
+    gb.replay_files(files, files_per_epoch=2)
+    assert ex.final_table().equals(gb.final_table())
+    assert ex.quarantine_table().num_rows == gb.quarantine_table().num_rows
+    _check(ex, oracle_apply(changes))
+    assert ex.replay_files(files, files_per_epoch=2) == []
+
+
 def test_time_travel_reads(ray_session, tmp_path):
     """final_table(epoch=N) reproduces the lake as of any committed epoch."""
     changes = make_change_stream(num_convs=40, max_turns=6, seed=71)
