@@ -242,56 +242,6 @@ def make_signature_stage(
     return stage
 
 
-def make_bucket_pair_fn(id_col: str = "doc_id", threshold: float = 0.7):
-    """map_groups fn: ONE COARSE BUCKET (= many fine (band, band_key) LSH
-    groups) → verified candidate pairs. Fine groups are resolved inside the
-    bucket with a vectorized sort + run-length scan — no per-group UDF calls.
-
-    Verification = signature-estimated Jaccard (mean of equal minhash slots);
-    exact-Jaccard re-verification is `verify_jaccard_pairs`.
-    """
-    empty = pd.DataFrame(
-        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-         "est_jaccard": pd.Series(dtype="float64")}
-    )
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["band", "band_key", id_col]).sort_values(
-            ["band", "band_key", id_col], kind="stable"
-        )
-        band = g["band"].to_numpy()
-        key = g["band_key"].to_numpy()
-        starts = _run_starts([band, key])
-        ends = np.append(starts[1:], len(g))
-        sizes = ends - starts
-        multi = np.nonzero(sizes >= 2)[0]
-        if len(multi) == 0:
-            return empty
-        ids = g[id_col].to_numpy()
-        sig_col = g["sig"].to_numpy()
-        frames = []
-        for r in multi:
-            s, e = starts[r], ends[r]
-            n = e - s
-            sigs = np.stack([np.frombuffer(x, dtype=np.uint64) for x in sig_col[s:e]])
-            ia, ib = np.triu_indices(n, k=1)
-            est = (sigs[ia] == sigs[ib]).mean(axis=1)
-            keep = est >= threshold
-            if keep.any():
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "id_a": ids[s:e][ia[keep]].astype(np.int64),
-                            "id_b": ids[s:e][ib[keep]].astype(np.int64),
-                            "est_jaccard": np.round(est[keep], 6),
-                        }
-                    )
-                )
-        return pd.concat(frames, ignore_index=True) if frames else empty
-
-    return bucket_pairs
-
-
 def minhash_candidate_pairs(
     ds: ray.data.Dataset,
     text_col: str = "text",
