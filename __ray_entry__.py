@@ -477,10 +477,12 @@ FROM events GROUP BY event_type
         "ann_batch_topk": """
 SELECT query_id, vec_id, cosine FROM (
   SELECT q.vec_id AS query_id, e.vec_id,
-         round(list_cosine_similarity(e.embedding, q.embedding), 6) AS cosine,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6) AS cosine,
          row_number() OVER (
            PARTITION BY q.vec_id
-           ORDER BY round(list_cosine_similarity(e.embedding, q.embedding), 6) DESC,
+           ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 CAST(q.embedding AS DOUBLE[])), 6) DESC,
                     e.vec_id
          ) AS rn
   FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
@@ -493,16 +495,22 @@ SELECT event_id, props FROM (
   FROM events
 ) WHERE rn = 1
 """,
+        # NB: embeddings are FLOAT[]; list_cosine_similarity computes in
+        # float32 unless the lists are cast — CAST to DOUBLE[] matches the
+        # engine's float64 math to ~1e-16 (verified at sf0.1)
         "emb_neardup_blocked": """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
 FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.3
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) > 0.3
 """,
         "ann_topk": """
 SELECT vec_id,
-       round(list_cosine_similarity(embedding,
-             (SELECT embedding FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)),
+             6) AS cosine
 FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10
 """,
         "multimodal_resize_framesample": """

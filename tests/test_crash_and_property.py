@@ -86,7 +86,7 @@ def test_tail_applies_progressively_arriving_shards(ray_session, tmp_path):
 
 
 @settings(
-    max_examples=8,
+    max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
