@@ -291,7 +291,9 @@ class CDCLake:
             schema_names=man.schema_names,
             partitions=new_partitions,
         )
-        self.store.publish(new_man)  # the atomic commitBlockList
+        # atomic commitBlockList + optimistic single-writer fence: abort if
+        # another writer published since this epoch read the manifest
+        self.store.publish(new_man, expect_epoch=man.epoch)
         shutil.rmtree(os.path.join(stage_dir, f"epoch={epoch:012d}"), ignore_errors=True)
 
         return EpochResult(

@@ -69,6 +69,10 @@ class Manifest:
         )
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published a manifest since this epoch started."""
+
+
 class ManifestStore:
     """Filesystem-backed manifest log under ``<lake>/manifests/``."""
 
@@ -95,8 +99,22 @@ class ManifestStore:
         with open(path) as f:
             return Manifest.from_json(f.read())
 
-    def publish(self, manifest: Manifest) -> None:
-        """Atomic publish: write temp, fsync, rename (the commitBlockList)."""
+    def publish(self, manifest: Manifest, expect_epoch: int | None = None) -> None:
+        """Atomic publish: write temp, fsync, rename (the commitBlockList).
+
+        ``expect_epoch`` enables optimistic concurrency control: the commit
+        aborts with ``ConcurrentCommitError`` if another writer published
+        since this epoch started (current epoch != expect_epoch). The
+        aborted writer's staged files are orphans (vacuumable); its epoch
+        can be safely re-run against the new current manifest."""
+        if expect_epoch is not None:
+            cur = self.load_current()
+            cur_epoch = cur.epoch if cur is not None else -1
+            if cur_epoch != expect_epoch:
+                raise ConcurrentCommitError(
+                    f"manifest moved to epoch {cur_epoch} (expected {expect_epoch}); "
+                    "another writer committed — re-run this epoch"
+                )
         payload = manifest.to_json()
         archive = os.path.join(self.dir, f"manifest-{manifest.epoch:012d}.json")
         tmp = archive + ".tmp"

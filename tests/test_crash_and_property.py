@@ -34,7 +34,7 @@ def test_crash_between_stage_and_publish(ray_session, tmp_path, monkeypatch):
 
     real_publish = ManifestStore.publish
 
-    def exploding_publish(self, manifest):
+    def exploding_publish(self, manifest, expect_epoch=None):
         raise RuntimeError("injected crash before manifest publish")
 
     monkeypatch.setattr(ManifestStore, "publish", exploding_publish)
@@ -52,6 +52,48 @@ def test_crash_between_stage_and_publish(ray_session, tmp_path, monkeypatch):
     both = pa.concat_tables([first, second])
     exp = oracle_apply(both)[TRANSCRIPT_COLS].reset_index(drop=True)
     pd.testing.assert_frame_equal(_final(recovered), exp, check_dtype=False)
+
+
+def test_concurrent_writer_fenced(ray_session, tmp_path):
+    """Optimistic concurrency: a second writer that committed first wins;
+    the slower writer's commit aborts cleanly and a retry converges."""
+    import ray.data
+
+    from data_exchange_routing_ray.state.manifest import ConcurrentCommitError
+
+    base = make_change_stream(num_convs=30, max_turns=5, seed=31)
+    lake_a = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    lake_a.apply_changes(ray.data.from_arrow(base), quarantine=False)
+
+    more = make_change_stream(num_convs=30, max_turns=5, seed=32, seq_start=50_000)
+    # writer B commits in between: simulate by a second handle committing first
+    lake_b = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+
+    # interleave: A reads manifest (epoch 0) ... B commits epoch 1 ... A publishes
+    from data_exchange_routing_ray.state.manifest import ManifestStore
+
+    orig_publish = ManifestStore.publish
+    state = {"b_done": False}
+
+    def racing_publish(self, manifest, expect_epoch=None):
+        if not state["b_done"] and manifest.epoch == 1 and self is lake_a.store:
+            state["b_done"] = True
+            lake_b.apply_changes(ray.data.from_arrow(more), quarantine=False)
+        return orig_publish(self, manifest, expect_epoch)
+
+    ManifestStore.publish = racing_publish
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            lake_a.apply_changes(ray.data.from_arrow(more), quarantine=False)
+    finally:
+        ManifestStore.publish = orig_publish
+
+    # B's commit is intact and A's retry is a fenced no-op (same seq range)
+    lake_c = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    r = lake_c.apply_changes(ray.data.from_arrow(more), quarantine=False)
+    assert r.changes_applied == 0 and r.changes_fenced > 0
+    exp = oracle_apply(pa.concat_tables([base, more]))[TRANSCRIPT_COLS].reset_index(drop=True)
+    pd.testing.assert_frame_equal(_final(lake_c), exp, check_dtype=False)
 
 
 def test_tail_applies_progressively_arriving_shards(ray_session, tmp_path):
