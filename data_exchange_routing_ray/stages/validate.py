@@ -38,8 +38,25 @@ def _null_or_empty(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
     )
 
 
+REQUIRED_COLUMNS = {
+    "seq": pa.int64(),
+    "op": pa.string(),
+    "conv_id": pa.string(),
+    "turn_idx": pa.int32(),
+    "ts": pa.timestamp("us"),
+}
+
+
 def validate_batch(batch: pa.Table) -> pa.Table:
-    """Append an ``error`` string column; null error == valid row."""
+    """Append an ``error`` string column; null error == valid row.
+
+    A batch missing a required column entirely (malformed shard schema) is
+    backfilled with nulls so the per-row null rules dead-letter every row —
+    schema tolerance via defaults, the reference's getOrDefault posture
+    (RouteIngestedFile.kt:125-140) — instead of crashing the pipeline."""
+    for name, typ in REQUIRED_COLUMNS.items():
+        if name not in batch.column_names:
+            batch = batch.append_column(name, pa.nulls(batch.num_rows, typ))
     n = batch.num_rows
     err = pa.nulls(n, pa.string())
 

@@ -154,6 +154,34 @@ def test_hot_key_skew(ray_session, tmp_path):
     assert_matches_oracle(lake, oracle_apply(changes))
 
 
+def test_shard_missing_required_column_dead_letters(ray_session, tmp_path):
+    """A malformed shard lacking a required column quarantines its rows
+    (with the matching error string) instead of crashing the epoch."""
+    import pyarrow as pa
+    import ray.data
+
+    from data_exchange_routing_ray.stages.validate import ERR_BAD_OP
+
+    bad = pa.table(
+        {
+            "seq": pa.array([1, 2], pa.int64()),
+            # no "op" column at all
+            "conv_id": pa.array(["a", "b"], pa.string()),
+            "turn_idx": pa.array([0, 0], pa.int32()),
+            "role": pa.array(["user", "user"], pa.string()),
+            "text": pa.array(["x", "y"], pa.string()),
+            "tool": pa.array(["", ""], pa.string()),
+            "ts": pa.array([0, 0], pa.timestamp("us")),
+        }
+    )
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=2)
+    res = lake.apply_changes(ray.data.from_arrow(bad))
+    assert res.changes_applied == 0
+    assert res.rows_quarantined == 2
+    q = lake.quarantine_table()
+    assert set(q["error"].to_pylist()) == {ERR_BAD_OP}
+
+
 def test_large_string_payloads(ray_session, tmp_path):
     """Wide-text safety (SURVEY §7.3): large_string columns flow through
     validate → combine → merge → commit and match the oracle."""
