@@ -199,7 +199,6 @@ def sliding_window_sum(
         keys = g[by].to_numpy()
         v = g["v"].to_numpy()
         out = np.empty(len(g))
-        start = 0
         # per-key vectorized: prefix sums + searchsorted for the frame start
         key_change = np.r_[True, keys[1:] != keys[:-1]]
         starts = np.nonzero(key_change)[0]

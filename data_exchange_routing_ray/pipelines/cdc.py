@@ -414,8 +414,11 @@ class CDCLake:
             self._pool.reset()  # held tables are keyed by the OLD pid space
 
         def as_changes(b: pa.Table) -> pa.Table:
+            # re-enter as UPDATES: already-validated lake rows may carry a
+            # legitimately-null payload (an update that nulled it), which
+            # insert validation would quarantine — silent data loss
             if "op" not in b.column_names:
-                b = b.append_column("op", pa.array(["insert"] * b.num_rows))
+                b = b.append_column("op", pa.array(["update"] * b.num_rows))
             return b
 
         try:

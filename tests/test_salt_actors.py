@@ -171,6 +171,36 @@ def test_repartition_lake_preserves_state(ray_session, tmp_path):
     _check(lake, oracle_apply(changes))
 
 
+def test_repartition_keeps_null_payload_rows(ray_session, tmp_path):
+    """An update that nulled a row's payload must survive repartitioning
+    (rows re-enter as updates, not inserts — inserts would quarantine)."""
+    import pyarrow as pa
+    import ray.data
+
+    ins = pa.table(
+        {
+            "seq": pa.array([1], pa.int64()),
+            "op": pa.array(["insert"]),
+            "conv_id": pa.array(["c1"]),
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": pa.array(["user"]),
+            "text": pa.array(["hello"]),
+            "tool": pa.array([""]),
+            "ts": pa.array([0], pa.timestamp("us")),
+        }
+    )
+    upd = ins.set_column(0, "seq", pa.array([2], pa.int64()))
+    upd = upd.set_column(1, "op", pa.array(["update"]))
+    upd = upd.set_column(4, "role", pa.nulls(1, pa.string()))
+    upd = upd.set_column(5, "text", pa.nulls(1, pa.string()))
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=2)
+    lake.apply_changes(ray.data.from_arrow(pa.concat_tables([ins, upd])))
+    assert lake.final_table().num_rows == 1  # null-payload row lives
+    res = lake.repartition_lake(4)
+    assert res.rows_quarantined == 0
+    assert lake.final_table().num_rows == 1  # and survives repartition
+
+
 def test_actor_and_groupby_modes_agree(ray_session, tmp_path):
     import ray.data
 
