@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint_md5": q.text_fingerprint_md5,
         "text_fingerprint_winnow": q.text_fingerprint_winnow,
         "text_token_counts": q.text_token_counts,
+        "text_top_words": q.text_top_words,
         # ---- dedup ----
         "dedup_exact_events_props": q.dedup_exact_events_props,
         "dedup_minhash_pairs": q.dedup_minhash_pairs,
@@ -415,6 +416,14 @@ FROM (
 """,
         "text_fingerprint_md5": """
 SELECT doc_id, md5(text) AS fp_md5 FROM documents
+""",
+        "text_top_words": r"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+')) AS word
+  FROM documents
+)
+SELECT word, count(*) AS n FROM words WHERE word <> ''
+GROUP BY word ORDER BY n DESC, word LIMIT 50
 """,
         "text_token_counts": r"""
 SELECT doc_id,

@@ -1088,6 +1088,41 @@ def orchestrate_config_pipeline(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def text_top_words(sf_dir: str, k: int = 50) -> pa.Table:
+    """Distributed word count + top-k (vocabulary analysis): per-batch
+    partial counts (one Arrow split + pandas value_counts), coarse-bucket
+    reduce, driver-side top-k over the small per-bucket leaders."""
+    def partial(b: pa.Table) -> pa.Table:
+        words = pc.list_flatten(
+            pc.split_pattern_regex(
+                pc.utf8_lower(b["text"]), pattern=r"[^\p{L}\p{N}]+"
+            )
+        )
+        s = pd.Series(words.to_numpy(zero_copy_only=False))
+        s = s[s != ""]
+        vc = s.value_counts()
+        out = pd.DataFrame({"word": vc.index, "n": vc.to_numpy()})
+        out["bucket"] = (
+            pd.util.hash_array(out["word"].to_numpy(dtype=object)) % 64
+        ).astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("word", as_index=False).agg(n=("n", "sum"))
+        return agg
+
+    counts = (
+        _documents(sf_dir, columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    top = counts.sort_values(["n", "word"], ascending=[False, True], kind="stable").head(k)
+    top["n"] = top["n"].astype("int64")
+    return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
+
+
 def text_token_counts(sf_dir: str) -> pa.Table:
     """BPE-ish sub-word token counting (token-budget estimator)."""
     from data_exchange_routing_ray.functions.text import add_bpe_token_count
