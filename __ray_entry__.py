@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_resize_framesample": q.multimodal_resize_framesample,
         # ---- composite training-data prep ----
         "training_data_prep": q.training_data_prep,
+        "split_train_val": q.split_train_val,
     }
 
 
@@ -561,6 +562,13 @@ d AS (
 )
 SELECT source, count(*) AS n_docs, CAST(sum(n_bpe) AS BIGINT) AS total_tokens
 FROM d GROUP BY source
+""",
+        "split_train_val": r"""
+SELECT CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'val' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+            AS BIGINT) AS total_tokens
+FROM documents GROUP BY split
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

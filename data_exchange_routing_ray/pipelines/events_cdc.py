@@ -1123,6 +1123,30 @@ def text_top_words(sf_dir: str, k: int = 50) -> pa.Table:
     return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
 
 
+def split_train_val(sf_dir: str) -> pa.Table:
+    """Deterministic train/val split (doc_id mod — replay-stable, no RNG
+    state to checkpoint) with per-split doc and token budgets."""
+    from data_exchange_routing_ray.functions.text import add_bpe_token_count
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = add_bpe_token_count(b)
+        split = np.where(b["doc_id"].to_numpy() % 10 < 8, "train", "val")
+        return b.append_column("split", pa.array(split.astype(object), pa.string()))
+
+    out = (
+        _documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("split")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_bpe_tokens", alias_name="total_tokens"),
+        )
+        .to_pandas()
+        .astype({"n_docs": "int64", "total_tokens": "int64"})
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def text_token_counts(sf_dir: str) -> pa.Table:
     """BPE-ish sub-word token counting (token-budget estimator)."""
     from data_exchange_routing_ray.functions.text import add_bpe_token_count
