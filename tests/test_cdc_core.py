@@ -154,6 +154,41 @@ def test_hot_key_skew(ray_session, tmp_path):
     assert_matches_oracle(lake, oracle_apply(changes))
 
 
+def test_mixed_schema_shards_in_one_epoch(ray_session, tmp_path):
+    """Old-schema and evolved-schema shards applied in the SAME epoch:
+    the shuffle promotes schemas and the merge backfills nulls."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ch1 = make_change_stream(num_convs=20, max_turns=4, seed=5)
+    ch2 = make_change_stream(
+        num_convs=20, max_turns=4, seed=6, seq_start=10_000, evolve_lang_after=0
+    )
+    sdir = tmp_path / "s"
+    sdir.mkdir()
+    pq.write_table(ch1, str(sdir / "changes-00000.parquet"))
+    pq.write_table(ch2, str(sdir / "changes-00001.parquet"))
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.replay_files(sorted(glob.glob(str(sdir / "*.parquet"))), files_per_epoch=2,
+                      quarantine=False)
+    tab = lake.final_table()
+    assert "lang" in tab.column_names
+    both = pa.concat_tables([ch1, ch2], promote_options="permissive")
+    exp = oracle_apply(both)
+    got = tab.to_pandas()
+    pd.testing.assert_frame_equal(
+        got[TRANSCRIPT_COLS].reset_index(drop=True),
+        exp[TRANSCRIPT_COLS].reset_index(drop=True),
+        check_dtype=False,
+    )
+    assert (
+        got.set_index(["conv_id", "turn_idx"])["lang"].sort_index().fillna("∅")
+        == exp.set_index(["conv_id", "turn_idx"])["lang"].sort_index().fillna("∅")
+    ).all()
+
+
 def test_shard_missing_required_column_dead_letters(ray_session, tmp_path):
     """A malformed shard lacking a required column quarantines its rows
     (with the matching error string) instead of crashing the epoch."""
