@@ -137,7 +137,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         "cdc_events": n_events,
         "note": (
             "cdc_events_per_sec at this sf is fixed-overhead-bound "
-            f"({n_events} events); sustained rates at scale (3.5-4.8M ev/s "
+            f"({n_events} events); sustained rates at scale (3.5-5.1M ev/s "
             "at 32 cpus on 24-96M events) and scaling evidence are in "
             "BASELINE.md / bench.py --scaling"
         ),
