@@ -50,6 +50,10 @@ def registered_stages() -> list[str]:
     return sorted(_REGISTRY)
 
 
+class PipelineFailedError(RuntimeError):
+    """A step with failIfAnyErrors saw errored rows (fanInFailIfAnyFail)."""
+
+
 @dataclass
 class OrchestratorResult:
     output: ray.data.Dataset
@@ -71,6 +75,9 @@ def run_pipeline(
     A step with ``quarantineErrors`` splits rows whose ``error`` column is
     non-null to the quarantine Dataset before the next step (the
     customErrorFunction analog); the pipeline never aborts mid-stream.
+    A step with ``failIfAnyErrors`` instead ABORTS the run when any row
+    errored (the reference's ``fanInFailIfAnyFail`` policy,
+    FnOrchestrator.kt:144-189), raising ``PipelineFailedError``.
     """
     reg = {**_REGISTRY, **(registry or {})}
     steps = config.get("steps", [])
@@ -89,6 +96,18 @@ def run_pipeline(
         fn = reg[s["function"]]
         ds = fn(ds, s.get("config", {}))
         steps_run.append(s["function"])
+        if s.get("failIfAnyErrors") and "error" in ds.schema().names:
+            n_bad = ds.map_batches(
+                lambda b: b.filter(pc.is_valid(b["error"])), batch_format="pyarrow"
+            ).count()
+            if n_bad:
+                raise PipelineFailedError(
+                    f"step {s['function']!r}: {n_bad} row(s) errored and "
+                    "failIfAnyErrors is set"
+                )
+            ds = ds.map_batches(
+                lambda b: b.drop_columns(["error"]), batch_format="pyarrow"
+            )
         if s.get("quarantineErrors") and "error" in ds.schema().names:
             bad = ds.map_batches(
                 lambda b: b.filter(pc.is_valid(b["error"])), batch_format="pyarrow"

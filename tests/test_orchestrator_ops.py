@@ -64,6 +64,35 @@ def test_unknown_function_is_config_error(ray_session):
         run_pipeline(ray.data.from_arrow(_changes_table()), {"steps": [{}]})
 
 
+def test_fail_if_any_errors_policy(ray_session):
+    """fanInFailIfAnyFail parity: both polarities."""
+    import ray.data
+
+    from data_exchange_routing_ray.pipelines.orchestrator import PipelineFailedError
+
+    bad = ray.data.from_arrow(_changes_table())  # contains one bogus op
+    with pytest.raises(PipelineFailedError, match="1 row\\(s\\) errored"):
+        run_pipeline(
+            bad,
+            {"steps": [{"function": "validate_changes", "failIfAnyErrors": True}]},
+        )
+    # clean stream passes and the error column is consumed
+    clean = ray.data.from_arrow(_changes_table(8))  # n=8 → no bogus/delete rows? build clean
+    clean = clean.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("op"), "op",
+            pa.array(["insert"] * b.num_rows),
+        ),
+        batch_format="pyarrow",
+    )
+    res = run_pipeline(
+        clean,
+        {"steps": [{"function": "validate_changes", "failIfAnyErrors": True}]},
+    )
+    assert "error" not in res.output.schema().names
+    assert res.output.count() == 8
+
+
 def test_custom_registered_fanout_stage(ray_session):
     import ray.data
 
