@@ -246,6 +246,21 @@ class CDCLake:
             quarantine_offset = max(quarantine_offset, int(qrow.applied_offset))
             stats = stats[~qmask].reset_index(drop=True)
 
+        lineage_extra = []
+        if rows_quarantined:
+            # quarantine lineage row (the reference's FAILURE report stream)
+            lineage_extra.append(
+                {
+                    "partition": QUARANTINE_PARTITION,
+                    "epoch": epoch,
+                    "applied_offset": quarantine_offset,
+                    "row_count": rows_quarantined,
+                    "changes_applied": 0,
+                    "changes_fenced": 0,
+                    "status": "QUARANTINED",
+                }
+            )
+
         new_partitions = dict(man.partitions)
         applied_offset = quarantine_offset
         if len(stats):
@@ -264,24 +279,21 @@ class CDCLake:
                 )
             applied_offset = max(applied_offset, int(stats["applied_offset"].max()))
 
+        if len(stats) or lineage_extra:
             t1 = time.time()
-            lineage_rows = stats.assign(
-                status="SUCCESS",
+            cols = [
+                "partition", "epoch", "applied_offset", "row_count",
+                "changes_applied", "changes_fenced", "status",
+            ]
+            base_rows = stats.assign(status="SUCCESS")[cols] if len(stats) else None
+            extra_rows = pd.DataFrame(lineage_extra, columns=cols) if lineage_extra else None
+            lineage_rows = pd.concat(
+                [df for df in (base_rows, extra_rows) if df is not None],
+                ignore_index=True,
+            ).assign(
                 start_ts=pd.Timestamp(int(t0 * 1e6), unit="us"),
                 end_ts=pd.Timestamp(int(t1 * 1e6), unit="us"),
-            )[
-                [
-                    "partition",
-                    "epoch",
-                    "applied_offset",
-                    "row_count",
-                    "changes_applied",
-                    "changes_fenced",
-                    "status",
-                    "start_ts",
-                    "end_ts",
-                ]
-            ]
+            )
             self.lineage.append_epoch(epoch, lineage_rows)
 
         new_man = Manifest(
