@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_partitioned_write": q.events_partitioned_write,
         "distinct_event_types": q.distinct_event_types,
         "split_by_category": q.split_by_category,
+        "quantiles_by_event_type": q.quantiles_by_event_type,
+        "pivot_daily_event_counts": q.pivot_daily_event_counts,
         "sessionize_events": q.sessionize_events,
         "window_tumbling_daily": q.window_tumbling_daily,
         "window_sliding_7d": q.window_sliding_7d,
@@ -366,6 +368,23 @@ SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n FROM events GROUP BY day
         "split_by_category": """
 SELECT event_type, count(*) AS n, round(sum(value), 4) AS total_value
 FROM events GROUP BY event_type
+""",
+        "quantiles_by_event_type": """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""",
+        "pivot_daily_event_counts": """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY day ORDER BY day
 """,
         "sessionize_events": """
 SELECT user_id, count(*) AS n_events,

@@ -603,6 +603,62 @@ def split_by_category(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def quantiles_by_event_type(sf_dir: str) -> pa.Table:
+    """Exact per-group quantiles (p25/p50/p75/p99 of value per event_type).
+    Low-cardinality groups gather whole in one task (documented constraint);
+    high-cardinality keys would swap in a distributed t-digest."""
+
+    def qs(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy()
+        p = np.quantile(v, [0.25, 0.5, 0.75, 0.99])  # linear interpolation
+        return pd.DataFrame(
+            [{
+                "event_type": g["event_type"].iloc[0],
+                "p25": round(p[0], 6), "p50": round(p[1], 6),
+                "p75": round(p[2], 6), "p99": round(p[3], 6),
+            }]
+        )
+
+    out = (
+        _events(sf_dir, columns=["event_type", "value"])
+        .groupby("event_type")
+        .map_groups(qs, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def pivot_daily_event_counts(sf_dir: str) -> pa.Table:
+    """Pivot to a wide table: one row per day, one count column per event
+    type — partial (day, type) counts inside map_batches, tiny groupby,
+    driver-side pivot of the small result."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pa.table(
+            {"day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+             "event_type": b["event_type"]}
+        ).to_pandas()
+        g = df.groupby(["day", "event_type"], as_index=False).size()
+        return pa.Table.from_pandas(g.rename(columns={"size": "n"}), preserve_index=False)
+
+    long = (
+        _events(sf_dir, columns=["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    wide = long.pivot_table(index="day", columns="event_type", values="n",
+                            fill_value=0, aggfunc="sum").reset_index()
+    wide.columns.name = None
+    wide = wide.rename(columns={c: f"n_{c}" for c in wide.columns if c != "day"})
+    for c in wide.columns:
+        if c != "day":
+            wide[c] = wide[c].astype("int64")
+    return pa.Table.from_pandas(wide.sort_values("day").reset_index(drop=True),
+                                preserve_index=False)
+
+
 def sessionize_events(sf_dir: str, gap_seconds: float = 1800.0) -> pa.Table:
     """Session windows per user (30-min inactivity gap) — the streaming
     window op Ray Data lacks natively. Scale shape: ONE shuffle on a coarse
