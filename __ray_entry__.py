@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": q.distinct_event_types,
         "split_by_category": q.split_by_category,
         "quantiles_by_event_type": q.quantiles_by_event_type,
+        "normalize_values_by_type": q.normalize_values_by_type,
         "pivot_daily_event_counts": q.pivot_daily_event_counts,
         "sessionize_events": q.sessionize_events,
         "window_tumbling_daily": q.window_tumbling_daily,
@@ -368,6 +369,12 @@ SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n FROM events GROUP BY day
         "split_by_category": """
 SELECT event_type, count(*) AS n, round(sum(value), 4) AS total_value
 FROM events GROUP BY event_type
+""",
+        "normalize_values_by_type": """
+SELECT event_id,
+       round((value - avg(value) OVER (PARTITION BY event_type))
+             / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS z
+FROM events ORDER BY event_id
 """,
         "quantiles_by_event_type": """
 SELECT event_type,

@@ -603,6 +603,51 @@ def split_by_category(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def normalize_values_by_type(sf_dir: str) -> pa.Table:
+    """Per-group z-score normalization: pass 1 computes tiny per-type
+    (mean, sample-std) stats, pass 2 broadcasts them and normalizes every
+    row — the two-pass feature-engineering shape (stats never shuffle the
+    fact table)."""
+    import ray as _ray
+
+    stats = (
+        _events(sf_dir, columns=["event_type", "value"])
+        .groupby("event_type")
+        .map_groups(
+            lambda g: pd.DataFrame(
+                [{
+                    "event_type": g["event_type"].iloc[0],
+                    "mu": g["value"].mean(),
+                    "sd": g["value"].std(ddof=1),
+                }]
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    ref = _ray.put({r.event_type: (r.mu, r.sd) for r in stats.itertuples()})
+
+    def normalize(b: pa.Table) -> pa.Table:
+        m = _ray.get(ref)
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        v = b["value"].to_numpy()
+        mu = np.array([m[t][0] for t in et])
+        sd = np.array([m[t][1] for t in et])
+        z = np.round((v - mu) / sd, 4)
+        return pa.table(
+            {"event_id": b["event_id"], "z": pa.array(z, pa.float64())}
+        )
+
+    out = (
+        _events(sf_dir, columns=["event_id", "event_type", "value"])
+        .map_batches(normalize, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def quantiles_by_event_type(sf_dir: str) -> pa.Table:
     """Exact per-group quantiles (p25/p50/p75/p99 of value per event_type).
     Low-cardinality groups gather whole in one task (documented constraint);
