@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_broadcast_segments": q.join_broadcast_segments,
         "join_multiway_region_revenue": q.join_multiway_region_revenue,
         "anti_join_customers_no_orders": q.anti_join_customers_no_orders,
+        "semi_join_orders_building": q.semi_join_orders_building,
+        "rollup_region_nation_revenue": q.rollup_region_nation_revenue,
         "union_event_streams": q.union_event_streams,
         "sort_topk_orders": q.sort_topk_orders,
         "grouped_topk_orders": q.grouped_topk_orders,
@@ -146,6 +148,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- composite training-data prep ----
         "training_data_prep": q.training_data_prep,
         "split_train_val": q.split_train_val,
+        "reassemble_user_histories": q.reassemble_user_histories,
+        "sample_hash_fraction": q.sample_hash_fraction,
+        "mix_weighted_sources": q.mix_weighted_sources,
     }
 
 
@@ -595,6 +600,39 @@ SELECT CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'val' END AS split,
        CAST(sum(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
             AS BIGINT) AS total_tokens
 FROM documents GROUP BY split
+""",
+        "semi_join_orders_building": """
+SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 4) AS revenue
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderpriority
+""",
+        "rollup_region_nation_revenue": """
+SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
+       round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+""",
+        "reassemble_user_histories": """
+SELECT user_id, count(*) AS n_events,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS history
+FROM events GROUP BY user_id
+""",
+        "sample_hash_fraction": """
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS total_value
+FROM events
+WHERE ((event_id * 2654435761) % 4294967296) % 100 < 10
+GROUP BY event_type
+""",
+        "mix_weighted_sources": """
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) % 100
+      < 20 + 15 * (CAST(substr(source, 4) AS BIGINT) % 5)
+GROUP BY source
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

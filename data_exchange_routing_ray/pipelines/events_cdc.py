@@ -1452,3 +1452,240 @@ def multimodal_decode(sf_dir: str) -> pa.Table:
         out[["media_id", "media_type", "decoded_bytes", "checksum"]],
         preserve_index=False,
     )
+
+
+# ----------------------------------------------------- round-1 widening set
+
+
+def semi_join_orders_building(sf_dir: str, segment: str = "BUILDING") -> pa.Table:
+    """Semi join (positive counterpart of the anti join): orders whose
+    customer belongs to one market segment, summarized per priority.
+
+    The segment's distinct custkeys are broadcast once (``ray.put``); the
+    fact table streams through an ``is_in`` filter plus a partial-agg
+    combiner — no shuffle of orders. This is the reference's membership
+    gate (route-config hit path, J1,
+    fns-routing/.../RouteIngestedFile.kt:150-184) on relational data."""
+    import ray as _ray
+
+    cust = pd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = pa.array(
+        np.sort(cust.loc[cust["c_mktsegment"] == segment, "c_custkey"].to_numpy()),
+        pa.int64(),
+    )
+    ref = _ray.put(keys)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ks = _ray.get(ref)
+        t = b.filter(pc.is_in(b["o_custkey"], value_set=ks))
+        df = t.select(["o_orderpriority", "o_totalprice"]).to_pandas()
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            n=("o_totalprice", "size"), revenue=("o_totalprice", "sum")
+        )
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(g["o_orderpriority"], pa.string()),
+                "n": pa.array(g["n"], pa.int64()),
+                "revenue": pa.array(g["revenue"], pa.float64()),
+            }
+        )
+
+    out = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_orderpriority", "o_totalprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="n"), Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["revenue"] = np.round(out["revenue"], 4)
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def reassemble_user_histories(sf_dir: str) -> pa.Table:
+    """Grouped ORDERED concatenation — the transcript-reassembly op that
+    turns a per-turn/per-event lake back into whole conversation strings
+    for training export.
+
+    Scale shape: ONE coarse bucket shuffle (user-hash % 256, same layout as
+    ``sessionize_events``); inside each bucket the whole frame is sorted
+    ``(user_id, ts, event_id)`` once and concatenated with a pandas
+    groupby-join — per-bucket vectorized, no per-user Dataset dispatch, and
+    bucket count (not user count) bounds task overhead at 10^9 users."""
+
+    def bucket(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy()
+        bk = (uid * np.int64(0x9E3779B9)) % 256
+        return b.append_column("bucket", pa.array(bk.astype(np.int64), pa.int64()))
+
+    def concat_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        return g.groupby("user_id", as_index=False, sort=False).agg(
+            n_events=("event_id", "size"), history=("event_type", ",".join)
+        )
+
+    out = (
+        _events(sf_dir, columns=["user_id", "event_id", "event_type", "ts"])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(concat_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def sample_hash_fraction(sf_dir: str, pct: int = 10) -> pa.Table:
+    """Deterministic hash sampling (Knuth multiplicative hash on the row
+    key) — the reproducible sample a training pipeline takes instead of
+    ``random_shuffle``: a pure per-batch arithmetic filter, no RNG state,
+    no shuffle; the same rows are selected at any parallelism, so a
+    resumed/rescaled job sees an identical sample."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        t = b.filter(pa.array((h % np.uint64(100)) < np.uint64(pct)))
+        df = t.select(["event_type", "value"]).to_pandas()
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("value", "size"), total_value=("value", "sum")
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "n": pa.array(g["n"], pa.int64()),
+                "total_value": pa.array(g["total_value"], pa.float64()),
+            }
+        )
+
+    out = (
+        _events(sf_dir, columns=["event_id", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("total_value", alias_name="total_value"))
+        .to_pandas()
+    )
+    out["total_value"] = np.round(out["total_value"], 4)
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def mix_weighted_sources(sf_dir: str) -> pa.Table:
+    """Weighted mixture sampling per source (training-mixture op): each
+    source keeps a deterministic hash fraction of its docs — rate(src) =
+    20 + 15·(src_num mod 5) percent — then per-source doc and char budgets
+    are reported. Per-batch arithmetic + tiny groupby; the mixture is
+    reproducible and resumable because membership is a pure function of
+    ``doc_id``, never of execution order."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(["doc_id", "source", "n_chars"]).to_pandas()
+        src_num = df["source"].str.slice(3).astype(np.int64)
+        rate = (20 + 15 * (src_num % 5)).to_numpy()
+        ids = df["doc_id"].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        keep = (h % np.uint64(100)).astype(np.int64) < rate
+        g = df[keep].groupby("source", as_index=False).agg(
+            n_docs=("doc_id", "size"), total_chars=("n_chars", "sum")
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "n_docs": pa.array(g["n_docs"], pa.int64()),
+                "total_chars": pa.array(g["total_chars"], pa.int64()),
+            }
+        )
+
+    out = (
+        _documents(sf_dir, columns=["doc_id", "source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("total_chars", alias_name="total_chars"))
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["total_chars"] = out["total_chars"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def rollup_region_nation_revenue(sf_dir: str) -> pa.Table:
+    """Multi-level (ROLLUP) aggregate in ONE scan of the fact table:
+    fine-grain partials per (region, nation) via the composed broadcast-join
+    gather (same shape as ``join_multiway_region_revenue``), then the
+    coarser levels — per-region and grand total — derived on the driver
+    from the tiny fine-grain result. Orders are read once and never
+    shuffled; only unrounded sums are re-aggregated, so every level is
+    exact."""
+    import ray as _ray
+
+    cust = pd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nat = pd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    reg = pd.read_parquet(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    nat_info = {
+        nk: (reg_name, n_name)
+        for nk, n_name, reg_name in zip(
+            nat["n_nationkey"],
+            nat["n_name"],
+            nat["n_regionkey"].map(dict(zip(reg["r_regionkey"], reg["r_name"]))),
+        )
+    }
+    cust2rn = {ck: nat_info[nk] for ck, nk in zip(cust["c_custkey"], cust["c_nationkey"])}
+    ref = _ray.put(cust2rn)
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = _ray.get(ref)
+        df = b.select(["o_custkey", "o_totalprice"]).to_pandas()
+        rn = df["o_custkey"].map(m)
+        df["r_name"] = rn.str[0]
+        df["n_name"] = rn.str[1]
+        g = df.groupby(["r_name", "n_name"], as_index=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
+        return pa.table(
+            {
+                "r_name": pa.array(g["r_name"], pa.string()),
+                "n_name": pa.array(g["n_name"], pa.string()),
+                "revenue": pa.array(g["revenue"], pa.float64()),
+                "n_orders": pa.array(g["n_orders"], pa.int64()),
+            }
+        )
+
+    fine = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["r_name", "n_name"])
+        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+    )
+    lvl1 = fine.groupby("r_name", as_index=False).agg(
+        revenue=("revenue", "sum"), n_orders=("n_orders", "sum")
+    )
+    lvl1["n_name"] = "ALL"
+    grand = pd.DataFrame(
+        [{
+            "r_name": "ALL",
+            "n_name": "ALL",
+            "revenue": fine["revenue"].sum(),
+            "n_orders": fine["n_orders"].sum(),
+        }]
+    )
+    out = pd.concat([fine, lvl1, grand], ignore_index=True)[
+        ["r_name", "n_name", "revenue", "n_orders"]
+    ]
+    out["revenue"] = np.round(out["revenue"], 4)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
