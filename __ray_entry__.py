@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reassemble_user_histories": q.reassemble_user_histories,
         "sample_hash_fraction": q.sample_hash_fraction,
         "mix_weighted_sources": q.mix_weighted_sources,
+        "text_dup_ngram_fraction": q.text_dup_ngram_fraction,
     }
 
 
@@ -633,6 +634,22 @@ FROM documents
 WHERE ((doc_id * 2654435761) % 4294967296) % 100
       < 20 + 15 * (CAST(substr(source, 4) AS BIGINT) % 5)
 GROUP BY source
+""",
+        "text_dup_ngram_fraction": """
+WITH w AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS arr FROM documents),
+idx AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 2)) AS i FROM w),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(arr[CAST(i AS BIGINT):CAST(i + 2 AS BIGINT)], ' ') AS shingle
+  FROM idx
+),
+cnt AS (SELECT shingle, count(*) AS nd FROM sh GROUP BY shingle)
+SELECT doc_id, count(*) AS n_shingles,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS dup_frac
+FROM sh JOIN cnt USING (shingle)
+GROUP BY doc_id
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

@@ -1689,3 +1689,59 @@ def rollup_region_nation_revenue(sf_dir: str) -> pa.Table:
     out["revenue"] = np.round(out["revenue"], 4)
     out["n_orders"] = out["n_orders"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def text_dup_ngram_fraction(sf_dir: str, n: int = 3) -> pa.Table:
+    """Duplicate-ngram fraction per document — the Gopher/RefinedWeb-style
+    corpus-level quality signal: for each doc, the fraction of its distinct
+    word n-grams that also occur in at least one OTHER document.
+
+    Scale shape: per-batch shingling emits distinct (doc_id, shingle) pairs
+    bucketed by shingle-hash % 1024; ONE coarse groupby on the bucket, then
+    all shared-shingle marking and per-doc partials are vectorized pandas
+    inside the bucket; a tiny second groupby sums per-doc partials. Shuffle
+    volume is the distinct-shingle pair set, never the corpus text."""
+
+    def shingles(b: pa.Table) -> pa.Table:
+        docs, shs = [], []
+        ids = b["doc_id"].to_numpy()
+        for did, txt in zip(ids, b["text"].to_pylist()):
+            w = txt.split(" ")
+            if len(w) < n:
+                continue
+            uniq = {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+            docs.extend([did] * len(uniq))
+            shs.extend(uniq)
+        from zlib import crc32
+
+        # deterministic cross-process hash (builtin hash() is seed-randomized
+        # per worker and would scatter identical shingles across buckets)
+        h = np.array([crc32(s.encode()) & 1023 for s in shs], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, pa.int64()),
+                "shingle": pa.array(shs, pa.string()),
+                "bucket": pa.array(h, pa.int64()),
+            }
+        )
+
+    def mark_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("shingle")["doc_id"].transform("size")
+        out = pd.DataFrame({"doc_id": g["doc_id"], "one": 1, "shared": (nd > 1).astype(np.int64)})
+        return out.groupby("doc_id", as_index=False).agg(
+            n_shingles=("one", "sum"), n_shared=("shared", "sum")
+        )
+
+    out = (
+        _documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(shingles, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(mark_bucket, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(Sum("n_shingles", alias_name="n_shingles"), Sum("n_shared", alias_name="n_shared"))
+        .to_pandas()
+    )
+    out["n_shingles"] = out["n_shingles"].astype("int64")
+    out["n_shared"] = out["n_shared"].astype("int64")
+    out["dup_frac"] = np.round(out["n_shared"] / out["n_shingles"], 6)
+    return pa.Table.from_pandas(out, preserve_index=False)
