@@ -265,32 +265,49 @@ def minhash_candidate_pairs(
     """
     import ray as _ray
 
-    stage = make_minhash_band_stage(
-        text_col, id_col, k, num_perm, bands, seed, with_sig=False
-    )
+    # Signatures are computed ONCE (shingling + hashing dominates the
+    # corpus scan) and materialized — tiny at num_perm*8 B/doc; band rows
+    # and the verification broadcast both derive from it.
+    sig_ds = ds.map_batches(
+        make_signature_stage(text_col, id_col, k, num_perm, seed),
+        batch_format="pyarrow",
+    ).materialize()
 
     def band_and_bucket(batch: pa.Table) -> pa.Table:
-        out = stage(batch)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if n:
+            sig = np.stack(
+                [
+                    np.frombuffer(s, dtype=np.uint64)
+                    for s in batch["sig"].to_numpy(zero_copy_only=False)
+                ]
+            )
+        else:
+            sig = np.empty((0, num_perm), dtype=np.uint64)
+        keys = _band_keys(sig, bands)
+        band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
+        doc_rep = np.repeat(ids, bands)
+        out = pa.table(
+            {
+                "band": pa.array(band_ids, pa.int32()),
+                "band_key": pa.array(keys.reshape(-1), pa.int64()),
+                id_col: pa.array(doc_rep),
+            }
+        )
         bucket = _mix_to_bucket(
             [out["band"].to_numpy(), out["band_key"].to_numpy()], num_buckets
         )
         return out.append_column("bucket", pa.array(bucket, pa.int64()))
 
-    band_rows = ds.map_batches(band_and_bucket, batch_format="pyarrow")
+    band_rows = sig_ds.map_batches(band_and_bucket, batch_format="pyarrow")
     pairs = band_rows.groupby("bucket").map_groups(
         make_bucket_candidate_fn(id_col), batch_format="pandas"
     )
     deduped = _dedup_pairs(pairs)
 
     # signature table, broadcast once (searchsorted id → row lookup)
-    sig_tab = (
-        ds.map_batches(
-            make_signature_stage(text_col, id_col, k, num_perm, seed),
-            batch_format="pyarrow",
-        )
-        .to_pandas()
-        .sort_values(id_col)
-    )
+    sig_tab = sig_ds.to_pandas().sort_values(id_col)
     sig_ids = sig_tab[id_col].to_numpy()
     sig_mat = np.stack(
         [np.frombuffer(s, dtype=np.uint64) for s in sig_tab["sig"].to_numpy()]
