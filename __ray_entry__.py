@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash_fraction": q.sample_hash_fraction,
         "mix_weighted_sources": q.mix_weighted_sources,
         "text_dup_ngram_fraction": q.text_dup_ngram_fraction,
+        "pack_token_sequences": q.pack_token_sequences,
     }
 
 
@@ -650,6 +651,23 @@ SELECT doc_id, count(*) AS n_shingles,
          AS dup_frac
 FROM sh JOIN cnt USING (shingle)
 GROUP BY doc_id
+""",
+        "pack_token_sequences": r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           - n_tokens AS prior
+  FROM t
+)
+SELECT CAST(prior // 2048 AS BIGINT) AS bin_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+FROM c GROUP BY bin_id
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

@@ -1745,3 +1745,73 @@ def text_dup_ngram_fraction(sf_dir: str, n: int = 3) -> pa.Table:
     out["n_shared"] = out["n_shared"].astype("int64")
     out["dup_frac"] = np.round(out["n_shared"] / out["n_shingles"], 6)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def pack_token_sequences(
+    sf_dir: str, capacity: int = 2048, bucket_size: int = 64
+) -> pa.Table:
+    """Sequence packing for training export — assign docs (in doc_id order)
+    to fixed-capacity token bins via a DISTRIBUTED ORDERED PREFIX-SCAN:
+    ``bin(doc) = (tokens before doc in id order) // capacity``.
+
+    Scan shape (the classic two-pass distributed scan): pass 0 computes
+    per-doc token counts (ONE corpus scan; only (doc_id, n_tokens) pairs —
+    16 B/doc — survive, materialized). Pass 1 groups pairs into coarse
+    id-range buckets and collects the tiny per-bucket totals; the driver
+    prefix-sums them into bucket offsets and broadcasts. Pass 2 re-groups
+    the pairs per bucket, adds the bucket offset to the within-bucket
+    cumulative sum (vectorized), bins every doc, and emits per-(bucket,bin)
+    partials; a final tiny groupby merges bins that straddle bucket
+    boundaries. The corpus text is read once; both shuffles move only the
+    integer pairs."""
+    import ray as _ray
+
+    from data_exchange_routing_ray.functions.text import add_bpe_token_count
+
+    def tokens(b: pa.Table) -> pa.Table:
+        t = add_bpe_token_count(b)
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": t["n_bpe_tokens"]})
+
+    pairs = (
+        _documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(tokens, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.append_column(
+                "bucket",
+                pa.array(b["doc_id"].to_numpy() // bucket_size, pa.int64()),
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    totals = (
+        pairs.groupby("bucket")
+        .aggregate(Sum("n_tokens", alias_name="tot"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    off = np.concatenate([[0], np.cumsum(totals["tot"].to_numpy())[:-1]])
+    ref = _ray.put(dict(zip(totals["bucket"], off)))
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        offsets = _ray.get(ref)
+        g = g.sort_values("doc_id", kind="stable")
+        n = g["n_tokens"].to_numpy()
+        prior = offsets[int(g["bucket"].iloc[0])] + np.cumsum(n) - n
+        out = pd.DataFrame({"bin_id": prior // capacity, "one": 1, "n_tokens": n})
+        return out.groupby("bin_id", as_index=False).agg(
+            n_docs=("one", "sum"), bin_tokens=("n_tokens", "sum")
+        )
+
+    out = (
+        pairs.groupby("bucket")
+        .map_groups(assign, batch_format="pandas")
+        .groupby("bin_id")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("bin_tokens", alias_name="bin_tokens"))
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["bin_tokens"] = out["bin_tokens"].astype("int64")
+    out["bin_id"] = out["bin_id"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)

