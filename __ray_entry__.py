@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_weighted_sources": q.mix_weighted_sources,
         "text_dup_ngram_fraction": q.text_dup_ngram_fraction,
         "pack_token_sequences": q.pack_token_sequences,
+        "stratified_sample_per_source": q.stratified_sample_per_source,
     }
 
 
@@ -668,6 +669,16 @@ c AS (
 SELECT CAST(prior // 2048 AS BIGINT) AS bin_id, count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
 FROM c GROUP BY bin_id
+""",
+        "stratified_sample_per_source": """
+SELECT source, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 5
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

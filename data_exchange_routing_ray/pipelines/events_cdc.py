@@ -1815,3 +1815,32 @@ def pack_token_sequences(
     out["bin_tokens"] = out["bin_tokens"].astype("int64")
     out["bin_id"] = out["bin_id"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def stratified_sample_per_source(sf_dir: str, k: int = 5) -> pa.Table:
+    """Exact-k-per-group deterministic sample — "take k docs per domain"
+    curation: rank docs within each source by Knuth hash of doc_id (ties
+    broken by doc_id) and keep the k smallest.
+
+    Scale shape: same bounded-candidate layout as ``grouped_topk_orders`` —
+    each batch keeps at most k candidates per source locally, so the final
+    reduce sees ≤ k·num_batches tiny rows; no shuffle of the corpus and the
+    selection is a pure function of ids (parallelism- and resume-invariant)."""
+
+    def local_k(b: pa.Table) -> pa.Table:
+        df = b.select(["doc_id", "source", "n_chars"]).to_pandas()
+        ids = df["doc_id"].to_numpy().astype(np.uint64)
+        df["h"] = ((ids * np.uint64(2654435761)) % np.uint64(1 << 32)).astype(np.int64)
+        df = df.sort_values(["source", "h", "doc_id"], kind="stable")
+        return pa.Table.from_pandas(
+            df.groupby("source", sort=False).head(k), preserve_index=False
+        )
+
+    cand = (
+        _documents(sf_dir, columns=["doc_id", "source", "n_chars"])
+        .map_batches(local_k, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["source", "h", "doc_id"], kind="stable")
+    )
+    out = cand.groupby("source", sort=False).head(k)[["source", "doc_id", "n_chars"]]
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
