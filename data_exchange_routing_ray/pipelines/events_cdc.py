@@ -1810,15 +1810,25 @@ def pack_token_sequences(
         n = g["n_tokens"].to_numpy()
         prior = offsets[int(g["bucket"].iloc[0])] + np.cumsum(n) - n
         out = pd.DataFrame({"bin_id": prior // capacity, "one": 1, "n_tokens": n})
-        return out.groupby("bin_id", as_index=False).agg(
+        agg = out.groupby("bin_id", as_index=False).agg(
             n_docs=("one", "sum"), bin_tokens=("n_tokens", "sum")
+        )
+        # coarse key for the final reduce: a bin straddles ≤2 id-range
+        # buckets, so partial rows ≈ n_bins + n_buckets; map_groups over 64
+        # coarse buckets + vectorized sum beats a per-bin Sum aggregate
+        agg["bin_bucket"] = agg["bin_id"].to_numpy() % 64
+        return agg
+
+    def sum_bins(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("bin_id", as_index=False).agg(
+            n_docs=("n_docs", "sum"), bin_tokens=("bin_tokens", "sum")
         )
 
     out = (
         pairs.groupby("bucket")
         .map_groups(assign, batch_format="pandas")
-        .groupby("bin_id")
-        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("bin_tokens", alias_name="bin_tokens"))
+        .groupby("bin_bucket")
+        .map_groups(sum_bins, batch_format="pandas")
         .to_pandas()
     )
     out["n_docs"] = out["n_docs"].astype("int64")
