@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_dup_ngram_fraction": q.text_dup_ngram_fraction,
         "pack_token_sequences": q.pack_token_sequences,
         "stratified_sample_per_source": q.stratified_sample_per_source,
+        "join_copartitioned_orders_lineitem": q.join_copartitioned_orders_lineitem,
     }
 
 
@@ -679,6 +680,12 @@ SELECT source, doc_id, n_chars FROM (
          ) AS rn
   FROM documents
 ) WHERE rn <= 5
+""",
+        "join_copartitioned_orders_lineitem": """
+SELECT o_orderpriority, count(*) AS n_items,
+       round(sum(l_extendedprice), 4) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

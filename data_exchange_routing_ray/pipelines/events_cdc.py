@@ -1864,3 +1864,74 @@ def stratified_sample_per_source(sf_dir: str, k: int = 5) -> pa.Table:
     )
     out = cand.groupby("source", sort=False).head(k)[["source", "doc_id", "n_chars"]]
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def join_copartitioned_orders_lineitem(sf_dir: str, num_buckets: int = 64) -> pa.Table:
+    """Large-large equi-join with NO broadcast side: lineitem ⋈ orders on
+    orderkey, revenue per order priority.
+
+    Scale shape (co-partitioned hash join): both fact tables are bucketed
+    by ``hash(key) % B`` in a cheap ``map_batches`` (only the join key +
+    needed columns survive the read), unioned, and exchanged ONCE on the
+    bucket; inside each bucket a vectorized pandas merge joins the two
+    sides and pre-aggregates, so only B×|priorities| partial rows reach the
+    driver. Neither input is ever collected or broadcast — this is the
+    join shape for two tables that are BOTH too big for ``ray.put``
+    (contrast ``join_broadcast_segments``, J1-shape)."""
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy()
+        bk = ((k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % num_buckets
+        return pa.table(
+            {
+                "bucket": pa.array(bk.astype(np.int64), pa.int64()),
+                "key": b["o_orderkey"],
+                "side": pa.array(np.zeros(len(k), dtype=np.int8), pa.int8()),
+                "priority": b["o_orderpriority"],
+                "price": pa.nulls(len(k), pa.float64()),
+            }
+        )
+
+    def prep_lineitem(b: pa.Table) -> pa.Table:
+        k = b["l_orderkey"].to_numpy()
+        bk = ((k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % num_buckets
+        return pa.table(
+            {
+                "bucket": pa.array(bk.astype(np.int64), pa.int64()),
+                "key": b["l_orderkey"],
+                "side": pa.array(np.ones(len(k), dtype=np.int8), pa.int8()),
+                "priority": pa.nulls(len(k), pa.string()),
+                "price": b["l_extendedprice"],
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    ).map_batches(prep_orders, batch_format="pyarrow")
+    items = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice"],
+    ).map_batches(prep_lineitem, batch_format="pyarrow")
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0][["key", "priority"]]
+        l = g[g["side"] == 1][["key", "price"]]
+        j = l.merge(o, on="key", how="inner")
+        return j.groupby("priority", as_index=False).agg(
+            n_items=("price", "size"), revenue=("price", "sum")
+        )
+
+    partials = (
+        orders.union(items)
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = partials.groupby("priority", as_index=False).agg(
+        n_items=("n_items", "sum"), revenue=("revenue", "sum")
+    )
+    out = out.rename(columns={"priority": "o_orderpriority"})
+    out["revenue"] = np.round(out["revenue"], 4)
+    out["n_items"] = out["n_items"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
