@@ -57,6 +57,10 @@ HEADLINE = [
     "emb_neardup_lsh",
     "ann_topk",
     "ann_batch_topk",
+    # late-round-1 widening families
+    "join_copartitioned_orders_lineitem",
+    "text_dup_ngram_fraction",
+    "pack_token_sequences",
 ]
 
 
