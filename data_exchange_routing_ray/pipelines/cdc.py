@@ -231,20 +231,71 @@ class CDCLake:
             )
             stats = stats_ds.to_pandas()  # ≤ P+1 tiny rows
 
-        # ---- commit (driver only): rename staged files, lineage, manifest ---
-        rows_quarantined = 0
-        quarantine_offset = man.applied_offset
-        qmask = stats["partition"] == QUARANTINE_PARTITION if len(stats) else None
-        if qmask is not None and qmask.any():
-            qrow = stats[qmask].iloc[0]
+        # ---- commit (driver only): rename staged files, publish manifest ---
+        # Order matters for abort safety: everything BEFORE publish must be
+        # invisible to readers (staged/epoch-keyed orphans only); the
+        # externally-visible side effects (quarantine dead-letter dir,
+        # lineage rows) happen AFTER publish succeeds, so an aborted commit
+        # (ConcurrentCommitError, crash) never leaves SUCCESS lineage or
+        # quarantined rows for an epoch that was never committed.
+        try:
+            rows_quarantined = 0
+            quarantine_offset = man.applied_offset
+            qfile = None
+            qmask = stats["partition"] == QUARANTINE_PARTITION if len(stats) else None
+            if qmask is not None and qmask.any():
+                qrow = stats[qmask].iloc[0]
+                qfile = qrow.file
+                rows_quarantined = int(qrow.row_count)
+                quarantine_offset = max(quarantine_offset, int(qrow.applied_offset))
+                stats = stats[~qmask].reset_index(drop=True)
+
+            new_partitions = dict(man.partitions)
+            applied_offset = quarantine_offset
+            if len(stats):
+                for row in stats.itertuples():
+                    rel = os.path.join(
+                        "partitions",
+                        f"part-{row.partition:05d}-epoch-{epoch:012d}.parquet",
+                    )
+                    dst = os.path.join(self.lake_dir, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.replace(row.file, dst)
+                    new_partitions[int(row.partition)] = PartitionEntry(
+                        file=rel,
+                        rows=int(row.row_count),
+                        applied_offset=int(row.applied_offset),
+                        epoch=epoch,
+                    )
+                applied_offset = max(applied_offset, int(stats["applied_offset"].max()))
+
+            new_man = Manifest(
+                epoch=epoch,
+                applied_offset=applied_offset,
+                num_partitions=P,
+                schema_names=man.schema_names,
+                partitions=new_partitions,
+            )
+            # atomic commitBlockList + optimistic single-writer fence: abort
+            # if another writer published since this epoch read the manifest
+            self.store.publish(new_man, expect_epoch=man.epoch)
+        except BaseException:
+            # the actor pool's memtables were advanced by flush(); a failed
+            # publish would leave them AHEAD of the committed manifest, so a
+            # later epoch could silently commit this epoch's aborted data.
+            # Dropping actor state forces a cold-load from the committed
+            # manifest on the next epoch (identical guarantees, just slower).
+            if self.merge_mode == "actors" and self._pool is not None:
+                self._pool.reset()
+            raise
+
+        # ---- post-publish effects (safe: the epoch is durably committed) ---
+        if qfile is not None:
             qdir = os.path.join(self.lake_dir, "quarantine", f"epoch={epoch:012d}")
             if os.path.exists(qdir):
                 shutil.rmtree(qdir)  # crashed attempt; dead-letter is epoch-keyed
             os.makedirs(qdir, exist_ok=True)
-            os.replace(qrow.file, os.path.join(qdir, "deadletter.parquet"))
-            rows_quarantined = int(qrow.row_count)
-            quarantine_offset = max(quarantine_offset, int(qrow.applied_offset))
-            stats = stats[~qmask].reset_index(drop=True)
+            os.replace(qfile, os.path.join(qdir, "deadletter.parquet"))
 
         lineage_extra = []
         if rows_quarantined:
@@ -260,25 +311,6 @@ class CDCLake:
                     "status": "QUARANTINED",
                 }
             )
-
-        new_partitions = dict(man.partitions)
-        applied_offset = quarantine_offset
-        if len(stats):
-            for row in stats.itertuples():
-                rel = os.path.join(
-                    "partitions", f"part-{row.partition:05d}-epoch-{epoch:012d}.parquet"
-                )
-                dst = os.path.join(self.lake_dir, rel)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.replace(row.file, dst)
-                new_partitions[int(row.partition)] = PartitionEntry(
-                    file=rel,
-                    rows=int(row.row_count),
-                    applied_offset=int(row.applied_offset),
-                    epoch=epoch,
-                )
-            applied_offset = max(applied_offset, int(stats["applied_offset"].max()))
-
         if len(stats) or lineage_extra:
             t1 = time.time()
             cols = [
@@ -296,16 +328,6 @@ class CDCLake:
             )
             self.lineage.append_epoch(epoch, lineage_rows)
 
-        new_man = Manifest(
-            epoch=epoch,
-            applied_offset=applied_offset,
-            num_partitions=P,
-            schema_names=man.schema_names,
-            partitions=new_partitions,
-        )
-        # atomic commitBlockList + optimistic single-writer fence: abort if
-        # another writer published since this epoch read the manifest
-        self.store.publish(new_man, expect_epoch=man.epoch)
         shutil.rmtree(os.path.join(stage_dir, f"epoch={epoch:012d}"), ignore_errors=True)
 
         return EpochResult(

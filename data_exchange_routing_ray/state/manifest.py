@@ -20,6 +20,7 @@ deterministic keys, publish the manifest object last.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 from dataclasses import dataclass, field
@@ -106,29 +107,45 @@ class ManifestStore:
         aborts with ``ConcurrentCommitError`` if another writer published
         since this epoch started (current epoch != expect_epoch). The
         aborted writer's staged files are orphans (vacuumable); its epoch
-        can be safely re-run against the new current manifest."""
-        if expect_epoch is not None:
-            cur = self.load_current()
-            cur_epoch = cur.epoch if cur is not None else -1
-            if cur_epoch != expect_epoch:
-                raise ConcurrentCommitError(
-                    f"manifest moved to epoch {cur_epoch} (expected {expect_epoch}); "
-                    "another writer committed — re-run this epoch"
+        can be safely re-run against the new current manifest.
+
+        The expect_epoch check and the renames are made atomic WITH RESPECT
+        TO OTHER WRITERS by an exclusive flock held on a lockfile in the
+        manifests dir for the whole check-then-publish window — check-then-
+        rename without the lock is a lost-update race (two writers can both
+        pass the check). On a real object store the analog is a conditional
+        put (ETag / if-match) on the current-manifest key."""
+        lock_path = os.path.join(self.dir, ".publish.lock")
+        with open(lock_path, "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            try:
+                if expect_epoch is not None:
+                    cur = self.load_current()
+                    cur_epoch = cur.epoch if cur is not None else -1
+                    if cur_epoch != expect_epoch:
+                        raise ConcurrentCommitError(
+                            f"manifest moved to epoch {cur_epoch} (expected "
+                            f"{expect_epoch}); another writer committed — "
+                            "re-run this epoch"
+                        )
+                payload = manifest.to_json()
+                archive = os.path.join(
+                    self.dir, f"manifest-{manifest.epoch:012d}.json"
                 )
-        payload = manifest.to_json()
-        archive = os.path.join(self.dir, f"manifest-{manifest.epoch:012d}.json")
-        tmp = archive + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(payload)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, archive)
-        tmp2 = self._current_path() + ".tmp"
-        with open(tmp2, "w") as f:
-            f.write(payload)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp2, self._current_path())
+                tmp = archive + ".tmp"
+                with open(tmp, "w") as f:
+                    f.write(payload)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, archive)
+                tmp2 = self._current_path() + ".tmp"
+                with open(tmp2, "w") as f:
+                    f.write(payload)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp2, self._current_path())
+            finally:
+                fcntl.flock(lockf, fcntl.LOCK_UN)
 
     def data_files(self, manifest: Manifest) -> list[str]:
         return [

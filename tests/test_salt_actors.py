@@ -201,6 +201,55 @@ def test_repartition_keeps_null_payload_rows(ray_session, tmp_path):
     assert lake.final_table().num_rows == 1  # and survives repartition
 
 
+def test_actor_state_rolls_back_on_aborted_commit(ray_session, tmp_path):
+    """A concurrent writer commits between an actor-pool flush and the
+    publish: the aborted writer's memtables must NOT stay ahead of the
+    committed manifest — the retry has to cold-load the OTHER writer's
+    committed changes instead of silently overwriting them."""
+    import pytest
+    import ray.data
+
+    from data_exchange_routing_ray.state.manifest import (
+        ConcurrentCommitError,
+        ManifestStore,
+    )
+
+    base = make_change_stream(num_convs=30, max_turns=5, seed=61)
+    theirs = make_change_stream(num_convs=30, max_turns=5, seed=63, seq_start=50_000)
+    mine = make_change_stream(num_convs=30, max_turns=5, seed=62, seq_start=100_000)
+
+    lake_a = CDCLake(
+        str(tmp_path / "lake"), num_partitions=4, merge_mode="actors", pool_size=2
+    )
+    try:
+        lake_a.apply_changes(ray.data.from_arrow(base), quarantine=False)
+
+        orig_publish = ManifestStore.publish
+        raced = {"done": False}
+
+        def racing_publish(self, manifest, expect_epoch=None):
+            if not raced["done"] and self is lake_a.store and manifest.epoch == 1:
+                raced["done"] = True
+                other = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+                other.apply_changes(ray.data.from_arrow(theirs), quarantine=False)
+            return orig_publish(self, manifest, expect_epoch)
+
+        ManifestStore.publish = racing_publish
+        try:
+            with pytest.raises(ConcurrentCommitError):
+                lake_a.apply_changes(ray.data.from_arrow(mine), quarantine=False)
+        finally:
+            ManifestStore.publish = orig_publish
+
+        # retry through the SAME actor-pool handle: memtables were reset on
+        # abort, so the retry cold-loads base+theirs and merges mine on top
+        lake_a.apply_changes(ray.data.from_arrow(mine), quarantine=False)
+        exp = oracle_apply(pa.concat_tables([base, theirs, mine]))
+        _check(lake_a, exp)
+    finally:
+        lake_a.close()
+
+
 def test_actor_and_groupby_modes_agree(ray_session, tmp_path):
     import ray.data
 
