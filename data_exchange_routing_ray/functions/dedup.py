@@ -67,6 +67,117 @@ def _dedup_pairs(pairs: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dat
     )
 
 
+def attach_payload_bucketed(
+    pairs: ray.data.Dataset,
+    pair_schema: pa.Schema,
+    payload: ray.data.Dataset,
+    key_col: str,
+    payload_col: str,
+    payload_type: pa.DataType,
+    side_col: str,
+    out_col: str,
+    num_buckets: int = 64,
+    dedup_pairs: bool = False,
+) -> ray.data.Dataset:
+    """Bucketed hash join: attach ``payload[payload_col]`` onto ``pairs`` as
+    ``out_col`` where ``pairs[side_col] == payload[key_col]`` — with NO
+    driver materialization of either side.
+
+    ``dedup_pairs=True`` drops duplicate pair rows (same values across ALL
+    ``pair_schema`` columns, which must then be numeric) inside the bucket
+    before the lookup — duplicates share a bucket because the bucket key is
+    a function of ``side_col``, so this folds a separate pair-dedup shuffle
+    into the join.
+
+    Both sides are tagged with ``jbucket = hash(key) % num_buckets`` and
+    unioned; ONE shuffle co-locates each key's pair rows with its (unique)
+    payload row; a vectorized pandas map resolves the lookup inside each
+    bucket. This is the scale-safe replacement for broadcasting a lookup
+    table through the driver: shuffle volume is |payload| + |pairs| rows,
+    distributed, instead of |payload| bytes through the driver into every
+    worker.
+
+    ``pair_schema`` must list the columns currently on ``pairs`` (a lazy
+    dataset's schema is not consulted, to avoid triggering execution).
+    Payload keys must be unique (one payload row per key).
+    """
+    pair_cols = list(pair_schema.names)
+    out_names = pair_cols + [out_col, "__is_payload", "__jbucket"]
+    out_schema = pa.schema(
+        [pair_schema.field(c) for c in pair_cols] + [pa.field(out_col, payload_type)]
+    )
+
+    def tag_pairs(b: pa.Table) -> pa.Table:
+        jb = _mix_to_bucket(
+            [b[side_col].to_numpy(zero_copy_only=False)], num_buckets
+        )
+        cols = {c: b[c].cast(pair_schema.field(c).type) for c in pair_cols}
+        cols[out_col] = pa.nulls(b.num_rows, payload_type)
+        cols["__is_payload"] = pa.array(np.zeros(b.num_rows, np.int8))
+        cols["__jbucket"] = pa.array(jb, pa.int64())
+        return pa.table({n: cols[n] for n in out_names})
+
+    def tag_payload(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_numpy(zero_copy_only=False)
+        jb = _mix_to_bucket([keys], num_buckets)
+        cols: dict[str, pa.Array] = {}
+        for c in pair_cols:
+            if c == side_col:
+                cols[c] = b[key_col].cast(pair_schema.field(side_col).type)
+            else:
+                cols[c] = pa.nulls(b.num_rows, pair_schema.field(c).type)
+        cols[out_col] = b[payload_col].cast(payload_type)
+        cols["__is_payload"] = pa.array(np.ones(b.num_rows, np.int8))
+        cols["__jbucket"] = pa.array(jb, pa.int64())
+        return pa.table({n: cols[n] for n in out_names})
+
+    tagged_pairs = pairs.map_batches(tag_pairs, batch_format="pyarrow")
+    tagged_payload = payload.map_batches(tag_payload, batch_format="pyarrow")
+
+    def resolve(g: pa.Table) -> pa.Table:
+        # Arrow-native lookup join inside the bucket: sort payload keys once,
+        # searchsorted the pair side, pc.take the payload values — zero
+        # Python objects on the hot path (binary/string payloads stay Arrow).
+        is_pl = g["__is_payload"].to_numpy()
+        pl_idx = np.nonzero(is_pl == 1)[0]
+        pr_idx = np.nonzero(is_pl == 0)[0]
+        if len(pr_idx) == 0:
+            return out_schema.empty_table()
+        if dedup_pairs and len(pr_idx) > 1:
+            arrs = [
+                g[c].to_numpy(zero_copy_only=False)[pr_idx] for c in pair_cols
+            ]
+            order = np.lexsort(arrs[::-1])
+            first = np.zeros(len(order), dtype=bool)
+            first[0] = True
+            for a in arrs:
+                s = a[order]
+                first[1:] |= s[1:] != s[:-1]
+            pr_idx = pr_idx[order][first]
+        side_vals = g[side_col].to_numpy(zero_copy_only=False)
+        cols = {c: g[c].take(pa.array(pr_idx)) for c in pair_cols}
+        if len(pl_idx) == 0:
+            cols[out_col] = pa.nulls(len(pr_idx), payload_type)
+            return pa.table({n: cols[n] for n in [*pair_cols, out_col]})
+        keys = side_vals[pl_idx]
+        order = np.argsort(keys, kind="stable")
+        sorted_keys = keys[order]
+        want = side_vals[pr_idx]
+        pos = np.searchsorted(sorted_keys, want)
+        pos_c = np.minimum(pos, len(sorted_keys) - 1)
+        miss = sorted_keys[pos_c] != want
+        take_idx = pl_idx[order][pos_c]
+        idx_arr = pa.array(take_idx, pa.int64(), mask=miss)  # null ⇒ no payload
+        cols[out_col] = g[out_col].take(idx_arr)
+        return pa.table({n: cols[n] for n in [*pair_cols, out_col]})
+
+    return (
+        tagged_pairs.union(tagged_payload)
+        .groupby("__jbucket")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+
+
 def _run_starts(keys: list[np.ndarray]) -> np.ndarray:
     """Start indices of equal-key runs in already-sorted parallel arrays."""
     n = len(keys[0])
@@ -166,6 +277,28 @@ def minhash_signatures(
     return sig
 
 
+def _sig_matrix(arr, num_perm: int) -> np.ndarray:
+    """Zero-copy (n, num_perm) uint64 view over a binary column of uniform
+    8*num_perm-byte signatures (falls back to a per-value copy if the values
+    buffer is non-contiguous)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, num_perm), dtype=np.uint64)
+    width = 8 * num_perm
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + n + 1
+    ]
+    if (np.diff(offs) == width).all():
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        flat = data[offs[0] : offs[-1]]
+        return flat.view(np.uint64).reshape(n, num_perm)
+    return np.stack(
+        [np.frombuffer(s, dtype=np.uint64) for s in arr.to_pylist()]
+    )
+
+
 def _band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
     """(n_docs, bands) int64 band bucket keys from a signature matrix."""
     n, num_perm = sig.shape
@@ -242,6 +375,176 @@ def make_signature_stage(
     return stage
 
 
+def _verify_pairs_grid(
+    pairs_raw: ray.data.Dataset,
+    sig_ds: ray.data.Dataset,
+    id_col: str,
+    num_perm: int,
+    threshold: float,
+    grid: int = 8,
+) -> ray.data.Dataset:
+    """Grid (1-bucket-theta) verification for PAIR-HEAVY candidate sets.
+
+    One shuffle: pair (a, b) goes to cell (h(a)%G, h(b)%G) once (16 B);
+    each signature is replicated to its row of cells as the A-side and its
+    column as the B-side (2G copies). In-cell: dedup pairs (duplicates from
+    multiple bands land in the same cell), look up both sigs, emit verified
+    pairs. Total volume = |pairs|·16 B + 2G·|sigs|·8·num_perm B — beats the
+    per-side attach join (which ships a sig per PAIR row) whenever pairs
+    outnumber ~2G× the docs, i.e. dup-heavy corpora. G² is the shuffle
+    parallelism: size G so G² ≳ cluster cores.
+    """
+    G = grid
+    MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def _cell_of(ids: np.ndarray) -> np.ndarray:
+        h = (ids.astype(np.int64).view(np.uint64) * MIX) >> np.uint64(33)
+        return (h % np.uint64(G)).astype(np.int64)
+
+    def tag_pairs(b: pa.Table) -> pa.Table:
+        a = b["id_a"].to_numpy()
+        bb = b["id_b"].to_numpy()
+        cell = _cell_of(a) * G + _cell_of(bb)
+        return pa.table(
+            {
+                "id_a": pa.array(a, pa.int64()),
+                "id_b": pa.array(bb, pa.int64()),
+                "sig": pa.nulls(b.num_rows, pa.binary()),
+                "kind": pa.array(np.full(b.num_rows, 2, np.int8)),
+                "cell": pa.array(cell, pa.int64()),
+            }
+        )
+
+    def tag_sigs(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        home = _cell_of(ids)
+        j = np.tile(np.arange(G, dtype=np.int64), n)
+        # A-side copies fill the doc's row of cells; B-side its column
+        cell_a = np.repeat(home, G) * G + j
+        cell_b = j * G + np.repeat(home, G)
+        rep_ids = np.repeat(ids, G)
+        sig_rep = b["sig"].take(pa.array(np.repeat(np.arange(n), G)))
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate([rep_ids, rep_ids]), pa.int64()),
+                "id_b": pa.array(np.zeros(2 * G * n, np.int64)),
+                "sig": pa.concat_arrays(
+                    [sig_rep.combine_chunks()] * 2
+                ) if isinstance(sig_rep, pa.ChunkedArray) else pa.concat_arrays([sig_rep] * 2),
+                "kind": pa.array(
+                    np.concatenate(
+                        [np.zeros(G * n, np.int8), np.ones(G * n, np.int8)]
+                    )
+                ),
+                "cell": pa.array(np.concatenate([cell_a, cell_b]), pa.int64()),
+            }
+        )
+
+    tagged_pairs = pairs_raw.map_batches(tag_pairs, batch_format="pyarrow")
+    tagged_sigs = sig_ds.map_batches(tag_sigs, batch_format="pyarrow")
+
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }
+    )
+
+    def resolve(g: pa.Table) -> pa.Table:
+        kind = g["kind"].to_numpy()
+        pr = np.nonzero(kind == 2)[0]
+        if len(pr) == 0:
+            return empty
+        a = g["id_a"].to_numpy()[pr]
+        bb = g["id_b"].to_numpy()[pr]
+        # in-cell pair dedup (multi-band duplicates share the cell)
+        order = np.lexsort((bb, a))
+        a, bb = a[order], bb[order]
+        first = np.r_[True, (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])]
+        a, bb = a[first], bb[first]
+
+        def lut(side_kind: int):
+            idx = np.nonzero(kind == side_kind)[0]
+            keys = g["id_a"].to_numpy()[idx]
+            o = np.argsort(keys, kind="stable")
+            return keys[o], _sig_matrix(g["sig"].take(pa.array(idx[o])), num_perm)
+
+        keys_a, mat_a = lut(0)
+        keys_b, mat_b = lut(1)
+        ia = np.searchsorted(keys_a, a)
+        ib = np.searchsorted(keys_b, bb)
+        est = (mat_a[ia] == mat_b[ib]).mean(axis=1)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep], pa.int64()),
+                "id_b": pa.array(bb[keep], pa.int64()),
+                "est_jaccard": pa.array(np.round(est[keep], 6), pa.float64()),
+            }
+        )
+
+    return (
+        tagged_pairs.union(tagged_sigs)
+        .groupby("cell")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+
+
+def _verify_pairs_broadcast(
+    pairs_raw: ray.data.Dataset,
+    sig_ds: ray.data.Dataset,
+    id_col: str,
+    num_perm: int,
+    threshold: float,
+) -> ray.data.Dataset:
+    """Object-store-broadcast verification for SMALL signature tables.
+
+    The classic broadcast join: the signature table stays in the shared
+    object store as Arrow block refs; each verify ACTOR assembles its
+    (ids, matrix) lookup once in ``__init__`` (zero-copy reads of
+    node-local blocks — the table never passes through the driver as a
+    Python object). Right only while n_docs × num_perm × 8 B fits a worker
+    heap — the caller size-gates this and falls back to the distributed
+    joins above the budget."""
+    refs = sig_ds.to_arrow_refs()
+    deduped = _dedup_pairs(pairs_raw)
+
+    class Verify:
+        def __init__(self):
+            import ray as _ray
+
+            tabs = [t for t in _ray.get(list(refs)) if t.num_rows]
+            if tabs:
+                tab = pa.concat_tables(tabs)
+                ids = tab[id_col].to_numpy(zero_copy_only=False)
+                order = np.argsort(ids, kind="stable")
+                self.ids = ids[order]
+                self.mat = _sig_matrix(tab["sig"], num_perm)[order]
+            else:
+                self.ids = np.zeros(0, np.int64)
+                self.mat = np.empty((0, num_perm), np.uint64)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            a = b["id_a"].to_numpy()
+            bb = b["id_b"].to_numpy()
+            est = (
+                self.mat[np.searchsorted(self.ids, a)]
+                == self.mat[np.searchsorted(self.ids, bb)]
+            ).mean(axis=1)
+            keep = est >= threshold
+            return pa.table(
+                {
+                    "id_a": pa.array(a[keep], pa.int64()),
+                    "id_b": pa.array(bb[keep], pa.int64()),
+                    "est_jaccard": pa.array(np.round(est[keep], 6), pa.float64()),
+                }
+            )
+
+    return deduped.map_batches(Verify, concurrency=(1, 8), batch_format="pyarrow")
+
+
 def minhash_candidate_pairs(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -252,19 +555,33 @@ def minhash_candidate_pairs(
     threshold: float = 0.7,
     seed: int = 42,
     num_buckets: int = DEFAULT_BUCKETS,
+    grid: int = 8,
+    strategy: str = "auto",
+    broadcast_budget_bytes: int = 1 << 30,
 ) -> ray.data.Dataset:
     """MinHash-LSH near-duplicate pairs (deduplicated, id_a<id_b, with
     signature-estimated Jaccard ≥ threshold).
 
     Scale layout (measured 20× shuffle reduction at 500k docs): band rows
     carry ONLY (band, band_key, id); buckets emit bare candidate id pairs;
-    pairs are deduped; then ONE verification ``map_batches`` estimates
-    Jaccard against the signature table broadcast via ``ray.put``
-    (n_docs × num_perm × 8 B — 512 MB per million docs; for corpora beyond
-    broadcast size, swap the broadcast for a hash-join on id, same stages).
-    """
-    import ray as _ray
+    pairs are deduped; then a verification strategy is picked by MEASURED
+    sizes (``strategy="auto"``; nothing ever passes through the driver as a
+    Python object):
 
+    - ``broadcast`` — sig table ≤ ``broadcast_budget_bytes`` (default 1 GiB
+      ≈ 2M docs at 64 perms): classic broadcast join; verify actors read the
+      signature blocks zero-copy from the shared object store.
+    - ``grid`` — pair-heavy corpora (dup storms, pairs > 2·G·docs):
+      1-bucket-theta grid; each sig ships 2G times, each pair once.
+    - ``attach`` — doc-heavy large corpora: two bucketed hash joins attach
+      sig_a / sig_b per pair (at 1 B docs × 64 perms the 0.5 TB sig table
+      shuffles once per side across the cluster — the former driver
+      broadcast shipped it into every worker and OOMed the driver first).
+
+    All three produce bit-identical pair sets (pytest + A/B-verified).
+    """
+    if strategy not in ("auto", "broadcast", "grid", "attach"):
+        raise ValueError(f"unknown verify strategy {strategy!r}")
     # Signatures are computed ONCE (shingling + hashing dominates the
     # corpus scan) and materialized — tiny at num_perm*8 B/doc; band rows
     # and the verification broadcast both derive from it.
@@ -301,36 +618,80 @@ def minhash_candidate_pairs(
         return out.append_column("bucket", pa.array(bucket, pa.int64()))
 
     band_rows = sig_ds.map_batches(band_and_bucket, batch_format="pyarrow")
-    pairs = band_rows.groupby("bucket").map_groups(
+    pairs_raw = band_rows.groupby("bucket").map_groups(
         make_bucket_candidate_fn(id_col), batch_format="pandas"
     )
-    deduped = _dedup_pairs(pairs)
+    # The broadcast gate needs only n_docs (free: sig_ds is materialized),
+    # keeping the raw-pair stream fully pipelined in the common case. Only
+    # when the sig table exceeds the broadcast budget are the candidate
+    # pairs materialized (bare id pairs, 16 B/row) to choose between the
+    # two distributed strategies by shuffle volume:
+    #   pair-heavy (dup storms): grid verify ships each sig 2G×, pairs 1×
+    #   doc-heavy (realistic):   per-side attach ships sigs 2×, pairs 2×
+    n_docs = sig_ds.count()
+    if strategy == "auto":
+        if n_docs * num_perm * 8 <= broadcast_budget_bytes:
+            strategy = "broadcast"
+        else:
+            pairs_raw = pairs_raw.materialize()
+            strategy = (
+                "grid"
+                if pairs_raw.count() > 2 * grid * max(n_docs, 1)
+                else "attach"
+            )
+    if strategy == "broadcast":
+        return _verify_pairs_broadcast(
+            pairs_raw, sig_ds, id_col, num_perm, threshold
+        )
+    if strategy == "grid":
+        return _verify_pairs_grid(
+            pairs_raw, sig_ds, id_col, num_perm, threshold, grid
+        )
 
-    # signature table, broadcast once (searchsorted id → row lookup)
-    sig_tab = sig_ds.to_pandas().sort_values(id_col)
-    sig_ids = sig_tab[id_col].to_numpy()
-    sig_mat = np.stack(
-        [np.frombuffer(s, dtype=np.uint64) for s in sig_tab["sig"].to_numpy()]
+    # attach sig_a / sig_b via two bucketed joins (no driver broadcast);
+    # the first join also drops duplicate pairs found by multiple bands
+    # (they share the id_a bucket), folding the dedup shuffle into the join
+    ids_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    with_a = attach_payload_bucketed(
+        pairs_raw, ids_schema, sig_ds,
+        key_col=id_col, payload_col="sig", payload_type=pa.binary(),
+        side_col="id_a", out_col="sig_a", num_buckets=num_buckets,
+        dedup_pairs=True,
     )
-    ref = _ray.put((sig_ids, sig_mat))
+    ab_schema = ids_schema.append(pa.field("sig_a", pa.binary()))
+    with_ab = attach_payload_bucketed(
+        with_a, ab_schema, sig_ds,
+        key_col=id_col, payload_col="sig", payload_type=pa.binary(),
+        side_col="id_b", out_col="sig_b", num_buckets=num_buckets,
+    )
+
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }
+    )
 
     def verify(b: pa.Table) -> pa.Table:
-        ids, mat = _ray.get(ref)
-        a = b["id_a"].to_numpy()
-        bb = b["id_b"].to_numpy()
-        ia = np.searchsorted(ids, a)
-        ib = np.searchsorted(ids, bb)
-        est = (mat[ia] == mat[ib]).mean(axis=1)
-        keep = est >= threshold
+        n = b.num_rows
+        if n == 0:
+            return empty
+        mat_a = _sig_matrix(b["sig_a"], num_perm)
+        mat_b = _sig_matrix(b["sig_b"], num_perm)
+        est = (mat_a == mat_b).mean(axis=1)
+        keep = pa.array(np.nonzero(est >= threshold)[0])
         return pa.table(
             {
-                "id_a": pa.array(a[keep], pa.int64()),
-                "id_b": pa.array(bb[keep], pa.int64()),
-                "est_jaccard": pa.array(np.round(est[keep], 6), pa.float64()),
+                "id_a": b["id_a"].take(keep).cast(pa.int64()),
+                "id_b": b["id_b"].take(keep).cast(pa.int64()),
+                "est_jaccard": pa.array(
+                    np.round(est[est >= threshold], 6), pa.float64()
+                ),
             }
         )
 
-    return deduped.map_batches(verify, batch_format="pyarrow")
+    return with_ab.map_batches(verify, batch_format="pyarrow")
 
 
 def make_bucket_candidate_fn(id_col: str = "doc_id"):
@@ -401,6 +762,37 @@ def dedup_by_pairs(
 
 
 # ------------------------------------------------------------------ jaccard
+
+def jaccard_of_text_pairs(
+    b: pa.Table, k: int = 3, text_a: str = "text_a", text_b: str = "text_b"
+) -> pa.Table:
+    """Per-pair exact word-k-shingle Jaccard over attached text columns
+    (the map_batches verify stage fed by ``attach_payload_bucketed``).
+    Shingle hashing of the flattened batch is one vectorized call; the
+    set intersection per pair is numpy over sorted hash runs."""
+    n = b.num_rows
+    if n == 0:
+        return pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+    flat_a, off_a = _doc_shingle_hashes(b[text_a].to_pylist(), k)
+    flat_b, off_b = _doc_shingle_hashes(b[text_b].to_pylist(), k)
+    jac = np.zeros(n, dtype=np.float64)
+    for i in range(n):
+        sa = np.unique(flat_a[off_a[i] : off_a[i + 1]])
+        sb = np.unique(flat_b[off_b[i] : off_b[i + 1]])
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        jac[i] = inter / union if union else 0.0
+    return pa.table(
+        {
+            "id_a": b["id_a"].cast(pa.int64()),
+            "id_b": b["id_b"].cast(pa.int64()),
+            "jaccard": pa.array(np.round(jac, 6), pa.float64()),
+        }
+    )
+
 
 def verify_jaccard_pairs(
     docs: pd.DataFrame, pairs: pd.DataFrame, text_col="text", id_col="doc_id", k=3

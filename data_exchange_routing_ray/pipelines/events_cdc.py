@@ -1262,26 +1262,40 @@ def text_token_counts(sf_dir: str) -> pa.Table:
 
 def dedup_ngram_jaccard(sf_dir: str, est_threshold: float = 0.5) -> pa.Table:
     """Exact n-gram-Jaccard verification of MinHash-LSH candidates: the
-    two-stage find→verify dedup shape. Candidate set is bounded (LSH), so
-    only candidate ids' texts are gathered for verification."""
+    two-stage find→verify dedup shape. Each side's text is attached to the
+    candidate pairs via a bucketed hash join (attach_payload_bucketed) and
+    the exact shingle-set Jaccard is computed per pair inside map_batches —
+    no driver-side gather of candidate texts (the pair set is bounded by
+    LSH, but an adversarial dup rate would make a driver gather unbounded)."""
     from data_exchange_routing_ray.functions.dedup import (
+        attach_payload_bucketed,
+        jaccard_of_text_pairs,
         minhash_candidate_pairs,
-        verify_jaccard_pairs,
     )
 
     ds = _documents(sf_dir, columns=["doc_id", "text"])
-    pairs = minhash_candidate_pairs(ds, threshold=est_threshold).to_pandas()
-    if not len(pairs):
+    pairs = minhash_candidate_pairs(ds, threshold=est_threshold).map_batches(
+        lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow"
+    )
+    ids_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    with_a = attach_payload_bucketed(
+        pairs, ids_schema, ds,
+        key_col="doc_id", payload_col="text", payload_type=pa.string(),
+        side_col="id_a", out_col="text_a",
+    )
+    with_ab = attach_payload_bucketed(
+        with_a, ids_schema.append(pa.field("text_a", pa.string())), ds,
+        key_col="doc_id", payload_col="text", payload_type=pa.string(),
+        side_col="id_b", out_col="text_b",
+    )
+    out = with_ab.map_batches(
+        jaccard_of_text_pairs, batch_format="pyarrow"
+    ).to_pandas()  # bounded: one row per verified candidate pair
+    if not len(out):
         return pa.table(
             {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
              "jaccard": pa.array([], pa.float64())}
         )
-    ids = pa.array(sorted(set(pairs["id_a"]) | set(pairs["id_b"])), pa.int64())
-    docs = ds.map_batches(
-        lambda b: b.filter(pc.is_in(b["doc_id"], value_set=ids)),
-        batch_format="pyarrow",
-    ).to_pandas()
-    out = verify_jaccard_pairs(docs, pairs)[["id_a", "id_b", "jaccard"]]
     return pa.Table.from_pandas(
         out.sort_values(["id_a", "id_b"]).reset_index(drop=True), preserve_index=False
     )

@@ -111,6 +111,37 @@ def test_minhash_lsh_finds_neardups(ray_session):
     assert 0 in ids and 4 not in ids
 
 
+def test_minhash_verify_strategies_identical(ray_session):
+    """broadcast / grid / attach verification must produce bit-identical
+    pair sets (they only trade shuffle volume). Uses a corpus with enough
+    near-dup structure to exercise multi-band duplicate candidates."""
+    import ray.data
+
+    rng = __import__("numpy").random.default_rng(5)
+    words = [f"w{i}" for i in range(200)]
+    ids, texts = [], []
+    did = 0
+    for b in range(20):
+        toks = list(rng.choice(words, size=15))
+        for d in range(6):  # 6 near-dup variants per base doc
+            t = list(toks)
+            t[int(rng.integers(0, 15))] = str(rng.choice(words))
+            ids.append(did)
+            texts.append(" ".join(t))
+            did += 1
+    tab = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+
+    results = {}
+    for strat in ("broadcast", "grid", "attach"):
+        out = minhash_candidate_pairs(
+            ray.data.from_arrow(tab), threshold=0.4, strategy=strat
+        ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        results[strat] = out
+    assert len(results["broadcast"]) > 10
+    pd.testing.assert_frame_equal(results["broadcast"], results["grid"])
+    pd.testing.assert_frame_equal(results["broadcast"], results["attach"])
+
+
 def test_simhash_pairs(ray_session):
     import ray.data
 
