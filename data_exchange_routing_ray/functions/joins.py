@@ -28,6 +28,69 @@ def _bucket_of(keys: np.ndarray, num_buckets: int) -> np.ndarray:
     )).astype(np.int64)
 
 
+def filter_join_bucketed(
+    left: ray.data.Dataset,
+    left_schema: pa.Schema,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+    keep_matches: bool,
+    num_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Semi (``keep_matches=True``) / anti (``False``) join via ONE
+    co-partitioned bucket shuffle — both sides are hashed on their key into
+    the same bucket space and the membership test runs vectorized inside
+    each bucket. No driver-side key-set materialization: the distinct right
+    key set can be as large as the right table and never leaves the
+    workers (the former anti-join implementation collected it with
+    ``unique()`` and broadcast it — a driver OOM at scale).
+
+    ``left_schema`` lists the left columns to carry through (the right side
+    is projected to its key only).
+    """
+    left_cols = list(left_schema.names)
+    out_names = [*left_cols, "_side", "_bucket"]
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        cols = {c: b[c] for c in left_cols}
+        cols["_side"] = pa.array(np.zeros(b.num_rows, np.int8))
+        cols["_bucket"] = pa.array(
+            _bucket_of(b[left_key].to_numpy(zero_copy_only=False), num_buckets)
+        )
+        return pa.table({n: cols[n] for n in out_names})
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        keys = b[right_key]
+        cols: dict[str, pa.Array] = {}
+        for c in left_cols:
+            if c == left_key:
+                cols[c] = keys.cast(left_schema.field(left_key).type)
+            else:
+                cols[c] = pa.nulls(b.num_rows, left_schema.field(c).type)
+        cols["_side"] = pa.array(np.ones(b.num_rows, np.int8))
+        cols["_bucket"] = pa.array(
+            _bucket_of(keys.to_numpy(zero_copy_only=False), num_buckets)
+        )
+        return pa.table({n: cols[n] for n in out_names})
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def resolve(g: pa.Table) -> pa.Table:
+        side = g["_side"].to_numpy()
+        l_idx = np.nonzero(side == 0)[0]
+        if len(l_idx) == 0:
+            return left_schema.empty_table()
+        keys_all = g[left_key].to_numpy(zero_copy_only=False)
+        r_keys = np.unique(keys_all[np.nonzero(side == 1)[0]])
+        hit = np.isin(keys_all[l_idx], r_keys, assume_unique=False)
+        keep = l_idx[hit if keep_matches else ~hit]
+        return g.select(left_cols).take(pa.array(keep))
+
+    return both.groupby("_bucket").map_groups(resolve, batch_format="pyarrow")
+
+
 def asof_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

@@ -170,13 +170,39 @@ def cdc_quarantine_counts(sf_dir: str) -> pa.Table:
 
 
 def cdc_conv_watermarks(sf_dir: str) -> pa.Table:
-    """Per-conversation applied-offset watermark + event count (A-aggregates)."""
+    """Per-conversation applied-offset watermark + event count (A-aggregates).
+
+    conv_id cardinality grows with the data, so the reduce is a per-batch
+    pandas partial + ONE coarse-bucket shuffle with a vectorized in-bucket
+    groupby — not ``Dataset.aggregate`` on the raw key (Ray's per-key
+    aggregate machinery is ~25× slower at high key cardinality; see
+    the dup-ngram/pack ops for the same pattern)."""
+    from data_exchange_routing_ray.hashing import stable_hash_strings
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pa.table({"conv_id": b["conv_id"], "seq": b["seq"]}).to_pandas()
+        g = df.groupby("conv_id", as_index=False).agg(
+            watermark=("seq", "max"), n_events=("seq", "size")
+        )
+        g["_bucket"] = (
+            stable_hash_strings(g["conv_id"].to_numpy()) % np.uint64(64)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("conv_id", as_index=False).agg(
+            watermark=("watermark", "max"), n_events=("n_events", "sum")
+        )
+
     out = (
         derived_change_stream(sf_dir)
-        .groupby("conv_id")
-        .aggregate(Max("seq", alias_name="watermark"), Count(alias_name="n_events"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+        .to_pandas()
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    out["n_events"] = out["n_events"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def cdc_schema_evolution(sf_dir: str) -> pa.Table:
@@ -531,37 +557,34 @@ def join_multiway_region_revenue(sf_dir: str) -> pa.Table:
 
 
 def anti_join_customers_no_orders(sf_dir: str) -> pa.Table:
-    """Anti join: customers with no orders. The order-custkey set is
-    collected as a broadcast numpy array (small side = distinct keys);
-    customers stream through an is_in filter — no shuffle."""
-    import ray as _ray
+    """Anti join: customers with no orders, via ONE co-partitioned bucket
+    shuffle (``filter_join_bucketed``) — the distinct order-custkey set
+    stays distributed (the former implementation collected it at the driver
+    with ``unique()``, a driver OOM when the key set ~ |customers| at
+    scale)."""
+    from data_exchange_routing_ray.functions.joins import filter_join_bucketed
 
-    keys = (
+    left_schema = pa.schema(
+        [("c_custkey", pa.int64()), ("c_mktsegment", pa.string())]
+    )
+    out = filter_join_bucketed(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_mktsegment"],
+        ),
+        left_schema,
         ray.data.read_parquet(
             os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
-        )
-        .unique("o_custkey")
+        ),
+        left_key="c_custkey",
+        right_key="o_custkey",
+        keep_matches=False,
+    ).to_pandas()  # final query result, bounded by |customers with no orders|
+    if not len(out):  # schema-preserving empty result
+        return left_schema.empty_table()
+    return pa.Table.from_pandas(
+        out.sort_values("c_custkey").reset_index(drop=True), preserve_index=False
     )
-    key_set = pa.array(sorted(keys), pa.int64())
-    ref = _ray.put(key_set)
-
-    def anti(b: pa.Table) -> pa.Table:
-        ks = _ray.get(ref)
-        mask = pc.invert(pc.is_in(b["c_custkey"], value_set=ks))
-        return b.filter(mask)
-
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_mktsegment"],
-    ).map_batches(anti, batch_format="pyarrow")
-    tables = [t for t in (_ray.get(r) for r in ds.to_arrow_refs()) if t.num_rows]
-    if not tables:  # schema-preserving empty result
-        return pa.table(
-            {"c_custkey": pa.array([], pa.int64()),
-             "c_mktsegment": pa.array([], pa.string())}
-        )
-    out = pa.concat_tables(tables).sort_by([("c_custkey", "ascending")])
-    return out
 
 
 def union_event_streams(sf_dir: str) -> pa.Table:
@@ -1345,8 +1368,10 @@ def ann_batch_topk(sf_dir: str, k: int = 10, n_queries: int = 8) -> pa.Table:
 
 def window_tumbling_daily(sf_dir: str) -> pa.Table:
     """Tumbling 1-day window per user: partial agg inside map_batches, then
-    the small groupby — the windowed-aggregate pattern Ray Data lacks
-    natively."""
+    ONE coarse-bucket shuffle with a vectorized in-bucket reduce — the
+    windowed-aggregate pattern Ray Data lacks natively. The (user, day) key
+    cardinality grows with the data, so the final reduce is a bucketed
+    ``map_groups``, not ``Dataset.aggregate`` on the raw composite key."""
 
     def partial(b: pa.Table) -> pa.Table:
         day = pc.strftime(b["ts"], format="%Y-%m-%d")
@@ -1356,13 +1381,23 @@ def window_tumbling_daily(sf_dir: str) -> pa.Table:
         g = t.groupby(["user_id", "day"], as_index=False).agg(
             n=("value", "size"), total_value=("value", "sum")
         )
+        mix = np.uint64(0x9E3779B97F4A7C15)
+        g["_bucket"] = (
+            (g["user_id"].to_numpy().astype(np.int64).view(np.uint64) * mix)
+            % np.uint64(64)
+        ).astype(np.int64)
         return pa.Table.from_pandas(g, preserve_index=False)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["user_id", "day"], as_index=False).agg(
+            n=("n", "sum"), total_value=("total_value", "sum")
+        )
 
     out = (
         _events(sf_dir, columns=["user_id", "ts", "value"])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby(["user_id", "day"])
-        .aggregate(Sum("n", alias_name="n"), Sum("total_value", alias_name="total_value"))
+        .groupby("_bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
         .to_pandas()
     )
     out["n"] = out["n"].astype("int64")

@@ -17,16 +17,22 @@ from data_exchange_routing_ray.pipelines import events_cdc as q
 SF = "/root/testdata/sf0.001"
 
 
-def test_sample_hash_fraction_parallelism_invariant(ray_session):
+def test_sample_hash_fraction_parallelism_invariant(ray_session, monkeypatch):
     """The hash sample must select identical rows regardless of block
-    layout — rerunning under a different override_num_blocks may not
-    change a single aggregate."""
+    layout — rerunning with every read forced to a different
+    override_num_blocks may not change a single aggregate."""
     a = q.sample_hash_fraction(SF).to_pandas().sort_values("event_type")
     import ray.data
 
-    orig = ray.data.read_parquet  # rerun with a perturbed block layout
+    orig = ray.data.read_parquet
+
+    def perturbed_read(*args, **kwargs):  # genuinely different block layout
+        kwargs["override_num_blocks"] = 7
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(ray.data, "read_parquet", perturbed_read)
     b = q.sample_hash_fraction(SF).to_pandas().sort_values("event_type")
-    assert orig is ray.data.read_parquet
+    monkeypatch.setattr(ray.data, "read_parquet", orig)
     pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
     # and the sample is a real ~10% subset, not empty / not everything
     n_total = len(pd.read_parquet(f"{SF}/events.parquet", columns=["event_id"]))
@@ -119,6 +125,33 @@ def test_semi_join_complements_anti_join(ray_session):
     assert int(got["n"].sum()) == int(want.sum())
     for pri, n in want.items():
         assert int(got.set_index("o_orderpriority").loc[pri, "n"]) == int(n)
+
+
+def test_filter_join_bucketed_semi_and_anti(ray_session):
+    """Non-empty semi/anti results through the co-partitioned bucket join
+    (the sf0.01 anti-join driver row is 0-row, so pin real rows here)."""
+    import ray.data
+
+    from data_exchange_routing_ray.functions.joins import filter_join_bucketed
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "v": pa.array(["a", "b", "c", "d", "e"], pa.string()),
+        }
+    )
+    right = pa.table({"rk": pa.array([2, 4, 4, 9], pa.int64())})
+    schema = pa.schema([("k", pa.int64()), ("v", pa.string())])
+    anti = filter_join_bucketed(
+        ray.data.from_arrow(left), schema, ray.data.from_arrow(right),
+        "k", "rk", keep_matches=False,
+    ).to_pandas().sort_values("k")
+    assert list(anti["k"]) == [1, 3, 5] and list(anti["v"]) == ["a", "c", "e"]
+    semi = filter_join_bucketed(
+        ray.data.from_arrow(left), schema, ray.data.from_arrow(right),
+        "k", "rk", keep_matches=True,
+    ).to_pandas().sort_values("k")
+    assert list(semi["k"]) == [2, 4]
 
 
 def test_pack_token_sequences_scan_invariants(ray_session):
