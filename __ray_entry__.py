@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- routing / config (J1-J6, M3, M4) ----
         "cdc_route_expansion": q.cdc_route_expansion,
         "cdc_route_default_fallback": q.cdc_route_default_fallback,
+        "cdc_route_credentials": q.cdc_route_credentials,
         "cdc_unroutable_count": q.cdc_unroutable_count,
         "cdc_parse_urls": q.cdc_parse_urls,
         "cdc_partition_paths": q.cdc_partition_paths,
@@ -263,6 +264,22 @@ GROUP BY destination
 """,
         "cdc_unroutable_count": """
 SELECT count(*) AS n_unroutable FROM events WHERE event_type = 'error'
+""",
+        "cdc_route_credentials": """
+WITH ev AS (
+  SELECT CASE WHEN event_type = 'error' THEN 'errors' ELSE 'transcripts' END AS dsid,
+         CASE WHEN event_type IN ('click','view') THEN 'main' ELSE 'raw' END AS route
+  FROM events
+),
+routes(dsid, route, route_id, credential_ref, error) AS (
+  VALUES ('transcripts', 'main', 'transcripts-main-lake', 'hot-sas', ''),
+         ('transcripts', 'main', 'transcripts-main-audit', 'audit-key', ''),
+         ('transcripts', 'raw', 'transcripts-raw', '',
+          'No credential configuration found for cold-sas')
+)
+SELECT route_id, credential_ref, error, count(*) AS n
+FROM ev JOIN routes USING (dsid, route)
+GROUP BY route_id, credential_ref, error
 """,
         "cdc_route_default_fallback": """
 WITH ev AS (

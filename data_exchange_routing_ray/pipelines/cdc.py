@@ -116,6 +116,47 @@ class CDCLake:
     def _stage_dir(self) -> str:
         return os.path.join(self.lake_dir, "_tmp")
 
+    # -------------------------------------------------- attempt ledger
+    # Poison-queue parity (reference host.json:26-27, maxDequeueCount: 6):
+    # each epoch attempt is recorded durably BEFORE processing; when an
+    # epoch has already failed `max_attempts` times, the next attempt
+    # dead-letters every row instead of retrying forever, and the
+    # watermark advances past them (a poison message never blocks the
+    # queue). Entries are pruned on successful publish.
+    def _attempts_path(self) -> str:
+        return os.path.join(self.lake_dir, "manifests", "attempts.json")
+
+    def _load_attempts(self) -> dict:
+        import json
+
+        path = self._attempts_path()
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return json.load(f)
+
+    def _write_attempts(self, d: dict) -> None:
+        import json
+
+        path = self._attempts_path()
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(d, f)
+        os.replace(tmp, path)
+
+    def _record_attempt(self, epoch: int) -> int:
+        d = self._load_attempts()
+        key = str(epoch)
+        d[key] = d.get(key, 0) + 1
+        self._write_attempts(d)
+        return d[key]
+
+    def _prune_attempts(self, committed_epoch: int) -> None:
+        d = self._load_attempts()
+        kept = {k: v for k, v in d.items() if int(k) > committed_epoch}
+        if kept != d:
+            self._write_attempts(kept)
+
     def _actor_pool(self):
         if self._pool is None:
             import hashlib
@@ -161,15 +202,30 @@ class CDCLake:
         quarantine: bool = True,
         fence: bool = True,
         rebuild: bool = False,
+        max_attempts: int | None = 6,
     ) -> EpochResult:
         """Apply one epoch of change events; atomically commit; return stats.
 
         ``rebuild=True`` starts the epoch from an EMPTY partition set (no
         base files, no inherited entries) while preserving the epoch counter
-        and watermark — the repartition/compaction path."""
+        and watermark — the repartition/compaction path.
+
+        ``max_attempts`` (default 6, the reference's ``maxDequeueCount``)
+        bounds retries of a failing epoch: once this epoch number has failed
+        that many recorded attempts, the next attempt dead-letters all its
+        rows with an exact poison error instead of retrying forever (None
+        disables the ledger — used by quarantine-less internal rebuilds)."""
         t0 = time.time()
         man = self.manifest
         epoch = man.epoch + 1
+        poison_error = None
+        if max_attempts is not None and quarantine:
+            n_attempt = self._record_attempt(epoch)
+            if n_attempt > max_attempts:
+                poison_error = (
+                    f"Poison: epoch exceeded maxDequeueCount={max_attempts} "
+                    f"({n_attempt - 1} failed processing attempts)"
+                )
         fence_below = man.applied_offset if fence else -(2**62)
         P = self.num_partitions
         stage_dir = self._stage_dir()
@@ -193,7 +249,9 @@ class CDCLake:
         )
 
         prepared = changes.map_batches(
-            lambda b: prepare_batch(b, P, keep_quarantine=quarantine),
+            lambda b: prepare_batch(
+                b, P, keep_quarantine=quarantine, poison_error=poison_error
+            ),
             batch_format="pyarrow",
             batch_size=self.combine_batch_size,
             zero_copy_batch=True,
@@ -279,6 +337,8 @@ class CDCLake:
             # atomic commitBlockList + optimistic single-writer fence: abort
             # if another writer published since this epoch read the manifest
             self.store.publish(new_man, expect_epoch=man.epoch)
+            if max_attempts is not None:
+                self._prune_attempts(epoch)
         except BaseException:
             # the actor pool's memtables were advanced by flush(); a failed
             # publish would leave them AHEAD of the committed manifest, so a

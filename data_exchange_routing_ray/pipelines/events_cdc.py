@@ -302,6 +302,70 @@ def cdc_unroutable_count(sf_dir: str) -> pa.Table:
     return pa.table({"n_unroutable": pa.array([n], pa.int64())})
 
 
+CRED_ROUTE_CONFIG = {
+    # per-destination credential indirection (J2 parity: StorageAccountConfig,
+    # Common.kt:103-108). "cold-sas" is deliberately absent from the map —
+    # the raw route's rows must dead-letter with the exact error string.
+    "credentials": {
+        "hot-sas": {"kind": "sas", "account": "hotacct"},
+        "audit-key": {"kind": "key", "account": "auditacct"},
+    },
+    "routes": [
+        {
+            "id": "transcripts-main-lake",
+            "match": {"data_stream_id": "transcripts", "data_stream_route": "main"},
+            "destination": "lake/clickview",
+            "credential": "hot-sas",
+        },
+        {
+            "id": "transcripts-main-audit",
+            "match": {"data_stream_id": "transcripts", "data_stream_route": "main"},
+            "destination": "audit/clickview",
+            "credential": "audit-key",
+        },
+        {
+            "id": "transcripts-raw",
+            "match": {"data_stream_id": "transcripts", "data_stream_route": "raw"},
+            "destination": "lake/raw",
+            "credential": "cold-sas",  # NOT in the credentials map
+        },
+    ],
+}
+
+
+def cdc_route_credentials(sf_dir: str) -> pa.Table:
+    """Credential-indirection routing: matched rows carry only the resolved
+    credential REFERENCE (never the secret); a route naming an unknown
+    credential dead-letters its rows with the exact missing-credential
+    error (RouteIngestedFile.kt:154-175 analog)."""
+    ds = _events(sf_dir, columns=["event_id", "event_type"]).map_batches(
+        _with_stream_cols, batch_format="pyarrow"
+    )
+    router = make_router(CRED_ROUTE_CONFIG, enrich=False)
+    routed = ds.map_batches(router, batch_format="pyarrow")
+
+    def norm(b: pa.Table) -> pa.Table:
+        # matched rows only; null-safe group keys for the driver compare
+        b = b.filter(pc.is_valid(b["route_id"]))
+        return pa.table(
+            {
+                "route_id": b["route_id"],
+                "credential_ref": pc.fill_null(
+                    b["credential_ref"].cast(pa.string()), ""
+                ),
+                "error": pc.fill_null(b["error"].cast(pa.string()), ""),
+            }
+        )
+
+    out = (
+        routed.map_batches(norm, batch_format="pyarrow")
+        .groupby(["route_id", "credential_ref", "error"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def cdc_partition_paths(sf_dir: str) -> pa.Table:
     """Date-partition template expansion (:y/:m/:d) — rows per dest path."""
 

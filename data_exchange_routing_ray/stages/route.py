@@ -31,6 +31,7 @@ import pyarrow.compute as pc
 from data_exchange_routing_ray.hashing import stable_hash_strings
 
 ERR_NO_ROUTE = "No routing configuration found for "
+ERR_NO_CREDENTIAL = "No credential configuration found for "
 
 STREAM_ID_COLUMN = "data_stream_id"
 STREAM_ROUTE_COLUMN = "data_stream_route"
@@ -61,6 +62,7 @@ def load_route_config(config: dict | str) -> pd.DataFrame:
                 "route_id": route["id"],
                 "destination": route["destination"],
                 "partition_folder": route.get("partition_folder", ""),
+                "credential": route.get("credential", ""),
                 "route_metadata": json.dumps(route.get("metadata", {}), sort_keys=True),
             }
         )
@@ -166,12 +168,23 @@ def make_router(
     config: dict | str | pd.DataFrame,
     expand_metadata: bool = True,
     enrich: bool = True,
+    credentials: dict | None = None,
 ):
     """Build the routing ``map_batches`` callable.
 
     Output = matched rows × their destinations (columns ``route_id``,
-    ``destination``, ``dest_path`` and metadata-overlay columns) plus
-    unmatched rows annotated with an ``error`` column for quarantine.
+    ``destination``, ``dest_path``, ``credential_ref`` and metadata-overlay
+    columns) plus unmatched rows annotated with an ``error`` column for
+    quarantine.
+
+    Credential indirection (J2 full parity — StorageAccountConfig,
+    ``Common.kt:103-108``): a route may declare ``credential: <name>``
+    referencing the config's top-level ``credentials`` map (or the
+    ``credentials`` argument). Resolution happens at STAGE BUILD; routed
+    rows carry only the reference name (``credential_ref``) — secrets never
+    enter the data plane. A route naming an unknown credential dead-letters
+    its rows with an exact error (the reference's missing-storage-account
+    path, ``RouteIngestedFile.kt:154-175``).
     """
     default_route = None
     if isinstance(config, dict) and config.get("default_route"):
@@ -179,11 +192,22 @@ def make_router(
         # FileType=="?" misc route): unmatched events fall back to this
         # destination instead of dead-lettering
         default_route = config["default_route"]
+    if credentials is None:
+        credentials = config.get("credentials", {}) if isinstance(config, dict) else {}
     routes = config if isinstance(config, pd.DataFrame) else load_route_config(config)
+    if "credential" not in routes.columns:
+        routes = routes.assign(credential="")
     meta_cols: dict[str, dict[str, str]] = {
         r.route_id: json.loads(r.route_metadata) for r in routes.itertuples()
     }
     all_meta_keys = sorted({k for m in meta_cols.values() for k in m})
+    cred_of_route = dict(zip(routes["route_id"], routes["credential"]))
+    # resolved at build time, never per batch (lazy-singleton parity, T2)
+    unresolved = {
+        rid: name
+        for rid, name in cred_of_route.items()
+        if name and name not in credentials
+    }
 
     def route_batch(batch: pa.Table) -> pa.Table:
         batch = resolve_stream_columns(batch)
@@ -203,6 +227,16 @@ def make_router(
         out_parts = []
         if len(matched):
             matched["error"] = None
+            matched["credential_ref"] = matched["route_id"].map(
+                lambda rid: cred_of_route.get(rid) or None
+            )
+            if unresolved:
+                bad = matched["route_id"].isin(unresolved)
+                if bad.any():
+                    matched.loc[bad, "error"] = ERR_NO_CREDENTIAL + matched.loc[
+                        bad, "route_id"
+                    ].map(unresolved)
+                    matched.loc[bad, "credential_ref"] = None
             if expand_metadata:
                 for k in all_meta_keys:
                     matched[k] = matched["route_id"].map(
@@ -214,12 +248,19 @@ def make_router(
             missed["route_id"] = default_route.get("id", "default")
             missed["destination"] = default_route["destination"]
             missed["partition_folder"] = default_route.get("partition_folder", "")
+            cred = default_route.get("credential", "")
+            if cred and cred not in credentials:
+                missed["error"] = ERR_NO_CREDENTIAL + cred
+                missed["credential_ref"] = None
+            else:
+                missed["credential_ref"] = cred or None
             if expand_metadata:
                 for k in all_meta_keys:
                     missed[k] = default_route.get("metadata", {}).get(k)
             out_parts.append(missed)
             missed = missed.iloc[0:0]
         if len(missed):
+            missed["credential_ref"] = None
             missed["error"] = (
                 ERR_NO_ROUTE
                 + missed[STREAM_ID_COLUMN].fillna("").astype(str)
@@ -233,7 +274,7 @@ def make_router(
         out = pd.concat(out_parts, ignore_index=True).sort_values(
             ["_row", "route_id"], kind="stable", na_position="last"
         )
-        out = out.drop(columns=["_row", "route_metadata"], errors="ignore")
+        out = out.drop(columns=["_row", "route_metadata", "credential"], errors="ignore")
         result = pa.Table.from_pandas(out, preserve_index=False)
 
         if enrich:

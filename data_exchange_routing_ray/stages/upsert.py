@@ -98,9 +98,19 @@ def partial_reduce_group(group: pa.Table) -> pa.Table:
 
 
 def prepare_batch(
-    batch: pa.Table, num_partitions: int, keep_quarantine: bool = True
+    batch: pa.Table,
+    num_partitions: int,
+    keep_quarantine: bool = True,
+    poison_error: str | None = None,
 ) -> pa.Table:
     """The fused hot-path stage: validate → partition → within-batch combine.
+
+    ``poison_error`` short-circuits the stage: EVERY row is tagged with that
+    exact error and routed to the quarantine partition — the poison-queue
+    path for an epoch that exceeded its processing-attempt budget (the
+    reference's ``maxDequeueCount``, ``host.json:26-27``: a message that
+    fails N dequeues goes to the poison queue instead of blocking the
+    pipeline).
 
     One ``map_batches`` call does all per-row work before the single shuffle.
     Feed it LARGE batches (``batch_size=256Ki``): the combiner's dedup ratio
@@ -116,6 +126,21 @@ def prepare_batch(
     )
 
     _limit_arrow_threads()
+    if poison_error is not None:
+        if ERROR_COLUMN in batch.column_names:
+            batch = batch.drop_columns([ERROR_COLUMN])
+        if PART_COLUMN in batch.column_names:
+            batch = batch.drop_columns([PART_COLUMN])
+        batch = batch.append_column(
+            ERROR_COLUMN, pa.array([poison_error] * batch.num_rows, pa.string())
+        )
+        return batch.append_column(
+            PART_COLUMN,
+            pa.array(
+                np.full(batch.num_rows, QUARANTINE_PARTITION, np.int32),
+                pa.int32(),
+            ),
+        )
     batch = validate_batch(batch)
     err_null = pc.is_null(batch[ERROR_COLUMN])
     valid = batch.filter(err_null)

@@ -96,6 +96,49 @@ def test_concurrent_writer_fenced(ray_session, tmp_path):
     pd.testing.assert_frame_equal(_final(lake_c), exp, check_dtype=False)
 
 
+def test_poison_epoch_dead_letters_after_max_attempts(ray_session, tmp_path, monkeypatch):
+    """maxDequeueCount parity (reference host.json:26-27): an epoch that
+    keeps failing is retried at most N times; the next attempt dead-letters
+    every row with an exact poison error, advances the watermark past them,
+    and the pipeline moves on (a poison message never blocks the queue)."""
+    import ray.data
+
+    changes = make_change_stream(num_convs=20, max_turns=4, seed=9)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+
+    real_publish = ManifestStore.publish
+
+    def exploding_publish(self, manifest, expect_epoch=None):
+        raise RuntimeError("injected transient merge/commit failure")
+
+    monkeypatch.setattr(ManifestStore, "publish", exploding_publish)
+    for _ in range(3):  # three recorded failed attempts
+        with pytest.raises(RuntimeError, match="injected transient"):
+            lake.apply_changes(ray.data.from_arrow(changes), max_attempts=3)
+    monkeypatch.setattr(ManifestStore, "publish", real_publish)
+
+    # 4th attempt exceeds the budget: all rows dead-letter, watermark advances
+    res = lake.apply_changes(ray.data.from_arrow(changes), max_attempts=3)
+    assert res.rows_quarantined == changes.num_rows
+    assert res.changes_applied == 0
+    assert lake.final_table().num_rows == 0
+    q = lake.quarantine_table()
+    assert q.num_rows == changes.num_rows
+    errs = set(q["error"].to_pylist())
+    assert errs == {
+        "Poison: epoch exceeded maxDequeueCount=3 (3 failed processing attempts)"
+    }
+
+    # redelivery of the poisoned stream is a fenced no-op (processed = done)
+    res2 = lake.apply_changes(ray.data.from_arrow(changes), max_attempts=3)
+    assert res2.changes_applied == 0 and res2.rows_quarantined == 0
+
+    # a healthy later epoch applies normally (the queue is unblocked)
+    more = make_change_stream(num_convs=10, max_turns=3, seed=10, seq_start=90_000)
+    res3 = lake.apply_changes(ray.data.from_arrow(more), max_attempts=3)
+    assert res3.changes_applied > 0 and res3.rows_quarantined == 0
+
+
 def test_tail_applies_progressively_arriving_shards(ray_session, tmp_path):
     """Binlog tail: shards appearing over time are applied as epochs; the
     final state equals a one-shot replay; idle polls terminate cleanly."""

@@ -84,6 +84,37 @@ def test_route_expansion_and_quarantine():
     assert row["lake/audit"] is None
 
 
+def test_credential_indirection_and_missing_cred():
+    """Routes reference credentials by NAME (StorageAccountConfig parity,
+    Common.kt:103-108): resolved routes carry only credential_ref (the
+    secret never enters the data plane); a route naming an unknown
+    credential dead-letters its rows with the exact error string
+    (RouteIngestedFile.kt:154-175)."""
+    import copy
+
+    from data_exchange_routing_ray.stages.route import ERR_NO_CREDENTIAL
+
+    cfg = copy.deepcopy(CONFIG)
+    cfg["credentials"] = {"hot-sas": {"kind": "sas", "account": "hot"}}
+    for r in cfg["routes"]:
+        r["credential"] = "hot-sas"
+    cfg["routes"][-1]["credential"] = "missing-cred"  # not in the map
+    routed = make_router(cfg)(_batch())
+    ok, bad = split_routed(routed)
+    refs = set(ok["credential_ref"].to_pylist())
+    assert refs == {"hot-sas"}
+    # the secret payload itself must not appear in any output column
+    assert "credential" not in routed.column_names
+    assert not any("account" in c for c in routed.column_names)
+    errs = set(bad["error"].to_pylist())
+    assert ERR_NO_CREDENTIAL + "missing-cred" in errs
+    # a config with every credential resolved dead-letters nothing extra
+    cfg2 = copy.deepcopy(cfg)
+    cfg2["credentials"]["missing-cred"] = {"kind": "sas", "account": "x"}
+    ok2, bad2 = split_routed(make_router(cfg2)(_batch()))
+    assert bad2.num_rows == 1  # only the genuinely unroutable row remains
+
+
 def test_partition_folder_template():
     routed = make_router(CONFIG)(_batch())
     ok, _ = split_routed(routed)
