@@ -277,26 +277,26 @@ def minhash_signatures(
     return sig
 
 
-def _sig_matrix(arr, num_perm: int) -> np.ndarray:
-    """Zero-copy (n, num_perm) uint64 view over a binary column of uniform
-    8*num_perm-byte signatures (falls back to a per-value copy if the values
-    buffer is non-contiguous)."""
+def _sig_matrix(arr, num_cols: int, dtype=np.uint64) -> np.ndarray:
+    """Zero-copy (n, num_cols) view over a binary column of uniform
+    ``itemsize*num_cols``-byte values (falls back to a per-value copy if the
+    values buffer is non-contiguous). Used for minhash signatures (uint64)
+    and packed embedding vectors (float64)."""
+    dtype = np.dtype(dtype)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
     if n == 0:
-        return np.empty((0, num_perm), dtype=np.uint64)
-    width = 8 * num_perm
+        return np.empty((0, num_cols), dtype=dtype)
+    width = dtype.itemsize * num_cols
     offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
         arr.offset : arr.offset + n + 1
     ]
     if (np.diff(offs) == width).all():
         data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
         flat = data[offs[0] : offs[-1]]
-        return flat.view(np.uint64).reshape(n, num_perm)
-    return np.stack(
-        [np.frombuffer(s, dtype=np.uint64) for s in arr.to_pylist()]
-    )
+        return flat.view(dtype).reshape(n, num_cols)
+    return np.stack([np.frombuffer(s, dtype=dtype) for s in arr.to_pylist()])
 
 
 def _band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
@@ -977,47 +977,153 @@ def lsh_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.3,
-    num_planes: int = 8,
+    num_planes: int = 4,
+    num_tables: int = 24,
     dim: int = 64,
     seed: int = 42,
+    num_buckets: int = DEFAULT_BUCKETS,
+    broadcast_budget_bytes: int = 1 << 30,
 ) -> ray.data.Dataset:
-    """Random-hyperplane LSH blocking + exact cosine verify within buckets.
+    """MULTI-TABLE random-hyperplane LSH + exact cosine verification.
 
-    Scale path: the bucket key is the ONE shuffle key; recall < 1 by design
-    (approximate), tested against the blocked-exact variant in pytest.
+    Recall math (why multi-table): a pair at cosine c collides in one
+    b-plane table with probability p^b, p = 1 - arccos(c)/π; L independent
+    tables give 1-(1-p^b)^L. Defaults (b=4, L=24) ⇒ ≥0.96 recall at
+    c=0.3 — a single 8-plane table (the former implementation) recalls
+    ~2% there. Raise ``num_planes`` / lower ``num_tables`` for higher
+    thresholds at larger corpora (candidate volume ~ L·n²/2^b for random
+    data; bits are the precision knob, tables the recall knob).
+
+    Scale layout mirrors ``minhash_candidate_pairs``: band rows carry ONLY
+    (table, key, id) — 24 B — through the one candidate shuffle; vectors
+    are attached for exact verification via the size-gated strategy
+    (object-store broadcast ≤ budget, bucketed attach join above it).
     """
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, num_planes))
+    planes = rng.standard_normal((num_tables, dim, num_planes))
 
-    def bucket_stage(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        M = np.stack(df[vec_col].to_numpy()).astype(np.float64)
-        signs = (M @ planes) > 0
-        key = np.zeros(len(df), dtype=np.int64)
-        for j in range(num_planes):
-            key |= signs[:, j].astype(np.int64) << j
-        df = df[[id_col, vec_col]]
-        df["bucket"] = key
-        return df
-
-    rows = ds.map_batches(bucket_stage, batch_format="pyarrow")
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy()
-        M = np.stack(g[vec_col].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(M, axis=1)
-        norms[norms == 0] = 1.0
-        Mn = M / norms[:, None]
-        sims = Mn @ Mn.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        s = sims[ia, ib]
-        keep = s > threshold
-        return pd.DataFrame(
+    # embeddings packed to fixed-width float64 bytes: one materialized pass
+    # feeds both banding and verification (the minhash single-scan lesson)
+    def pack(b: pa.Table) -> pa.Table:
+        M = np.stack(b[vec_col].to_pandas().to_numpy()).astype(np.float64)
+        return pa.table(
             {
-                "id_a": np.minimum(ids[ia][keep], ids[ib][keep]).astype(np.int64),
-                "id_b": np.maximum(ids[ia][keep], ids[ib][keep]).astype(np.int64),
-                "cosine": np.round(s[keep], 6),
+                id_col: b[id_col].cast(pa.int64()),
+                "vec": pa.array([M[i].tobytes() for i in range(len(M))], pa.binary()),
             }
         )
 
-    return rows.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    emb_ds = ds.map_batches(pack, batch_format="pyarrow").materialize()
+    n_vecs = emb_ds.count()
+
+    def band(b: pa.Table) -> pa.Table:
+        M = _sig_matrix(b["vec"], dim, np.float64)
+        n = len(M)
+        ids = b[id_col].to_numpy()
+        keys = np.empty((num_tables, n), dtype=np.int64)
+        for t in range(num_tables):
+            signs = (M @ planes[t]) > 0
+            key = np.zeros(n, dtype=np.int64)
+            for j in range(num_planes):
+                key |= signs[:, j].astype(np.int64) << j
+            keys[t] = key
+        out = pa.table(
+            {
+                "band": pa.array(
+                    np.repeat(np.arange(num_tables, dtype=np.int32), n)
+                ),
+                "band_key": pa.array(keys.reshape(-1), pa.int64()),
+                id_col: pa.array(np.tile(ids, num_tables), pa.int64()),
+            }
+        )
+        bucket = _mix_to_bucket(
+            [out["band"].to_numpy(), out["band_key"].to_numpy()], num_buckets
+        )
+        return out.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    pairs_raw = (
+        emb_ds.map_batches(band, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(make_bucket_candidate_fn(id_col), batch_format="pandas")
+    )
+
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+
+    def cosine_of(mat_a: np.ndarray, mat_b: np.ndarray) -> np.ndarray:
+        na = np.linalg.norm(mat_a, axis=1)
+        nb = np.linalg.norm(mat_b, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        return (mat_a * mat_b).sum(axis=1) / (na * nb)
+
+    if n_vecs * dim * 8 <= broadcast_budget_bytes:
+        refs = emb_ds.to_arrow_refs()
+        deduped = _dedup_pairs(pairs_raw)
+
+        class Verify:
+            def __init__(self):
+                import ray as _ray
+
+                tabs = [t for t in _ray.get(list(refs)) if t.num_rows]
+                tab = pa.concat_tables(tabs)
+                ids = tab[id_col].to_numpy(zero_copy_only=False)
+                order = np.argsort(ids, kind="stable")
+                self.ids = ids[order]
+                self.mat = _sig_matrix(tab["vec"], dim, np.float64)[order]
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                if b.num_rows == 0:
+                    return empty
+                a = b["id_a"].to_numpy()
+                bb = b["id_b"].to_numpy()
+                s = cosine_of(
+                    self.mat[np.searchsorted(self.ids, a)],
+                    self.mat[np.searchsorted(self.ids, bb)],
+                )
+                keep = s > threshold
+                return pa.table(
+                    {
+                        "id_a": pa.array(a[keep], pa.int64()),
+                        "id_b": pa.array(bb[keep], pa.int64()),
+                        "cosine": pa.array(np.round(s[keep], 6), pa.float64()),
+                    }
+                )
+
+        return deduped.map_batches(Verify, concurrency=(1, 8), batch_format="pyarrow")
+
+    ids_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    with_a = attach_payload_bucketed(
+        pairs_raw, ids_schema, emb_ds,
+        key_col=id_col, payload_col="vec", payload_type=pa.binary(),
+        side_col="id_a", out_col="vec_a", num_buckets=num_buckets,
+        dedup_pairs=True,
+    )
+    with_ab = attach_payload_bucketed(
+        with_a, ids_schema.append(pa.field("vec_a", pa.binary())), emb_ds,
+        key_col=id_col, payload_col="vec", payload_type=pa.binary(),
+        side_col="id_b", out_col="vec_b", num_buckets=num_buckets,
+    )
+
+    def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        s = cosine_of(
+            _sig_matrix(b["vec_a"], dim, np.float64),
+            _sig_matrix(b["vec_b"], dim, np.float64),
+        )
+        keep = pa.array(np.nonzero(s > threshold)[0])
+        return pa.table(
+            {
+                "id_a": b["id_a"].take(keep).cast(pa.int64()),
+                "id_b": b["id_b"].take(keep).cast(pa.int64()),
+                "cosine": pa.array(np.round(s[s > threshold], 6), pa.float64()),
+            }
+        )
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")

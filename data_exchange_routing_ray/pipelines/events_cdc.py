@@ -1090,10 +1090,28 @@ def emb_neardup_blocked(sf_dir: str, threshold: float = 0.3) -> pa.Table:
     )
 
 
-def emb_neardup_lsh(sf_dir: str, threshold: float = 0.3) -> pa.Table:
+def emb_neardup_lsh(
+    sf_dir: str, threshold: float = 0.3, min_recall: float = 0.9
+) -> pa.Table:
+    """LSH-bucketed near-dup pairs with an IN-QUERY quantitative gate: the
+    pair set's recall is measured against the exact blocked variant and the
+    query FAILS (raises) below ``min_recall`` — so the driver's rows-only
+    row for this approximate op still enforces quality, not just a count."""
     from data_exchange_routing_ray.functions.dedup import lsh_neardup_pairs
 
     out = lsh_neardup_pairs(_embeddings(sf_dir), threshold=threshold).to_pandas()
+    exact = emb_neardup_blocked(sf_dir, threshold=threshold).to_pandas()
+    truth = set(zip(exact["id_a"], exact["id_b"]))
+    found = set(zip(out["id_a"], out["id_b"]))
+    recall = len(truth & found) / len(truth) if truth else 1.0
+    if recall < min_recall:
+        raise AssertionError(
+            f"emb_neardup_lsh recall {recall:.3f} < {min_recall} "
+            f"({len(truth & found)}/{len(truth)} exact pairs recovered)"
+        )
+    # LSH must never invent pairs below the cosine threshold (precision=1
+    # within buckets by construction — verified exactly)
+    assert (out["cosine"] > threshold).all()
     return pa.Table.from_pandas(
         out[["id_a", "id_b", "cosine"]], preserve_index=False
     )
@@ -1108,13 +1126,28 @@ def ann_topk(sf_dir: str, k: int = 10) -> pa.Table:
     return pa.Table.from_pandas(out[["vec_id", "cosine"]], preserve_index=False)
 
 
-def ann_ivf_topk(sf_dir: str, k: int = 10) -> pa.Table:
-    from data_exchange_routing_ray.functions.similarity import IVFIndex
+def ann_ivf_topk(sf_dir: str, k: int = 10, min_recall: float = 0.9) -> pa.Table:
+    """IVF (nprobe) top-k with an IN-QUERY recall@k gate against the exact
+    brute-force top-k: the query FAILS below ``min_recall`` — the driver's
+    rows-only row enforces search quality, not just result shape."""
+    from data_exchange_routing_ray.functions.similarity import (
+        IVFIndex,
+        topk_cosine,
+    )
 
     ds = _embeddings(sf_dir)
     q = ds.filter(expr="vec_id == 0").take(1)[0]["embedding"]
     idx = IVFIndex(num_clusters=16, seed=42).fit(ds)
-    out = idx.search(ds, np.asarray(q), k=k, nprobe=4)
+    # nprobe=8 measured ≥0.9 recall@10 at sf0.001/0.01/0.1 on the weakly-
+    # clustered test embeddings (max within-label cosine ~0.5); nprobe=4
+    # bottomed at 0.4 — probe half the clusters when structure is weak
+    out = idx.search(ds, np.asarray(q), k=k, nprobe=8)
+    exact = topk_cosine(_embeddings(sf_dir), np.asarray(q), k=k)
+    recall = len(set(out["vec_id"]) & set(exact["vec_id"])) / k
+    if recall < min_recall:
+        raise AssertionError(
+            f"ann_ivf_topk recall@{k} {recall:.3f} < {min_recall} vs exact top-k"
+        )
     return pa.Table.from_pandas(out[["vec_id", "cosine"]], preserve_index=False)
 
 
