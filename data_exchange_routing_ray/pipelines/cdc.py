@@ -75,6 +75,9 @@ class CDCLake:
         num_salts: int = 1,
         merge_mode: str = "groupby",
         pool_size: int = 8,
+        merge_policy: str = "rewrite",
+        delta_max_files: int = 4,
+        delta_ratio: float = 0.2,
     ):
         # combine_batch_size: rows per fused validate/partition/combine batch.
         # Larger ⇒ better pre-shuffle dedup and fewer shuffle blocks; 256Ki
@@ -84,10 +87,24 @@ class CDCLake:
         # merge_mode: "groupby" = stateless Dataset shuffle (default);
         # "actors" = named actor pool holding per-partition LSM state across
         # epochs (state/merge_actors.py) — faster for many small epochs.
+        # merge_policy: "rewrite" = CoW rewrite of each touched partition
+        # per epoch (default); "delta" = LSM-lite: small epochs append
+        # fenced change-table delta files per partition, reads fold
+        # base+deltas, and a level trigger (delta_max_files) compacts —
+        # bounding write amplification at many small epochs (groupby mode).
         if merge_mode not in ("groupby", "exchange", "actors"):
             raise ValueError(
                 f"merge_mode must be groupby|exchange|actors, got {merge_mode!r}"
             )
+        if merge_policy not in ("rewrite", "delta"):
+            raise ValueError(
+                f"merge_policy must be rewrite|delta, got {merge_policy!r}"
+            )
+        if merge_policy == "delta" and merge_mode != "groupby":
+            raise ValueError("merge_policy='delta' requires merge_mode='groupby'")
+        self.merge_policy = merge_policy
+        self.delta_max_files = delta_max_files
+        self.delta_ratio = delta_ratio
         self.combine_batch_size = combine_batch_size
         self.num_salts = num_salts
         self.merge_mode = merge_mode
@@ -245,7 +262,16 @@ class CDCLake:
         # single groupby(part) exchange feeding per-partition merges.
         base_files = {pid: e.file for pid, e in man.partitions.items()}
         merge_fn = make_merge_fn(
-            self.lake_dir, stage_dir, epoch, fence_below, base_files
+            self.lake_dir, stage_dir, epoch, fence_below, base_files,
+            base_deltas={
+                pid: [d["file"] for d in e.deltas]
+                for pid, e in man.partitions.items()
+                if e.deltas
+            },
+            base_rows={pid: e.rows for pid, e in man.partitions.items()},
+            policy=self.merge_policy,
+            delta_max_files=self.delta_max_files,
+            delta_ratio=self.delta_ratio,
         )
 
         prepared = changes.map_batches(
@@ -256,6 +282,14 @@ class CDCLake:
             batch_size=self.combine_batch_size,
             zero_copy_batch=True,
         )
+        if self.merge_mode != "groupby" and any(
+            e.deltas for e in man.partitions.values()
+        ):
+            raise ValueError(
+                "lake has uncompacted delta files; actors/exchange merge "
+                "modes read base files only — compact first (merge_policy="
+                "'delta' with a full-size epoch, or repartition_lake)"
+            )
         if self.merge_mode == "actors":
             pool = self._actor_pool()
             prepared.map_batches(
@@ -312,18 +346,50 @@ class CDCLake:
             applied_offset = quarantine_offset
             if len(stats):
                 for row in stats.itertuples():
+                    pid = int(row.partition)
+                    is_delta = int(getattr(row, "is_delta", 0) or 0)
+                    if is_delta:
+                        if int(row.row_count) == 0:
+                            continue  # fully-fenced replay: no empty deltas
+                        # delta append: base entry untouched, delta stacked
+                        rel = os.path.join(
+                            "partitions",
+                            f"delta-part-{pid:05d}-epoch-{epoch:012d}.parquet",
+                        )
+                        dst = os.path.join(self.lake_dir, rel)
+                        os.makedirs(os.path.dirname(dst), exist_ok=True)
+                        os.replace(row.file, dst)
+                        prev = new_partitions[pid]
+                        new_partitions[pid] = PartitionEntry(
+                            file=prev.file,
+                            rows=prev.rows,
+                            applied_offset=max(
+                                prev.applied_offset, int(row.applied_offset)
+                            ),
+                            epoch=epoch,
+                            deltas=[
+                                *prev.deltas,
+                                {
+                                    "file": rel,
+                                    "rows": int(row.row_count),
+                                    "epoch": epoch,
+                                },
+                            ],
+                        )
+                        continue
                     rel = os.path.join(
                         "partitions",
-                        f"part-{row.partition:05d}-epoch-{epoch:012d}.parquet",
+                        f"part-{pid:05d}-epoch-{epoch:012d}.parquet",
                     )
                     dst = os.path.join(self.lake_dir, rel)
                     os.makedirs(os.path.dirname(dst), exist_ok=True)
                     os.replace(row.file, dst)
-                    new_partitions[int(row.partition)] = PartitionEntry(
+                    new_partitions[pid] = PartitionEntry(
                         file=rel,
                         rows=int(row.row_count),
                         applied_offset=int(row.applied_offset),
                         epoch=epoch,
+                        deltas=[],  # rewrite/compaction folds any stack away
                     )
                 applied_offset = max(applied_offset, int(stats["applied_offset"].max()))
 
@@ -493,7 +559,41 @@ class CDCLake:
         if not files:
             schema = TRANSCRIPT_SCHEMA
             return ray.data.from_arrow(schema.empty_table())
-        return ray.data.read_parquet(files, columns=columns)
+        if not any(e.deltas for e in man.partitions.values()):
+            return ray.data.read_parquet(files, columns=columns)
+        # merge-on-read (delta policy): one task per partition folds
+        # base+deltas — distributed, never a driver materialization
+        from data_exchange_routing_ray.stages.upsert import fold_deltas
+
+        lake_dir = self.lake_dir
+        items = [
+            {"base": e.file, "deltas": [d["file"] for d in e.deltas]}
+            for _, e in sorted(man.partitions.items())
+        ]
+
+        def fold(batch: pa.Table) -> pa.Table:
+            outs = []
+            for i in range(batch.num_rows):
+                t = pq.read_table(
+                    os.path.join(lake_dir, batch["base"][i].as_py())
+                )
+                drels = batch["deltas"][i].as_py() or []
+                if drels:
+                    t = fold_deltas(
+                        t,
+                        [
+                            pq.read_table(os.path.join(lake_dir, r))
+                            for r in drels
+                        ],
+                    )
+                if columns:
+                    t = t.select([c for c in columns if c in t.column_names])
+                outs.append(t)
+            return pa.concat_tables(outs, promote_options="permissive")
+
+        return ray.data.from_items(items).map_batches(
+            fold, batch_size=1, batch_format="pyarrow"
+        )
 
     def repartition_lake(self, new_num_partitions: int) -> "EpochResult":
         """Compaction/re-partitioning: rewrite the lake into a different
@@ -532,7 +632,20 @@ class CDCLake:
         files = self.store.data_files(man)
         if not files:
             return TRANSCRIPT_SCHEMA.empty_table()
-        tables = [pq.read_table(f) for f in files]
+        from data_exchange_routing_ray.stages.upsert import fold_deltas
+
+        tables = []
+        for _, e in sorted(man.partitions.items()):
+            t = pq.read_table(os.path.join(self.lake_dir, e.file))
+            if e.deltas:
+                t = fold_deltas(
+                    t,
+                    [
+                        pq.read_table(os.path.join(self.lake_dir, d["file"]))
+                        for d in e.deltas
+                    ],
+                )
+            tables.append(t)
         out = pa.concat_tables(tables, promote_options="permissive")
         out = out.sort_by(
             [("conv_id", "ascending"), ("turn_idx", "ascending"), ("ts", "ascending")]
@@ -550,8 +663,12 @@ class CDCLake:
 
     def vacuum(self) -> int:
         """Delete partition files not referenced by the current manifest."""
-        live = {
-            os.path.abspath(p) for p in self.store.data_files(self.manifest)
+        man = self.manifest
+        live = {os.path.abspath(p) for p in self.store.data_files(man)}
+        live |= {
+            os.path.abspath(os.path.join(self.lake_dir, d["file"]))
+            for e in man.partitions.values()
+            for d in e.deltas
         }
         pdir = os.path.join(self.lake_dir, "partitions")
         removed = 0

@@ -368,19 +368,52 @@ def merge_tables(
     return out, stats
 
 
+def fold_deltas(
+    base: pa.Table | None, delta_tables: list[pa.Table]
+) -> pa.Table | None:
+    """Fold committed change-table deltas over a base partition table
+    (merge-on-read / compaction). Deltas were fenced when written, so the
+    fold itself is unfenced; cross-delta ordering is LWW by seq."""
+    deltas = [t for t in delta_tables if t is not None and t.num_rows]
+    if not deltas:
+        return base
+    merged, _ = merge_tables(
+        base, pa.concat_tables(deltas, promote_options="permissive"), -(2**62)
+    )
+    return merged
+
+
 def make_merge_fn(
     lake_dir: str,
     stage_dir: str,
     epoch: int,
     fence_below: int,
     base_files: dict[int, str],
+    base_deltas: dict[int, list[str]] | None = None,
+    base_rows: dict[int, int] | None = None,
+    policy: str = "rewrite",
+    delta_max_files: int = 4,
+    delta_ratio: float = 0.2,
 ):
     """Build the per-group merge callable for groupby(part).map_groups.
 
     ``base_files`` maps partition id → lake-relative base file path (from the
     current manifest); small (P entries), shipped in the task closure — the
     broadcast-config pattern (analog of ConfigCache, ``Common.kt:20-41``).
+
+    ``policy="delta"`` is the LSM-lite write path bounding copy-on-write
+    amplification at many small epochs: when the epoch's change rows for a
+    partition are small relative to its base (< ``delta_ratio``·base_rows)
+    and the partition has fewer than ``delta_max_files`` stacked deltas, the
+    merge writes ONLY the fenced+LWW-collapsed change rows as a delta file
+    (base untouched — no read, no rewrite). Reads fold base+deltas
+    (``fold_deltas``); reaching ``delta_max_files`` level-triggers a
+    compaction that folds everything into a fresh base. Amplification is
+    thus bounded at ~2× per ``delta_max_files`` small epochs instead of
+    base_size/epoch_delta× per epoch.
     """
+    base_deltas = base_deltas or {}
+    base_rows = base_rows or {}
 
     def merge_group(group: pa.Table) -> pd.DataFrame:
         _limit_arrow_threads()
@@ -413,13 +446,68 @@ def make_merge_fn(
                             fence_below, qmax if qmax is not None else fence_below
                         ),
                         "row_count": int(out.num_rows),
+                        "is_delta": 0,
+                    }
+                ]
+            )
+        rel = base_files.get(pid)
+        delta_rels = base_deltas.get(pid, [])
+        if (
+            policy == "delta"
+            and rel is not None
+            and len(delta_rels) < delta_max_files
+            and group.num_rows <= delta_ratio * max(base_rows.get(pid, 0), 1)
+        ):
+            # DELTA PATH: fence + LWW-collapse the change rows only; the
+            # base file is neither read nor rewritten. op/seq are RETAINED
+            # (deletes must survive to the read-time fold).
+            changes = group.filter(
+                pc.greater(group["seq"], pa.scalar(fence_below))
+            )
+            n_fenced = group.num_rows - changes.num_rows
+            if changes.num_rows:
+                changes = changes.take(pa.array(_last_per_key_indices(changes)))
+            drop = [
+                c
+                for c in (PART_COLUMN, SALT_COLUMN, "error")
+                if c in changes.column_names
+            ]
+            if drop:
+                changes = changes.drop_columns(drop)
+            path = stage_file_path(stage_dir, epoch, pid).replace(
+                "part-", "delta-part-"
+            )
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + ".inprogress"
+            pq.write_table(changes, tmp)
+            os.replace(tmp, path)
+            applied = (
+                int(pc.max(changes["seq"]).as_py())
+                if changes.num_rows
+                else fence_below
+            )
+            return pd.DataFrame(
+                [
+                    {
+                        "partition": pid,
+                        "epoch": epoch,
+                        "file": path,
+                        "changes_applied": int(changes.num_rows),
+                        "changes_fenced": int(n_fenced),
+                        "applied_offset": applied,
+                        "row_count": int(changes.num_rows),
+                        "is_delta": 1,
                     }
                 ]
             )
         base = None
-        rel = base_files.get(pid)
         if rel is not None:
             base = pq.read_table(os.path.join(lake_dir, rel))
+        if delta_rels:  # compaction: fold committed deltas into the base
+            base = fold_deltas(
+                base,
+                [pq.read_table(os.path.join(lake_dir, d)) for d in delta_rels],
+            )
         out, stats = merge_tables(base, group, fence_below)
         path = stage_file_path(stage_dir, epoch, pid)
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -433,6 +521,7 @@ def make_merge_fn(
                     "epoch": epoch,
                     "file": path,
                     **stats,
+                    "is_delta": 0,
                 }
             ]
         )

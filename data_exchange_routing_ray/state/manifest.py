@@ -32,6 +32,10 @@ class PartitionEntry:
     rows: int
     applied_offset: int  # max seq applied to this partition
     epoch: int  # epoch that last rewrote this partition
+    # LSM-lite (merge_policy="delta"): change-table delta files layered on
+    # top of the base file, folded at read time and compacted once the list
+    # reaches the level trigger. Each item: {"file","rows","epoch"}.
+    deltas: list = field(default_factory=list)
 
 
 @dataclass
@@ -65,7 +69,8 @@ class Manifest:
             num_partitions=d["num_partitions"],
             schema_names=d.get("schema_names", []),
             partitions={
-                int(pid): PartitionEntry(**e) for pid, e in d["partitions"].items()
+                int(pid): PartitionEntry(**{"deltas": [], **e})
+                for pid, e in d["partitions"].items()
             },
         )
 
