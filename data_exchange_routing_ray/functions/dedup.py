@@ -38,6 +38,38 @@ from data_exchange_routing_ray.hashing import stable_hash_strings
 
 DEFAULT_BUCKETS = 256
 
+# Per-worker-process cache for object-store-broadcast lookup tables
+# (assembled once per worker from Arrow block refs — zero-copy plasma reads;
+# cheaper than an actor pool at small scale, same amortization at large).
+_BROADCAST_CACHE: dict = {}
+
+
+def _broadcast_lookup(refs, id_col: str, payload_col: str, num_cols: int, dtype):
+    key = (refs[0].hex() if refs else "", payload_col, num_cols)
+    hit = _BROADCAST_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import ray as _ray
+
+    tabs = [t for t in _ray.get(list(refs)) if t.num_rows]
+    if tabs:
+        tab = pa.concat_tables(tabs)
+        ids = tab[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        val = (ids[order], _sig_matrix(tab[payload_col], num_cols, dtype)[order])
+    else:
+        val = (np.zeros(0, np.int64), np.empty((0, num_cols), np.dtype(dtype)))
+    _cache_put(key, val)
+    return val
+
+
+def _cache_put(key, val, max_entries: int = 4) -> None:
+    # keep a few live broadcasts per worker (a pipeline may interleave e.g.
+    # a signature lookup and a text lookup; single-slot eviction thrashes)
+    while len(_BROADCAST_CACHE) >= max_entries:
+        _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
+    _BROADCAST_CACHE[key] = val
+
 
 def _mix_to_bucket(cols: list[np.ndarray], num_buckets: int) -> np.ndarray:
     acc = np.zeros(len(cols[0]), dtype=np.uint64)
@@ -222,6 +254,28 @@ def exact_dedup(
 
 
 # ------------------------------------------------------------------ shingles
+
+def _broadcast_lookup_str(refs, id_col: str, payload_col: str):
+    """Per-worker cached (sorted ids, object array of strings) from block
+    refs — the string-payload sibling of ``_broadcast_lookup``."""
+    key = (refs[0].hex() if refs else "", payload_col, "str")
+    hit = _BROADCAST_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import ray as _ray
+
+    tabs = [t for t in _ray.get(list(refs)) if t.num_rows]
+    if tabs:
+        tab = pa.concat_tables(tabs)
+        ids = tab[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        texts = tab[payload_col].to_numpy(zero_copy_only=False)[order]
+        val = (ids[order], texts)
+    else:
+        val = (np.zeros(0, np.int64), np.zeros(0, object))
+    _cache_put(key, val)
+    return val
+
 
 def _doc_shingle_hashes(texts: list[str | None], k: int) -> tuple[np.ndarray, np.ndarray]:
     """Flattened shingle hashes + doc boundaries (offsets into the flat array).
@@ -511,38 +565,23 @@ def _verify_pairs_broadcast(
     refs = sig_ds.to_arrow_refs()
     deduped = _dedup_pairs(pairs_raw)
 
-    class Verify:
-        def __init__(self):
-            import ray as _ray
+    def verify(b: pa.Table) -> pa.Table:
+        ids, mat = _broadcast_lookup(refs, id_col, "sig", num_perm, np.uint64)
+        a = b["id_a"].to_numpy()
+        bb = b["id_b"].to_numpy()
+        est = (
+            mat[np.searchsorted(ids, a)] == mat[np.searchsorted(ids, bb)]
+        ).mean(axis=1)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep], pa.int64()),
+                "id_b": pa.array(bb[keep], pa.int64()),
+                "est_jaccard": pa.array(np.round(est[keep], 6), pa.float64()),
+            }
+        )
 
-            tabs = [t for t in _ray.get(list(refs)) if t.num_rows]
-            if tabs:
-                tab = pa.concat_tables(tabs)
-                ids = tab[id_col].to_numpy(zero_copy_only=False)
-                order = np.argsort(ids, kind="stable")
-                self.ids = ids[order]
-                self.mat = _sig_matrix(tab["sig"], num_perm)[order]
-            else:
-                self.ids = np.zeros(0, np.int64)
-                self.mat = np.empty((0, num_perm), np.uint64)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            a = b["id_a"].to_numpy()
-            bb = b["id_b"].to_numpy()
-            est = (
-                self.mat[np.searchsorted(self.ids, a)]
-                == self.mat[np.searchsorted(self.ids, bb)]
-            ).mean(axis=1)
-            keep = est >= threshold
-            return pa.table(
-                {
-                    "id_a": pa.array(a[keep], pa.int64()),
-                    "id_b": pa.array(bb[keep], pa.int64()),
-                    "est_jaccard": pa.array(np.round(est[keep], 6), pa.float64()),
-                }
-            )
-
-    return deduped.map_batches(Verify, concurrency=(1, 8), batch_format="pyarrow")
+    return deduped.map_batches(verify, batch_format="pyarrow")
 
 
 def minhash_candidate_pairs(
@@ -1066,36 +1105,25 @@ def lsh_neardup_pairs(
         refs = emb_ds.to_arrow_refs()
         deduped = _dedup_pairs(pairs_raw)
 
-        class Verify:
-            def __init__(self):
-                import ray as _ray
+        def verify_bcast(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return empty
+            ids, mat = _broadcast_lookup(refs, id_col, "vec", dim, np.float64)
+            a = b["id_a"].to_numpy()
+            bb = b["id_b"].to_numpy()
+            s = cosine_of(
+                mat[np.searchsorted(ids, a)], mat[np.searchsorted(ids, bb)]
+            )
+            keep = s > threshold
+            return pa.table(
+                {
+                    "id_a": pa.array(a[keep], pa.int64()),
+                    "id_b": pa.array(bb[keep], pa.int64()),
+                    "cosine": pa.array(np.round(s[keep], 6), pa.float64()),
+                }
+            )
 
-                tabs = [t for t in _ray.get(list(refs)) if t.num_rows]
-                tab = pa.concat_tables(tabs)
-                ids = tab[id_col].to_numpy(zero_copy_only=False)
-                order = np.argsort(ids, kind="stable")
-                self.ids = ids[order]
-                self.mat = _sig_matrix(tab["vec"], dim, np.float64)[order]
-
-            def __call__(self, b: pa.Table) -> pa.Table:
-                if b.num_rows == 0:
-                    return empty
-                a = b["id_a"].to_numpy()
-                bb = b["id_b"].to_numpy()
-                s = cosine_of(
-                    self.mat[np.searchsorted(self.ids, a)],
-                    self.mat[np.searchsorted(self.ids, bb)],
-                )
-                keep = s > threshold
-                return pa.table(
-                    {
-                        "id_a": pa.array(a[keep], pa.int64()),
-                        "id_b": pa.array(bb[keep], pa.int64()),
-                        "cosine": pa.array(np.round(s[keep], 6), pa.float64()),
-                    }
-                )
-
-        return deduped.map_batches(Verify, concurrency=(1, 8), batch_format="pyarrow")
+        return deduped.map_batches(verify_bcast, batch_format="pyarrow")
 
     ids_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
     with_a = attach_payload_bucketed(

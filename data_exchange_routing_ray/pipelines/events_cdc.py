@@ -1397,17 +1397,49 @@ def dedup_ngram_jaccard(sf_dir: str, est_threshold: float = 0.5) -> pa.Table:
     pairs = minhash_candidate_pairs(ds, threshold=est_threshold).map_batches(
         lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow"
     )
-    ids_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
-    with_a = attach_payload_bucketed(
-        pairs, ids_schema, ds,
-        key_col="doc_id", payload_col="text", payload_type=pa.string(),
-        side_col="id_a", out_col="text_a",
-    )
-    with_ab = attach_payload_bucketed(
-        with_a, ids_schema.append(pa.field("text_a", pa.string())), ds,
-        key_col="doc_id", payload_col="text", payload_type=pa.string(),
-        side_col="id_b", out_col="text_b",
-    )
+    # size-gated text attach: small corpora verify against an object-store
+    # broadcast of the docs (per-worker cached, zero-copy block reads);
+    # above the budget the texts ride two bucketed attach joins instead
+    if os.path.getsize(os.path.join(sf_dir, "documents.parquet")) <= (1 << 30):
+        from data_exchange_routing_ray.functions.dedup import (
+            _broadcast_lookup_str,
+        )
+
+        refs = ds.materialize().to_arrow_refs()
+
+        def attach_and_verify(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table(
+                    {"id_a": pa.array([], pa.int64()),
+                     "id_b": pa.array([], pa.int64()),
+                     "text_a": pa.array([], pa.string()),
+                     "text_b": pa.array([], pa.string())}
+                )
+            ids, texts = _broadcast_lookup_str(refs, "doc_id", "text")
+            a = b["id_a"].to_numpy()
+            bb = b["id_b"].to_numpy()
+            return pa.table(
+                {
+                    "id_a": pa.array(a, pa.int64()),
+                    "id_b": pa.array(bb, pa.int64()),
+                    "text_a": pa.array(texts[np.searchsorted(ids, a)], pa.string()),
+                    "text_b": pa.array(texts[np.searchsorted(ids, bb)], pa.string()),
+                }
+            )
+
+        with_ab = pairs.map_batches(attach_and_verify, batch_format="pyarrow")
+    else:
+        ids_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+        with_a = attach_payload_bucketed(
+            pairs, ids_schema, ds,
+            key_col="doc_id", payload_col="text", payload_type=pa.string(),
+            side_col="id_a", out_col="text_a",
+        )
+        with_ab = attach_payload_bucketed(
+            with_a, ids_schema.append(pa.field("text_a", pa.string())), ds,
+            key_col="doc_id", payload_col="text", payload_type=pa.string(),
+            side_col="id_b", out_col="text_b",
+        )
     out = with_ab.map_batches(
         jaccard_of_text_pairs, batch_format="pyarrow"
     ).to_pandas()  # bounded: one row per verified candidate pair
