@@ -155,6 +155,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_dup_ngram_fraction": q.text_dup_ngram_fraction,
         "pack_token_sequences": q.pack_token_sequences,
         "stratified_sample_per_source": q.stratified_sample_per_source,
+        # ---- round-2 widening ----
+        "text_normalize": q.text_normalize,
+        "unpivot_daily_counts": q.unpivot_daily_counts,
+        "left_join_customer_orders": q.left_join_customer_orders,
+        "quality_percentile_filter": q.quality_percentile_filter,
+        "text_decontaminate": q.text_decontaminate,
+        "dedup_cluster_components": q.dedup_cluster_components,
         "join_copartitioned_orders_lineitem": q.join_copartitioned_orders_lineitem,
     }
 
@@ -703,6 +710,68 @@ SELECT o_orderpriority, count(*) AS n_items,
        round(sum(l_extendedprice), 4) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
+""",
+        "text_normalize": r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS text_norm,
+       CAST(length(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+FROM documents
+""",
+        "unpivot_daily_counts": """
+WITH days AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events),
+types(event_type) AS (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')),
+counts AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT d.day, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM days d CROSS JOIN types t
+LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+""",
+        "left_join_customer_orders": """
+SELECT c_custkey, c_mktsegment,
+       CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0), 4) AS spend
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_mktsegment
+""",
+        "quality_percentile_filter": r"""
+WITH scored AS (
+  SELECT doc_id, source,
+    round(
+      least(CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE), 200.0) / 200.0
+      * (1.0 - CAST(length(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+               / greatest(CAST(length(text) AS DOUBLE), 1.0))
+      * (0.5 + 0.5 * least(
+          CAST(length(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS DOUBLE)
+          * 5.0 / greatest(CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0),
+          1.0))
+    , 6) AS quality
+  FROM documents
+),
+cuts AS (
+  SELECT source, quantile_cont(quality, 0.25) AS cut FROM scored GROUP BY source
+)
+SELECT s.source, CAST(count(*) AS BIGINT) AS n_kept,
+       round(avg(s.quality), 6) AS avg_quality
+FROM scored s JOIN cuts c ON s.source = c.source
+WHERE s.quality >= c.cut
+GROUP BY s.source
+""",
+        "dedup_cluster_components": """
+SELECT doc_id, CAST(min(doc_id) OVER (PARTITION BY text) AS BIGINT) AS component
+FROM documents
+""",
+        "text_decontaminate": """
+WITH snip AS (
+  SELECT DISTINCT substring(text, 11, 40) AS s
+  FROM documents WHERE doc_id % 97 = 0 AND length(text) > 10
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN EXISTS (
+         SELECT 1 FROM snip WHERE contains(d.text, snip.s)
+       ) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+FROM documents d GROUP BY source
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

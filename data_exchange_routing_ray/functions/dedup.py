@@ -44,6 +44,14 @@ DEFAULT_BUCKETS = 256
 _BROADCAST_CACHE: dict = {}
 
 
+def _as_arrow_block(t) -> pa.Table:
+    """to_arrow_refs() yields whatever block format the dataset holds —
+    pandas blocks (from map_groups pandas stages) must be converted."""
+    if isinstance(t, pa.Table):
+        return t
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def _broadcast_lookup(refs, id_col: str, payload_col: str, num_cols: int, dtype):
     key = (refs[0].hex() if refs else "", payload_col, num_cols)
     hit = _BROADCAST_CACHE.get(key)
@@ -51,7 +59,9 @@ def _broadcast_lookup(refs, id_col: str, payload_col: str, num_cols: int, dtype)
         return hit
     import ray as _ray
 
-    tabs = [t for t in _ray.get(list(refs)) if t.num_rows]
+    tabs = [
+        t for t in map(_as_arrow_block, _ray.get(list(refs))) if t.num_rows
+    ]
     if tabs:
         tab = pa.concat_tables(tabs)
         ids = tab[id_col].to_numpy(zero_copy_only=False)
@@ -264,7 +274,9 @@ def _broadcast_lookup_str(refs, id_col: str, payload_col: str):
         return hit
     import ray as _ray
 
-    tabs = [t for t in _ray.get(list(refs)) if t.num_rows]
+    tabs = [
+        t for t in map(_as_arrow_block, _ray.get(list(refs))) if t.num_rows
+    ]
     if tabs:
         tab = pa.concat_tables(tabs)
         ids = tab[id_col].to_numpy(zero_copy_only=False)

@@ -2113,3 +2113,300 @@ def join_copartitioned_orders_lineitem(sf_dir: str, num_buckets: int = 64) -> pa
     out["revenue"] = np.round(out["revenue"], 4)
     out["n_items"] = out["n_items"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ------------------------------------------------------- round-2 widening
+
+def text_normalize(sf_dir: str) -> pa.Table:
+    """Text normalization for training corpora: NFC unicode normalization →
+    lowercase → whitespace collapse → trim, all pyarrow.compute kernels
+    (zero Python strings). Oracle: DuckDB nfc_normalize/lower/regexp."""
+
+    def norm(b: pa.Table) -> pa.Table:
+        t = pc.utf8_normalize(b["text"].cast(pa.string()), form="NFC")
+        t = pc.utf8_lower(t)
+        t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "text_norm": t,
+                "n_chars_norm": pc.utf8_length(t).cast(pa.int64()),
+            }
+        )
+
+    out = (
+        _documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(norm, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def unpivot_daily_counts(sf_dir: str) -> pa.Table:
+    """Unpivot/melt: the wide daily-counts table back to long (day,
+    event_type, n) INCLUDING zero cells — melt runs as a map_batches stage
+    over the wide dataset (each wide row melts independently)."""
+    wide = pivot_daily_event_counts(sf_dir)
+    type_cols = [c for c in wide.column_names if c != "day"]
+
+    def melt(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        days = b["day"].to_numpy(zero_copy_only=False)
+        out_day = np.repeat(days, len(type_cols))
+        out_type = np.tile(np.array([c[2:] for c in type_cols], object), n)
+        counts = np.stack(
+            [b[c].to_numpy() for c in type_cols], axis=1
+        ).reshape(-1)
+        return pa.table(
+            {
+                "day": pa.array(out_day, pa.string()),
+                "event_type": pa.array(out_type, pa.string()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    out = (
+        ray.data.from_arrow(wide)
+        .map_batches(melt, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(
+        out.sort_values(["day", "event_type"]).reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+def left_join_customer_orders(sf_dir: str) -> pa.Table:
+    """Large-large co-partitioned LEFT OUTER join: every customer row keeps
+    its orders aggregate (0 for order-less customers). Orders pre-aggregate
+    per batch (combiner), both sides hash into the same bucket space, ONE
+    exchange, vectorized in-bucket left merge."""
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        g = df.groupby("o_custkey", as_index=False).agg(
+            n_orders=("o_totalprice", "size"), spend=("o_totalprice", "sum")
+        )
+        key = g["o_custkey"].to_numpy()
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "seg": pa.nulls(len(g), pa.string()),
+                "n_orders": pa.array(g["n_orders"].to_numpy(), pa.int64()),
+                "spend": pa.array(g["spend"].to_numpy(), pa.float64()),
+                "side": pa.array(np.ones(len(g), np.int8)),
+                "bucket": pa.array(
+                    ((key.astype(np.int64).view(np.uint64) * mix) % np.uint64(64)).astype(np.int64)
+                ),
+            }
+        )
+
+    def prep_cust(b: pa.Table) -> pa.Table:
+        key = b["c_custkey"].to_numpy()
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "seg": b["c_mktsegment"].cast(pa.string()),
+                "n_orders": pa.nulls(b.num_rows, pa.int64()),
+                "spend": pa.nulls(b.num_rows, pa.float64()),
+                "side": pa.array(np.zeros(b.num_rows, np.int8)),
+                "bucket": pa.array(
+                    ((key.astype(np.int64).view(np.uint64) * mix) % np.uint64(64)).astype(np.int64)
+                ),
+            }
+        )
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).map_batches(prep_cust, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    ).map_batches(prep_orders, batch_format="pyarrow")
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["side"] == 0][["key", "seg"]]
+        o = g[g["side"] == 1]
+        if len(o):
+            o = o.groupby("key", as_index=False).agg(
+                n_orders=("n_orders", "sum"), spend=("spend", "sum")
+            )
+            j = c.merge(o, on="key", how="left")
+        else:
+            j = c.assign(n_orders=np.nan, spend=np.nan)
+        j["n_orders"] = j["n_orders"].fillna(0).astype(np.int64)
+        j["spend"] = j["spend"].fillna(0.0)
+        return j
+
+    out = (
+        cust.union(orders)
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.rename(columns={"key": "c_custkey", "seg": "c_mktsegment"})
+    out["spend"] = np.round(out["spend"], 4)
+    return pa.Table.from_pandas(
+        out.sort_values("c_custkey").reset_index(drop=True), preserve_index=False
+    )
+
+
+def quality_percentile_filter(sf_dir: str, q: float = 0.25) -> pa.Table:
+    """Percentile-based quality filtering (two-pass broadcast-stats shape):
+    pass 1 computes each source's exact q-quantile of the quality score
+    (small per-source result); pass 2 streams the corpus keeping docs at or
+    above their source's cutoff. Returns per-source kept counts + mean
+    kept quality."""
+    from data_exchange_routing_ray.functions.text import add_quality_score
+
+    scored = _documents(sf_dir, columns=["doc_id", "source", "text"]).map_batches(
+        lambda b: add_quality_score(b).select(["doc_id", "source", "quality"]),
+        batch_format="pyarrow",
+    )
+
+    def src_quantile(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [{
+                "source": g["source"].iloc[0],
+                "cut": float(np.quantile(g["quality"].to_numpy(), q)),
+            }]
+        )
+
+    cuts = (
+        scored.groupby("source")
+        .map_groups(src_quantile, batch_format="pandas")
+        .to_pandas()
+    )
+    cut_of = dict(zip(cuts["source"], cuts["cut"]))  # tiny dim: broadcast
+
+    def keep(b: pa.Table) -> pa.Table:
+        src = b["source"].to_numpy(zero_copy_only=False)
+        cut_arr = pd.Series(src).map(cut_of).to_numpy()
+        mask = b["quality"].to_numpy() >= cut_arr
+        return b.filter(pa.array(mask))
+
+    out = (
+        scored.map_batches(keep, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="n_kept"), Sum("quality", alias_name="sum_q")
+        )
+        .to_pandas()
+    )
+    out["avg_quality"] = np.round(out["sum_q"] / out["n_kept"], 6)
+    out["n_kept"] = out["n_kept"].astype("int64")
+    return pa.Table.from_pandas(
+        out[["source", "n_kept", "avg_quality"]], preserve_index=False
+    )
+
+
+def dedup_cluster_components(sf_dir: str) -> pa.Table:
+    """Near-dup CLUSTERING end-to-end: exact-dup edges (CHAINS of adjacent
+    ids within each content group — deliberately the worst shape for naive
+    propagation) → distributed connected components (pointer-jumping
+    min-label, functions/graph.py) → every doc labeled with its component's
+    min doc_id. Oracle: min(doc_id) OVER (PARTITION BY text)."""
+    from data_exchange_routing_ray.functions.dedup import (
+        _mix_to_bucket,
+        add_content_hash,
+    )
+    from data_exchange_routing_ray.functions.graph import (
+        _labels_lookup,
+        connected_components,
+    )
+
+    docs = _documents(sf_dir, columns=["doc_id", "text"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        b2 = add_content_hash(b, "text")
+        h = b2["content_hash"].to_numpy()
+        t = pa.table({"doc_id": b["doc_id"].cast(pa.int64()),
+                      "content_hash": b2["content_hash"]})
+        return t.append_column(
+            "bucket", pa.array(_mix_to_bucket([h], 256), pa.int64())
+        )
+
+    def chain_edges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["content_hash", "doc_id"], kind="stable")
+        h = g["content_hash"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        same = h[1:] == h[:-1]
+        return pd.DataFrame({"id_a": d[:-1][same], "id_b": d[1:][same]})
+
+    edges = (
+        docs.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(chain_edges, batch_format="pandas")
+    )
+    labels = connected_components(edges).materialize()
+    refs = labels.to_arrow_refs()
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids, lab = _labels_lookup(refs)
+        d = b["doc_id"].to_numpy().astype(np.int64)
+        comp = d.copy()
+        if len(ids):
+            pos = np.searchsorted(ids, d)
+            pos_c = np.minimum(pos, len(ids) - 1)
+            hit = ids[pos_c] == d
+            comp[hit] = lab[pos_c[hit]]
+        return pa.table(
+            {"doc_id": pa.array(d, pa.int64()), "component": pa.array(comp, pa.int64())}
+        )
+
+    out = docs.map_batches(assign, batch_format="pyarrow").to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id").reset_index(drop=True), preserve_index=False
+    )
+
+
+def text_decontaminate(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination: docs sharing an exact 40-char snippet with
+    the (small, broadcast) benchmark set are flagged; per-source totals.
+    The benchmark side is a config-size dimension (broadcast, never a
+    shuffle); the corpus streams through vectorized substring matches. At
+    real scale the snippet set becomes hashed n-gram membership — same
+    shape, bucketed membership instead of per-snippet scans."""
+    # snippet set: chars 11..50 of every doc_id % 97 == 0 doc (the
+    # "benchmark"); tiny by construction, gathered like any config dim
+    snip_tab = (
+        _documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(
+            lambda b: b.filter(pa.array((b["doc_id"].to_numpy() % 97) == 0)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    snippets = sorted(
+        {t[10:50] for t in snip_tab["text"] if t and len(t) > 10}
+    )
+
+    def flag(b: pa.Table) -> pa.Table:
+        contaminated = np.zeros(b.num_rows, dtype=bool)
+        for s in snippets:
+            contaminated |= pc.match_substring(b["text"], s).to_numpy(
+                zero_copy_only=False
+            )
+        return pa.table(
+            {
+                "source": b["source"],
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+                "contaminated": pa.array(contaminated.astype(np.int64)),
+            }
+        )
+
+    out = (
+        _documents(sf_dir, columns=["doc_id", "source", "text"])
+        .map_batches(flag, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("one", alias_name="n_docs"),
+            Sum("contaminated", alias_name="n_contaminated"),
+        )
+        .to_pandas()
+        .astype({"n_docs": "int64", "n_contaminated": "int64"})
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)

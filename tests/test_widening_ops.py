@@ -172,3 +172,33 @@ def test_pack_token_sequences_scan_invariants(ray_session):
         out.reset_index(drop=True), out2.reset_index(drop=True)
     )
     assert int(out2["bin_tokens"].sum()) == total
+
+
+def test_connected_components_long_chain_and_islands(ray_session):
+    """Pointer-jumping label propagation must collapse a 200-node CHAIN
+    (worst case for naive propagation: O(n) rounds without jumping) within
+    the iteration budget, keep two components separate, and ignore
+    vertices that never appear in an edge."""
+    import ray.data
+
+    from data_exchange_routing_ray.functions.graph import connected_components
+
+    # component A: chain 0-1-2-...-199; component B: star around 1000
+    a_src = list(range(199))
+    a_dst = list(range(1, 200))
+    b_src = [1000] * 5
+    b_dst = [1001 + i for i in range(5)]
+    edges = pa.table(
+        {
+            "id_a": pa.array(a_src + b_src, pa.int64()),
+            "id_b": pa.array(a_dst + b_dst, pa.int64()),
+        }
+    )
+    labels = (
+        connected_components(ray.data.from_arrow(edges), max_iters=20)
+        .to_pandas()
+        .set_index("vertex")["label"]
+    )
+    assert set(labels.index) == set(range(200)) | {1000, *range(1001, 1006)}
+    assert (labels.loc[list(range(200))] == 0).all()
+    assert (labels.loc[[1000, *range(1001, 1006)]] == 1000).all()
