@@ -162,6 +162,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_percentile_filter": q.quality_percentile_filter,
         "text_decontaminate": q.text_decontaminate,
         "dedup_cluster_components": q.dedup_cluster_components,
+        "text_heavy_hitters": q.text_heavy_hitters,
+        "jsonl_source_roundtrip": q.jsonl_source_roundtrip,
+        "emb_kmeans_clusters": q.emb_kmeans_clusters,
+        "approx_quantiles_value": q.approx_quantiles_value,
         "join_copartitioned_orders_lineitem": q.join_copartitioned_orders_lineitem,
     }
 
@@ -761,6 +765,20 @@ GROUP BY s.source
         "dedup_cluster_components": """
 SELECT doc_id, CAST(min(doc_id) OVER (PARTITION BY text) AS BIGINT) AS component
 FROM documents
+""",
+        "text_heavy_hitters": r"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+')) AS word
+  FROM documents
+), w AS (SELECT word FROM words WHERE word <> '')
+SELECT word, CAST(count(*) AS BIGINT) AS n FROM w
+GROUP BY word
+HAVING count(*) > 0.002 * (SELECT count(*) FROM w)
+""",
+        "jsonl_source_roundtrip": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS sum_ticks
+FROM events GROUP BY event_type
 """,
         "text_decontaminate": """
 WITH snip AS (

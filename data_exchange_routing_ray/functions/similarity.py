@@ -195,3 +195,104 @@ class IVFIndex:
             ["cosine", id_col], ascending=[False, True], kind="stable"
         ).head(k)
         return cand.reset_index(drop=True)
+
+
+def distributed_kmeans(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_rows: int = 4096,
+) -> np.ndarray:
+    """DISTRIBUTED Lloyd k-means on the cosine sphere (IVFIndex.fit trains
+    on a driver sample; this streams the FULL corpus every iteration).
+
+    Each round: centroids broadcast via ``ray.put`` (k×dim — tiny), one
+    ``map_batches`` pass emits per-batch partial (count, vector-sum) rows
+    per centroid (k rows/batch, vectorized ``np.add.at``), the driver
+    reduces the k×dim partials and renormalizes. Deterministic (seeded
+    init from a bounded sample). Returns the (k, dim) unit centroids."""
+    sample = ds.limit(sample_rows).to_pandas()
+    X = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    kk = min(k, len(X))
+    C = X[rng.choice(len(X), size=kk, replace=False)]
+    dim = C.shape[1]
+
+    for _ in range(iters):
+        c_ref = ray.put(C)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            Cv = ray.get(c_ref)
+            M = _normalize(
+                np.stack(batch[vec_col].to_pandas().to_numpy()).astype(np.float64)
+            )
+            assign = np.argmax(M @ Cv.T, axis=1)
+            sums = np.zeros((kk, dim), dtype=np.float64)
+            np.add.at(sums, assign, M)
+            counts = np.bincount(assign, minlength=kk).astype(np.int64)
+            return pa.table(
+                {
+                    "cid": pa.array(np.arange(kk, dtype=np.int64)),
+                    "count": pa.array(counts),
+                    "vecsum": pa.array(
+                        [sums[i].tobytes() for i in range(kk)], pa.binary()
+                    ),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        counts = np.zeros(kk, dtype=np.int64)
+        sums = np.zeros((kk, dim), dtype=np.float64)
+        for cid, cnt, blob in zip(parts["cid"], parts["count"], parts["vecsum"]):
+            counts[cid] += cnt
+            sums[cid] += np.frombuffer(blob, dtype=np.float64)
+        nonempty = counts > 0
+        newC = C.copy()
+        newC[nonempty] = sums[nonempty] / counts[nonempty, None]
+        norms = np.linalg.norm(newC, axis=1)
+        norms[norms == 0] = 1.0
+        C = newC / norms[:, None]
+    return C
+
+
+def kmeans_cluster_stats(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> "pd.DataFrame":
+    """Final assignment pass: per-cluster size and mean cosine-to-centroid
+    (one streaming map_batches + a tiny driver reduce)."""
+    import pandas as pd
+
+    kk, dim = centroids.shape
+    c_ref = ray.put(centroids)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        Cv = ray.get(c_ref)
+        M = _normalize(
+            np.stack(batch[vec_col].to_pandas().to_numpy()).astype(np.float64)
+        )
+        S = M @ Cv.T
+        assign = np.argmax(S, axis=1)
+        best = S[np.arange(len(M)), assign]
+        counts = np.bincount(assign, minlength=kk).astype(np.int64)
+        cos_sums = np.zeros(kk, dtype=np.float64)
+        np.add.at(cos_sums, assign, best)
+        return pa.table(
+            {
+                "cluster_id": pa.array(np.arange(kk, dtype=np.int64)),
+                "n_vecs": pa.array(counts),
+                "cos_sum": pa.array(cos_sums, pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("cluster_id", as_index=False).agg(
+        n_vecs=("n_vecs", "sum"), cos_sum=("cos_sum", "sum")
+    )
+    out = out[out["n_vecs"] > 0].copy()
+    out["avg_cos"] = np.round(out["cos_sum"] / out["n_vecs"], 6)
+    out["n_vecs"] = out["n_vecs"].astype("int64")
+    return out[["cluster_id", "n_vecs", "avg_cos"]]

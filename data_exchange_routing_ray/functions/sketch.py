@@ -69,3 +69,59 @@ def hll_estimate(regs: np.ndarray) -> float:
     if est > (1 << 32) / 30.0:
         return -(1 << 32) * np.log(1.0 - est / (1 << 32))
     return est
+
+
+def approx_quantiles(
+    ds, col: str, qs: list[float], per_batch: int = 1024
+) -> list[float]:
+    """Mergeable quantile summary: each batch contributes ``per_batch``
+    evenly-spaced order statistics weighted by batch size (a GK/t-digest
+    stand-in with the same merge shape); the driver computes weighted
+    quantiles over the bounded merged summary. Error ≤ ~1/per_batch of
+    rank per batch, asserted against exact quantiles in pytest."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    def summary(b: pa.Table) -> pa.Table:
+        v = np.sort(b[col].to_numpy(zero_copy_only=False).astype(np.float64))
+        n = len(v)
+        if n == 0:
+            return pa.table(
+                {"value": pa.array([], pa.float64()),
+                 "weight": pa.array([], pa.float64())}
+            )
+        m = min(per_batch, n)
+        # t-digest-style tail bias: half the budget spread uniformly, a
+        # quarter concentrated in each 2% tail (tail quantiles are where
+        # uniform summaries lose rank resolution)
+        pos = np.unique(
+            np.concatenate(
+                [
+                    np.linspace(0, n - 1, m // 2),
+                    np.linspace(0, max(0.02 * (n - 1), 1), m // 4),
+                    np.linspace(min(0.98 * (n - 1), n - 2), n - 1, m // 4),
+                ]
+            ).round().astype(np.int64)
+        )
+        # piecewise weights: each kept order stat represents the ranks up
+        # to the midpoint between it and its neighbors
+        mid = (pos[1:] + pos[:-1]) / 2.0
+        hi = np.append(mid, n - 0.5)
+        lo = np.concatenate([[-0.5], mid])
+        return pa.table(
+            {
+                "value": pa.array(v[pos], pa.float64()),
+                "weight": pa.array(hi - lo, pa.float64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(summary, batch_format="pyarrow").to_pandas()
+    )  # bounded: per_batch rows per input batch
+    merged = merged.sort_values("value", kind="stable")
+    w = merged["weight"].to_numpy()
+    v = merged["value"].to_numpy()
+    cum = np.cumsum(w) - 0.5 * w
+    total = w.sum()
+    return [float(np.interp(q * total, cum, v)) for q in qs]

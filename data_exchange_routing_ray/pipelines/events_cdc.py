@@ -2410,3 +2410,171 @@ def text_decontaminate(sf_dir: str) -> pa.Table:
         .astype({"n_docs": "int64", "n_contaminated": "int64"})
     )
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def text_heavy_hitters(sf_dir: str, phi: float = 0.002) -> pa.Table:
+    """Frequent-word (heavy-hitter) detection with EXACT output in two
+    bounded passes — the streaming-sketch shape with a deterministic
+    result. Pass 1 streams the corpus once emitting each batch's
+    pigeonhole survivors (words with batch count > φ·batch_words: any
+    globally φ-heavy word must be batch-heavy in ≥1 batch, and ≤1/φ can
+    survive per batch, so candidate memory is bounded) plus the batch word
+    total. Pass 2 exactly recounts ONLY the (broadcast, config-size)
+    candidate set and filters by the true global threshold. Output is
+    exact ⇒ oracle is a plain GROUP BY ... HAVING."""
+
+    def batch_words(b: pa.Table) -> pd.Series:
+        words = pc.list_flatten(
+            pc.split_pattern_regex(
+                pc.utf8_lower(b["text"]), pattern=r"[^\p{L}\p{N}]+"
+            )
+        )
+        s = pd.Series(words.to_numpy(zero_copy_only=False))
+        return s[s != ""]
+
+    def candidates(b: pa.Table) -> pa.Table:
+        s = batch_words(b)
+        vc = s.value_counts()
+        surv = vc[vc > phi * len(s)]
+        return pa.table(
+            {
+                "word": pa.array(
+                    list(surv.index) + [""], pa.string()
+                ),  # "" row carries the batch word total
+                "batch_total": pa.array(
+                    [0] * len(surv) + [len(s)], pa.int64()
+                ),
+            }
+        )
+
+    c = (
+        _documents(sf_dir, columns=["text"])
+        .map_batches(candidates, batch_format="pyarrow")
+        .to_pandas()
+    )
+    total_words = int(c["batch_total"].sum())
+    cand = set(c.loc[c["word"] != "", "word"])
+    threshold = phi * total_words
+
+    def recount(b: pa.Table) -> pa.Table:
+        s = batch_words(b)
+        s = s[s.isin(cand)]
+        vc = s.value_counts()
+        words = vc.index.to_numpy(dtype=object)
+        t = pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "n": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+        return t.append_column(
+            "bucket",
+            pa.array(
+                (pd.util.hash_array(words) % 64).astype("int64"), pa.int64()
+            ),
+        )
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("word", as_index=False).agg(n=("n", "sum"))
+
+    counts = (
+        _documents(sf_dir, columns=["text"])
+        .map_batches(recount, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = counts[counts["n"] > threshold].copy()
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("word").reset_index(drop=True), preserve_index=False
+    )
+
+
+def jsonl_source_roundtrip(sf_dir: str) -> pa.Table:
+    """JSON-lines source/sink roundtrip (the other delimited-text format a
+    training pipeline ingests): events → write_json → read_json → grouped
+    rollup. Values are scaled to integer ticks before the text roundtrip so
+    float formatting cannot drift (same contract as the CSV roundtrip)."""
+
+    def to_json_cols(b: pa.Table) -> pa.Table:
+        v = np.floor(b["value"].to_numpy() * 10000.0).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "value_t": pa.array(v, pa.int64()),
+            }
+        )
+
+    with tempfile.TemporaryDirectory(prefix="jsonrt-") as d:
+        _events(sf_dir, columns=["event_id", "event_type", "value"]).map_batches(
+            to_json_cols, batch_format="pyarrow"
+        ).write_json(d)
+        back = ray.data.read_json(d)
+        out = (
+            back.groupby("event_type")
+            .aggregate(Count(alias_name="n"), Sum("value_t", alias_name="sum_ticks"))
+            .to_pandas()
+        )
+    out["n"] = out["n"].astype("int64")
+    out["sum_ticks"] = out["sum_ticks"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def emb_kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5) -> pa.Table:
+    """Distributed k-means over the embedding corpus (full-corpus Lloyd
+    rounds, centroids broadcast per round — the iterative model-fitting
+    shape). Deterministic (seeded init); rows-only driver gate, cluster
+    recovery pinned in pytest on planted clusters."""
+    from data_exchange_routing_ray.functions.similarity import (
+        distributed_kmeans,
+        kmeans_cluster_stats,
+    )
+
+    ds = _embeddings(sf_dir)
+    C = distributed_kmeans(ds, k=k, iters=iters)
+    out = kmeans_cluster_stats(_embeddings(sf_dir), C)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def approx_quantiles_value(sf_dir: str) -> pa.Table:
+    """Mergeable-summary approximate quantiles of events.value with an
+    IN-QUERY error gate: the approximation must sit within the exact
+    p±1% value band (exact computed by the same distributed machinery the
+    exact-quantiles query uses)."""
+    from data_exchange_routing_ray.functions.sketch import approx_quantiles
+
+    qs = [0.5, 0.9, 0.99]
+    approx = approx_quantiles(
+        _events(sf_dir, columns=["value"]), "value", qs
+    )
+    # in-query gate: exact quantiles via one grouped pass (single group)
+    def allv(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy()
+        p = np.quantile(v, qs)
+        return pd.DataFrame([{"p50": p[0], "p90": p[1], "p99": p[2]}])
+
+    exact = (
+        _events(sf_dir, columns=["value"])
+        .map_batches(
+            lambda b: b.append_column("g", pa.array(np.zeros(b.num_rows, np.int64))),
+            batch_format="pyarrow",
+        )
+        .groupby("g")
+        .map_groups(allv, batch_format="pandas")
+        .to_pandas()
+        .iloc[0]
+    )
+    spread = float(exact["p99"] - exact["p50"]) or 1.0
+    for a, e in zip(approx, [exact["p50"], exact["p90"], exact["p99"]]):
+        if abs(a - float(e)) > 0.05 * spread:
+            raise AssertionError(
+                f"approx quantile {a} deviates from exact {e} beyond 5% of spread"
+            )
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.float64()),
+            "value_approx": pa.array(np.round(approx, 4), pa.float64()),
+        }
+    )

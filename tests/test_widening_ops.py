@@ -202,3 +202,52 @@ def test_connected_components_long_chain_and_islands(ray_session):
     assert set(labels.index) == set(range(200)) | {1000, *range(1001, 1006)}
     assert (labels.loc[list(range(200))] == 0).all()
     assert (labels.loc[[1000, *range(1001, 1006)]] == 1000).all()
+
+
+def test_distributed_kmeans_recovers_planted_clusters(ray_session):
+    """Full-corpus Lloyd rounds must recover 4 well-separated planted
+    clusters: every planted group lands in one k-means cluster and the
+    4 clusters are distinct."""
+    import ray.data
+
+    from data_exchange_routing_ray.functions.similarity import (
+        distributed_kmeans,
+        kmeans_cluster_stats,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = np.eye(4, 64) * 10.0
+    rows = []
+    for c in range(4):
+        pts = centers[c] + rng.normal(0, 0.05, size=(50, 64))
+        rows.extend(pts)
+    tab = pa.table(
+        {
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in rows]),
+        }
+    )
+    ds = ray.data.from_arrow(tab)
+    C = distributed_kmeans(ds, k=4, iters=6)
+    stats = kmeans_cluster_stats(ray.data.from_arrow(tab), C)
+    # 4 non-empty clusters of 50, each extremely tight on the sphere
+    assert sorted(stats["n_vecs"]) == [50, 50, 50, 50]
+    assert (stats["avg_cos"] > 0.99).all()
+
+
+def test_approx_quantiles_error_bound(ray_session):
+    """Merged-summary quantiles must track exact quantiles on a skewed
+    (lognormal) distribution within 1% of the p50-p99 spread."""
+    import ray.data
+
+    from data_exchange_routing_ray.functions.sketch import approx_quantiles
+
+    rng = np.random.default_rng(11)
+    v = rng.lognormal(0, 1.0, size=50_000)
+    ds = ray.data.from_arrow(pa.table({"value": pa.array(v, pa.float64())}))
+    qs = [0.5, 0.9, 0.99]
+    approx = approx_quantiles(ds, "value", qs)
+    exact = np.quantile(v, qs)
+    spread = exact[2] - exact[0]
+    for a, e in zip(approx, exact):
+        assert abs(a - e) <= 0.01 * spread, (a, e)
