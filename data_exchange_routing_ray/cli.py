@@ -165,6 +165,36 @@ def cmd_repartition(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Fold all open delta files into fresh base files (keeps the partition
+    count): the manual compaction trigger for merge_policy='delta' lakes —
+    e.g. before switching to the actors/exchange merge backends, which read
+    base files only."""
+    if not os.path.isdir(args.lake):
+        print(f"error: no lake at {args.lake}", file=sys.stderr)
+        return 2
+    _ensure_ray(args.num_cpus)
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    lake = CDCLake(args.lake)
+    n_deltas = sum(len(e.deltas) for e in lake.manifest.partitions.values())
+    if n_deltas == 0:
+        print(json.dumps({"skipped": "no open delta files"}))
+        return 0
+    r = lake.repartition_lake(lake.num_partitions)
+    print(
+        json.dumps(
+            {
+                "epoch": r.epoch,
+                "deltas_folded": n_deltas,
+                "total_rows": r.total_rows,
+                "applied_offset": r.applied_offset,
+            }
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="data_exchange_routing_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -206,6 +236,11 @@ def main(argv: list[str] | None = None) -> int:
     rpp.add_argument("--num-partitions", type=int, required=True)
     rpp.add_argument("--num-cpus", type=int, default=None)
     rpp.set_defaults(fn=cmd_repartition)
+
+    cp = sub.add_parser("compact", help="fold open delta files into fresh bases")
+    cp.add_argument("--lake", required=True)
+    cp.add_argument("--num-cpus", type=int, default=None)
+    cp.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     return args.fn(args)

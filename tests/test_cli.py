@@ -51,7 +51,39 @@ def test_cli_end_to_end(ray_session, tmp_path):
     vac = json.loads(_run("vacuum", "--lake", lake).stdout)
     assert vac["removed_files"] > 0
 
+    # compact on a delta-less lake is a clean no-op
+    cp = json.loads(_run("compact", "--lake", lake, "--num-cpus", "4")
+                    .stdout.strip().splitlines()[-1])
+    assert cp == {"skipped": "no open delta files"}
+
     # error paths: exit 2, no side effects
     bad = _run("status", "--lake", str(tmp_path / "nope"), check=False)
     assert bad.returncode == 2
     assert not (tmp_path / "nope").exists()
+
+
+def test_cli_compact_folds_deltas(ray_session, tmp_path):
+    """Delta-policy lake: cli compact folds every open delta into a fresh
+    base, after which the actors/exchange backends may write again."""
+    import ray.data
+
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+    from data_exchange_routing_ray.synth import make_change_stream
+
+    lake_dir = str(tmp_path / "lake")
+    lake = CDCLake(lake_dir, num_partitions=4, merge_policy="delta", delta_ratio=1.0)
+    base = make_change_stream(num_convs=20, max_turns=4, seed=6)
+    more = make_change_stream(num_convs=20, max_turns=4, seed=7, seq_start=50_000)
+    lake.apply_changes(ray.data.from_arrow(base), quarantine=False)
+    lake.apply_changes(ray.data.from_arrow(more), quarantine=False)
+    n_deltas = sum(len(e.deltas) for e in lake.manifest.partitions.values())
+    assert n_deltas > 0
+    before = lake.final_table()
+
+    cp = json.loads(_run("compact", "--lake", lake_dir, "--num-cpus", "4")
+                    .stdout.strip().splitlines()[-1])
+    assert cp["deltas_folded"] == n_deltas
+
+    after = CDCLake(lake_dir, num_partitions=4)
+    assert not any(e.deltas for e in after.manifest.partitions.values())
+    assert after.final_table().equals(before)
