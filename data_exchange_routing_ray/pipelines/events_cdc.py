@@ -2067,19 +2067,27 @@ def join_copartitioned_orders_lineitem(sf_dir: str, num_buckets: int = 64) -> pa
                 "side": pa.array(np.zeros(len(k), dtype=np.int8), pa.int8()),
                 "priority": b["o_orderpriority"],
                 "price": pa.nulls(len(k), pa.float64()),
+                "n": pa.array(np.zeros(len(k), np.int64), pa.int64()),
             }
         )
 
     def prep_lineitem(b: pa.Table) -> pa.Table:
-        k = b["l_orderkey"].to_numpy()
+        # per-batch COMBINER: several lineitems of one order collapse to a
+        # (count, sum) partial before anything is shuffled — the same
+        # pre-exchange reduction the CDC combiner applies
+        df = b.to_pandas().groupby("l_orderkey", as_index=False).agg(
+            n=("l_extendedprice", "size"), price=("l_extendedprice", "sum")
+        )
+        k = df["l_orderkey"].to_numpy()
         bk = ((k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % num_buckets
         return pa.table(
             {
                 "bucket": pa.array(bk.astype(np.int64), pa.int64()),
-                "key": b["l_orderkey"],
+                "key": pa.array(k, pa.int64()),
                 "side": pa.array(np.ones(len(k), dtype=np.int8), pa.int8()),
                 "priority": pa.nulls(len(k), pa.string()),
-                "price": b["l_extendedprice"],
+                "price": pa.array(df["price"].to_numpy(), pa.float64()),
+                "n": pa.array(df["n"].to_numpy(), pa.int64()),
             }
         )
 
@@ -2094,10 +2102,10 @@ def join_copartitioned_orders_lineitem(sf_dir: str, num_buckets: int = 64) -> pa
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         o = g[g["side"] == 0][["key", "priority"]]
-        l = g[g["side"] == 1][["key", "price"]]
+        l = g[g["side"] == 1][["key", "price", "n"]]
         j = l.merge(o, on="key", how="inner")
         return j.groupby("priority", as_index=False).agg(
-            n_items=("price", "size"), revenue=("price", "sum")
+            n_items=("n", "sum"), revenue=("price", "sum")
         )
 
     partials = (
@@ -2535,6 +2543,12 @@ def emb_kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5) -> pa.Table:
     ds = _embeddings(sf_dir)
     C = distributed_kmeans(ds, k=k, iters=iters)
     out = kmeans_cluster_stats(_embeddings(sf_dir), C)
+    # in-query invariant: every vector assigned to exactly one cluster
+    n_total = _embeddings(sf_dir).count()
+    if int(out["n_vecs"].sum()) != n_total:
+        raise AssertionError(
+            f"kmeans assignment lost rows: {int(out['n_vecs'].sum())} != {n_total}"
+        )
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
