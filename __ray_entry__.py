@@ -167,6 +167,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kmeans_clusters": q.emb_kmeans_clusters,
         "approx_quantiles_value": q.approx_quantiles_value,
         "join_copartitioned_orders_lineitem": q.join_copartitioned_orders_lineitem,
+        # ---- round-2 widening, batch 2 ----
+        "cdc_turn_gaps": q.cdc_turn_gaps,
+        "chunk_documents": q.chunk_documents,
+        "text_regex_extract": q.text_regex_extract,
+        "agg_cube_events": q.agg_cube_events,
+        "bloom_semi_join_lineitem": q.bloom_semi_join_lineitem,
+        "lake_snapshot_diff": q.lake_snapshot_diff,
     }
 
 
@@ -790,6 +797,89 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          SELECT 1 FROM snip WHERE contains(d.text, snip.s)
        ) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
 FROM documents d GROUP BY source
+""",
+        "cdc_turn_gaps": _CH
+        + """
+, last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM ch
+),
+st AS (
+  SELECT conv_id, turn_idx, epoch_us(ts) AS tsu
+  FROM last WHERE rn = 1 AND op <> 'delete'
+),
+g AS (
+  SELECT conv_id,
+         tsu - LAG(tsu) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap
+  FROM st
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(coalesce(sum(gap), 0) AS BIGINT) AS sum_gap_us,
+       CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_us
+FROM g GROUP BY conv_id
+""",
+        "chunk_documents": """
+WITH idx AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, CAST((greatest(length(text), 1) - 1) // 384 AS BIGINT))) AS i
+  FROM documents
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       substr(text, CAST(i * 384 + 1 AS BIGINT), 512) AS chunk
+FROM idx
+""",
+        "text_regex_extract": r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '\b(batch|merge|join)\b')) AS BIGINT) AS n_kw,
+       CAST(length(regexp_extract_all(text, '\b[a-z]{6,}\b')) AS BIGINT) AS n_long
+FROM documents
+""",
+        "agg_cube_events": """
+WITH e AS (
+  SELECT event_type, CAST(isodow(ts) AS VARCHAR) AS dow,
+         CAST(floor(value * 10000) AS BIGINT) AS ticks
+  FROM events
+)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(dow, 'ALL') AS dow,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(ticks) AS BIGINT) AS sum_ticks
+FROM e GROUP BY CUBE(event_type, dow)
+""",
+        "bloom_semi_join_lineitem": """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_ticks
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+GROUP BY l_returnflag
+""",
+        "lake_snapshot_diff": _CH
+        + """
+, mid AS (SELECT (max(event_id) + 1) // 2 AS m FROM events),
+la AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM ch, mid WHERE seq < m
+),
+a AS (SELECT conv_id, turn_idx, role, text, tool, ts FROM la WHERE rn = 1 AND op <> 'delete'),
+lb AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM ch
+),
+b AS (SELECT conv_id, turn_idx, role, text, tool, ts FROM lb WHERE rn = 1 AND op <> 'delete')
+SELECT coalesce(a.conv_id, b.conv_id) AS conv_id,
+       CAST(coalesce(a.turn_idx, b.turn_idx) AS BIGINT) AS turn_idx,
+       CASE WHEN a.conv_id IS NULL THEN 'added'
+            WHEN b.conv_id IS NULL THEN 'deleted'
+            ELSE 'changed' END AS change_kind
+FROM a FULL OUTER JOIN b
+  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+WHERE a.conv_id IS NULL OR b.conv_id IS NULL
+   OR a.role IS DISTINCT FROM b.role
+   OR a.text IS DISTINCT FROM b.text
+   OR a.tool IS DISTINCT FROM b.tool
+   OR a.ts IS DISTINCT FROM b.ts
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

@@ -2592,3 +2592,390 @@ def approx_quantiles_value(sf_dir: str) -> pa.Table:
             "value_approx": pa.array(np.round(approx, 4), pa.float64()),
         }
     )
+
+
+# ------------------------------------------------ round-2 widening, batch 2
+
+def cdc_turn_gaps(sf_dir: str) -> pa.Table:
+    """Per-conversation inter-turn latency over the LWW final state — the
+    LAG-window shape (reference emits per-upload latency telemetry the same
+    way, fns-routing ProcessingStatus counters). Scale shape: a per-batch
+    local LWW combiner, ONE coarse conv-hash bucket shuffle, then the
+    whole window computation (LWW + sort + masked diff) vectorized inside
+    the bucket frame. Gaps are integer microseconds so the oracle compare
+    is exact."""
+    from data_exchange_routing_ray.hashing import stable_hash_strings
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pa.table(
+            {
+                "conv_id": b["conv_id"],
+                "turn_idx": b["turn_idx"].cast(pa.int64()),
+                "seq": b["seq"],
+                "op": b["op"],
+                "ts": b["ts"],
+            }
+        ).to_pandas()
+        # local LWW per (conv,turn): cuts shuffle volume before the exchange
+        df = df.sort_values("seq", kind="stable").drop_duplicates(
+            ["conv_id", "turn_idx"], keep="last"
+        )
+        df["_bucket"] = (
+            stable_hash_strings(df["conv_id"].to_numpy()) % np.uint64(64)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("seq", kind="stable").drop_duplicates(
+            ["conv_id", "turn_idx"], keep="last"
+        )
+        g = g[g["op"] != "delete"]
+        if g.empty:
+            return pd.DataFrame(
+                {"conv_id": [], "n_turns": [], "sum_gap_us": [], "max_gap_us": []}
+            )
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable")
+        conv = g["conv_id"].to_numpy()
+        tsu = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        same = np.r_[False, conv[1:] == conv[:-1]]
+        gap = np.r_[np.int64(0), np.diff(tsu)]
+        gap_sum = np.where(same, gap, 0)
+        gap_max = np.where(same, gap, np.iinfo(np.int64).min)
+        agg = pd.DataFrame(
+            {"conv_id": conv, "one": np.int64(1), "gs": gap_sum, "gm": gap_max}
+        ).groupby("conv_id", as_index=False, sort=False).agg(
+            n_turns=("one", "sum"),
+            sum_gap_us=("gs", "sum"),
+            max_gap_us=("gm", "max"),
+        )
+        agg.loc[agg["max_gap_us"] == np.iinfo(np.int64).min, "max_gap_us"] = 0
+        return agg
+
+    out = (
+        derived_change_stream(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("n_turns", "sum_gap_us", "max_gap_us"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def chunk_documents(sf_dir: str, size: int = 512, stride: int = 384) -> pa.Table:
+    """Overlapping fixed-window document chunking (training-corpus prep:
+    long docs → model-context-sized pieces, stride < size for overlap).
+    1→N row expansion fully inside map_batches: chunk counts and offsets
+    are vectorized, the only per-row work is C-speed string slicing."""
+
+    def chunks(b: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(b["text"]).to_numpy().astype(np.int64)
+        n = (np.maximum(lens, 1) - 1) // stride + 1
+        ids = np.repeat(b["doc_id"].to_numpy(zero_copy_only=False), n)
+        # chunk_idx = 0..n_i-1 for every doc, concatenated (vectorized ragged arange)
+        total = int(n.sum())
+        idx = np.arange(total) - np.repeat(np.cumsum(n) - n, n)
+        starts = idx * stride
+        texts = np.repeat(np.asarray(b["text"].to_pylist(), dtype=object), n)
+        chunk = [t[s : s + size] for t, s in zip(texts, starts)]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "chunk_idx": pa.array(idx, pa.int64()),
+                "chunk": pa.array(chunk, pa.string()),
+            }
+        )
+
+    out = (
+        _documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(chunks, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def text_regex_extract(sf_dir: str) -> pa.Table:
+    """Per-document regex extraction counts (PII/entity-scan shape, the
+    vectorized analog of the reference's redactor scrub pass) — RE2
+    kernels via pyarrow.compute, zero Python in the row path."""
+    kw = r"\b(batch|merge|join)\b"
+    longw = r"\b[a-z]{6,}\b"
+
+    def counts(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_kw": pc.count_substring_regex(b["text"], kw).cast(pa.int64()),
+                "n_long": pc.count_substring_regex(b["text"], longw).cast(pa.int64()),
+            }
+        )
+
+    out = (
+        _documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(counts, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def agg_cube_events(sf_dir: str) -> pa.Table:
+    """CUBE(event_type, iso-dow) counts+sums — all four grouping sets from
+    ONE pass: per-batch partials at the finest grain (the only shuffle-free
+    exchange), then the tiny partial table is re-aggregated driver-side into
+    the coarser sets (sums/counts are re-aggregable, so no second scan).
+    Values are integer ticks so the cube compare is exact."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy().astype("datetime64[us]")
+        dow = (pd.DatetimeIndex(ts).dayofweek + 1).astype(np.int64)  # ISO 1..7
+        ticks = np.floor(b["value"].to_numpy() * 10000.0).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                "dow": dow.astype(str),
+                "n": np.int64(1),
+                "sum_ticks": ticks,
+            }
+        )
+        g = df.groupby(["event_type", "dow"], as_index=False, sort=False).agg(
+            n=("n", "sum"), sum_ticks=("sum_ticks", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fine = (
+        _events(sf_dir, columns=["event_type", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    fine = fine.groupby(["event_type", "dow"], as_index=False).agg(
+        n=("n", "sum"), sum_ticks=("sum_ticks", "sum")
+    )
+    sets = [fine]
+    by_et = fine.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), sum_ticks=("sum_ticks", "sum")
+    )
+    by_et["dow"] = "ALL"
+    by_dow = fine.groupby("dow", as_index=False).agg(
+        n=("n", "sum"), sum_ticks=("sum_ticks", "sum")
+    )
+    by_dow["event_type"] = "ALL"
+    total = pd.DataFrame(
+        {
+            "event_type": ["ALL"],
+            "dow": ["ALL"],
+            "n": [fine["n"].sum()],
+            "sum_ticks": [fine["sum_ticks"].sum()],
+        }
+    )
+    out = pd.concat(sets + [by_et, by_dow, total], ignore_index=True)[
+        ["event_type", "dow", "n", "sum_ticks"]
+    ]
+    out["n"] = out["n"].astype("int64")
+    out["sum_ticks"] = out["sum_ticks"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def bloom_semi_join_lineitem(sf_dir: str) -> pa.Table:
+    """Bloom-prefiltered semi join (lineitem ⋉ urgent orders): the probe
+    side is first cut down by a broadcast Bloom filter built from per-batch
+    bitset partials (fixed 1 MiB regardless of key count — THIS is what
+    ships to every worker at 100 TB, not the key set), then survivors are
+    verified EXACTLY by a co-partitioned bucket semi join (false positives
+    die in-bucket; false negatives are impossible by construction). Final
+    aggregate is pre-reduced per bucket."""
+    m_bits = 1 << 23  # 1 MiB bitset
+    mask = np.uint64(m_bits - 1)
+
+    def _h(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        k = keys.astype(np.uint64)
+        h1 = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+        h2 = (k * np.uint64(0xC2B2AE3D27D4EB4F)) >> np.uint64(17)
+        return (h1 & mask).astype(np.int64), (h2 & mask).astype(np.int64)
+
+    urgent = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT")).select(
+            ["o_orderkey"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def bloom_partial(b: pa.Table) -> pa.Table:
+        bits = np.zeros(m_bits >> 3, dtype=np.uint8)
+        h1, h2 = _h(b["o_orderkey"].to_numpy())
+        for h in (h1, h2):
+            np.bitwise_or.at(bits, h >> 3, np.uint8(1) << (h & 7).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    partials = urgent.map_batches(bloom_partial, batch_format="pyarrow").to_pandas()
+    bits = np.zeros(m_bits >> 3, dtype=np.uint8)
+    for raw in partials["bits"]:
+        bits |= np.frombuffer(raw, dtype=np.uint8)
+    bits_ref = ray.put(bits)
+
+    def probe(b: pa.Table) -> pa.Table:
+        bs = ray.get(bits_ref)
+        keys = b["l_orderkey"].to_numpy()
+        h1, h2 = _h(keys)
+        hit = (
+            (bs[h1 >> 3] >> (h1 & 7).astype(np.uint8)) & 1
+        ) & ((bs[h2 >> 3] >> (h2 & 7).astype(np.uint8)) & 1)
+        t = b.filter(pa.array(hit.astype(bool)))
+        ticks = np.floor(t["l_quantity"].to_numpy() * 100.0).astype(np.int64)
+        k = t["l_orderkey"].to_numpy()
+        bucket = ((k.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(128)).astype(np.int64)
+        return pa.table(
+            {
+                "k": t["l_orderkey"],
+                "l_returnflag": t["l_returnflag"],
+                "qty_ticks": pa.array(ticks, pa.int64()),
+                "side": pa.array(np.ones(t.num_rows, np.int64)),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    def key_rows(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy()
+        bucket = ((k.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(128)).astype(np.int64)
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": b["o_orderkey"],
+                "l_returnflag": pa.array([""] * n, pa.string()),
+                "qty_ticks": pa.array(np.zeros(n, np.int64)),
+                "side": pa.array(np.zeros(n, np.int64)),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    probe_ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag", "l_quantity"],
+    ).map_batches(probe, batch_format="pyarrow")
+    keys_ds = urgent.map_batches(key_rows, batch_format="pyarrow")
+
+    def semi_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        true_keys = g.loc[g["side"] == 0, "k"].to_numpy()
+        probe_rows = g[g["side"] == 1]
+        ok = probe_rows[np.isin(probe_rows["k"].to_numpy(), true_keys)]
+        if ok.empty:
+            return pd.DataFrame({"l_returnflag": [], "n": [], "sum_qty_ticks": []})
+        return ok.groupby("l_returnflag", as_index=False).agg(
+            n=("k", "size"), sum_qty_ticks=("qty_ticks", "sum")
+        )
+
+    part = (
+        probe_ds.union(keys_ds)
+        .groupby("bucket")
+        .map_groups(semi_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = part.groupby("l_returnflag", as_index=False).agg(
+        n=("n", "sum"), sum_qty_ticks=("sum_qty_ticks", "sum")
+    )
+    out["n"] = out["n"].astype("int64")
+    out["sum_qty_ticks"] = out["sum_qty_ticks"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def lake_snapshot_diff(sf_dir: str) -> pa.Table:
+    """Binlog-style snapshot diff between two committed lake epochs via
+    time travel — what a downstream consumer would read as "the change set
+    of epoch 1". Both snapshots share the SAME partitioner, so the diff is
+    partition-aligned: one task per partition loads base(+deltas) of each
+    epoch and compares vectorized — ZERO shuffle, no driver materialization.
+    Reference parity: manifest archive reads, state/manifest.py:94."""
+    import pyarrow.parquet as pq
+
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+    from data_exchange_routing_ray.stages.upsert import fold_deltas
+
+    stream = derived_change_stream(sf_dir)
+    hi = int(_events(sf_dir, columns=["event_id"]).max("event_id")) + 1
+    mid = hi // 2
+    with tempfile.TemporaryDirectory(prefix="cdclake-") as d:
+        lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
+        lake.apply_changes(stream.filter(expr=f"seq < {mid}"), quarantine=False)
+        lake.apply_changes(stream.filter(expr=f"seq >= {mid}"), quarantine=False)
+        man_a, man_b = lake.manifest_at(0), lake.manifest_at(1)
+        lake_dir = lake.lake_dir
+        pids = sorted(set(man_a.partitions) | set(man_b.partitions))
+        items = []
+        for pid in pids:
+            ea, eb = man_a.partitions.get(pid), man_b.partitions.get(pid)
+            items.append(
+                {
+                    "a_file": ea.file if ea else "",
+                    "a_deltas": [dd["file"] for dd in ea.deltas] if ea else [],
+                    "b_file": eb.file if eb else "",
+                    "b_deltas": [dd["file"] for dd in eb.deltas] if eb else [],
+                }
+            )
+
+        def load(rel: str, drels: list) -> pd.DataFrame:
+            cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+            if not rel:
+                return pd.DataFrame(columns=cols)
+            t = pq.read_table(os.path.join(lake_dir, rel))
+            if drels:
+                t = fold_deltas(
+                    t, [pq.read_table(os.path.join(lake_dir, r)) for r in drels]
+                )
+            df = t.select(cols).to_pandas()
+            df["turn_idx"] = df["turn_idx"].astype("int64")
+            return df
+
+        NUL = "\x00<null>"
+
+        def diff_partition(batch: pa.Table) -> pa.Table:
+            outs = []
+            for i in range(batch.num_rows):
+                a = load(batch["a_file"][i].as_py(), batch["a_deltas"][i].as_py() or [])
+                b = load(batch["b_file"][i].as_py(), batch["b_deltas"][i].as_py() or [])
+                m = a.merge(
+                    b,
+                    on=["conv_id", "turn_idx"],
+                    how="outer",
+                    suffixes=("_a", "_b"),
+                    indicator=True,
+                )
+                added = (m["_merge"] == "right_only").to_numpy()
+                deleted = (m["_merge"] == "left_only").to_numpy()
+                diff = np.zeros(len(m), dtype=bool)
+                for c in ("role", "text", "tool"):
+                    xa = m[f"{c}_a"].fillna(NUL).to_numpy()
+                    xb = m[f"{c}_b"].fillna(NUL).to_numpy()
+                    diff |= xa != xb
+                ta = m["ts_a"].to_numpy().astype("datetime64[us]").astype(np.int64)
+                tb = m["ts_b"].to_numpy().astype("datetime64[us]").astype(np.int64)
+                diff |= ta != tb
+                changed = (m["_merge"] == "both").to_numpy() & diff
+                kind = np.where(
+                    added, "added", np.where(deleted, "deleted", "changed")
+                ).astype(object)
+                keep = added | deleted | changed
+                outs.append(
+                    pa.table(
+                        {
+                            "conv_id": pa.array(
+                                m["conv_id"].to_numpy()[keep], pa.string()
+                            ),
+                            "turn_idx": pa.array(
+                                m["turn_idx"].to_numpy()[keep].astype(np.int64),
+                                pa.int64(),
+                            ),
+                            "change_kind": pa.array(kind[keep], pa.string()),
+                        }
+                    )
+                )
+            return pa.concat_tables(outs)
+
+        out = (
+            ray.data.from_items(items)
+            .map_batches(diff_partition, batch_size=1, batch_format="pyarrow")
+            .to_pandas()
+        )
+    return pa.Table.from_pandas(out, preserve_index=False)
