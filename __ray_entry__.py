@@ -174,6 +174,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_cube_events": q.agg_cube_events,
         "bloom_semi_join_lineitem": q.bloom_semi_join_lineitem,
         "lake_snapshot_diff": q.lake_snapshot_diff,
+        # ---- round-2 widening, batch 3 ----
+        "scd2_turn_history": q.scd2_turn_history,
+        "late_data_split": q.late_data_split,
+        "incr_view_roles": q.incr_view_roles,
+        "numeric_comoment_stats": q.numeric_comoment_stats,
+        "set_ops_users": q.set_ops_users,
+        "grouped_rank_topk": q.grouped_rank_topk,
     }
 
 
@@ -880,6 +887,74 @@ WHERE a.conv_id IS NULL OR b.conv_id IS NULL
    OR a.text IS DISTINCT FROM b.text
    OR a.tool IS DISTINCT FROM b.tool
    OR a.ts IS DISTINCT FROM b.ts
+""",
+        "scd2_turn_history": _CH
+        + """
+, v AS (
+  SELECT conv_id, turn_idx, op, role, text, seq,
+         lead(seq) OVER (PARTITION BY conv_id, turn_idx ORDER BY seq) AS next_seq
+  FROM ch
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text,
+       seq AS valid_from,
+       CAST(coalesce(next_seq, -1) AS BIGINT) AS valid_to,
+       CAST(CASE WHEN next_seq IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM v WHERE op <> 'delete'
+""",
+        "late_data_split": """
+WITH w AS (
+  SELECT event_type, event_id,
+         epoch_us(ts) - CAST((event_id % 20) * (event_id % 20) * 60000000 AS BIGINT) AS etsu
+  FROM events
+), m AS (
+  SELECT event_type, etsu,
+         max(etsu) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm
+  FROM w
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN wm - etsu > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM m GROUP BY event_type
+""",
+        "incr_view_roles": _CH
+        + """
+, last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM ch
+)
+SELECT role, CAST(count(*) AS BIGINT) AS n_turns
+FROM last WHERE rn = 1 AND op <> 'delete' GROUP BY role
+""",
+        "numeric_comoment_stats": """
+WITH e AS (
+  SELECT event_type, CAST(floor(value * 10000) AS BIGINT) AS x,
+         CAST(hour(ts) AS BIGINT) AS y
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+       CAST(sum(x * y) AS BIGINT) AS sum_xy, CAST(sum(x * x) AS BIGINT) AS sum_xx,
+       CAST(sum(y * y) AS BIGINT) AS sum_yy
+FROM e GROUP BY event_type
+""",
+        "set_ops_users": """
+WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT CAST(coalesce(c.user_id, p.user_id) AS BIGINT) AS user_id,
+       CASE WHEN c.user_id IS NOT NULL AND p.user_id IS NOT NULL THEN 'both'
+            WHEN c.user_id IS NOT NULL THEN 'click_only'
+            ELSE 'purchase_only' END AS kind
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+""",
+        "grouped_rank_topk": """
+WITH t AS (
+  SELECT event_type, CAST(user_id AS BIGINT) AS user_id,
+         CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS spend_ticks
+  FROM events GROUP BY event_type, user_id
+), r AS (
+  SELECT *, CAST(rank() OVER (PARTITION BY event_type ORDER BY spend_ticks DESC) AS BIGINT) AS rnk
+  FROM t
+)
+SELECT event_type, user_id, spend_ticks, rnk FROM r WHERE rnk <= 3
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

@@ -65,6 +65,8 @@ HEADLINE = [
     "left_join_customer_orders",
     "dedup_cluster_components",
     "quality_percentile_filter",
+    "cdc_turn_gaps",
+    "bloom_semi_join_lineitem",
 ]
 
 

@@ -2979,3 +2979,349 @@ def lake_snapshot_diff(sf_dir: str) -> pa.Table:
             .to_pandas()
         )
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ------------------------------------------------ round-2 widening, batch 3
+
+def scd2_turn_history(sf_dir: str) -> pa.Table:
+    """Slowly-changing-dimension Type-2 history of every (conv, turn):
+    version rows with [valid_from, valid_to) seq intervals and an
+    is_current flag — the audit-trail view a downstream warehouse keeps of
+    the reference's routed uploads (fns-routing ProcessingEvent history).
+    Scale shape: ONE conv-hash bucket shuffle; interval derivation is a
+    vectorized shift within the sorted bucket frame (a version's successor
+    is always in the same bucket, so no cross-bucket stitching is needed)."""
+    from data_exchange_routing_ray.hashing import stable_hash_strings
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        h = stable_hash_strings(b["conv_id"].to_numpy(zero_copy_only=False))
+        return b.append_column(
+            "_bucket", pa.array((h % np.uint64(64)).astype(np.int64))
+        )
+
+    def versions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx", "seq"], kind="stable")
+        key = g["conv_id"].astype(str) + "\x00" + g["turn_idx"].astype(str)
+        same_next = key.to_numpy()[1:] == key.to_numpy()[:-1]
+        nxt = np.concatenate([g["seq"].to_numpy()[1:], [np.int64(-1)]])
+        nxt[:-1][~same_next] = -1
+        if len(nxt):
+            nxt[-1] = -1
+        live = (g["op"] != "delete").to_numpy()
+        out = pd.DataFrame(
+            {
+                "conv_id": g["conv_id"].to_numpy(),
+                "turn_idx": g["turn_idx"].to_numpy().astype(np.int64),
+                "role": g["role"].to_numpy(),
+                "text": g["text"].to_numpy(),
+                "valid_from": g["seq"].to_numpy(),
+                "valid_to": nxt,
+                "is_current": ((nxt == -1) & live).astype(np.int64),
+            }
+        )
+        return out[live]
+
+    out = (
+        derived_change_stream(sf_dir)
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(versions, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def late_data_split(sf_dir: str, allowed_lag_us: int = 3_600_000_000) -> pa.Table:
+    """Watermark lateness classification: running-max EVENT-TIME watermark
+    over ARRIVAL order (seq), an event is late when it arrives after the
+    watermark has moved more than ``allowed_lag_us`` past its event time —
+    the reference's late-upload replay telemetry, expressed as a stream op.
+    Event time is the derived ts minus a deterministic (event_id%20)^2-min
+    jitter (ts itself is monotone in seq, so the jitter is what creates
+    genuine lateness; the same formula lives in the oracle).
+
+    Scale shape: the classic two-pass distributed prefix scan (same as
+    ``pack_token_sequences``) — pass 1 collects per-seq-range bucket maxima
+    (tiny), the driver prefix-maxes them, pass 2 re-groups per bucket,
+    accumulates the in-bucket running max vectorized, ORs in the broadcast
+    exclusive prefix, and emits per-event_type partials. Only (seq, etsu,
+    event_type) triples ride the shuffle."""
+    import ray as _ray
+
+    def derive(b: pa.Table) -> pa.Table:
+        ev = b["event_id"].to_numpy()
+        tsu = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        jit = (ev % 20).astype(np.int64) ** 2 * 60_000_000
+        return pa.table(
+            {
+                "seq": pa.array(ev, pa.int64()),
+                "etsu": pa.array(tsu - jit, pa.int64()),
+                "event_type": b["event_type"],
+                "bucket": pa.array(ev // 4096, pa.int64()),
+            }
+        )
+
+    tr = (
+        _events(sf_dir, columns=["event_id", "ts", "event_type"])
+        .map_batches(derive, batch_format="pyarrow")
+        .materialize()
+    )
+    maxima = (
+        tr.groupby("bucket")
+        .aggregate(Max("etsu", alias_name="mx"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    run = np.maximum.accumulate(maxima["mx"].to_numpy())
+    excl = np.concatenate([[np.int64(-(1 << 62))], run[:-1]])
+    ref = _ray.put(dict(zip(maxima["bucket"], excl)))
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        prior = _ray.get(ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values("seq", kind="stable")
+        ets = g["etsu"].to_numpy()
+        wm = np.maximum(np.maximum.accumulate(ets), prior)
+        late = (wm - ets) > allowed_lag_us
+        out = pd.DataFrame({"event_type": g["event_type"], "late": late, "one": 1})
+        return out.groupby("event_type", as_index=False).agg(
+            n_events=("one", "sum"), n_late=("late", "sum")
+        )
+
+    part = tr.groupby("bucket").map_groups(classify, batch_format="pandas").to_pandas()
+    out = part.groupby("event_type", as_index=False).agg(
+        n_events=("n_events", "sum"), n_late=("n_late", "sum")
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    out["n_late"] = out["n_late"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def incr_view_roles(sf_dir: str) -> pa.Table:
+    """Incremental materialized-view maintenance: a per-role live-turn count
+    maintained across two commits by re-aggregating ONLY the partitions the
+    second epoch touched (manifest diff), then combining with the first
+    epoch's untouched partition aggregates — the lake never rescans clean
+    partitions. Epoch B carries exactly the convs of ONE lake partition
+    (hash-slice), so at ANY scale precisely 1 of 64 partitions goes dirty —
+    the deliberately-skewed "one hot tenant changed" shape (asserted).
+    Epochs are conv-disjoint, so epoch B applies unfenced (the global seq
+    watermark would otherwise drop its interleaved seqs — same contract as
+    bootstrap). Reference parity: incremental ProcessingStatus counter
+    maintenance (fns-routing report sink); manifest diff state/manifest.py:94."""
+    import pyarrow.parquet as pq
+
+    from data_exchange_routing_ray.hashing import partition_ids
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+    from data_exchange_routing_ray.stages.upsert import fold_deltas
+
+    def slice_stream(want_zero: bool) -> ray.data.Dataset:
+        def f(b: pa.Table) -> pa.Table:
+            pid = partition_ids(b["conv_id"].combine_chunks(), 64)
+            m = (pid == 0) if want_zero else (pid != 0)
+            return b.filter(pa.array(m))
+
+        return derived_change_stream(sf_dir).map_batches(f, batch_format="pyarrow")
+
+    with tempfile.TemporaryDirectory(prefix="cdclake-") as d:
+        lake = CDCLake(os.path.join(d, "lake"), num_partitions=64)
+        lake.apply_changes(slice_stream(False), quarantine=False)
+        lake.apply_changes(slice_stream(True), quarantine=False, fence=False)
+        man_a, man_b = lake.manifest_at(0), lake.manifest_at(1)
+        lake_dir = lake.lake_dir
+
+        def sig(e):
+            return (e.file, tuple(dd["file"] for dd in e.deltas)) if e else None
+
+        def items_for(man, pids):
+            return [
+                {
+                    "file": man.partitions[p].file,
+                    "deltas": [dd["file"] for dd in man.partitions[p].deltas],
+                }
+                for p in pids
+                if p in man.partitions
+            ]
+
+        all_pids = set(man_a.partitions) | set(man_b.partitions)
+        dirty = sorted(
+            p
+            for p in all_pids
+            if sig(man_a.partitions.get(p)) != sig(man_b.partitions.get(p))
+        )
+        clean = sorted(p for p in man_a.partitions if p not in dirty)
+        assert clean, "epoch B must leave some partitions untouched"
+
+        def agg_partitions(batch: pa.Table) -> pa.Table:
+            outs = []
+            for i in range(batch.num_rows):
+                t = pq.read_table(
+                    os.path.join(lake_dir, batch["file"][i].as_py()),
+                    columns=None,
+                )
+                drels = batch["deltas"][i].as_py() or []
+                if drels:
+                    t = fold_deltas(
+                        t, [pq.read_table(os.path.join(lake_dir, r)) for r in drels]
+                    )
+                df = (
+                    t.select(["role"])
+                    .to_pandas()
+                    .groupby("role", as_index=False)
+                    .size()
+                )
+                outs.append(pa.Table.from_pandas(df, preserve_index=False))
+            return pa.concat_tables(outs)
+
+        def run_agg(items) -> pd.DataFrame:
+            if not items:
+                return pd.DataFrame({"role": [], "size": []})
+            return (
+                ray.data.from_items(items)
+                .map_batches(agg_partitions, batch_size=4, batch_format="pyarrow")
+                .to_pandas()
+            )
+
+        base = run_agg(items_for(man_a, clean))       # untouched: epoch-A result reused
+        fresh = run_agg(items_for(man_b, dirty))      # touched: re-aggregated only
+        out = (
+            pd.concat([base, fresh], ignore_index=True)
+            .groupby("role", as_index=False)["size"]
+            .sum()
+            .rename(columns={"size": "n_turns"})
+        )
+    out["n_turns"] = out["n_turns"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def numeric_comoment_stats(sf_dir: str) -> pa.Table:
+    """Exact distributed co-moment partials per event_type — the mergeable
+    (n, Σx, Σy, Σxy, Σx², Σy²) sketch behind corr/covariance/regression,
+    kept in integer ticks so the result is EXACT and oracle-comparable
+    (float corr differs in last-ulp across reduction orders; the integer
+    moments do not). x = value ticks, y = hour-of-day. Single pass,
+    per-batch partials, one 5-key reduce."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = np.floor(b["value"].to_numpy() * 10000.0).astype(np.int64)
+        ts = b["ts"].to_numpy().astype("datetime64[us]")
+        y = pd.DatetimeIndex(ts).hour.to_numpy().astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                "n": np.int64(1),
+                "sum_x": x,
+                "sum_y": y,
+                "sum_xy": x * y,
+                "sum_xx": x * x,
+                "sum_yy": y * y,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("event_type", as_index=False).sum(), preserve_index=False
+        )
+
+    out = (
+        _events(sf_dir, columns=["event_type", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("event_type", as_index=False)
+        .sum()
+    )
+    for c in ("n", "sum_x", "sum_y", "sum_xy", "sum_xx", "sum_yy"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def set_ops_users(sf_dir: str) -> pa.Table:
+    """EXCEPT / INTERSECT as one streaming pass: classify every user as
+    click-only, purchase-only, or both. Per-batch boolean partials
+    (has_click, has_purchase per user), ONE user-hash bucket reduce with a
+    vectorized OR — the distinct-set shuffles of a naive
+    EXCEPT/INTERSECT plan collapse into a single exchange of bit pairs."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(),
+                "c": et == "click",
+                "p": et == "purchase",
+            }
+        )
+        g = df.groupby("user_id", as_index=False).agg(c=("c", "max"), p=("p", "max"))
+        g = g[g["c"] | g["p"]]
+        g["bucket"] = (
+            g["user_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761)
+        ) % np.uint64(64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("user_id", as_index=False).agg(c=("c", "max"), p=("p", "max"))
+        kind = np.where(
+            m["c"] & m["p"], "both", np.where(m["c"], "click_only", "purchase_only")
+        )
+        return pd.DataFrame({"user_id": m["user_id"].astype("int64"), "kind": kind})
+
+    out = (
+        _events(sf_dir, columns=["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def grouped_rank_topk(sf_dir: str, k: int = 3) -> pa.Table:
+    """RANK()-with-ties top-k spenders per event_type. Two bounded stages:
+    per-(bucket, type) candidate pruning keeps only rows whose spend is
+    among the bucket's top-k DISTINCT spends (any row outside that set has
+    ≥k distinct greater values globally, hence rank > k — proof in the
+    bucket), then the tiny candidate set gets the exact rank at the driver.
+    The full per-(type,user) total table never leaves its bucket."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        ticks = np.floor(b["value"].to_numpy() * 10000.0).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                "user_id": b["user_id"].to_numpy(),
+                "spend_ticks": ticks,
+            }
+        )
+        g = df.groupby(["event_type", "user_id"], as_index=False).sum()
+        g["bucket"] = (
+            g["user_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761)
+        ) % np.uint64(64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["event_type", "user_id"], as_index=False)["spend_ticks"].sum()
+        keep = []
+        for _, grp in m.groupby("event_type", sort=False):
+            top = np.sort(grp["spend_ticks"].unique())[::-1][:k]
+            keep.append(grp[grp["spend_ticks"].isin(top)])
+        return pd.concat(keep, ignore_index=True)[
+            ["event_type", "user_id", "spend_ticks"]
+        ]
+
+    cand = (
+        _events(sf_dir, columns=["event_type", "user_id", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(prune, batch_format="pandas")
+        .to_pandas()
+    )
+    cand = cand.sort_values(
+        ["event_type", "spend_ticks"], ascending=[True, False], kind="stable"
+    )
+    rnk = (
+        cand.groupby("event_type")["spend_ticks"]
+        .rank(method="min", ascending=False)
+        .astype("int64")
+    )
+    cand["rnk"] = rnk
+    out = cand[cand["rnk"] <= k].copy()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["spend_ticks"] = out["spend_ticks"].astype("int64")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
