@@ -181,6 +181,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "numeric_comoment_stats": q.numeric_comoment_stats,
         "set_ops_users": q.set_ops_users,
         "grouped_rank_topk": q.grouped_rank_topk,
+        # ---- round-2 widening, batch 4 ----
+        "inverted_index_postings": q.inverted_index_postings,
+        "bigram_counts": q.bigram_counts,
+        "tool_cooccurrence": q.tool_cooccurrence,
+        "full_outer_join_users_customers": q.full_outer_join_users_customers,
+        "ntile_users_by_spend": q.ntile_users_by_spend,
+        "cdc_op_transition_counts": q.cdc_op_transition_counts,
     }
 
 
@@ -955,6 +962,72 @@ WITH t AS (
   FROM t
 )
 SELECT event_type, user_id, spend_ticks, rnk FROM r WHERE rnk <= 3
+""",
+        "inverted_index_postings": """
+WITH w AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, ' ')) AS term
+  FROM documents
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM w GROUP BY term
+HAVING count(*) >= 2
+   AND count(*) <= (SELECT CAST(count(*) * 0.9 AS BIGINT) FROM documents)
+""",
+        "bigram_counts": """
+WITH w AS (SELECT regexp_split_to_array(text, ' ') AS arr FROM documents),
+idx AS (SELECT arr, unnest(generate_series(1, len(arr) - 1)) AS i FROM w),
+bg AS (
+  SELECT arr[CAST(i AS BIGINT)] || ' ' || arr[CAST(i + 1 AS BIGINT)] AS bigram
+  FROM idx
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM bg GROUP BY bigram HAVING count(*) >= 10
+""",
+        "tool_cooccurrence": """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS tool_a, b.event_type AS tool_b,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type
+""",
+        "full_outer_join_users_customers": """
+WITH e AS (
+  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS sum_ticks
+  FROM events GROUP BY user_id
+), c AS (
+  SELECT c_custkey AS key,
+         CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_ticks
+  FROM customer
+)
+SELECT CAST(coalesce(e.key, c.key) AS BIGINT) AS user_id,
+       CAST(coalesce(e.n_events, 0) AS BIGINT) AS n_events,
+       CAST(coalesce(e.sum_ticks, 0) AS BIGINT) AS sum_ticks,
+       CAST(coalesce(c.bal_ticks, 0) AS BIGINT) AS bal_ticks,
+       CAST(CASE WHEN e.key IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_events,
+       CAST(CASE WHEN c.key IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_customers
+FROM e FULL OUTER JOIN c ON e.key = c.key
+""",
+        "ntile_users_by_spend": """
+WITH t AS (
+  SELECT user_id, CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS spend_ticks
+  FROM events GROUP BY user_id
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, spend_ticks,
+       CAST(ntile(4) OVER (ORDER BY spend_ticks DESC, user_id) AS BIGINT) AS q
+FROM t
+""",
+        "cdc_op_transition_counts": _CH
+        + """
+, tr AS (
+  SELECT coalesce(
+           lag(op) OVER (PARTITION BY conv_id, turn_idx ORDER BY seq), 'start'
+         ) AS prev_op, op
+  FROM ch
+)
+SELECT prev_op, op, CAST(count(*) AS BIGINT) AS n
+FROM tr GROUP BY prev_op, op
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

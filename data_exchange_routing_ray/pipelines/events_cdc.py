@@ -3325,3 +3325,360 @@ def grouped_rank_topk(sf_dir: str, k: int = 3) -> pa.Table:
     out["user_id"] = out["user_id"].astype("int64")
     out["spend_ticks"] = out["spend_ticks"].astype("int64")
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+# ------------------------------------------------ round-2 widening, batch 4
+
+def inverted_index_postings(sf_dir: str, df_min: int = 2, df_max_frac: float = 0.9) -> pa.Table:
+    """Search-index build: term → (df, sorted posting list), keeping the
+    mid-frequency band: hapax terms and terms in > ``df_max_frac`` of the
+    corpus dropped (the RELATIVE stopword bound that keeps a posting row
+    small at corpus scale — an absolute cap goes vacuous as N grows). Per-batch DISTINCT
+    (doc, term) pairs (the combiner), ONE term-hash bucket shuffle, posting
+    assembly vectorized inside the bucket. Only the integer/term pairs ride
+    the exchange; document text never leaves the scan stage."""
+
+    def pairs(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"], pattern=" ")
+        flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        lens = np.asarray(pc.list_value_length(flat))
+        doc = np.repeat(b["doc_id"].to_numpy(), lens)
+        term = np.asarray(pc.list_flatten(flat).to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({"term": term, "doc_id": doc}).drop_duplicates()
+        df["bucket"] = (
+            pd.util.hash_array(df["term"].to_numpy(dtype=object)) % 64
+        ).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    n_docs = int(_documents(sf_dir, columns=["doc_id"]).count())
+    df_max = int(n_docs * df_max_frac)
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["term", "doc_id"]).sort_values(
+            ["term", "doc_id"], kind="stable"
+        )
+        agg = g.groupby("term", as_index=False).agg(
+            df=("doc_id", "size"),
+            postings=("doc_id", lambda s: ",".join(map(str, s))),
+        )
+        agg = agg[(agg["df"] >= df_min) & (agg["df"] <= df_max)]
+        agg["df"] = agg["df"].astype("int64")
+        return agg
+
+    out = (
+        _documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(build, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def bigram_counts(sf_dir: str, min_count: int = 10) -> pa.Table:
+    """N-gram LM count table (n=2): per-batch vectorized bigram extraction
+    (flat token array + doc-boundary mask — no Python loop over rows),
+    per-batch value_counts combiner, coarse bigram-hash bucket reduce,
+    HAVING-style threshold applied in-bucket. The classic count-based LM
+    pipeline stage at corpus scale."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"], pattern=" ")
+        flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        lens = np.asarray(pc.list_value_length(flat))
+        words = np.asarray(pc.list_flatten(flat).to_numpy(zero_copy_only=False))
+        if len(words) == 0:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64()),
+                 "bucket": pa.array([], pa.int64())}
+            )
+        # last token of each doc cannot start a bigram
+        ends = np.cumsum(lens) - 1
+        ok = np.ones(len(words), dtype=bool)
+        ok[ends] = False
+        left = words[:-1][ok[:-1]]
+        right = words[1:][ok[:-1]]
+        s = pd.Series(np.char.add(np.char.add(left.astype(str), " "), right.astype(str)))
+        vc = s.value_counts()
+        out = pd.DataFrame({"bigram": vc.index, "n": vc.to_numpy()})
+        out["bucket"] = (
+            pd.util.hash_array(out["bigram"].to_numpy(dtype=object)) % 64
+        ).astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("bigram", as_index=False).agg(n=("n", "sum"))
+        agg = agg[agg["n"] >= min_count]
+        agg["n"] = agg["n"].astype("int64")
+        return agg
+
+    out = (
+        _documents(sf_dir, columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def tool_cooccurrence(sf_dir: str) -> pa.Table:
+    """Feature-cross / co-occurrence matrix: for every unordered pair of
+    event types, how many users used both. Per-batch distinct pairs, ONE
+    user-hash bucket shuffle, in-bucket vectorized self-merge (each user's
+    full distinct set is co-located by construction), tiny final reduce —
+    the pair space is |types|², never |users|²."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(),
+                "tool": b["event_type"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        df["bucket"] = (
+            df["user_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761)
+        ) % np.uint64(64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def cross_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "tool"])[["user_id", "tool"]]
+        m = d.merge(d, on="user_id", suffixes=("_a", "_b"))
+        m = m[m["tool_a"] < m["tool_b"]]
+        return m.groupby(["tool_a", "tool_b"], as_index=False).agg(
+            n_users=("user_id", "size")
+        )
+
+    part = (
+        _events(sf_dir, columns=["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cross_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = part.groupby(["tool_a", "tool_b"], as_index=False).agg(
+        n_users=("n_users", "sum")
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def full_outer_join_users_customers(sf_dir: str) -> pa.Table:
+    """Large-large co-partitioned FULL OUTER join across id domains that
+    only partially overlap (event users ↔ customers): event-side totals
+    pre-aggregated per batch, both sides hashed into one bucket space, ONE
+    exchange, vectorized in-bucket outer merge with an indicator column.
+    Completes the join matrix (inner/semi/anti/left exist elsewhere)."""
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def prep_events(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "key": b["user_id"].to_numpy(),
+                "ticks": np.floor(b["value"].to_numpy() * 10000.0).astype(np.int64),
+            }
+        )
+        g = df.groupby("key", as_index=False).agg(
+            n_events=("ticks", "size"), sum_ticks=("ticks", "sum")
+        )
+        key = g["key"].to_numpy()
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "n_events": pa.array(g["n_events"].to_numpy(), pa.int64()),
+                "sum_ticks": pa.array(g["sum_ticks"].to_numpy(), pa.int64()),
+                "bal_ticks": pa.nulls(len(g), pa.int64()),
+                "side": pa.array(np.zeros(len(g), np.int8)),
+                "bucket": pa.array(
+                    ((key.astype(np.int64).view(np.uint64) * mix) % np.uint64(64)).astype(np.int64)
+                ),
+            }
+        )
+
+    def prep_cust(b: pa.Table) -> pa.Table:
+        key = b["c_custkey"].to_numpy()
+        bal = np.floor(b["c_acctbal"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "n_events": pa.nulls(b.num_rows, pa.int64()),
+                "sum_ticks": pa.nulls(b.num_rows, pa.int64()),
+                "bal_ticks": pa.array(bal, pa.int64()),
+                "side": pa.array(np.ones(b.num_rows, np.int8)),
+                "bucket": pa.array(
+                    ((key.astype(np.int64).view(np.uint64) * mix) % np.uint64(64)).astype(np.int64)
+                ),
+            }
+        )
+
+    ev = _events(sf_dir, columns=["user_id", "value"]).map_batches(
+        prep_events, batch_format="pyarrow"
+    )
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_acctbal"]
+    ).map_batches(prep_cust, batch_format="pyarrow")
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["side"] == 0]
+        if len(e):
+            e = e.groupby("key", as_index=False).agg(
+                n_events=("n_events", "sum"), sum_ticks=("sum_ticks", "sum")
+            )
+        else:
+            e = pd.DataFrame({"key": [], "n_events": [], "sum_ticks": []})
+        c = g[g["side"] == 1][["key", "bal_ticks"]]
+        m = e.merge(c, on="key", how="outer", indicator=True)
+        m["in_events"] = (m["_merge"] != "right_only").astype("int64")
+        m["in_customers"] = (m["_merge"] != "left_only").astype("int64")
+        for col in ("n_events", "sum_ticks", "bal_ticks"):
+            m[col] = m[col].fillna(0).astype("int64")
+        m["user_id"] = m["key"].astype("int64")
+        return m[
+            ["user_id", "n_events", "sum_ticks", "bal_ticks", "in_events", "in_customers"]
+        ]
+
+    out = (
+        ev.union(cust)
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def ntile_users_by_spend(sf_dir: str, tiles: int = 4) -> pa.Table:
+    """Exact global NTILE via distributed sort-rank: (1) per-user totals by
+    one user-hash bucket reduce; (2) range-partition the totals on the
+    composite order key (−spend, user) using driver-sampled boundaries —
+    boundaries only steer load, NEVER correctness, because the ranges
+    partition the total order; (3) tiny per-range counts → driver prefix
+    sums → broadcast; (4) in-range vectorized sort gives local index,
+    global position = range offset + local index, ntile = the standard
+    balanced formula. This is the canonical exact rank/ntile plan at
+    cluster scale — no global sort materialization, two bounded shuffles."""
+    import ray as _ray
+
+    def totals_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(),
+                "ticks": np.floor(b["value"].to_numpy() * 10000.0).astype(np.int64),
+            }
+        )
+        g = df.groupby("user_id", as_index=False).agg(spend_ticks=("ticks", "sum"))
+        g["bucket"] = (
+            g["user_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761)
+        ) % np.uint64(64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def totals_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("user_id", as_index=False).agg(
+            spend_ticks=("spend_ticks", "sum")
+        )
+
+    totals = (
+        _events(sf_dir, columns=["user_id", "value"])
+        .map_batches(totals_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(totals_reduce, batch_format="pandas")
+        .materialize()
+    )
+
+    # driver-side SAMPLE → range boundaries on −spend. Rows with EQUAL spend
+    # always land in the same range (searchsorted is deterministic on equal
+    # keys), so the user-id tiebreak never crosses a range boundary and the
+    # ranges partition the (−spend, user) total order exactly.
+    n_ranges = 16
+    sample = totals.random_sample(0.1, seed=7).limit(4096).to_pandas()
+    if len(sample) >= n_ranges:
+        keys = np.sort(-sample["spend_ticks"].to_numpy())
+        bounds = keys[np.linspace(0, len(keys) - 1, n_ranges + 1).astype(int)][1:-1]
+    else:
+        bounds = np.array([], dtype=np.int64)
+    bref = _ray.put(bounds)
+
+    def assign_range(b: pa.Table) -> pa.Table:
+        bs = _ray.get(bref)
+        ck = -b["spend_ticks"].to_numpy()
+        rng = np.searchsorted(bs, ck, side="left") if len(bs) else np.zeros(
+            b.num_rows, np.int64
+        )
+        return b.append_column("rng", pa.array(rng.astype(np.int64)))
+
+    ranged = totals.map_batches(assign_range, batch_format="pyarrow").materialize()
+    counts = (
+        ranged.groupby("rng").aggregate(Count(alias_name="cnt")).to_pandas()
+        .sort_values("rng")
+    )
+    total_n = int(counts["cnt"].sum())
+    offs = np.concatenate([[0], np.cumsum(counts["cnt"].to_numpy())[:-1]])
+    oref = _ray.put(dict(zip(counts["rng"], offs)))
+
+    def rank_range(g: pd.DataFrame) -> pd.DataFrame:
+        off = _ray.get(oref)[int(g["rng"].iloc[0])]
+        g = g.sort_values(
+            ["spend_ticks", "user_id"], ascending=[False, True], kind="stable"
+        )
+        pos = off + np.arange(len(g))  # 0-based global position
+        # balanced NTILE: first (N % tiles) tiles get ceil(N/tiles) rows
+        big, rem = divmod(total_n, tiles)
+        cutover = (big + 1) * rem
+        q = np.where(
+            pos < cutover, pos // (big + 1), rem + (pos - cutover) // max(big, 1)
+        )
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].astype("int64"),
+                "spend_ticks": g["spend_ticks"].astype("int64"),
+                "q": (q + 1).astype("int64"),
+            }
+        )
+
+    out = (
+        ranged.groupby("rng").map_groups(rank_range, batch_format="pandas").to_pandas()
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def cdc_op_transition_counts(sf_dir: str) -> pa.Table:
+    """Changelog grammar check: per-key (prev_op → op) transition counts
+    over the change stream — the op-sequence telemetry a CDC pipeline
+    watches to detect producer bugs (e.g. update-before-insert). First
+    transition of a key counts as 'start' → op. ONE conv-hash bucket
+    shuffle; LAG computed as a vectorized shift within the sorted bucket
+    frame (a key's whole history co-locates)."""
+    from data_exchange_routing_ray.hashing import stable_hash_strings
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        h = stable_hash_strings(b["conv_id"].combine_chunks())
+        t = pa.table(
+            {
+                "conv_id": b["conv_id"],
+                "turn_idx": b["turn_idx"].cast(pa.int64()),
+                "seq": b["seq"],
+                "op": b["op"],
+            }
+        )
+        return t.append_column(
+            "_bucket", pa.array((h % np.uint64(64)).astype(np.int64))
+        )
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx", "seq"], kind="stable")
+        key = g["conv_id"].astype(str) + "\x00" + g["turn_idx"].astype(str)
+        same_prev = np.concatenate([[False], key.to_numpy()[1:] == key.to_numpy()[:-1]])
+        prev = np.concatenate([["start"], g["op"].to_numpy()[:-1]]).astype(object)
+        prev[~same_prev] = "start"
+        out = pd.DataFrame({"prev_op": prev, "op": g["op"], "one": 1})
+        return out.groupby(["prev_op", "op"], as_index=False).agg(n=("one", "sum"))
+
+    part = (
+        derived_change_stream(sf_dir)
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(transitions, batch_format="pandas")
+        .to_pandas()
+    )
+    out = part.groupby(["prev_op", "op"], as_index=False).agg(n=("n", "sum"))
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
