@@ -188,6 +188,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_join_users_customers": q.full_outer_join_users_customers,
         "ntile_users_by_spend": q.ntile_users_by_spend,
         "cdc_op_transition_counts": q.cdc_op_transition_counts,
+        # ---- round-2 widening, batch 5 ----
+        "paginate_orders": q.paginate_orders,
+        "window_running_total": q.window_running_total,
+        "json_extract_props": q.json_extract_props,
+        "argmax_latest_event": q.argmax_latest_event,
+        "value_histogram": q.value_histogram,
+        "mad_robust_stats": q.mad_robust_stats,
     }
 
 
@@ -1028,6 +1035,70 @@ FROM t
 )
 SELECT prev_op, op, CAST(count(*) AS BIGINT) AS n
 FROM tr GROUP BY prev_op, op
+""",
+        "paginate_orders": """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(floor(o_totalprice * 100) AS BIGINT) AS price_ticks
+FROM orders
+ORDER BY price_ticks DESC, o_orderkey
+LIMIT 20 OFFSET 40
+""",
+        "window_running_total": """
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id,
+       CAST(sum(CAST(floor(value * 10000) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_ticks
+FROM events
+""",
+        "json_extract_props": r"""
+WITH e AS (
+  SELECT event_type, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+FROM e GROUP BY event_type
+""",
+        "argmax_latest_event": """
+WITH r AS (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS last_event_id,
+       event_type AS last_event_type
+FROM r WHERE rn = 1
+""",
+        "value_histogram": """
+WITH e AS (
+  SELECT event_type,
+         least(greatest(CAST(floor(value * 10000) AS BIGINT) // 500, 0), 19) AS bin
+  FROM events
+)
+SELECT event_type, CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n
+FROM e GROUP BY event_type, bin
+""",
+        "mad_robust_stats": """
+WITH e AS (
+  SELECT event_type, CAST(floor(value * 10000) AS BIGINT) AS t FROM events
+),
+l AS (SELECT event_type, list(t ORDER BY t) AS arr FROM e GROUP BY event_type),
+m AS (
+  SELECT event_type,
+         arr[CAST((len(arr) - 1) // 2 + 1 AS BIGINT)]
+           + arr[CAST(len(arr) // 2 + 1 AS BIGINT)] AS med2,
+         arr
+  FROM l
+),
+d AS (
+  SELECT event_type, med2,
+         list_sort(list_transform(arr, x -> abs(2 * x - med2))) AS devs
+  FROM m
+)
+SELECT event_type, CAST(med2 AS BIGINT) AS med2,
+       CAST(devs[CAST((len(devs) - 1) // 2 + 1 AS BIGINT)]
+            + devs[CAST(len(devs) // 2 + 1 AS BIGINT)] AS BIGINT) AS mad4
+FROM d
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

@@ -3682,3 +3682,270 @@ def cdc_op_transition_counts(sf_dir: str) -> pa.Table:
     out = part.groupby(["prev_op", "op"], as_index=False).agg(n=("n", "sum"))
     out["n"] = out["n"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ------------------------------------------------ round-2 widening, batch 5
+
+def paginate_orders(sf_dir: str, limit: int = 20, offset: int = 40) -> pa.Table:
+    """Distributed pagination (ORDER BY … LIMIT k OFFSET m): each block
+    keeps only its own top-(k+m) candidates (vectorized partial top-k — the
+    only rows that can possibly appear on the page), the driver merges the
+    tiny candidate union and slices the page. No global sort, no full
+    materialization; candidate volume is blocks × (k+m), independent of N."""
+    need = limit + offset
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].to_numpy(),
+                "price_ticks": np.floor(
+                    b["o_totalprice"].to_numpy() * 100.0
+                ).astype(np.int64),
+            }
+        )
+        df = df.sort_values(
+            ["price_ticks", "o_orderkey"], ascending=[False, True], kind="stable"
+        ).head(need)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_totalprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    page = cand.sort_values(
+        ["price_ticks", "o_orderkey"], ascending=[False, True], kind="stable"
+    ).iloc[offset : offset + limit]
+    page = page.copy()
+    page["o_orderkey"] = page["o_orderkey"].astype("int64")
+    return pa.Table.from_pandas(page.reset_index(drop=True), preserve_index=False)
+
+
+def window_running_total(sf_dir: str) -> pa.Table:
+    """Per-user running spend total over time (cumulative window) — ONE
+    user-hash bucket shuffle, then the cumsum is a vectorized
+    groupby-cumsum inside the sorted bucket frame (each user's history
+    co-locates). The canonical ROWS UNBOUNDED PRECEDING window at scale."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy()
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+                "ticks": pa.array(
+                    np.floor(b["value"].to_numpy() * 10000.0).astype(np.int64)
+                ),
+                "bucket": pa.array(
+                    ((uid.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(64)).astype(np.int64)
+                ),
+            }
+        )
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        g["running_ticks"] = g.groupby("user_id")["ticks"].cumsum().astype("int64")
+        return g[["user_id", "event_id", "running_ticks"]]
+
+    out = (
+        _events(sf_dir, columns=["user_id", "event_id", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(running, batch_format="pandas")
+        .to_pandas()
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    out["event_id"] = out["event_id"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def json_extract_props(sf_dir: str) -> pa.Table:
+    """Semi-structured extraction: pull the integer field out of the JSON
+    props payload with ONE vectorized Arrow regex kernel (no per-row json
+    loads — at corpus scale the payload parse IS the job), then aggregate
+    (count, sum, distinct-count) per event_type. Distinct-count of a
+    bounded-domain field is per-batch set partials unioned in a tiny
+    driver reduce."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(b["props"], pattern=r"\"k\": (?P<k>\d+)")
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                "k": k.to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), sum_k=("k", "sum")
+        )
+        uniq = df.drop_duplicates()
+        uniq["n"] = 0
+        uniq["sum_k"] = 0
+        g["k"] = -1
+        return pa.Table.from_pandas(
+            pd.concat([g, uniq[["event_type", "n", "sum_k", "k"]]], ignore_index=True),
+            preserve_index=False,
+        )
+
+    part = (
+        _events(sf_dir, columns=["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    totals = (
+        part[part["k"] == -1]
+        .groupby("event_type", as_index=False)
+        .agg(n=("n", "sum"), sum_k=("sum_k", "sum"))
+    )
+    distinct = (
+        part[part["k"] >= 0]
+        .drop_duplicates(["event_type", "k"])
+        .groupby("event_type", as_index=False)
+        .agg(n_distinct_k=("k", "size"))
+    )
+    out = totals.merge(distinct, on="event_type")
+    for c in ("n", "sum_k", "n_distinct_k"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def argmax_latest_event(sf_dir: str) -> pa.Table:
+    """ARG_MAX / keep-latest dedup: for every user the single most recent
+    event row (max (ts, event_id)). Per-batch vectorized argmax combiner,
+    ONE user-hash bucket reduce — the mirror of first-wins exact dedup and
+    the row-level LWW shape the CDC merge uses, expressed as an operator."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(),
+                "event_id": b["event_id"].to_numpy(),
+                "tsu": b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+                "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+            }
+        )
+        df = df.sort_values(["tsu", "event_id"], kind="stable").drop_duplicates(
+            "user_id", keep="last"
+        )
+        df["bucket"] = (
+            df["user_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761)
+        ) % np.uint64(64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tsu", "event_id"], kind="stable").drop_duplicates(
+            "user_id", keep="last"
+        )
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].astype("int64"),
+                "last_event_id": g["event_id"].astype("int64"),
+                "last_event_type": g["event_type"],
+            }
+        )
+
+    out = (
+        _events(sf_dir, columns=["user_id", "event_id", "ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def value_histogram(sf_dir: str, n_bins: int = 20, hi_ticks: int = 10000) -> pa.Table:
+    """Fixed-width histogram of value per event_type (the profiling /
+    data-quality primitive): bin assignment is pure arithmetic per batch,
+    partials are (type, bin) counts — the full dataset never shuffles,
+    only the tiny histogram table does."""
+    width = hi_ticks // n_bins
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = np.floor(b["value"].to_numpy() * 10000.0).astype(np.int64)
+        bins = np.clip(t // width, 0, n_bins - 1)
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                "bin": bins,
+                "one": np.int64(1),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby(["event_type", "bin"], as_index=False).agg(n=("one", "sum")),
+            preserve_index=False,
+        )
+
+    out = (
+        _events(sf_dir, columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["event_type", "bin"], as_index=False)
+        .agg(n=("n", "sum"))
+    )
+    out["bin"] = out["bin"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def mad_robust_stats(sf_dir: str) -> pa.Table:
+    """Robust per-group stats: median and MAD (median absolute deviation),
+    reported as 2× in integer ticks so even-count medians stay EXACT
+    (2·median of ints is an int; float medians differ in last-ulp across
+    engines). Two passes: exact per-type median (tiny result, broadcast),
+    then deviations and their exact median. Low-cardinality groups gather
+    in one task each (same documented constraint as the exact quantiles);
+    the high-cardinality swap-in is the t-digest in functions/sketch.py."""
+    import ray as _ray
+
+    def med2_of(col: np.ndarray) -> int:
+        s = np.sort(col)
+        n = len(s)
+        return int(s[(n - 1) // 2] + s[n // 2])
+
+    def ticks(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "t": pa.array(
+                    np.floor(b["value"].to_numpy() * 10000.0).astype(np.int64)
+                ),
+            }
+        )
+
+    base = (
+        _events(sf_dir, columns=["event_type", "value"])
+        .map_batches(ticks, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def med_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [{"event_type": g["event_type"].iloc[0], "med2": med2_of(g["t"].to_numpy())}]
+        )
+
+    med = base.groupby("event_type").map_groups(med_group, batch_format="pandas").to_pandas()
+    mref = _ray.put(dict(zip(med["event_type"], med["med2"])))
+
+    def mad_group(g: pd.DataFrame) -> pd.DataFrame:
+        m2 = _ray.get(mref)[g["event_type"].iloc[0]]
+        dev2 = np.abs(2 * g["t"].to_numpy() - m2)  # 2·|x − med| stays integral
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": g["event_type"].iloc[0],
+                    "med2": int(m2),
+                    "mad4": med2_of(dev2),  # 2·median of 2·|dev| = 4·MAD
+                }
+            ]
+        )
+
+    out = base.groupby("event_type").map_groups(mad_group, batch_format="pandas").to_pandas()
+    out["med2"] = out["med2"].astype("int64")
+    out["mad4"] = out["mad4"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
