@@ -195,6 +195,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "argmax_latest_event": q.argmax_latest_event,
         "value_histogram": q.value_histogram,
         "mad_robust_stats": q.mad_robust_stats,
+        # ---- round-2 widening, batch 6 ----
+        "orc_source_roundtrip": q.orc_source_roundtrip,
+        "clustered_sorted_write": q.clustered_sorted_write,
+        "lake_point_lookup": q.lake_point_lookup,
+        "exact_distinct_pairs": q.exact_distinct_pairs,
     }
 
 
@@ -1099,6 +1104,42 @@ SELECT event_type, CAST(med2 AS BIGINT) AS med2,
        CAST(devs[CAST((len(devs) - 1) // 2 + 1 AS BIGINT)]
             + devs[CAST(len(devs) // 2 + 1 AS BIGINT)] AS BIGINT) AS mad4
 FROM d
+""",
+        "orc_source_roundtrip": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS sum_ticks
+FROM events GROUP BY event_type
+""",
+        "clustered_sorted_write": """
+WITH s AS (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(max(CASE WHEN rn_a = 1 THEN event_id END) AS BIGINT) AS first_event_id,
+       CAST(max(CASE WHEN rn_d = 1 THEN event_id END) AS BIGINT) AS last_event_id
+FROM s GROUP BY event_type
+""",
+        "lake_point_lookup": _CH
+        + """
+, last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM ch
+),
+target AS (
+  SELECT 'conv-' || lpad(CAST(min(user_id) AS VARCHAR), 6, '0') AS c FROM events
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, tool, ts
+FROM last, target
+WHERE rn = 1 AND op <> 'delete' AND conv_id = c
+""",
+        "exact_distinct_pairs": """
+SELECT CAST(count(*) AS BIGINT) AS n_user_days
+FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events)
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

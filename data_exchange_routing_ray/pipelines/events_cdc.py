@@ -3949,3 +3949,219 @@ def mad_robust_stats(sf_dir: str) -> pa.Table:
     out["med2"] = out["med2"].astype("int64")
     out["mad4"] = out["mad4"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ------------------------------------------------ round-2 widening, batch 6
+
+def orc_source_roundtrip(sf_dir: str) -> pa.Table:
+    """Columnar-format interop (ORC source/sink): events → one ORC shard per
+    batch (written inside map_batches — the sink is distributed, the driver
+    never sees data) → shard list → distributed ORC read → grouped rollup.
+    Value scaled to integer ticks before the roundtrip so the compare is
+    exact. The same per-shard pattern generalizes to any pyarrow-supported
+    format; shard files are the resumable unit."""
+    import uuid
+
+    import pyarrow.orc as orc
+
+    with tempfile.TemporaryDirectory(prefix="orcrt-") as d:
+
+        def write_shard(b: pa.Table) -> pa.Table:
+            v = np.floor(b["value"].to_numpy() * 10000.0).astype(np.int64)
+            t = pa.table(
+                {
+                    "event_id": b["event_id"],
+                    "event_type": b["event_type"],
+                    "value_t": pa.array(v, pa.int64()),
+                }
+            )
+            path = os.path.join(d, f"shard-{uuid.uuid4().hex}.orc")
+            orc.write_table(t, path)
+            return pa.table({"path": pa.array([path], pa.string())})
+
+        paths = (
+            _events(sf_dir, columns=["event_id", "event_type", "value"])
+            .map_batches(write_shard, batch_format="pyarrow")
+            .to_pandas()["path"]
+            .tolist()
+        )
+
+        def read_shard(b: pa.Table) -> pa.Table:
+            return pa.concat_tables(
+                [orc.read_table(p.as_py()) for p in b["path"]]
+            )
+
+        def partial(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame(
+                {
+                    "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                    "n": np.int64(1),
+                    "sum_ticks": b["value_t"].to_numpy(),
+                }
+            )
+            return pa.Table.from_pandas(
+                df.groupby("event_type", as_index=False).agg(
+                    n=("n", "sum"), sum_ticks=("sum_ticks", "sum")
+                ),
+                preserve_index=False,
+            )
+
+        out = (
+            ray.data.from_items([{"path": p} for p in paths])
+            .map_batches(read_shard, batch_size=4, batch_format="pyarrow")
+            .map_batches(partial, batch_format="pyarrow")
+            .to_pandas()
+            .groupby("event_type", as_index=False)
+            .agg(n=("n", "sum"), sum_ticks=("sum_ticks", "sum"))
+        )
+    out["n"] = out["n"].astype("int64")
+    out["sum_ticks"] = out["sum_ticks"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def clustered_sorted_write(sf_dir: str) -> pa.Table:
+    """Cluster-sorted export: a REAL global sort (the one place the
+    all-to-all shuffle is the right tool — range-partitioned by Ray's sort,
+    not a bucket hash), written to parquet in sorted block order, read back
+    and summarized per type with the globally-first/last event under the
+    sort key. Downstream scan benefit: readers get (event_type, ts) ranges
+    per file → row-group pruning works."""
+    with tempfile.TemporaryDirectory(prefix="clsort-") as d:
+
+        def prep(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "event_type": b["event_type"],
+                    "tsu": pa.array(
+                        b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+                    ),
+                    "event_id": b["event_id"],
+                }
+            )
+
+        (
+            _events(sf_dir, columns=["event_type", "ts", "event_id"])
+            .map_batches(prep, batch_format="pyarrow")
+            .sort(["event_type", "tsu", "event_id"])
+            .write_parquet(d)
+        )
+
+        def partial(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame(
+                {
+                    "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                    "tsu": b["tsu"].to_numpy(),
+                    "event_id": b["event_id"].to_numpy(),
+                }
+            )
+            g = df.sort_values(["tsu", "event_id"], kind="stable").groupby(
+                "event_type", as_index=False
+            )
+            first = g.first().rename(
+                columns={"tsu": "first_tsu", "event_id": "first_event_id"}
+            )
+            last = g.last().rename(
+                columns={"tsu": "last_tsu", "event_id": "last_event_id"}
+            )
+            cnt = g.size().rename(columns={"size": "n"})
+            return pa.Table.from_pandas(
+                first.merge(last, on="event_type").merge(cnt, on="event_type"),
+                preserve_index=False,
+            )
+
+        part = (
+            ray.data.read_parquet(d)
+            .map_batches(partial, batch_format="pyarrow")
+            .to_pandas()
+        )
+    agg = part.groupby("event_type", as_index=False).apply(
+        lambda g: pd.Series(
+            {
+                "n": g["n"].sum(),
+                "first_event_id": g.sort_values(
+                    ["first_tsu", "first_event_id"]
+                )["first_event_id"].iloc[0],
+                "last_event_id": g.sort_values(
+                    ["last_tsu", "last_event_id"]
+                )["last_event_id"].iloc[-1],
+            }
+        ),
+        include_groups=False,
+    ).reset_index()
+    agg = agg[["event_type", "n", "first_event_id", "last_event_id"]]
+    for c in ("n", "first_event_id", "last_event_id"):
+        agg[c] = agg[c].astype("int64")
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def lake_point_lookup(sf_dir: str) -> pa.Table:
+    """Serving-path point read: fetch ONE conversation's final turns by
+    computing its hash partition and reading exactly that partition's base
+    (+deltas) — O(lake/64) bytes touched, no scan, no shuffle. The target
+    conv is the deterministic min-user conv so the oracle can name it too.
+    Reference parity: per-upload status lookup (ProcessingStatus API)."""
+    import pyarrow.parquet as pq
+
+    from data_exchange_routing_ray.hashing import partition_ids
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+    from data_exchange_routing_ray.stages.upsert import fold_deltas
+
+    uid = int(_events(sf_dir, columns=["user_id"]).min("user_id"))
+    conv = f"conv-{uid:06d}"
+
+    with tempfile.TemporaryDirectory(prefix="cdclake-") as d:
+        lake = CDCLake(os.path.join(d, "lake"), num_partitions=64)
+        lake.apply_changes(derived_change_stream(sf_dir), quarantine=False)
+        pid = int(partition_ids(np.array([conv], dtype=object), 64)[0])
+        entry = lake.manifest.partitions.get(pid)
+        assert entry is not None, "target partition must exist"
+        t = pq.read_table(os.path.join(lake.lake_dir, entry.file))
+        if entry.deltas:
+            t = fold_deltas(
+                t,
+                [
+                    pq.read_table(os.path.join(lake.lake_dir, dd["file"]))
+                    for dd in entry.deltas
+                ],
+            )
+        t = t.filter(pc.equal(t["conv_id"], conv))
+        df = t.select(["conv_id", "turn_idx", "role", "text", "tool", "ts"]).to_pandas()
+    df["turn_idx"] = df["turn_idx"].astype("int64")
+    df = df.sort_values("turn_idx", kind="stable")
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+def exact_distinct_pairs(sf_dir: str) -> pa.Table:
+    """Exact global COUNT DISTINCT over a composite key (user, day): the
+    exact counterpart of the HLL sketch op — per-batch distinct-pair
+    combiner, ONE pair-hash bucket shuffle of the (already deduped) pairs,
+    per-bucket exact count, tiny sum. Memory bound is distinct pairs per
+    bucket, never raw rows."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (
+            b["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        )
+        df = pd.DataFrame(
+            {"user_id": b["user_id"].to_numpy(), "day": day}
+        ).drop_duplicates()
+        key = (
+            df["user_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761)
+            + df["day"].to_numpy().astype(np.uint64)
+        )
+        df["bucket"] = (key % np.uint64(64)).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [{"n": int(len(g.drop_duplicates(["user_id", "day"])))}]
+        )
+
+    part = (
+        _events(sf_dir, columns=["user_id", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(count_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.table({"n_user_days": pa.array([int(part["n"].sum())], pa.int64())})
