@@ -200,6 +200,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustered_sorted_write": q.clustered_sorted_write,
         "lake_point_lookup": q.lake_point_lookup,
         "exact_distinct_pairs": q.exact_distinct_pairs,
+        # ---- round-2 widening, batch 7 ----
+        "funnel_conversion": q.funnel_conversion,
+        "cohort_retention": q.cohort_retention,
+        "user_activity_streaks": q.user_activity_streaks,
+        "tfidf_top_terms": q.tfidf_top_terms,
+        "user_mode_event_type": q.user_mode_event_type,
+        "window_dedup_first": q.window_dedup_first,
     }
 
 
@@ -1140,6 +1147,104 @@ WHERE rn = 1 AND op <> 'delete' AND conv_id = c
         "exact_distinct_pairs": """
 SELECT CAST(count(*) AS BIGINT) AS n_user_days
 FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events)
+""",
+        "funnel_conversion": """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT v.user_id, min(e.ts) AS t2
+  FROM v JOIN events e
+    ON e.user_id = v.user_id AND e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY 1
+),
+p AS (
+  SELECT c.user_id, min(e.ts) AS t3
+  FROM c JOIN events e
+    ON e.user_id = c.user_id AND e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY 1
+)
+SELECT 'step1_view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM v
+UNION ALL SELECT 'step2_click', CAST(count(*) AS BIGINT) FROM c
+UNION ALL SELECT 'step3_purchase', CAST(count(*) AS BIGINT) FROM p
+""",
+        "cohort_retention": """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+c AS (SELECT user_id, min(d) AS cd FROM ud GROUP BY 1)
+SELECT CAST(datediff('day', DATE '1970-01-01', c.cd) AS BIGINT) AS cohort_day,
+       CAST(datediff('day', c.cd, ud.d) AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ud JOIN c USING (user_id)
+GROUP BY 1, 2
+""",
+        "user_activity_streaks": """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+),
+r AS (
+  SELECT user_id, d,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS isl
+  FROM ud
+),
+s AS (SELECT user_id, isl, count(*) AS len FROM r GROUP BY 1, 2)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(max(len) AS BIGINT) AS longest_streak
+FROM s GROUP BY 1
+""",
+        "tfidf_top_terms": r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+r AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, df.df ASC, tf.term
+         ) AS rn
+  FROM tf JOIN df USING (term)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+FROM r WHERE rn <= 3
+""",
+        "user_mode_event_type": """
+WITH n AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY n DESC, event_type
+         ) AS rn
+  FROM n
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       event_type AS mode_event_type,
+       CAST(n AS BIGINT) AS n_mode
+FROM r WHERE rn = 1
+""",
+        "window_dedup_first": """
+WITH r AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (
+           PARTITION BY user_id, event_type, date_trunc('hour', ts)
+           ORDER BY ts, event_id
+         ) AS rn
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS sum_ticks
+FROM r WHERE rn = 1 GROUP BY 1
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

@@ -4165,3 +4165,310 @@ def exact_distinct_pairs(sf_dir: str) -> pa.Table:
         .to_pandas()
     )
     return pa.table({"n_user_days": pa.array([int(part["n"].sum())], pa.int64())})
+
+
+# ------------------------------------------------ round-2 widening, batch 7
+
+def _user_bucket(uid: np.ndarray, n: int = 64) -> np.ndarray:
+    return ((uid.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(n)).astype(
+        np.int64
+    )
+
+
+def funnel_conversion(sf_dir: str) -> pa.Table:
+    """Ordered conversion funnel (view → click → purchase, strictly
+    increasing event time): per-user min-time chaining. ONE user-hash
+    bucket shuffle; inside a bucket every step is a vectorized masked
+    groupby-transform (no per-user Python loop), so a bucket of millions
+    of users costs three C-level scans. Per-bucket output is 3 counters —
+    the driver sums a 64×3 table. Reference parity: multi-stage delivery
+    tracking (upload → routed → delivered status progression)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy()
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_type": b["event_type"],
+                "tsu": pa.array(
+                    b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+                ),
+                "bucket": pa.array(_user_bucket(uid)),
+            }
+        )
+
+    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["tsu"]
+        u = g["user_id"]
+        t1 = ts.where(g["event_type"].eq("view")).groupby(u).transform("min")
+        t2 = (
+            ts.where(g["event_type"].eq("click") & (ts > t1))
+            .groupby(u)
+            .transform("min")
+        )
+        t3 = (
+            ts.where(g["event_type"].eq("purchase") & (ts > t2))
+            .groupby(u)
+            .transform("min")
+        )
+        per = pd.DataFrame(
+            {"u": u, "s1": t1.notna(), "s2": t2.notna(), "s3": t3.notna()}
+        ).groupby("u").any()
+        return pd.DataFrame(
+            {
+                "step": ["step1_view", "step2_click", "step3_purchase"],
+                "n_users": [
+                    int(per["s1"].sum()),
+                    int(per["s2"].sum()),
+                    int(per["s3"].sum()),
+                ],
+            }
+        )
+
+    part = (
+        _events(sf_dir, columns=["user_id", "event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(funnel_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = part.groupby("step", as_index=False).agg(n_users=("n_users", "sum"))
+    out["n_users"] = out["n_users"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def cohort_retention(sf_dir: str) -> pa.Table:
+    """Cohort retention matrix: users cohorted by first active day, counted
+    once per (cohort_day, day_offset) they return. Per-batch distinct
+    (user, day) combiner → ONE user-hash bucket shuffle (a user's full
+    history co-locates, so cohort assignment is exact) → vectorized
+    in-bucket matrix partials; the driver sums |days|² cells, which is
+    bounded by the calendar, not the data."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = b["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        df = pd.DataFrame(
+            {"user_id": b["user_id"].to_numpy(), "d": day}
+        ).drop_duplicates()
+        df["bucket"] = _user_bucket(df["user_id"].to_numpy())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def cohort_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "d"])
+        cd = g.groupby("user_id")["d"].transform("min")
+        out = pd.DataFrame({"cohort_day": cd, "day_offset": g["d"] - cd})
+        return out.groupby(
+            ["cohort_day", "day_offset"], as_index=False
+        ).size().rename(columns={"size": "n_users"})
+
+    part = (
+        _events(sf_dir, columns=["user_id", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cohort_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = part.groupby(["cohort_day", "day_offset"], as_index=False).agg(
+        n_users=("n_users", "sum")
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def user_activity_streaks(sf_dir: str) -> pa.Table:
+    """Gaps-and-islands: per user, total active days and the longest run of
+    consecutive days (the classic streak query). Distinct-day combiner →
+    user-hash bucket shuffle → island id via the day-minus-rank trick,
+    fully vectorized inside the bucket; per-user rows leave the bucket
+    directly (users never span buckets — no driver reduce)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = b["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        df = pd.DataFrame(
+            {"user_id": b["user_id"].to_numpy(), "d": day}
+        ).drop_duplicates()
+        df["bucket"] = _user_bucket(df["user_id"].to_numpy())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def streak_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "d"]).sort_values(
+            ["user_id", "d"], kind="stable"
+        )
+        isl = g["d"] - g.groupby("user_id").cumcount()
+        runs = (
+            pd.DataFrame({"user_id": g["user_id"], "isl": isl})
+            .groupby(["user_id", "isl"], as_index=False)
+            .size()
+        )
+        out = runs.groupby("user_id", as_index=False).agg(
+            n_active_days=("size", "sum"), longest_streak=("size", "max")
+        )
+        return out
+
+    out = (
+        _events(sf_dir, columns=["user_id", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(streak_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("user_id", kind="stable").reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3) -> pa.Table:
+    """Per-document top-k distinctive terms: tf is computed per batch with
+    no shuffle (a document never spans rows), df via ONE term-hash bucket
+    shuffle, the per-doc top-k via a second doc-hash bucket shuffle —
+    both reduces vectorized. Ranking is the integer lexicographic
+    (tf DESC, df ASC, term ASC): deterministic across engines, unlike
+    float tf·idf whose 1-ulp ln() differences reorder near-ties; df is
+    emitted so consumers can weight as they wish."""
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(b["text"]), pattern=r"[^\p{L}\p{N}]+"
+        )
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(toks).to_numpy()
+        doc = np.repeat(b["doc_id"].to_numpy(), lens)
+        df = pd.DataFrame({"doc_id": doc, "term": flat})
+        df = df[df["term"] != ""]
+        tf = df.groupby(["doc_id", "term"], as_index=False).size().rename(
+            columns={"size": "tf"}
+        )
+        tf["bucket"] = (
+            pd.util.hash_array(tf["term"].to_numpy(dtype=object)) % 64
+        ).astype("int64")
+        return pa.Table.from_pandas(tf, preserve_index=False)
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["df"] = g.groupby("term")["doc_id"].transform("size")
+        g["bucket2"] = (
+            (g["doc_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(64)
+        ).astype(np.int64)
+        return g[["doc_id", "term", "tf", "df", "bucket2"]]
+
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["doc_id", "tf", "df", "term"],
+            ascending=[True, False, True, True],
+            kind="stable",
+        )
+        return g.groupby("doc_id").head(k)[["doc_id", "term", "tf", "df"]]
+
+    out = (
+        _documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(tf_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(attach_df, batch_format="pandas")
+        .groupby("bucket2")
+        .map_groups(topk_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("doc_id", "tf", "df"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values(["doc_id", "term"], kind="stable").reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+def user_mode_event_type(sf_dir: str) -> pa.Table:
+    """Grouped MODE with deterministic tie-break (highest count, then
+    lexicographically smallest type): per-batch (user, type) count
+    combiner → user-hash bucket reduce → vectorized argmax via
+    sort + drop_duplicates. The shuffle carries counts, never raw rows."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = (
+            pd.DataFrame(
+                {
+                    "user_id": b["user_id"].to_numpy(),
+                    "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby(["user_id", "event_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        df["bucket"] = _user_bucket(df["user_id"].to_numpy())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def mode_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["user_id", "event_type"], as_index=False).agg(n=("n", "sum"))
+        s = s.sort_values(
+            ["user_id", "n", "event_type"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        top = s.drop_duplicates("user_id", keep="first")
+        return top.rename(columns={"event_type": "mode_event_type", "n": "n_mode"})
+
+    out = (
+        _events(sf_dir, columns=["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(mode_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_mode"] = out["n_mode"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("user_id", kind="stable").reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+def window_dedup_first(sf_dir: str) -> pa.Table:
+    """Streaming dedup-within-window: keep only the FIRST event per
+    (user, type, hour), by (ts, event_id). The keep-min choice is
+    associative, so it runs as a per-batch combiner BEFORE the single
+    user-hash bucket shuffle — the exchange carries at most one candidate
+    row per (user, type, hour) per batch, not the raw stream. Reference
+    parity: duplicate-delivery suppression on redelivered queue messages."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        tsu = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(),
+                "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                "hour": tsu // (3600 * 10**6),
+                "tsu": tsu,
+                "event_id": b["event_id"].to_numpy(),
+                "ticks": np.floor(b["value"].to_numpy() * 10000.0).astype(np.int64),
+            }
+        ).sort_values(["tsu", "event_id"], kind="stable")
+        df = df.drop_duplicates(["user_id", "event_type", "hour"], keep="first")
+        df["bucket"] = _user_bucket(df["user_id"].to_numpy())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tsu", "event_id"], kind="stable").drop_duplicates(
+            ["user_id", "event_type", "hour"], keep="first"
+        )
+        return g.groupby("event_type", as_index=False).agg(
+            n_kept=("event_id", "size"), sum_ticks=("ticks", "sum")
+        )
+
+    part = (
+        _events(sf_dir, columns=["user_id", "event_type", "ts", "event_id", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dedup_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = part.groupby("event_type", as_index=False).agg(
+        n_kept=("n_kept", "sum"), sum_ticks=("sum_ticks", "sum")
+    )
+    out["n_kept"] = out["n_kept"].astype("int64")
+    out["sum_ticks"] = out["sum_ticks"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
