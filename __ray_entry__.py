@@ -207,6 +207,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": q.tfidf_top_terms,
         "user_mode_event_type": q.user_mode_event_type,
         "window_dedup_first": q.window_dedup_first,
+        # ---- round-2 widening, batch 8 ----
+        "pareto_orders": q.pareto_orders,
+        "rolling_7d_active_users": q.rolling_7d_active_users,
+        "orders_above_customer_avg": q.orders_above_customer_avg,
+        "period_over_period": q.period_over_period,
     }
 
 
@@ -1245,6 +1250,63 @@ WITH r AS (
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
        CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS sum_ticks
 FROM r WHERE rn = 1 GROUP BY 1
+""",
+        "pareto_orders": """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_ticks,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS order_day
+  FROM orders
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, price_ticks,
+       CAST(order_day AS BIGINT) AS order_day
+FROM o a
+WHERE NOT EXISTS (
+  SELECT 1 FROM o b
+  WHERE b.price_ticks >= a.price_ticks AND b.order_day <= a.order_day
+    AND (b.price_ticks > a.price_ticks OR b.order_day < a.order_day)
+)
+""",
+        "rolling_7d_active_users": """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+),
+days AS (SELECT DISTINCT d FROM ud)
+SELECT CAST(days.d AS BIGINT) AS day,
+       CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_active_7d
+FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+GROUP BY 1
+""",
+        "orders_above_customer_avg": """
+WITH o AS (
+  SELECT o_orderpriority, o_custkey,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS t
+  FROM orders
+),
+w AS (
+  SELECT o_orderpriority, t,
+         sum(t) OVER (PARTITION BY o_custkey) AS s,
+         count(*) OVER (PARTITION BY o_custkey) AS n
+  FROM o
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_above
+FROM w WHERE t * n > s GROUP BY 1
+""",
+        "period_over_period": """
+WITH d AS (
+  SELECT event_type,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n,
+       CAST(coalesce(lag(n) OVER (PARTITION BY event_type ORDER BY day), -1)
+            AS BIGINT) AS prev_n,
+       CAST(coalesce(n - lag(n) OVER (PARTITION BY event_type ORDER BY day), 0)
+            AS BIGINT) AS delta
+FROM d
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

@@ -4472,3 +4472,259 @@ def window_dedup_first(sf_dir: str) -> pa.Table:
     out["n_kept"] = out["n_kept"].astype("int64")
     out["sum_ticks"] = out["sum_ticks"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ------------------------------------------------ round-2 widening, batch 8
+
+def pareto_orders(sf_dir: str) -> pa.Table:
+    """Distributed 2-D skyline (Pareto frontier): orders not dominated on
+    (price HIGH, order day LOW). Dominance is transitive, so the global
+    frontier is a subset of the union of per-block frontiers — each block
+    prunes to its local frontier with one sort + running-min scan
+    (vectorized), and only those few candidates reach the driver for the
+    identical final scan. No shuffle at all; the reduction is the pruning."""
+
+    def _frontier(df: pd.DataFrame) -> pd.DataFrame:
+        # sort price DESC, day ASC; a row is dominated iff an earlier row
+        # (strictly higher price, or equal price handled by the strict day
+        # check within the running min) already reached a day <= mine.
+        df = df.sort_values(
+            ["price_ticks", "order_day"], ascending=[False, True], kind="stable"
+        )
+        p = df["price_ticks"].to_numpy()
+        d = df["order_day"].to_numpy()
+        run_min = np.minimum.accumulate(d)
+        prev_min = np.concatenate(([np.iinfo(np.int64).max], run_min[:-1]))
+        # min day among rows with price STRICTLY greater: reset at price ties
+        first_of_price = np.concatenate(([True], p[1:] != p[:-1]))
+        strict_min = prev_min.copy()
+        # within an equal-price run, carry the min from BEFORE the run
+        idx = np.where(first_of_price)[0]
+        strict_min = prev_min[idx[np.cumsum(first_of_price) - 1]]
+        dominated = strict_min <= d
+        # equal (p, d) duplicates never dominate each other, but an equal-p
+        # smaller-d row does:
+        eq_min = np.concatenate(([np.iinfo(np.int64).max], run_min[:-1]))
+        same_p_smaller_d = (~first_of_price) & (eq_min < d)
+        keep = ~(dominated | same_p_smaller_d)
+        return df[keep]
+
+    def block_frontier(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].to_numpy(),
+                "price_ticks": np.floor(
+                    b["o_totalprice"].to_numpy() * 100.0
+                ).astype(np.int64),
+                "order_day": b["o_orderdate"]
+                .to_numpy()
+                .astype("datetime64[D]")
+                .astype(np.int64),
+            }
+        )
+        return pa.Table.from_pandas(_frontier(df), preserve_index=False)
+
+    cand = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+        )
+        .map_batches(block_frontier, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = _frontier(cand).sort_values("o_orderkey", kind="stable")
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def rolling_7d_active_users(sf_dir: str) -> pa.Table:
+    """Sliding-window COUNT DISTINCT (7-day active users per day): distinct
+    (user, day) combiner → each pair expands to its ≤7 target days (the
+    expansion is bounded by the window, not the data) → user-hash bucket
+    dedup → per-bucket exact counts per target day → driver sums a
+    calendar-bounded table. Users never span buckets, so no double count."""
+    days = (
+        _events(sf_dir, columns=["ts"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "d": pa.array(
+                        np.unique(
+                            b["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+                        )
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["d"]
+        .unique()
+    )
+    observed = np.sort(days)
+    obs_ref = ray.put(set(observed.tolist()))
+
+    def expand(b: pa.Table) -> pa.Table:
+        obs = ray.get(obs_ref)
+        day = b["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        df = pd.DataFrame(
+            {"user_id": b["user_id"].to_numpy(), "d": day}
+        ).drop_duplicates()
+        rep = df.loc[df.index.repeat(7)].reset_index(drop=True)
+        rep["target"] = rep["d"] + np.tile(np.arange(7), len(df))
+        rep = rep[rep["target"].isin(obs)].drop_duplicates(["user_id", "target"])
+        rep["bucket"] = _user_bucket(rep["user_id"].to_numpy())
+        return pa.Table.from_pandas(
+            rep[["user_id", "target", "bucket"]], preserve_index=False
+        )
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "target"])
+        return g.groupby("target", as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    part = (
+        _events(sf_dir, columns=["user_id", "ts"])
+        .map_batches(expand, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(count_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        part.groupby("target", as_index=False)
+        .agg(n_active_7d=("n", "sum"))
+        .rename(columns={"target": "day"})
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def orders_above_customer_avg(sf_dir: str) -> pa.Table:
+    """Decorrelated correlated subquery (orders strictly above their own
+    customer's average order value): per-batch (custkey, n, sum) combiner
+    unions with order rows through ONE custkey-hash bucket shuffle; the
+    comparison is the integer cross-multiply p·n > Σ — no float division,
+    exact at any scale. Output is the per-priority count of above-average
+    orders."""
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        k = b["o_custkey"].to_numpy()
+        return pa.table(
+            {
+                "custkey": b["o_custkey"],
+                "ticks": pa.array(
+                    np.floor(b["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+                ),
+                "n": pa.array(np.zeros(b.num_rows, np.int64)),
+                "priority": b["o_orderpriority"],
+                "side": pa.array(np.ones(b.num_rows, np.int64)),
+                "bucket": pa.array(_user_bucket(k, 64)),
+            }
+        )
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "custkey": b["o_custkey"].to_numpy(),
+                "ticks": np.floor(b["o_totalprice"].to_numpy() * 100.0).astype(
+                    np.int64
+                ),
+            }
+        )
+        s = df.groupby("custkey", as_index=False).agg(
+            ticks=("ticks", "sum"), n=("ticks", "size")
+        )
+        s["priority"] = ""
+        s["side"] = np.int64(0)
+        s["bucket"] = _user_bucket(s["custkey"].to_numpy(), 64)
+        return pa.Table.from_pandas(
+            s[["custkey", "ticks", "n", "priority", "side", "bucket"]],
+            preserve_index=False,
+        )
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice", "o_orderpriority"],
+    )
+    both = orders.map_batches(order_rows, batch_format="pyarrow").union(
+        orders.map_batches(stats_partial, batch_format="pyarrow")
+    )
+
+    def filter_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        st = (
+            g[g["side"] == 0]
+            .groupby("custkey", as_index=False)
+            .agg(s=("ticks", "sum"), n=("n", "sum"))
+        )
+        o = (
+            g[g["side"] == 1]
+            .drop(columns=["n"])
+            .merge(st, on="custkey", how="left")
+        )
+        above = o[o["ticks"] * o["n"] > o["s"]]
+        return above.groupby("priority", as_index=False).size().rename(
+            columns={"size": "n_above"}
+        )
+
+    part = (
+        both.groupby("bucket")
+        .map_groups(filter_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = part.groupby("priority", as_index=False).agg(n_above=("n_above", "sum"))
+    out = out.rename(columns={"priority": "o_orderpriority"})
+    out["n_above"] = out["n_above"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def period_over_period(sf_dir: str) -> pa.Table:
+    """Period-over-period deltas (daily counts per type with LAG): count
+    combiner → type-hash bucket reduce (a type's whole series co-locates,
+    so the shift is exact) → vectorized sorted shift. The exchange carries
+    (type, day, n) partials — calendar-bounded, never raw events."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = b["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        df = (
+            pd.DataFrame(
+                {
+                    "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                    "day": day,
+                }
+            )
+            .groupby(["event_type", "day"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        df["bucket"] = (
+            pd.util.hash_array(df["event_type"].to_numpy(dtype=object)) % 16
+        ).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def lag_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["event_type", "day"], as_index=False).agg(n=("n", "sum"))
+        s = s.sort_values(["event_type", "day"], kind="stable")
+        prev = s.groupby("event_type")["n"].shift(1)
+        prev_day = s.groupby("event_type")["day"].shift(1)
+        # LAG is previous CALENDAR day only when contiguous; emit the raw
+        # previous-row value like SQL LAG over (PARTITION BY type ORDER BY day)
+        s["prev_n"] = prev.fillna(-1).astype(np.int64)
+        s["delta"] = np.where(prev.isna(), 0, s["n"] - prev.fillna(0)).astype(
+            np.int64
+        )
+        del prev_day
+        return s[["event_type", "day", "n", "prev_n", "delta"]]
+
+    out = (
+        _events(sf_dir, columns=["event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lag_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["event_type", "day"], kind="stable")
+    )
+    for c in ("day", "n", "prev_n", "delta"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
