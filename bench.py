@@ -67,6 +67,12 @@ HEADLINE = [
     "quality_percentile_filter",
     "cdc_turn_gaps",
     "bloom_semi_join_lineitem",
+    # round-2 widening, batches 6-8
+    "tfidf_top_terms",
+    "funnel_conversion",
+    "rolling_7d_active_users",
+    "pareto_orders",
+    "window_dedup_first",
 ]
 
 
