@@ -212,6 +212,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_7d_active_users": q.rolling_7d_active_users,
         "orders_above_customer_avg": q.orders_above_customer_avg,
         "period_over_period": q.period_over_period,
+        # ---- round-2 widening, batch 9 ----
+        "deterministic_shuffle_sample": q.deterministic_shuffle_sample,
+        "dedup_source_priority": q.dedup_source_priority,
+        "dup_cluster_size_histogram": q.dup_cluster_size_histogram,
+        "chunk_dedup_fraction": q.chunk_dedup_fraction,
+        "lake_predicate_delete": q.lake_predicate_delete,
     }
 
 
@@ -1307,6 +1313,63 @@ SELECT event_type, CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n,
        CAST(coalesce(n - lag(n) OVER (PARTITION BY event_type ORDER BY day), 0)
             AS BIGINT) AS delta
 FROM d
+""",
+        "deterministic_shuffle_sample": """
+WITH h AS (
+  SELECT doc_id,
+         CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, h, row_number() OVER (ORDER BY h, doc_id) AS rank FROM h
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, h, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 100
+""",
+        "dedup_source_priority": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY text ORDER BY source, doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+""",
+        "dup_cluster_size_histogram": """
+WITH c AS (SELECT text, count(*) AS n FROM documents GROUP BY 1)
+SELECT CAST(n AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM c GROUP BY 1
+""",
+        "chunk_dedup_fraction": """
+WITH idx AS (
+  SELECT doc_id, text,
+         unnest(generate_series(
+           0, CAST((greatest(length(text), 1) - 1) // 256 AS BIGINT)
+         )) AS i
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, i, substr(text, CAST(i * 256 + 1 AS BIGINT), 256) AS chunk
+  FROM idx
+),
+r AS (
+  SELECT doc_id, i,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, i) AS rn
+  FROM ch
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM r GROUP BY 1
+""",
+        "lake_predicate_delete": _CH
+        + """
+, last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM ch
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM last
+WHERE rn = 1 AND op <> 'delete' AND (tool IS NULL OR tool <> 'error')
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

@@ -4728,3 +4728,254 @@ def period_over_period(sf_dir: str) -> pa.Table:
     for c in ("day", "n", "prev_n", "delta"):
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+# ------------------------------------------------ round-2 widening, batch 9
+
+def deterministic_shuffle_sample(sf_dir: str, k: int = 100) -> pa.Table:
+    """Deterministic epoch shuffle (training-order randomization WITHOUT
+    RNG state): global order = Knuth multiplicative hash of doc_id — a
+    replayable, resume-safe permutation. Realized as top-k under the hash
+    order via per-block candidate pruning (each block ships only its own
+    best k rows), so the full permutation is never materialized; a trainer
+    consuming the whole epoch would read blocks range-partitioned by the
+    same hash."""
+
+    def prune(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy().astype(np.uint64)
+        h = ((ids * np.uint64(2654435761)) % np.uint64(1 << 32)).astype(np.int64)
+        df = pd.DataFrame({"doc_id": b["doc_id"].to_numpy(), "h": h})
+        df = df.sort_values(["h", "doc_id"], kind="stable").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = (
+        _documents(sf_dir, columns=["doc_id"])
+        .map_batches(prune, batch_format="pyarrow")
+        .to_pandas()
+    )
+    top = cand.sort_values(["h", "doc_id"], kind="stable").head(k).reset_index(
+        drop=True
+    )
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    for c in ("doc_id", "h"):
+        top[c] = top[c].astype("int64")
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
+def dedup_source_priority(sf_dir: str) -> pa.Table:
+    """Cross-source exact dedup with PRIORITY (keep the copy from the
+    preferred source, not the lowest id — curated > crawled): content-hash
+    bucket shuffle; within a bucket the winner per text group is the
+    (source ASC, doc_id ASC) minimum via sort + drop_duplicates. The
+    exchange carries (id, source, text) once; no driver materialization."""
+    from data_exchange_routing_ray.functions.dedup import (
+        _mix_to_bucket,
+        add_content_hash,
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        b2 = add_content_hash(b, "text")
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "source": b["source"],
+                "text": b["text"],
+                "bucket": pa.array(
+                    _mix_to_bucket([b2["content_hash"].to_numpy()], 256),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def keep_winner(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["text", "source", "doc_id"], kind="stable")
+        w = g.drop_duplicates("text", keep="first")
+        return w[["doc_id", "source"]]
+
+    out = (
+        _documents(sf_dir, columns=["doc_id", "source", "text"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(keep_winner, batch_format="pandas")
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id", kind="stable").reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+def dup_cluster_size_histogram(sf_dir: str) -> pa.Table:
+    """Corpus-health metric: distribution of exact-dup cluster sizes
+    (how much of the corpus is 1×, 2×, …, N×-replicated). Content-hash
+    bucket shuffle → per-bucket per-text counts (a text's copies co-locate)
+    → count-of-counts partials → driver sums a histogram whose width is
+    the max multiplicity, not the corpus."""
+    from data_exchange_routing_ray.functions.dedup import (
+        _mix_to_bucket,
+        add_content_hash,
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        b2 = add_content_hash(b, "text")
+        return pa.table(
+            {
+                "text": b["text"],
+                "bucket": pa.array(
+                    _mix_to_bucket([b2["content_hash"].to_numpy()], 256),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def hist_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("text").size()
+        return (
+            sizes.value_counts()
+            .rename_axis("cluster_size")
+            .reset_index(name="n_clusters")
+        )
+
+    part = (
+        _documents(sf_dir, columns=["text"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(hist_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = part.groupby("cluster_size", as_index=False).agg(
+        n_clusters=("n_clusters", "sum")
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def chunk_dedup_fraction(sf_dir: str, size: int = 256) -> pa.Table:
+    """Sub-document (chunk-level) dedup fraction, RefinedWeb line-dedup
+    shape: non-overlapping fixed windows, global keep-first by
+    (doc_id, chunk_idx), per-doc surviving-chunk count. Chunk totals are
+    an in-batch combiner; winners need ONE chunk-hash bucket shuffle;
+    both partial streams meet in a doc-hash bucket reduce — raw text
+    never returns to the driver."""
+
+    def chunks(b: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(b["text"]).to_numpy().astype(np.int64)
+        n = (np.maximum(lens, 1) - 1) // size + 1
+        ids = np.repeat(b["doc_id"].to_numpy(), n)
+        total = int(n.sum())
+        idx = np.arange(total) - np.repeat(np.cumsum(n) - n, n)
+        texts = np.repeat(np.asarray(b["text"].to_pylist(), dtype=object), n)
+        chunk = np.array(
+            [t[s : s + size] for t, s in zip(texts, idx * size)], dtype=object
+        )
+        hb = (pd.util.hash_array(chunk) % 256).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_idx": pa.array(idx, pa.int64()),
+                "chunk": pa.array(chunk, pa.string()),
+                "bucket": pa.array(hb, pa.int64()),
+            }
+        )
+
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["chunk", "doc_id", "chunk_idx"], kind="stable")
+        w = g.drop_duplicates("chunk", keep="first")
+        out = w.groupby("doc_id", as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+        out["kind"] = np.int64(1)
+        return out[["doc_id", "n", "kind"]]
+
+    def totals(b: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(b["text"]).to_numpy().astype(np.int64)
+        n = (np.maximum(lens, 1) - 1) // size + 1
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "kind": pa.array(np.zeros(len(n), np.int64)),
+            }
+        )
+
+    docs = _documents(sf_dir, columns=["doc_id", "text"])
+    kept = (
+        docs.map_batches(chunks, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(winners, batch_format="pandas")
+    )
+    tot = docs.map_batches(totals, batch_format="pyarrow")
+
+    def reduce_doc(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["doc_id", "kind"], as_index=False).agg(n=("n", "sum"))
+        p = s.pivot_table(
+            index="doc_id", columns="kind", values="n", fill_value=0
+        ).reset_index()
+        p.columns = ["doc_id"] + [
+            {0: "n_chunks", 1: "n_kept"}[c] for c in p.columns[1:]
+        ]
+        if "n_kept" not in p.columns:
+            p["n_kept"] = np.int64(0)
+        return p[["doc_id", "n_chunks", "n_kept"]]
+
+    def doc_bucket(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy().astype(np.uint64)
+        return b.append_column(
+            "dbucket",
+            pa.array(((ids * np.uint64(2654435761)) % np.uint64(64)).astype(np.int64)),
+        )
+
+    out = (
+        kept.union(tot)
+        .map_batches(doc_bucket, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(reduce_doc, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id", kind="stable").reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+def lake_predicate_delete(sf_dir: str) -> pa.Table:
+    """Predicate delete against the lake (GDPR-erasure shape): the final
+    state is scanned DISTRIBUTED (merge-on-read per partition), matching
+    rows (tool = 'error') are turned into delete change-events with a
+    post-watermark seq, and applied as a normal exactly-once epoch — the
+    erasure rides the standard merge/commit path, no special-case mutation.
+    Returns the post-delete committed state."""
+    hi = int(_events(sf_dir, columns=["event_id"]).max("event_id"))
+
+    with tempfile.TemporaryDirectory(prefix="cdclake-") as d:
+        from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+        lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
+        lake.apply_changes(derived_change_stream(sf_dir), quarantine=False)
+
+        def to_deletes(b: pa.Table) -> pa.Table:
+            mask = pc.equal(b["tool"], "error")
+            t = b.filter(pc.fill_null(mask, False))
+            n = t.num_rows
+            return pa.table(
+                {
+                    "seq": pa.array(np.full(n, hi + 1, np.int64)),
+                    "op": pa.array(["delete"] * n, pa.string()),
+                    "conv_id": t["conv_id"],
+                    "turn_idx": t["turn_idx"],
+                    "role": pa.nulls(n, pa.string()),
+                    "text": pa.nulls(n, pa.string()),
+                    "tool": pa.nulls(n, pa.string()),
+                    "ts": t["ts"],
+                }
+            )
+
+        deletes = lake.final_dataset(
+            columns=["conv_id", "turn_idx", "tool", "ts"]
+        ).map_batches(to_deletes, batch_format="pyarrow")
+        lake.apply_changes(deletes, quarantine=False)
+        return lake.final_table()
