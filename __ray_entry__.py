@@ -218,6 +218,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_cluster_size_histogram": q.dup_cluster_size_histogram,
         "chunk_dedup_fraction": q.chunk_dedup_fraction,
         "lake_predicate_delete": q.lake_predicate_delete,
+        # ---- round-2 widening, batch 10 ----
+        "rolling_rows_frame": q.rolling_rows_frame,
+        "dense_cross_counts": q.dense_cross_counts,
+        "union_by_name_activity": q.union_by_name_activity,
     }
 
 
@@ -1370,6 +1374,47 @@ FROM r GROUP BY 1
 SELECT conv_id, turn_idx, role, text, tool, ts
 FROM last
 WHERE rn = 1 AND op <> 'delete' AND (tool IS NULL OR tool <> 'error')
+""",
+        "rolling_rows_frame": """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(sum(CAST(floor(value * 10000) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling3_ticks
+FROM events
+""",
+        "dense_cross_counts": """
+WITH grid AS (
+  SELECT r.r_regionkey, r.r_name, p.o_orderpriority
+  FROM region r CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+),
+cnt AS (
+  SELECT n.n_regionkey AS r_regionkey, o.o_orderpriority, count(*) AS n
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT grid.r_name, grid.o_orderpriority,
+       CAST(coalesce(cnt.n, 0) AS BIGINT) AS n
+FROM grid LEFT JOIN cnt
+  ON grid.r_regionkey = cnt.r_regionkey
+ AND grid.o_orderpriority = cnt.o_orderpriority
+""",
+        "union_by_name_activity": """
+WITH u AS (
+  SELECT event_id AS entity_id, 'event' AS kind,
+         CAST(floor(value * 10000) AS BIGINT) AS ticks,
+         CAST(NULL AS VARCHAR) AS priority
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT o_orderkey, 'order', CAST(NULL AS BIGINT), o_orderpriority
+  FROM orders
+)
+SELECT kind, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(ticks) AS BIGINT) AS n_ticks,
+       CAST(coalesce(sum(ticks), 0) AS BIGINT) AS sum_ticks,
+       CAST(count(priority) AS BIGINT) AS n_priority
+FROM u GROUP BY kind
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

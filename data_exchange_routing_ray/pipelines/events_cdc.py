@@ -4979,3 +4979,200 @@ def lake_predicate_delete(sf_dir: str) -> pa.Table:
         ).map_batches(to_deletes, batch_format="pyarrow")
         lake.apply_changes(deletes, quarantine=False)
         return lake.final_table()
+
+
+# ----------------------------------------------- round-2 widening, batch 10
+
+def rolling_rows_frame(sf_dir: str) -> pa.Table:
+    """ROWS-frame window (sum over current + 2 preceding events per user,
+    ordered by ts then event_id) — the physical-row counterpart of the
+    time-based sliding window. ONE user-hash bucket shuffle; in-bucket the
+    frame is cumsum minus shift(3)-cumsum per user — two C-level scans,
+    no per-row loop, exact integers."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        tsu = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "tsu": pa.array(tsu),
+                "ticks": pa.array(
+                    np.floor(b["value"].to_numpy() * 10000.0).astype(np.int64)
+                ),
+                "bucket": pa.array(_user_bucket(b["user_id"].to_numpy())),
+            }
+        )
+
+    def roll_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "tsu", "event_id"], kind="stable")
+        cs = g.groupby("user_id")["ticks"].cumsum().to_numpy()
+        # frame = cs[i] - cs[i-3], where i-3 is in the same user run
+        # (cumcount >= 3); earlier rows sum from the run start — all
+        # vectorized, no per-group Python
+        cnt = g.groupby("user_id").cumcount().to_numpy()
+        lag = np.where(
+            cnt >= 3, np.concatenate(([0, 0, 0], cs[:-3])), 0
+        ) if len(cs) >= 3 else np.zeros(len(cs), np.int64)
+        g = g.assign(rolling3_ticks=(cs - lag).astype(np.int64))
+        return g[["event_id", "rolling3_ticks"]]
+
+    out = (
+        _events(sf_dir, columns=["user_id", "event_id", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(roll_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("event_id", kind="stable").reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+def dense_cross_counts(sf_dir: str) -> pa.Table:
+    """Dense CROSS JOIN grid with zero preservation: every
+    (region, order-priority) cell, including combinations no order hits —
+    the empty-group semantics GROUP BY alone cannot give. Facts flow
+    through broadcast dimension lookups (customer→nation→region maps built
+    once, shipped once); per-batch partial counts; the driver reindexes
+    the |regions|×|priorities| cartesian — dimension-sized, never
+    fact-sized."""
+    import pyarrow.parquet as pq
+
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_regionkey"],
+    ).to_pandas()
+    customer = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).to_pandas()
+    lut = customer.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )[["c_custkey", "n_regionkey"]].rename(columns={"n_regionkey": "r_regionkey"})
+    lut_ref = ray.put(lut.sort_values("c_custkey").reset_index(drop=True))
+
+    def partial(b: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        df = (
+            pd.DataFrame(
+                {
+                    "c_custkey": b["o_custkey"].to_numpy(),
+                    "o_orderpriority": b["o_orderpriority"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                }
+            )
+            .merge(lut, on="c_custkey")[["r_regionkey", "o_orderpriority"]]
+            .groupby(["r_regionkey", "o_orderpriority"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    part = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_orderpriority"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = part.groupby(["r_regionkey", "o_orderpriority"], as_index=False).agg(
+        n=("n", "sum")
+    )
+    prios = sorted(agg["o_orderpriority"].unique())
+    grid = (
+        pd.MultiIndex.from_product(
+            [region["r_regionkey"].sort_values(), prios],
+            names=["r_regionkey", "o_orderpriority"],
+        )
+        .to_frame(index=False)
+        .merge(agg, how="left", on=["r_regionkey", "o_orderpriority"])
+        .merge(region, on="r_regionkey")
+    )
+    grid["n"] = grid["n"].fillna(0).astype("int64")
+    grid["r_regionkey"] = grid["r_regionkey"].astype("int64")
+    out = grid[["r_name", "o_orderpriority", "n"]]
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def union_by_name_activity(sf_dir: str) -> pa.Table:
+    """Schema-drift UNION BY NAME: two sources with different column sets
+    (purchase events carry value ticks; orders carry a priority) unified
+    under one schema with null backfill — the query-level twin of the CDC
+    engine's Arrow unify/backfill merge. Both branches stay distributed;
+    the summary proves which columns each side populated."""
+
+    def ev_branch(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], "purchase"))
+        n = t.num_rows
+        return pa.table(
+            {
+                "entity_id": t["event_id"].cast(pa.int64()),
+                "kind": pa.array(["event"] * n, pa.string()),
+                "ticks": pa.array(
+                    np.floor(t["value"].to_numpy() * 10000.0).astype(np.int64)
+                ),
+                "priority": pa.nulls(n, pa.string()),
+            }
+        )
+
+    def ord_branch(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "entity_id": b["o_orderkey"].cast(pa.int64()),
+                "kind": pa.array(["order"] * n, pa.string()),
+                "ticks": pa.nulls(n, pa.int64()),
+                "priority": b["o_orderpriority"],
+            }
+        )
+
+    ev = _events(sf_dir, columns=["event_id", "event_type", "value"]).map_batches(
+        ev_branch, batch_format="pyarrow"
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    ).map_batches(ord_branch, batch_format="pyarrow")
+
+    def summarize(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "kind": b["kind"].to_numpy(zero_copy_only=False),
+                "has_ticks": pc.is_valid(b["ticks"]).to_numpy(zero_copy_only=False),
+                "ticks0": pc.fill_null(b["ticks"], 0).to_numpy(),
+                "has_prio": pc.is_valid(b["priority"]).to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("kind", as_index=False).agg(
+                n=("kind", "size"),
+                n_ticks=("has_ticks", "sum"),
+                sum_ticks=("ticks0", "sum"),
+                n_priority=("has_prio", "sum"),
+            ),
+            preserve_index=False,
+        )
+
+    part = (
+        ev.union(orders).map_batches(summarize, batch_format="pyarrow").to_pandas()
+    )
+    out = part.groupby("kind", as_index=False).agg(
+        n=("n", "sum"),
+        n_ticks=("n_ticks", "sum"),
+        sum_ticks=("sum_ticks", "sum"),
+        n_priority=("n_priority", "sum"),
+    )
+    for c in ("n", "n_ticks", "sum_ticks", "n_priority"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
