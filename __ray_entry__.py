@@ -222,6 +222,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_rows_frame": q.rolling_rows_frame,
         "dense_cross_counts": q.dense_cross_counts,
         "union_by_name_activity": q.union_by_name_activity,
+        # ---- round-2 widening, batch 11 ----
+        "percent_rank_orders": q.percent_rank_orders,
+        "followup_within_window": q.followup_within_window,
+        "dedup_edit_distance": q.dedup_edit_distance,
+        "label_centroids": q.label_centroids,
+        "weighted_median_price": q.weighted_median_price,
+        "first_last_user_value": q.first_last_user_value,
     }
 
 
@@ -1415,6 +1422,76 @@ SELECT kind, CAST(count(*) AS BIGINT) AS n,
        CAST(coalesce(sum(ticks), 0) AS BIGINT) AS sum_ticks,
        CAST(count(priority) AS BIGINT) AS n_priority
 FROM u GROUP BY kind
+""",
+        "percent_rank_orders": """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(rank() OVER (
+         PARTITION BY o_orderpriority
+         ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rk
+FROM orders
+""",
+        "followup_within_window": """
+SELECT CAST(v.user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_views,
+       CAST(sum(CASE WHEN EXISTS (
+         SELECT 1 FROM events p
+         WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+           AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+       ) THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM events v WHERE v.event_type = 'view'
+GROUP BY v.user_id
+""",
+        "dedup_edit_distance": """
+SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+       CAST(b.doc_id AS BIGINT) AS doc_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+FROM documents a JOIN documents b
+  ON a.doc_id < b.doc_id
+ AND substr(a.text, 1, 16) = substr(b.text, 1, 16)
+ AND abs(length(a.text) - length(b.text)) <= 8
+WHERE levenshtein(a.text, b.text) <= 8
+""",
+        "label_centroids": """
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(dim AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CAST(floor(CAST(embedding[dim] AS DOUBLE) * 10000) AS BIGINT))
+            AS BIGINT) AS sum_tick
+FROM embeddings,
+     LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS dim) d
+GROUP BY label, dim
+""",
+        "weighted_median_price": """
+WITH t AS (
+  SELECT l_returnflag AS f,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(floor(l_quantity * 100) AS BIGINT) AS w
+  FROM lineitem
+), g AS (
+  SELECT f, v, sum(w) AS w FROM t GROUP BY f, v
+), c AS (
+  SELECT f, v, w,
+         sum(w) OVER (PARTITION BY f ORDER BY v) AS cw,
+         sum(w) OVER (PARTITION BY f) AS tw
+  FROM g
+)
+SELECT f AS l_returnflag,
+       CAST(min(v) AS BIGINT) AS wmedian_tick,
+       CAST(min(tw) AS BIGINT) AS total_w
+FROM c WHERE 2 * cw >= tw GROUP BY f
+""",
+        "first_last_user_value": """
+WITH e AS (
+  SELECT user_id, CAST(floor(value * 10000) AS BIGINT) AS t,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(min(CASE WHEN rn_a = 1 THEN t END) AS BIGINT) AS first_tick,
+       CAST(min(CASE WHEN rn_d = 1 THEN t END) AS BIGINT) AS last_tick,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM e GROUP BY user_id
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

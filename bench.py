@@ -73,6 +73,10 @@ HEADLINE = [
     "rolling_7d_active_users",
     "pareto_orders",
     "window_dedup_first",
+    # round-2 widening, batch 11
+    "percent_rank_orders",
+    "dedup_edit_distance",
+    "weighted_median_price",
 ]
 
 

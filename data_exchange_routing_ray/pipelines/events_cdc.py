@@ -5176,3 +5176,530 @@ def union_by_name_activity(sf_dir: str) -> pa.Table:
     for c in ("n", "n_ticks", "sum_ticks", "n_priority"):
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# round-2 widening, batch 11
+# ---------------------------------------------------------------------------
+
+
+def percent_rank_orders(sf_dir: str) -> pa.Table:
+    """Exact distributed RANK() (ties = min rank) of order price within each
+    order priority — the percent-rank/rank family the reference's SQL spikes
+    express with window functions (sql/: row_number patterns). Same plan as
+    ``ntile_users_by_spend``: range-partition the composite (priority, tick)
+    key with sampled boundaries (boundaries steer load only — equal keys
+    always co-locate because searchsorted is deterministic), tiny per-range
+    per-priority counts -> driver prefix -> broadcast offsets -> in-range
+    vectorized min-rank via two searchsorteds. No global sort
+    materialization; scales as two bounded exchanges."""
+    import ray as _ray
+
+    PRIO_SHIFT = np.int64(1) << np.int64(40)  # ticks < 2^40; composite key
+
+    def partial(b: pa.Table) -> pa.Table:
+        prio = b["o_orderpriority"].to_numpy(zero_copy_only=False)
+        # priority strings sort lexically ('1-URGENT'..'5-LOW'); encode the
+        # leading digit so the composite key orders exactly like
+        # PARTITION BY o_orderpriority
+        code = np.array([int(p[0]) for p in prio], dtype=np.int64)
+        tick = np.floor(b["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "prio": pa.array(code),
+                "tick": pa.array(tick),
+                "ckey": pa.array(code * PRIO_SHIFT + tick),
+            }
+        )
+
+    base = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .materialize()
+    )
+
+    n_ranges = 16
+    sample = base.random_sample(0.1, seed=11).limit(4096).to_pandas()
+    if len(sample) >= n_ranges:
+        keys = np.sort(sample["ckey"].to_numpy())
+        bounds = keys[np.linspace(0, len(keys) - 1, n_ranges + 1).astype(int)][1:-1]
+    else:
+        bounds = np.array([], dtype=np.int64)
+    bref = _ray.put(bounds)
+
+    def assign_range(b: pa.Table) -> pa.Table:
+        bs = _ray.get(bref)
+        rng = (
+            np.searchsorted(bs, b["ckey"].to_numpy(), side="left")
+            if len(bs)
+            else np.zeros(b.num_rows, np.int64)
+        )
+        return b.append_column("rng", pa.array(rng.astype(np.int64)))
+
+    ranged = base.map_batches(assign_range, batch_format="pyarrow").materialize()
+
+    cnt = (
+        ranged.map_batches(
+            lambda b: pa.Table.from_pandas(
+                pd.DataFrame(
+                    {"rng": b["rng"].to_numpy(), "prio": b["prio"].to_numpy()}
+                )
+                .groupby(["prio", "rng"], as_index=False)
+                .size()
+                .rename(columns={"size": "n"}),
+                preserve_index=False,
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .groupby(["prio", "rng"], as_index=False)
+        .agg(n=("n", "sum"))
+        .sort_values(["prio", "rng"])
+    )
+    # rows of priority p in ranges strictly before r
+    cnt["off"] = cnt.groupby("prio")["n"].cumsum() - cnt["n"]
+    oref = _ray.put(
+        {(int(p), int(r)): int(o) for p, r, o in zip(cnt["prio"], cnt["rng"], cnt["off"])}
+    )
+
+    def rank_range(g: pd.DataFrame) -> pd.DataFrame:
+        offs = _ray.get(oref)
+        rng = int(g["rng"].iloc[0])
+        g = g.sort_values("ckey", kind="stable")
+        keys = g["ckey"].to_numpy()
+        prio = g["prio"].to_numpy()
+        first_key = np.searchsorted(keys, keys, side="left")
+        first_prio = np.searchsorted(prio, prio, side="left")
+        prio_map = {int(p): offs[(int(p), rng)] for p in np.unique(prio)}
+        off = np.array([prio_map[int(p)] for p in prio], dtype=np.int64)
+        rk = off + (first_key - first_prio) + 1
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].astype("int64"),
+                "rk": rk.astype("int64"),
+            }
+        )
+
+    out = (
+        ranged.groupby("rng").map_groups(rank_range, batch_format="pandas").to_pandas()
+    )
+    return pa.Table.from_pandas(
+        out.sort_values("o_orderkey").reset_index(drop=True), preserve_index=False
+    )
+
+
+def followup_within_window(sf_dir: str, window_us: int = 3_600_000_000) -> pa.Table:
+    """Time-constrained sequential pattern: for each 'view', was there a
+    'purchase' by the same user within the next hour (inclusive both ends)?
+    Per-user conversion counts. ONE user-hash bucket shuffle of the two
+    event types only (filtered at the read); in-bucket a single
+    merge_asof(direction='forward', tolerance) does all users at once —
+    no per-user loop. The funnel operator's windowed cousin
+    (reference routing has no analog; standard product-analytics op)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["event_type"], value_set=pa.array(["view", "purchase"]))
+        b = b.filter(m)
+        tsu = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "is_view": pc.equal(b["event_type"], "view"),
+                "tsu": pa.array(tsu),
+                "bucket": pa.array(_user_bucket(b["user_id"].to_numpy())),
+            }
+        )
+
+    def convert_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        views = g[g["is_view"]].sort_values("tsu", kind="stable")
+        purch = g[~g["is_view"]].sort_values("tsu", kind="stable")
+        if len(views) == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "n_views": pd.Series([], dtype="int64"),
+                 "n_converted": pd.Series([], dtype="int64")}
+            )
+        m = pd.merge_asof(
+            views[["user_id", "tsu"]],
+            purch[["user_id", "tsu"]].rename(columns={"tsu": "p_tsu"}),
+            left_on="tsu",
+            right_on="p_tsu",
+            by="user_id",
+            direction="forward",
+            tolerance=window_us,
+            allow_exact_matches=True,
+        )
+        out = (
+            m.assign(conv=m["p_tsu"].notna())
+            .groupby("user_id", as_index=False)
+            .agg(n_views=("conv", "size"), n_converted=("conv", "sum"))
+        )
+        return out.astype({"user_id": "int64", "n_views": "int64", "n_converted": "int64"})
+
+    out = (
+        _events(sf_dir, columns=["user_id", "event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(convert_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(
+        out.sort_values("user_id").reset_index(drop=True), preserve_index=False
+    )
+
+
+def _edit_distance_pairs(a_texts, b_texts, k: int) -> np.ndarray:
+    """Exact Levenshtein <= k for P pairs, vectorized across pairs within
+    groups of equal left-length (so the terminal DP row is well-defined).
+    Python iterates over string positions (O(maxlen) steps) and distinct
+    lengths; all pair-wise work is numpy."""
+    P = len(a_texts)
+    dist = np.full(P, k + 1, np.int32)
+    if P == 0:
+        return dist
+    la = np.array([len(a) for a in a_texts], np.int32)
+    order = np.argsort(la, kind="stable")
+    for la_val in np.unique(la):
+        sel = order[la[order] == la_val]
+        dist[sel] = _banded_lev_fixed_la(
+            [a_texts[i] for i in sel], [b_texts[i] for i in sel], int(la_val), k
+        )
+    return dist
+
+
+def _banded_lev_fixed_la(a_list, b_list, la: int, k: int) -> np.ndarray:
+    """Banded DP where every left string has length la; right lengths may
+    differ by <= k (else distance > k trivially). Vectorized across pairs."""
+    P = len(a_list)
+    lb = np.array([len(b) for b in b_list], np.int32)
+    out = np.full(P, k + 1, np.int32)
+    feasible = np.abs(lb - la) <= k
+    if not feasible.any():
+        return out
+    idx = np.where(feasible)[0]
+    a_sub = [a_list[i] for i in idx]
+    b_sub = [b_list[i] for i in idx]
+    lb_s = lb[idx]
+    Q = len(idx)
+    maxb = int(lb_s.max()) if Q else 0
+    A = np.zeros((Q, max(la, 1)), np.uint32)
+    B = np.zeros((Q, max(maxb, 1)), np.uint32)
+    for i, s in enumerate(a_sub):
+        if s:
+            A[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), np.uint32)
+    for i, s in enumerate(b_sub):
+        if s:
+            B[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), np.uint32)
+    BIG = np.int32(k + 1)
+    width = 2 * k + 1
+    dp = np.full((Q, width), BIG, np.int32)
+    for j in range(width):
+        d = j - k
+        if d >= 0:
+            # row 0: distance = d insertions, only if column d exists for
+            # the pair (d <= lb)
+            dp[:, j] = np.where(d <= lb_s, np.minimum(d, int(BIG)), BIG)
+    for i in range(1, la + 1):
+        ndp = np.full((Q, width), BIG, np.int32)
+        for j in range(width):
+            col = i + (j - k)
+            if col < 0 or col > maxb:
+                continue
+            best = np.full(Q, BIG, np.int32)
+            if j + 1 < width:
+                np.minimum(best, dp[:, j + 1] + 1, out=best)  # delete a[i-1]
+            if j - 1 >= 0:
+                np.minimum(best, ndp[:, j - 1] + 1, out=best)  # insert b[col-1]
+            if col >= 1:
+                achar = A[:, i - 1]
+                bcol = np.minimum(col - 1, B.shape[1] - 1)
+                bchar = B[:, bcol]
+                ok = col - 1 < lb_s
+                mism = np.where(ok & (achar == bchar), 0, 1).astype(np.int32)
+                cand = np.where(ok, dp[:, j] + mism, BIG)
+                np.minimum(best, cand, out=best)
+            # cells beyond a pair's own (la+1)x(lb+1) table do not exist
+            valid_col = col <= lb_s
+            ndp[:, j] = np.where(valid_col, np.minimum(best, BIG), BIG)
+        dp = ndp
+    # terminal cell: row la, column lb -> band offset lb - la + k
+    off = lb_s - la + k
+    ok = (off >= 0) & (off < width)
+    res = np.full(Q, BIG, np.int32)
+    res[ok] = dp[np.arange(Q)[ok], off[ok]]
+    out[idx] = np.minimum(res, BIG)
+    return out
+
+
+def dedup_edit_distance(sf_dir: str, k: int = 8, prefix: int = 16) -> pa.Table:
+    """Edit-distance near-dup pairs with prefix blocking: candidates = doc
+    pairs sharing the first ``prefix`` chars with |len diff| <= k; verified
+    by exact banded Levenshtein <= k, vectorized ACROSS pairs (numpy DP,
+    band 2k+1). Blocking key hash-shuffles texts once; all-pairs work is
+    per-block and bounded. Complements MinHash (token-level) with a
+    character-level near-dup family."""
+
+    from data_exchange_routing_ray.hashing import stable_hash_strings
+
+    def partial(b: pa.Table) -> pa.Table:
+        pref = pc.utf8_slice_codeunits(b["text"], 0, prefix)
+        h = (stable_hash_strings(pref) % np.uint64(64)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "text": b["text"],
+                "pref": pref,
+                "bucket": pa.array(h),
+            }
+        )
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pref", "doc_id"], kind="stable")
+        a_idx_all, b_idx_all = [], []
+        ids = g["doc_id"].to_numpy()
+        txt = g["text"].to_numpy()
+        lens = np.array([len(t) for t in txt], np.int64)
+        # contiguous runs of equal prefix after the sort
+        pref = g["pref"].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate(([True], pref[1:] != pref[:-1]))
+        )
+        bounds = np.concatenate((starts, [len(g)]))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            ii, jj = np.triu_indices(e - s, 1)
+            keep = np.abs(lens[s + ii] - lens[s + jj]) <= k
+            a_idx_all.append(s + ii[keep])
+            b_idx_all.append(s + jj[keep])
+        out_a = np.zeros(0, np.int64)
+        out_b = np.zeros(0, np.int64)
+        out_d = np.zeros(0, np.int64)
+        if a_idx_all:
+            ai = np.concatenate(a_idx_all)
+            bi = np.concatenate(b_idx_all)
+            if len(ai):
+                d = _edit_distance_pairs(list(txt[ai]), list(txt[bi]), k)
+                m = d <= k
+                out_a, out_b, out_d = ids[ai[m]], ids[bi[m]], d[m].astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(out_a, dtype="int64"),
+                "doc_b": pd.Series(out_b, dtype="int64"),
+                "dist": pd.Series(out_d, dtype="int64"),
+            }
+        )
+
+    out = (
+        _documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(
+        out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+def label_centroids(sf_dir: str) -> pa.Table:
+    """Per-label embedding centroid as EXACT integer partials: each
+    embedding element becomes a tick (floor(float64(e) * 1e4)), per-batch
+    (label, dim) tick sums + counts are the mergeable combiner, and only
+    the tiny |labels| x dims partial table ever leaves the workers. This is
+    the distributed-mean building block k-means/IVF use, made
+    oracle-checkable (float centroids are derived client-side as
+    sum_tick / n_vecs). Zero shuffle of vectors."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        vecs = np.stack(b["embedding"].to_numpy(zero_copy_only=False))
+        ticks = np.floor(vecs.astype(np.float64) * 10000.0).astype(np.int64)
+        labels = b["label"].to_numpy().astype(np.int64)
+        order = np.argsort(labels, kind="stable")
+        lab_sorted = labels[order]
+        uniq, starts = np.unique(lab_sorted, return_index=True)
+        sums = np.add.reduceat(ticks[order], starts, axis=0)
+        counts = np.diff(np.append(starts, len(lab_sorted)))
+        d = ticks.shape[1]
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d)),
+                "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), len(uniq))),
+                "n_vecs": pa.array(np.repeat(counts.astype(np.int64), d)),
+                "sum_tick": pa.array(sums.reshape(-1)),
+            }
+        )
+
+    part = (
+        _embeddings(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = part.groupby(["label", "dim"], as_index=False).agg(
+        n_vecs=("n_vecs", "sum"), sum_tick=("sum_tick", "sum")
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values(["label", "dim"]).reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+def weighted_median_price(sf_dir: str) -> pa.Table:
+    """Exact weighted median (lower median: smallest v with 2*cumweight >=
+    total) of lineitem price ticks weighted by quantity ticks, per return
+    flag. Plan: per-batch (flag, price_tick)->weight partials; coarse
+    price-range weight totals let the driver locate the ONE range holding
+    each flag's median (small table prefix); only that range's exact
+    histogram is folded — the full per-tick histogram never gathers to the
+    driver, so the plan survives price domains with 10^8 distinct ticks."""
+    import ray as _ray
+
+    N_RANGES = 64
+    RANGE_W = (1 << 26)  # price ticks < ~6e7 at any sf; 64 coarse ranges
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "f": b["l_returnflag"].to_numpy(zero_copy_only=False),
+                "v": np.floor(b["l_extendedprice"].to_numpy() * 100.0).astype(
+                    np.int64
+                ),
+                "w": np.floor(b["l_quantity"].to_numpy() * 100.0).astype(np.int64),
+            }
+        )
+        g = df.groupby(["f", "v"], as_index=False).agg(w=("w", "sum"))
+        g["rng"] = g["v"] // RANGE_W
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .materialize()
+    )
+
+    coarse = (
+        hist.map_batches(
+            lambda b: pa.Table.from_pandas(
+                pd.DataFrame(
+                    {
+                        "f": b["f"].to_numpy(zero_copy_only=False),
+                        "rng": b["rng"].to_numpy(),
+                        "w": b["w"].to_numpy(),
+                    }
+                )
+                .groupby(["f", "rng"], as_index=False)
+                .agg(w=("w", "sum")),
+                preserve_index=False,
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .groupby(["f", "rng"], as_index=False)
+        .agg(w=("w", "sum"))
+        .sort_values(["f", "rng"])
+    )
+    coarse["cw"] = coarse.groupby("f")["w"].cumsum()
+    totals = coarse.groupby("f", as_index=False).agg(tw=("w", "sum"))
+    tmap = dict(zip(totals["f"], totals["tw"]))
+    target = {}  # flag -> range containing the weighted median
+    for f, grp in coarse.groupby("f"):
+        need = tmap[f]  # 2*cw >= tw
+        hit = grp[2 * grp["cw"] >= need].iloc[0]
+        target[f] = (int(hit["rng"]), int(hit["cw"] - hit["w"]))  # weight before rng
+    tref = _ray.put(target)
+
+    def in_target(b: pa.Table) -> pa.Table:
+        tg = _ray.get(tref)
+        f = b["f"].to_numpy(zero_copy_only=False)
+        rng = b["rng"].to_numpy()
+        want = np.array([tg.get(x, (-1, 0))[0] for x in f], np.int64)
+        return b.filter(pa.array(rng == want))
+
+    fine = hist.map_batches(in_target, batch_format="pyarrow").to_pandas()
+    fine = (
+        fine.groupby(["f", "v"], as_index=False).agg(w=("w", "sum"))
+        .sort_values(["f", "v"])
+    )
+    rows = []
+    for f, grp in fine.groupby("f"):
+        before = target[f][1]
+        cw = before + grp["w"].cumsum().to_numpy()
+        need = tmap[f]
+        ix = int(np.argmax(2 * cw >= need))
+        rows.append((f, int(grp["v"].to_numpy()[ix]), int(need)))
+    out = pd.DataFrame(rows, columns=["l_returnflag", "wmedian_tick", "total_w"])
+    return pa.Table.from_pandas(
+        out.sort_values("l_returnflag").reset_index(drop=True), preserve_index=False
+    )
+
+
+def first_last_user_value(sf_dir: str) -> pa.Table:
+    """FIRST_VALUE / LAST_VALUE per user ordered by (ts, event_id) as an
+    ASSOCIATIVE combiner: each batch keeps only (argmin-key tick,
+    argmax-key tick, count) per user, merges are the same min/max-by-key
+    fold, ONE user-hash bucket reduce of per-user rows — raw events never
+    shuffle. The window-function pair expressed as a mergeable aggregate."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        tsu = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(),
+                "tsu": tsu,
+                "eid": b["event_id"].to_numpy(),
+                "tick": np.floor(b["value"].to_numpy() * 10000.0).astype(np.int64),
+            }
+        )
+        df = df.sort_values(["user_id", "tsu", "eid"], kind="stable")
+        g = df.groupby("user_id", as_index=False)
+        first = g.first()
+        last = g.last()
+        n = g.size()
+        out = pd.DataFrame(
+            {
+                "user_id": first["user_id"],
+                "f_tsu": first["tsu"],
+                "f_eid": first["eid"],
+                "first_tick": first["tick"],
+                "l_tsu": last["tsu"],
+                "l_eid": last["eid"],
+                "last_tick": last["tick"],
+                "n_events": n["size"],
+            }
+        )
+        out["bucket"] = (
+            out["user_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761)
+        ) % np.uint64(64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "f_tsu", "f_eid"], kind="stable")
+        first = g.groupby("user_id", as_index=False).first()[
+            ["user_id", "first_tick"]
+        ]
+        g2 = g.sort_values(["user_id", "l_tsu", "l_eid"], kind="stable")
+        last = g2.groupby("user_id", as_index=False).last()[["user_id", "last_tick"]]
+        n = g.groupby("user_id", as_index=False).agg(n_events=("n_events", "sum"))
+        out = first.merge(last, on="user_id").merge(n, on="user_id")
+        return out.astype("int64")
+
+    out = (
+        _events(sf_dir, columns=["user_id", "event_id", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(
+        out.sort_values("user_id").reset_index(drop=True), preserve_index=False
+    )
