@@ -229,6 +229,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": q.label_centroids,
         "weighted_median_price": q.weighted_median_price,
         "first_last_user_value": q.first_last_user_value,
+        # ---- round-2 widening, batch 12 ----
+        "spike_detect_hours": q.spike_detect_hours,
+        "max_concurrent_intervals": q.max_concurrent_intervals,
+        "profile_table_stats": q.profile_table_stats,
+        "hive_pruned_read": q.hive_pruned_read,
+        "doc_bigram_familiarity": q.doc_bigram_familiarity,
     }
 
 
@@ -1492,6 +1498,104 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(min(CASE WHEN rn_d = 1 THEN t END) AS BIGINT) AS last_tick,
        CAST(count(*) AS BIGINT) AS n_events
 FROM e GROUP BY user_id
+""",
+        "spike_detect_hours": """
+WITH h AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT event_type, hour, n,
+         CAST(COALESCE(sum(n) OVER (
+             PARTITION BY event_type ORDER BY hour
+             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS trail_sum,
+         row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+  FROM h
+)
+SELECT event_type, CAST(hour AS BIGINT) AS hour, n, trail_sum,
+       CAST(CASE WHEN rn > 24 AND n * 24 > 2 * trail_sum THEN 1 ELSE 0 END
+            AS BIGINT) AS is_spike
+FROM w
+""",
+        "max_concurrent_intervals": """
+WITH iv AS (
+  SELECT event_type, epoch_us(ts) AS s,
+         epoch_us(ts) + (event_id % 900 + 60) * 1000000 AS e
+  FROM events
+), pts AS (
+  SELECT event_type, s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT event_type, e AS t, -1 AS d FROM iv
+), run AS (
+  SELECT event_type,
+         sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+                      ROWS UNBOUNDED PRECEDING) AS c
+  FROM pts
+)
+SELECT event_type, CAST(max(c) AS BIGINT) AS max_concurrency
+FROM run GROUP BY event_type
+""",
+        "profile_table_stats": """
+WITH e AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         epoch_us(ts) AS ts,
+         CAST(user_id AS BIGINT) AS user_id,
+         event_type,
+         CAST(floor(value * 10000) AS BIGINT) AS value,
+         props
+  FROM events
+)
+SELECT 'event_id' AS col,
+       CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(min(event_id) AS VARCHAR) AS min_s,
+       CAST(max(event_id) AS VARCHAR) AS max_s FROM e
+UNION ALL
+SELECT 'ts', CAST(count(*) - count(ts) AS BIGINT),
+       CAST(count(DISTINCT ts) AS BIGINT),
+       CAST(min(ts) AS VARCHAR), CAST(max(ts) AS VARCHAR) FROM e
+UNION ALL
+SELECT 'user_id', CAST(count(*) - count(user_id) AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT),
+       CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR) FROM e
+UNION ALL
+SELECT 'event_type', CAST(count(*) - count(event_type) AS BIGINT),
+       CAST(count(DISTINCT event_type) AS BIGINT),
+       min(event_type), max(event_type) FROM e
+UNION ALL
+SELECT 'value', CAST(count(*) - count(value) AS BIGINT),
+       CAST(count(DISTINCT value) AS BIGINT),
+       CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR) FROM e
+UNION ALL
+SELECT 'props', CAST(count(*) - count(props) AS BIGINT),
+       CAST(count(DISTINCT props) AS BIGINT),
+       min(props), max(props) FROM e
+""",
+        "hive_pruned_read": """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS sum_tick
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type
+""",
+        "doc_bigram_familiarity": """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), bg AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bigram
+  FROM toks, UNNEST(range(1, len(w))) AS t(i)
+), dn AS (
+  SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS dn
+  FROM bg GROUP BY doc_id, bigram
+), gn AS (
+  SELECT bigram, sum(dn) AS gn FROM dn GROUP BY bigram
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(sum(d.dn * g.gn) AS BIGINT) AS familiarity
+FROM dn d JOIN gn g USING (bigram)
+GROUP BY d.doc_id
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

@@ -5703,3 +5703,408 @@ def first_last_user_value(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         out.sort_values("user_id").reset_index(drop=True), preserve_index=False
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2 widening, batch 12
+# ---------------------------------------------------------------------------
+
+
+def spike_detect_hours(sf_dir: str) -> pa.Table:
+    """Trailing-window anomaly detection (the alerting read the reference's
+    ProcessingStatus/metrics side serves, fns-routing report sinks): flag
+    (event_type, hour) cells whose count more than doubles the trailing
+    24-observed-hour mean. Per-batch (type,hour) count partials bound the
+    exchange by |types|x|hours| regardless of row count; the rolling sum is
+    a cumsum difference inside each type bucket — no per-row window scan.
+    Integer cross-multiply (n*24 > 2*trail_sum) avoids float division."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        hour = (
+            b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // 3_600_000_000
+        )
+        df = (
+            pd.DataFrame(
+                {"event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                 "hour": hour}
+            )
+            .groupby(["event_type", "hour"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def roll_type(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.groupby(["event_type", "hour"], as_index=False)
+            .agg(n=("n", "sum"))
+            .sort_values("hour", kind="stable")
+        )
+        n = g["n"].to_numpy(np.int64)
+        cum = np.concatenate([[0], np.cumsum(n)])
+        idx = np.arange(len(n))
+        lo = np.maximum(idx - 24, 0)
+        trail = cum[idx] - cum[lo]          # sum over ROWS 24 PRECEDING..1 PRECEDING
+        full = idx >= 24                    # window fully populated
+        g["trail_sum"] = trail
+        g["is_spike"] = ((n * 24 > 2 * trail) & full).astype(np.int64)
+        g["n"] = g["n"].astype("int64")
+        g["hour"] = g["hour"].astype("int64")
+        return g[["event_type", "hour", "n", "trail_sum", "is_spike"]]
+
+    out = (
+        _events(sf_dir, columns=["event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(roll_type, batch_format="pandas")
+        .to_pandas()
+    )
+    out["trail_sum"] = out["trail_sum"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values(["event_type", "hour"]).reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+def max_concurrent_intervals(sf_dir: str, n_ranges: int = 32) -> pa.Table:
+    """Sweep-line max concurrency per event type: each event is an interval
+    [ts, ts + (event_id%900+60)s); peak concurrency = max running sum of
+    +1/-1 boundary points ordered by (time, delta) (ends before starts at
+    ties => end-exclusive). Distributed as a two-pass prefix scan over
+    range partitions of the composite (type, time, delta) key: sampled
+    boundaries steer load only (equal keys always co-locate), per-range
+    per-type delta totals -> driver prefix -> broadcast base offsets ->
+    in-range vectorized cumsum + max -> tiny per-type max reduce. Raw
+    points cross the wire once; no per-type skew because ranges split
+    within a type."""
+    import ray as _ray
+
+    # distinct types via a tiny aggregate (5-ish rows)
+    tset = (
+        _events(sf_dir, columns=["event_type"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()["event_type"]
+        .tolist()
+    )
+    code_of = {t: i for i, t in enumerate(sorted(tset))}
+    types = sorted(tset)
+    SHIFT = np.int64(1) << np.int64(54)  # epoch-us*4+delta < 2^54 through 2100
+
+    def points(b: pa.Table) -> pa.Table:
+        tsu = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        dur = (b["event_id"].to_numpy() % 900 + 60) * 1_000_000
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        code = pd.Series(et).map(code_of).to_numpy(np.int64)
+        # delta encoded 0 (= -1, end) / 1 (= +1, start) so ends sort first
+        start_key = code * SHIFT + tsu * 4 + 1
+        end_key = code * SHIFT + (tsu + dur) * 4 + 0
+        return pa.table(
+            {
+                "ckey": pa.array(np.concatenate([start_key, end_key])),
+                "delta": pa.array(
+                    np.concatenate(
+                        [np.ones(len(tsu), np.int64), -np.ones(len(tsu), np.int64)]
+                    )
+                ),
+            }
+        )
+
+    base = (
+        _events(sf_dir, columns=["event_id", "event_type", "ts"])
+        .map_batches(points, batch_format="pyarrow")
+        .materialize()
+    )
+
+    sample = base.random_sample(0.05, seed=12).limit(8192).to_pandas()
+    if len(sample) >= n_ranges:
+        keys = np.sort(sample["ckey"].to_numpy())
+        bounds = keys[np.linspace(0, len(keys) - 1, n_ranges + 1).astype(int)][1:-1]
+    else:
+        bounds = np.array([], dtype=np.int64)
+    bref = _ray.put(bounds)
+
+    def assign_range(b: pa.Table) -> pa.Table:
+        bs = _ray.get(bref)
+        rng = (
+            np.searchsorted(bs, b["ckey"].to_numpy(), side="left")
+            if len(bs)
+            else np.zeros(b.num_rows, np.int64)
+        )
+        return b.append_column("rng", pa.array(rng.astype(np.int64)))
+
+    ranged = base.map_batches(assign_range, batch_format="pyarrow").materialize()
+
+    # pass 1: per-(range, type) delta totals — tiny (ranges x types)
+    def totals(b: pa.Table) -> pa.Table:
+        code = b["ckey"].to_numpy() // SHIFT
+        df = (
+            pd.DataFrame(
+                {"rng": b["rng"].to_numpy(), "code": code,
+                 "d": b["delta"].to_numpy()}
+            )
+            .groupby(["rng", "code"], as_index=False)
+            .agg(d=("d", "sum"))
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    tot = (
+        ranged.map_batches(totals, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["rng", "code"], as_index=False)
+        .agg(d=("d", "sum"))
+    )
+    # driver prefix: concurrency entering each range, per type
+    base_of: dict[tuple[int, int], int] = {}
+    for code in range(len(types)):
+        run = 0
+        sub = tot[tot["code"] == code].sort_values("rng")
+        totals_by_rng = dict(zip(sub["rng"], sub["d"]))
+        for rng in range(n_ranges + 1):
+            base_of[(rng, code)] = run
+            run += int(totals_by_rng.get(rng, 0))
+    oref = _ray.put(base_of)
+
+    # pass 2: in-range cumsum from the broadcast base, per-type max
+    def range_max(g: pd.DataFrame) -> pd.DataFrame:
+        off = _ray.get(oref)
+        g = g.sort_values("ckey", kind="stable")
+        code = (g["ckey"].to_numpy() // SHIFT).astype(np.int64)
+        rng = int(g["rng"].iloc[0])
+        rows = []
+        for c in np.unique(code):
+            m = code == c
+            run = np.cumsum(g["delta"].to_numpy()[m]) + off[(rng, int(c))]
+            rows.append({"code": int(c), "mx": int(run.max())})
+        return pd.DataFrame(rows)
+
+    mx = (
+        ranged.groupby("rng")
+        .map_groups(range_max, batch_format="pandas")
+        .to_pandas()
+        .groupby("code", as_index=False)
+        .agg(mx=("mx", "max"))
+    )
+    out = pd.DataFrame(
+        {
+            "event_type": [types[int(c)] for c in mx["code"]],
+            "max_concurrency": mx["mx"].astype("int64"),
+        }
+    ).sort_values("event_type")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def profile_table_stats(sf_dir: str) -> pa.Table:
+    """Per-column data-profiling pass (the validation/report stage a lake
+    ingest runs before accepting a feed — reference's metadata verify +
+    report sinks): null count, EXACT distinct count, min/max per column.
+    Scalar stats are per-batch mergeable partials (one tiny row per batch
+    per column); distinct counts shuffle only per-batch-DEDUPED
+    (col, value) pairs through a hash-bucket exchange, so the wire cost is
+    bounded by the distinct set, not the row count. Numerics are encoded as
+    integer ticks rendered to strings so the oracle comparison is exact."""
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def enc(b: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(),
+                "ts": b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+                "user_id": b["user_id"].to_numpy(),
+                "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                "value": np.floor(b["value"].to_numpy() * 10000.0).astype(np.int64),
+                "props": b["props"].to_numpy(zero_copy_only=False),
+            }
+        )
+
+    def scalar_partial(b: pa.Table) -> pa.Table:
+        df = enc(b)
+        rows = []
+        for c in cols:
+            s = df[c]
+            rows.append(
+                {
+                    "col": c,
+                    "n_null": int(s.isna().sum()),
+                    "min_s": str(s.min()),
+                    "max_s": str(s.max()),
+                    "is_num": int(s.dtype != object),
+                }
+            )
+        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+    sc = (
+        _events(sf_dir, columns=cols)
+        .map_batches(scalar_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+    def fold(g: pd.DataFrame) -> pd.Series:
+        if g["is_num"].iloc[0]:
+            mn = str(g["min_s"].astype(np.int64).min())
+            mx = str(g["max_s"].astype(np.int64).max())
+        else:
+            mn, mx = g["min_s"].min(), g["max_s"].max()
+        return pd.Series(
+            {"n_null": int(g["n_null"].sum()), "min_s": mn, "max_s": mx}
+        )
+
+    scalar = sc.groupby("col").apply(fold, include_groups=False).reset_index()
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        df = enc(b)
+        frames = []
+        for c in cols:
+            v = df[c].dropna().astype(str).drop_duplicates()
+            frames.append(pd.DataFrame({"col": c, "v": v}))
+        out = pd.concat(frames, ignore_index=True)
+        out["bucket"] = (
+            pd.util.hash_array(out["v"].to_numpy(dtype=object)) % 64
+        ).astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["col", "v"])
+        return d.groupby("col", as_index=False).agg(n_distinct=("v", "size"))
+
+    nd = (
+        _events(sf_dir, columns=cols)
+        .map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(count_bucket, batch_format="pandas")
+        .to_pandas()
+        .groupby("col", as_index=False)
+        .agg(n_distinct=("n_distinct", "sum"))
+    )
+
+    out = scalar.merge(nd, on="col", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
+    out["n_null"] = out["n_null"].astype("int64")
+    out = out[["col", "n_null", "n_distinct", "min_s", "max_s"]]
+    return pa.Table.from_pandas(
+        out.sort_values("col").reset_index(drop=True), preserve_index=False
+    )
+
+
+def hive_pruned_read(sf_dir: str) -> pa.Table:
+    """Partition-pruned lake read: write events hive-partitioned by
+    event_type, then read back ONLY the 'click' and 'purchase' partitions
+    via a path-level partition filter on read_parquet — the pruned
+    directories never leave storage (prune-at-the-read discipline; at 100
+    TB this is the difference between scanning 2/5 and 5/5 of the lake).
+    Returns per-type counts + tick sums from the pruned read."""
+    with tempfile.TemporaryDirectory(prefix="hiveprune-") as d:
+        (
+            _events(sf_dir, columns=["event_id", "event_type", "value"])
+            .map_batches(
+                lambda b: b.append_column(
+                    "tick",
+                    pa.array(
+                        np.floor(b["value"].to_numpy() * 10000.0).astype(np.int64)
+                    ),
+                ).select(["event_id", "event_type", "tick"]),
+                batch_format="pyarrow",
+            )
+            .write_parquet(d, partition_cols=["event_type"])
+        )
+        # hive-style dirs are Ray's default parquet partitioning; the path
+        # filter prunes whole partition directories at file-listing time,
+        # before any byte of the pruned partitions is read
+        from ray.data.datasource.partitioning import (
+            Partitioning,
+            PathPartitionFilter,
+        )
+
+        keep = PathPartitionFilter.of(
+            lambda kv: kv.get("event_type") in ("click", "purchase"),
+            style="hive",
+        )
+        pruned = ray.data.read_parquet(
+            d,
+            partitioning=Partitioning("hive"),
+            partition_filter=keep,
+        )
+        out = (
+            pruned.groupby("event_type")
+            .aggregate(Count(alias_name="n"), Sum("tick", alias_name="sum_tick"))
+            .to_pandas()
+        )
+    out["n"] = out["n"].astype("int64")
+    out["sum_tick"] = out["sum_tick"].astype("int64")
+    out["event_type"] = out["event_type"].astype(str)
+    return pa.Table.from_pandas(
+        out.sort_values("event_type").reset_index(drop=True), preserve_index=False
+    )
+
+
+def doc_bigram_familiarity(sf_dir: str) -> pa.Table:
+    """Per-document corpus-familiarity score: sum over the doc's bigrams of
+    the GLOBAL bigram frequency (the count-based LM scoring stage — a
+    quality signal that needs a mid-cardinality feature-attach join, not a
+    broadcast: the bigram vocabulary is too big to ship to every worker).
+    Plan: per-batch (doc, bigram, dn) + (bigram, gn) partials co-locate in
+    ONE bigram-hash bucket exchange, global counts fold and attach
+    in-bucket, then a doc-hash reduce sums dn*gn per doc. Integer exact."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"], pattern=" ")
+        flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        lens = np.asarray(pc.list_value_length(flat))
+        words = np.asarray(pc.list_flatten(flat).to_numpy(zero_copy_only=False))
+        doc = np.repeat(b["doc_id"].to_numpy(), lens)
+        if len(words) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "bigram": pa.array([], pa.string()),
+                 "dn": pa.array([], pa.int64()),
+                 "bucket": pa.array([], pa.int64())}
+            )
+        ends = np.cumsum(lens) - 1
+        ok = np.ones(len(words), dtype=bool)
+        ok[ends] = False
+        keep = ok[:-1]
+        bg = np.char.add(
+            np.char.add(words[:-1][keep].astype(str), " "),
+            words[1:][keep].astype(str),
+        )
+        df = (
+            pd.DataFrame({"doc_id": doc[:-1][keep], "bigram": bg})
+            .groupby(["doc_id", "bigram"], as_index=False)
+            .size()
+            .rename(columns={"size": "dn"})
+        )
+        df["bucket"] = (
+            pd.util.hash_array(df["bigram"].to_numpy(dtype=object)) % 64
+        ).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def attach_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        gn = g.groupby("bigram", as_index=False).agg(gn=("dn", "sum"))
+        m = g.merge(gn, on="bigram")
+        m["part"] = m["dn"] * m["gn"]
+        out = m.groupby("doc_id", as_index=False).agg(part=("part", "sum"))
+        out["dbucket"] = (
+            out["doc_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761)
+        ) % np.uint64(64)
+        return out
+
+    def doc_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False).agg(
+            familiarity=("part", "sum")
+        )
+        out["familiarity"] = out["familiarity"].astype("int64")
+        return out
+
+    out = (
+        _documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(attach_bucket, batch_format="pandas")
+        .groupby("dbucket")
+        .map_groups(doc_reduce, batch_format="pandas")
+        .to_pandas()[["doc_id", "familiarity"]]
+    )
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id").reset_index(drop=True), preserve_index=False
+    )
