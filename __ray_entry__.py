@@ -235,6 +235,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_table_stats": q.profile_table_stats,
         "hive_pruned_read": q.hive_pruned_read,
         "doc_bigram_familiarity": q.doc_bigram_familiarity,
+        # ---- round-2 widening, batch 13 ----
+        "fk_integrity_audit": q.fk_integrity_audit,
+        "daily_new_vs_returning": q.daily_new_vs_returning,
+        "user_event_gini": q.user_event_gini,
+        "regression_sums_per_type": q.regression_sums_per_type,
+        "interval_overlap_counts": q.interval_overlap_counts,
     }
 
 
@@ -1596,6 +1602,87 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        CAST(sum(d.dn * g.gn) AS BIGINT) AS familiarity
 FROM dn d JOIN gn g USING (bigram)
 GROUP BY d.doc_id
+""",
+        "fk_integrity_audit": """
+SELECT 'customer.c_nationkey->nation.n_nationkey' AS fk,
+       CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders.o_custkey->customer.c_custkey',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'supplier.s_nationkey->nation.n_nationkey',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+""",
+        "daily_new_vs_returning": """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), f AS (
+  SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS fd FROM d
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(sum(CASE WHEN day = fd THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN day = fd THEN 0 ELSE 1 END) AS BIGINT) AS n_returning
+FROM f GROUP BY day
+""",
+        "user_event_gini": """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(sum(n) * sum(n) - sum(n * n) AS BIGINT) AS gini_num,
+       CAST(sum(n) * sum(n) AS BIGINT) AS gini_den
+FROM c GROUP BY user_id
+""",
+        "regression_sums_per_type": """
+WITH e AS (
+  SELECT event_type,
+         (epoch_us(ts) - 1704067200000000) // 3600000000 AS x,
+         CAST(floor(value * 10000) AS BIGINT) AS y
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(y) AS BIGINT) AS sum_y,
+       CAST(sum(x * x) AS BIGINT) AS sum_xx,
+       CAST(sum(x * y) AS BIGINT) AS sum_xy
+FROM e GROUP BY event_type
+""",
+        "interval_overlap_counts": """
+WITH iv AS (
+  SELECT user_id, event_type, epoch_us(ts) AS s,
+         epoch_us(ts) + (event_id % 900 + 60) * 1000000 AS e
+  FROM events WHERE event_type IN ('click', 'purchase')
+), c AS (
+  SELECT * FROM iv WHERE event_type = 'click'
+), p AS (
+  SELECT * FROM iv WHERE event_type = 'purchase'
+), pairs AS (
+  SELECT c.user_id, CAST(count(*) AS BIGINT) AS np
+  FROM c JOIN p ON c.user_id = p.user_id AND p.s < c.e AND c.s < p.e
+  GROUP BY c.user_id
+), clicks AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS nc FROM c GROUP BY user_id
+)
+SELECT CAST(clicks.user_id AS BIGINT) AS user_id,
+       nc AS n_clicks,
+       CAST(COALESCE(np, 0) AS BIGINT) AS n_pairs
+FROM clicks LEFT JOIN pairs ON clicks.user_id = pairs.user_id
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

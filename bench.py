@@ -77,6 +77,12 @@ HEADLINE = [
     "percent_rank_orders",
     "dedup_edit_distance",
     "weighted_median_price",
+    # round-2 widening, batches 12-13
+    "max_concurrent_intervals",
+    "doc_bigram_familiarity",
+    "profile_table_stats",
+    "fk_integrity_audit",
+    "interval_overlap_counts",
 ]
 
 

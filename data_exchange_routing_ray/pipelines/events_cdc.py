@@ -6108,3 +6108,362 @@ def doc_bigram_familiarity(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         out.sort_values("doc_id").reset_index(drop=True), preserve_index=False
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2 widening, batch 13
+# ---------------------------------------------------------------------------
+
+
+def fk_integrity_audit(sf_dir: str) -> pa.Table:
+    """Referential-integrity audit over the star schema's FK edges (the
+    conformance report a lake ingest emits before accepting a feed — the
+    reference's metadata-verify + report-sink pairing applied to relational
+    constraints). Per edge: child rows pre-aggregate per batch to
+    (key, cnt) partials (wire bounded by the DISTINCT key set, not row
+    count), parent keys dedup per batch, both sides co-partition in one
+    bucket exchange, and each bucket emits a tiny orphan-count partial —
+    parent key sets never leave the workers. The four independent edge
+    pipelines run CONCURRENTLY from driver threads so they share the
+    cluster instead of serializing four shuffles' fixed cost. n_checked is
+    parquet-metadata ``count()`` (no scan)."""
+    edges = [
+        ("customer.c_nationkey->nation.n_nationkey",
+         "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("lineitem.l_orderkey->orders.o_orderkey",
+         "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders.o_custkey->customer.c_custkey",
+         "orders", "o_custkey", "customer", "c_custkey"),
+        ("supplier.s_nationkey->nation.n_nationkey",
+         "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    NB = 32
+
+    def child_partial(key: str):
+        def fn(b: pa.Table) -> pa.Table:
+            k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            df = (
+                pd.DataFrame({"key": k})
+                .groupby("key", as_index=False)
+                .size()
+                .rename(columns={"size": "cnt"})
+            )
+            h = (
+                df["key"].to_numpy().astype(np.uint64) * np.uint64(2654435761)
+            ) % np.uint64(NB)
+            df["bucket"] = h.astype(np.int64)
+            df["side"] = np.int8(0)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        return fn
+
+    def parent_partial(key: str):
+        def fn(b: pa.Table) -> pa.Table:
+            k = np.unique(b[key].to_numpy(zero_copy_only=False).astype(np.int64))
+            h = (k.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(NB)
+            df = pd.DataFrame(
+                {
+                    "key": k,
+                    "cnt": np.zeros(len(k), np.int64),
+                    "bucket": h.astype(np.int64),
+                }
+            )
+            df["side"] = np.int8(1)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        return fn
+
+    def orphans_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        child = g[g["side"] == 0]
+        parent_keys = g.loc[g["side"] == 1, "key"].to_numpy()
+        miss = ~child["key"].isin(parent_keys).to_numpy()
+        return pd.DataFrame({"n_orphans": [int(child.loc[miss, "cnt"].sum())]})
+
+    # build the lazy pipelines serially (read_parquet's filesystem resolve
+    # is not thread-safe); only EXECUTION fans out to threads below.
+    # Block count follows input BYTES (128 MB target): the sort shuffle's
+    # fixed cost scales with the number of blocks entering it, so a 5 MB
+    # dimension table must not inherit the session's default parallelism
+    def _blocks(path: str) -> int:
+        return max(4, os.path.getsize(path) // (128 << 20))
+
+    plans = []
+    for i, (_, child_t, child_k, parent_t, parent_k) in enumerate(edges):
+        cpath = os.path.join(sf_dir, f"{child_t}.parquet")
+        ppath = os.path.join(sf_dir, f"{parent_t}.parquet")
+        child = ray.data.read_parquet(
+            cpath, columns=[child_k], override_num_blocks=_blocks(cpath)
+        )
+        both = child.map_batches(
+            child_partial(child_k), batch_format="pyarrow"
+        ).union(
+            ray.data.read_parquet(
+                ppath, columns=[parent_k], override_num_blocks=_blocks(ppath)
+            ).map_batches(parent_partial(parent_k), batch_format="pyarrow")
+        )
+        plans.append((i, child, both))
+
+    def run_edge(plan) -> tuple[int, int, int]:
+        i, child, both = plan
+        n_checked = child.count()  # parquet-metadata pushdown, no scan
+        n_orphans = int(
+            both.groupby("bucket")
+            .map_groups(orphans_in_bucket, batch_format="pandas")
+            .to_pandas()["n_orphans"]
+            .sum()
+        )
+        return i, n_checked, n_orphans
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(edges)) as pool:
+        results = list(pool.map(run_edge, plans))
+
+    rows = [
+        {"fk": edges[i][0], "n_checked": n_checked, "n_orphans": n_orphans}
+        for i, n_checked, n_orphans in results
+    ]
+    out = pd.DataFrame(rows).sort_values("fk").reset_index(drop=True)
+    out["n_checked"] = out["n_checked"].astype("int64")
+    out["n_orphans"] = out["n_orphans"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def daily_new_vs_returning(sf_dir: str) -> pa.Table:
+    """Per-day active/new/returning user counts (the growth-accounting
+    read behind every ingest dashboard). Wire cost is bounded by the
+    DISTINCT (user, day) set, not the event count: per-batch dedup of
+    (user, day) partials -> ONE user-hash bucket exchange (a user's whole
+    history co-locates, so first-day is decidable in-bucket) -> per-day
+    partial counts -> tiny day-key reduce."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (
+            b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        )
+        df = (
+            pd.DataFrame({"user_id": b["user_id"].to_numpy(), "day": day})
+            .drop_duplicates()
+        )
+        df["bucket"] = (
+            df["user_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761)
+        ) % np.uint64(64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "day"])
+        first = d.groupby("user_id")["day"].transform("min")
+        d = d.assign(is_new=(d["day"] == first).astype(np.int64))
+        out = d.groupby("day", as_index=False).agg(
+            n_active=("is_new", "size"), n_new=("is_new", "sum")
+        )
+        return out
+
+    out = (
+        _events(sf_dir, columns=["user_id", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold_bucket, batch_format="pandas")
+        .groupby("day")
+        .aggregate(
+            Sum("n_active", alias_name="n_active"),
+            Sum("n_new", alias_name="n_new"),
+        )
+        .to_pandas()
+    )
+    out["n_active"] = out["n_active"].astype("int64")
+    out["n_new"] = out["n_new"].astype("int64")
+    out["n_returning"] = (out["n_active"] - out["n_new"]).astype("int64")
+    out["day"] = out["day"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("day").reset_index(drop=True), preserve_index=False
+    )
+
+
+def user_event_gini(sf_dir: str) -> pa.Table:
+    """Per-user event-type concentration as EXACT integer Gini impurity:
+    gini = 1 - sum_i (n_i/n)^2 emitted as the integer fraction
+    (n^2 - sum n_i^2) / n^2 so the oracle comparison is exact (no float
+    entropy drift). Per-batch (user, type) count partials -> user-hash
+    bucket fold -> vectorized squares; exchange bounded by
+    |users| x |types|."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = (
+            pd.DataFrame(
+                {
+                    "user_id": b["user_id"].to_numpy(),
+                    "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby(["user_id", "event_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        df["bucket"] = (
+            df["user_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761)
+        ) % np.uint64(64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["user_id", "event_type"], as_index=False).agg(n=("n", "sum"))
+        per = c.groupby("user_id").agg(
+            n_events=("n", "sum"), ssq=("n", lambda s: int((s.to_numpy() ** 2).sum()))
+        )
+        n = per["n_events"].to_numpy(np.int64)
+        out = pd.DataFrame(
+            {
+                "user_id": per.index.to_numpy(),
+                "n_events": n,
+                "gini_num": n * n - per["ssq"].to_numpy(np.int64),
+                "gini_den": n * n,
+            }
+        )
+        return out
+
+    out = (
+        _events(sf_dir, columns=["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("n_events", "gini_num", "gini_den"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("user_id").reset_index(drop=True), preserve_index=False
+    )
+
+
+def regression_sums_per_type(sf_dir: str) -> pa.Table:
+    """Distributed simple-linear-regression state per event type: the five
+    mergeable sums (n, Sx, Sy, Sxx, Sxy) of tick-encoded value (y) on
+    hours-since-2024-01-01 (x). The sums ARE the distributed algorithm —
+    slope/intercept are O(groups) driver arithmetic on exact integers
+    (avoiding the catastrophic cancellation a float one-pass slope causes).
+    x in [0, ~10^3] hours and y <= ~10^7 ticks keep Sxy < 2^62 up to
+    ~10^9 rows per type; per-batch partials + a |types|-key reduce."""
+    T0 = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch-us
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = (
+            b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) - T0
+        ) // 3_600_000_000
+        y = np.floor(b["value"].to_numpy() * 10000.0).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                "n": np.ones(len(x), np.int64),
+                "sum_x": x,
+                "sum_y": y,
+                "sum_xx": x * x,
+                "sum_xy": x * y,
+            }
+        ).groupby("event_type", as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (
+        _events(sf_dir, columns=["event_type", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_x", alias_name="sum_x"),
+            Sum("sum_y", alias_name="sum_y"),
+            Sum("sum_xx", alias_name="sum_xx"),
+            Sum("sum_xy", alias_name="sum_xy"),
+        )
+        .to_pandas()
+    )
+    for c in ("n", "sum_x", "sum_y", "sum_xx", "sum_xy"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("event_type").reset_index(drop=True), preserve_index=False
+    )
+
+
+def interval_overlap_counts(sf_dir: str) -> pa.Table:
+    """Per-user count of overlapping (click, purchase) interval pairs —
+    the interval-overlap join (sessions x campaigns shape) WITHOUT pairwise
+    expansion: inside each user-hash bucket, purchase starts and ends are
+    sorted once into composite (user-code, time-offset) key arrays and
+    every click answers with two ``np.searchsorted`` probes
+    (#starts < click_end  minus  #ends <= click_start, the standard
+    interval-stabbing identity for half-open intervals). Cost is
+    O((C+P) log P) per bucket, all C-vectorized; composite keys use
+    bucket-local dense user codes x bucket-local time offsets (documented
+    capacity: users-per-bucket x time-span-us < 2^63, so num_buckets
+    scales with the user count)."""
+
+    def tag(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        m = (et == "click") | (et == "purchase")
+        if not m.any():
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "is_click": pa.array([], pa.int8()),
+                    "s": pa.array([], pa.int64()),
+                    "e": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        tsu = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)[m]
+        dur = (b["event_id"].to_numpy()[m] % 900 + 60) * 1_000_000
+        uid = b["user_id"].to_numpy()[m]
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "is_click": pa.array((et[m] == "click").astype(np.int8)),
+                "s": pa.array(tsu),
+                "e": pa.array(tsu + dur),
+                "bucket": pa.array(
+                    (
+                        uid.astype(np.uint64) * np.uint64(2654435761)
+                    ).astype(np.uint64)
+                    % np.uint64(64)
+                ),
+            }
+        )
+
+    def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g["user_id"], sort=True)
+        t0 = int(min(g["s"].min(), g["e"].min()))
+        span = int(max(g["s"].max(), g["e"].max())) - t0 + 2
+        ckey = codes.astype(np.int64) * np.int64(span)
+        is_click = g["is_click"].to_numpy(np.bool_)
+        ps = np.sort(ckey[~is_click] + (g["s"].to_numpy()[~is_click] - t0))
+        pe = np.sort(ckey[~is_click] + (g["e"].to_numpy()[~is_click] - t0))
+        ck = ckey[is_click]
+        cs = ck + (g["s"].to_numpy()[is_click] - t0)
+        ce = ck + (g["e"].to_numpy()[is_click] - t0)
+        # overlap([cs,ce), [ps,pe)) <=> ps < ce AND cs < pe, within user:
+        # count = #(user purchases with start < ce) - #(with end <= cs);
+        # the composite key confines both probes to the user's segment
+        # because time offsets are < span
+        n = (
+            np.searchsorted(ps, ce, side="left")
+            - np.searchsorted(ps, ck, side="left")
+        ) - (
+            np.searchsorted(pe, cs, side="right")
+            - np.searchsorted(pe, ck, side="left")
+        )
+        df = pd.DataFrame({"user_id": g["user_id"].to_numpy()[is_click], "np": n})
+        out = df.groupby("user_id", as_index=False).agg(
+            n_clicks=("np", "size"), n_pairs=("np", "sum")
+        )
+        return out
+
+    out = (
+        _events(sf_dir, columns=["event_id", "user_id", "event_type", "ts"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_count, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_clicks"] = out["n_clicks"].astype("int64")
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("user_id").reset_index(drop=True), preserve_index=False
+    )
