@@ -73,12 +73,19 @@ def connected_components(
     """(vertex, label) for every vertex appearing in ``edges``; label = the
     minimum vertex id of its connected component."""
     edges = edges.materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return ray.data.from_arrow(
             pa.table(
                 {"vertex": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
             )
         )
+    # Every ROUND pays a shuffle whose fixed cost scales with the number of
+    # blocks entering it — size both the edge partitions and the bucket
+    # count to the edge COUNT, not the upstream layout (a small pair set
+    # arriving in 256 near-empty blocks would pay 256-task rounds)
+    num_buckets = int(max(4, min(num_buckets, n_edges // 250_000 + 1)))
+    edges = edges.repartition(int(max(4, n_edges // 1_000_000 + 1))).materialize()
 
     # ---- init: labels[v] = v over the distinct endpoint set --------------
     def vert_batch(b: pa.Table) -> pa.Table:

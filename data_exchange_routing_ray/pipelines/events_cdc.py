@@ -51,14 +51,37 @@ def _events(sf_dir: str, columns=None) -> ray.data.Dataset:
     )
 
 
-def _documents(sf_dir: str, columns=None) -> ray.data.Dataset:
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=columns
+def _documents(sf_dir: str, columns=None, min_blocks: int = 16) -> ray.data.Dataset:
+    # byte-sized blocks with a floor of 16 so per-doc compute (minhash,
+    # shingling) still fans out while small corpora skip 64-block shuffles;
+    # raise min_blocks at call sites whose map_groups compute is heavy
+    # (grouped-shuffle fan-out follows the input block count)
+    return _read_sized(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns,
+        min_blocks=min_blocks,
     )
 
 
-def _embeddings(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+def _read_sized(
+    path: str,
+    columns=None,
+    min_blocks: int = 4,
+    target_bytes: int = 128 << 20,
+) -> ray.data.Dataset:
+    """``read_parquet`` with block count scaled to input BYTES. The sort
+    shuffle's fixed cost is proportional to the number of blocks entering
+    it, so a few-MB table must not inherit the session default (~2x CPUs:
+    64 blocks for a 2 MB file at 32 CPUs); a 100 TB input still splits at
+    ~``target_bytes``. Use for exchange-bound pipelines whose map stage is
+    trivial — compute-heavy stages keep the default so maps fan wide."""
+    nb = max(min_blocks, os.path.getsize(path) // target_bytes)
+    return ray.data.read_parquet(path, columns=columns, override_num_blocks=nb)
+
+
+def _embeddings(sf_dir: str, min_blocks: int = 16) -> ray.data.Dataset:
+    return _read_sized(
+        os.path.join(sf_dir, "embeddings.parquet"), min_blocks=min_blocks
+    )
 
 
 # --------------------------------------------------------------- derivation
@@ -1099,7 +1122,9 @@ def emb_neardup_lsh(
     row for this approximate op still enforces quality, not just a count."""
     from data_exchange_routing_ray.functions.dedup import lsh_neardup_pairs
 
-    out = lsh_neardup_pairs(_embeddings(sf_dir), threshold=threshold).to_pandas()
+    out = lsh_neardup_pairs(
+        _embeddings(sf_dir, min_blocks=64), threshold=threshold
+    ).to_pandas()
     exact = emb_neardup_blocked(sf_dir, threshold=threshold).to_pandas()
     truth = set(zip(exact["id_a"], exact["id_b"]))
     found = set(zip(out["id_a"], out["id_b"]))
@@ -2091,11 +2116,11 @@ def join_copartitioned_orders_lineitem(sf_dir: str, num_buckets: int = 64) -> pa
             }
         )
 
-    orders = ray.data.read_parquet(
+    orders = _read_sized(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_orderpriority"],
     ).map_batches(prep_orders, batch_format="pyarrow")
-    items = ray.data.read_parquet(
+    items = _read_sized(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_extendedprice"],
     ).map_batches(prep_lineitem, batch_format="pyarrow")
@@ -2226,11 +2251,11 @@ def left_join_customer_orders(sf_dir: str) -> pa.Table:
             }
         )
 
-    cust = ray.data.read_parquet(
+    cust = _read_sized(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_mktsegment"],
     ).map_batches(prep_cust, batch_format="pyarrow")
-    orders = ray.data.read_parquet(
+    orders = _read_sized(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey", "o_totalprice"],
     ).map_batches(prep_orders, batch_format="pyarrow")
@@ -2326,7 +2351,9 @@ def dedup_cluster_components(sf_dir: str) -> pa.Table:
         connected_components,
     )
 
-    docs = _documents(sf_dir, columns=["doc_id", "text"])
+    docs = _read_sized(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
 
     def tag(b: pa.Table) -> pa.Table:
         b2 = add_content_hash(b, "text")
@@ -2793,7 +2820,7 @@ def bloom_semi_join_lineitem(sf_dir: str) -> pa.Table:
         h2 = (k * np.uint64(0xC2B2AE3D27D4EB4F)) >> np.uint64(17)
         return (h1 & mask).astype(np.int64), (h2 & mask).astype(np.int64)
 
-    urgent = ray.data.read_parquet(
+    urgent = _read_sized(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_orderpriority"],
     ).map_batches(
@@ -2851,7 +2878,7 @@ def bloom_semi_join_lineitem(sf_dir: str) -> pa.Table:
             }
         )
 
-    probe_ds = ray.data.read_parquet(
+    probe_ds = _read_sized(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_returnflag", "l_quantity"],
     ).map_batches(probe, batch_format="pyarrow")
@@ -5495,7 +5522,7 @@ def dedup_edit_distance(sf_dir: str, k: int = 8, prefix: int = 16) -> pa.Table:
         )
 
     out = (
-        _documents(sf_dir, columns=["doc_id", "text"])
+        _documents(sf_dir, columns=["doc_id", "text"], min_blocks=64)
         .map_batches(partial, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(pairs_bucket, batch_format="pandas")
