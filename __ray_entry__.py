@@ -241,6 +241,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_gini": q.user_event_gini,
         "regression_sums_per_type": q.regression_sums_per_type,
         "interval_overlap_counts": q.interval_overlap_counts,
+        # ---- round-2 widening, batch 14 ----
+        "cdc_patch_merge": q.cdc_patch_merge,
+        "text_pattern_counts": q.text_pattern_counts,
+        "user_distinct_event_types": q.user_distinct_event_types,
+        "nearest_click_attribution": q.nearest_click_attribution,
+        "revenue_share_within_region": q.revenue_share_within_region,
     }
 
 
@@ -1683,6 +1689,79 @@ SELECT CAST(clicks.user_id AS BIGINT) AS user_id,
        nc AS n_clicks,
        CAST(COALESCE(np, 0) AS BIGINT) AS n_pairs
 FROM clicks LEFT JOIN pairs ON clicks.user_id = pairs.user_id
+""",
+        "cdc_patch_merge": """
+WITH ch AS (
+  SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CAST(event_id AS BIGINT) AS seq,
+         CASE WHEN event_id % 3 = 0 THEN 'e-' || CAST(event_id AS VARCHAR) END AS text,
+         CASE WHEN event_id % 3 = 1 THEN event_type END AS tool,
+         CASE WHEN event_id % 3 = 2 THEN
+              CASE WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END
+         END AS role
+  FROM events
+)
+SELECT conv_id, turn_idx,
+       CAST(max(seq) AS BIGINT) AS last_seq,
+       arg_max(text, seq) FILTER (WHERE text IS NOT NULL) AS text,
+       arg_max(tool, seq) FILTER (WHERE tool IS NOT NULL) AS tool,
+       arg_max(role, seq) FILTER (WHERE role IS NOT NULL) AS role
+FROM ch GROUP BY conv_id, turn_idx
+""",
+        "text_pattern_counts": """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS digit_runs,
+       CAST(sum(len(regexp_extract_all(text, '[A-Z][a-z]+'))) AS BIGINT) AS cap_words,
+       CAST(sum(len(regexp_extract_all(text, '\\bthe\\b'))) AS BIGINT) AS the_hits
+FROM documents GROUP BY source
+""",
+        "user_distinct_event_types": """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS type_set,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY user_id
+""",
+        "nearest_click_attribution": """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events
+  WHERE event_type IN ('click', 'purchase')
+), cl AS (
+  -- equal-ts clicks collapse to min id (deterministic tie-break)
+  SELECT user_id, tsu, CAST(min(event_id) AS BIGINT) AS event_id
+  FROM ev WHERE event_type = 'click' GROUP BY user_id, tsu
+), pu AS (
+  SELECT user_id, CAST(event_id AS BIGINT) AS event_id, tsu
+  FROM ev WHERE event_type = 'purchase'
+), ranked AS (
+  SELECT pu.event_id AS purchase_id, cl.event_id AS click_id,
+         abs(pu.tsu - cl.tsu) AS delta_us,
+         row_number() OVER (
+           PARTITION BY pu.event_id
+           ORDER BY abs(pu.tsu - cl.tsu), cl.event_id
+         ) AS rn
+  FROM pu JOIN cl ON pu.user_id = cl.user_id
+)
+SELECT purchase_id, click_id, CAST(delta_us AS BIGINT) AS delta_us
+FROM ranked WHERE rn = 1
+""",
+        "revenue_share_within_region": """
+WITH per_nat AS (
+  SELECT r.r_name, n.n_name,
+         CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_ticks,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT r_name, n_name, revenue_ticks, n_orders,
+       CAST(revenue_ticks * 10000 //
+            sum(revenue_ticks) OVER (PARTITION BY r_name) AS BIGINT) AS share_bp
+FROM per_nat
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

@@ -6494,3 +6494,347 @@ def interval_overlap_counts(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         out.sort_values("user_id").reset_index(drop=True), preserve_index=False
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2 widening, batch 14
+# ---------------------------------------------------------------------------
+
+
+def cdc_patch_merge(sf_dir: str) -> pa.Table:
+    """PARTIAL-update (patch) merge semantics: every change row carries only
+    SOME columns (the others NULL) and the merged state keeps, per column
+    independently, the value from the highest-seq non-null patch — the
+    JSON-merge-patch flavor of CDC the reference's metadata overlay implies
+    (RouteIngestedFile merges sparse metadata onto the stored envelope).
+    Derivation (shared with the SQL oracle): seq = event_id, key =
+    (conv_id, turn_idx) as in the main stream; text patched when
+    event_id%3==0, tool when %3==1, role when %3==2.
+
+    Distributed shape: a per-batch COMBINER keeps, per key, the best
+    (max-seq non-null) candidate for each column plus max seq — so the
+    exchange carries one row per (key, batch), not per event — then ONE
+    key-hash bucket reduce applies the same fold. The fold is associative/
+    commutative per column, which is what makes patch-merge streamable."""
+
+    def derive(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy()
+        uid = b["user_id"].to_numpy()
+        conv = np.char.add(
+            "conv-", np.char.zfill(uid.astype(np.int64).astype(str), 6)
+        )
+        m = eid % 3
+        text = np.where(m == 0, np.char.add("e-", eid.astype(str)), None)
+        tool = np.where(
+            m == 1, b["event_type"].to_numpy(zero_copy_only=False), None
+        )
+        role = np.where(m == 2, np.where(eid % 2 == 0, "user", "assistant"), None)
+        return pa.table(
+            {
+                "conv_id": pa.array(conv),
+                "turn_idx": pa.array((eid % 25).astype(np.int32)),
+                "seq": pa.array(eid.astype(np.int64)),
+                "text": pa.array(text, pa.string()),
+                "tool": pa.array(tool, pa.string()),
+                "role": pa.array(role, pa.string()),
+            }
+        )
+
+    # the combiner emits per-column (value, seq) pairs — a partial that
+    # kept only its local winner value WITHOUT the seq could not be
+    # re-merged correctly across batches
+    def partial2(b: pa.Table) -> pa.Table:
+        df = derive(b).to_pandas()
+        df = df.sort_values("seq", kind="stable")
+        keys = ["conv_id", "turn_idx"]
+        out = df.groupby(keys, as_index=False).agg(last_seq=("seq", "max"))
+        for col in ("text", "tool", "role"):
+            nn = df[df[col].notna()]
+            best = nn.groupby(keys, as_index=False).agg(
+                **{col: (col, "last"), f"{col}_seq": ("seq", "max")}
+            )
+            out = out.merge(best, on=keys, how="left")
+        h = pd.util.hash_array(out["conv_id"].to_numpy(dtype=object))
+        out["bucket"] = ((h + out["turn_idx"].to_numpy()) % 64).astype("int64")
+        for col in ("text", "tool", "role"):
+            out[f"{col}_seq"] = out[f"{col}_seq"].fillna(-1).astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def reduce2(g: pd.DataFrame) -> pd.DataFrame:
+        keys = ["conv_id", "turn_idx"]
+        out = g.groupby(keys, as_index=False).agg(last_seq=("last_seq", "max"))
+        for col in ("text", "tool", "role"):
+            nn = g[g[f"{col}_seq"] >= 0].sort_values(f"{col}_seq", kind="stable")
+            best = nn.groupby(keys, as_index=False).agg(**{col: (col, "last")})
+            out = out.merge(best, on=keys, how="left")
+        return out
+
+    out = (
+        _events(sf_dir, columns=["event_id", "user_id", "event_type"])
+        .map_batches(partial2, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce2, batch_format="pandas")
+        .to_pandas()
+    )
+    out["turn_idx"] = out["turn_idx"].astype("int32")
+    out["last_seq"] = out["last_seq"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+def text_pattern_counts(sf_dir: str) -> pa.Table:
+    """Per-source PII/pattern scan totals (the redaction pre-scan a corpus
+    pipeline runs to size its scrubbing stage): counts of digit runs,
+    capitalized tokens and the-stopword hits, all `pyarrow.compute`
+    RE2 kernels (the same regex engine DuckDB uses, so counts are exactly
+    comparable). Per-batch totals → |sources|-row reduce; nothing besides
+    the tiny partial rows leaves the workers."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        digit_runs = pc.count_substring_regex(b["text"], r"[0-9]+")
+        cap_words = pc.count_substring_regex(b["text"], r"[A-Z][a-z]+")
+        the_hits = pc.count_substring_regex(b["text"], r"\bthe\b")
+        df = pd.DataFrame(
+            {
+                "source": b["source"].to_numpy(zero_copy_only=False),
+                "n_docs": np.ones(b.num_rows, np.int64),
+                "digit_runs": np.asarray(digit_runs).astype(np.int64),
+                "cap_words": np.asarray(cap_words).astype(np.int64),
+                "the_hits": np.asarray(the_hits).astype(np.int64),
+            }
+        ).groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (
+        _documents(sf_dir, columns=["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("digit_runs", alias_name="digit_runs"),
+            Sum("cap_words", alias_name="cap_words"),
+            Sum("the_hits", alias_name="the_hits"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_docs", "digit_runs", "cap_words", "the_hits"):
+        out[c] = out[c].astype("int64")
+    out["source"] = out["source"].astype(str)
+    return pa.Table.from_pandas(
+        out.sort_values("source").reset_index(drop=True), preserve_index=False
+    )
+
+
+def user_distinct_event_types(sf_dir: str) -> pa.Table:
+    """Per-user sorted-distinct type SET as a canonical comma string plus
+    set size — the distinct-collect aggregate (array_agg DISTINCT). Wire is
+    bounded by |users|x|types|: per-batch dedup of (user, type) pairs, ONE
+    user-hash exchange, in-bucket sort+join."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(),
+                "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        df["bucket"] = (
+            df["user_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761)
+        ) % np.uint64(64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "event_type"]).sort_values(
+            ["user_id", "event_type"], kind="stable"
+        )
+        return d.groupby("user_id", as_index=False).agg(
+            type_set=("event_type", ",".join), n_types=("event_type", "size")
+        )
+
+    out = (
+        _events(sf_dir, columns=["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_types"] = out["n_types"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("user_id").reset_index(drop=True), preserve_index=False
+    )
+
+
+def nearest_click_attribution(sf_dir: str) -> pa.Table:
+    """Nearest-event attribution join: each purchase is attributed to the
+    temporally CLOSEST click of the same user (|Δt|, either direction —
+    stricter than backward-only as-of), tie-broken by smaller click id.
+    Per-user-bucket shape: clicks sorted once per bucket; every purchase
+    probes its insertion point with ``np.searchsorted`` and compares the
+    two neighbors — O((C+P) log C), no pairwise expansion, all vectorized
+    across users via composite (user-code × time-offset) keys. Equal-ts
+    clicks pre-collapse to the min id (equal distance ⇒ that id wins)."""
+
+    def tag(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        m = (et == "click") | (et == "purchase")
+        tsu = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)[m]
+        uid = b["user_id"].to_numpy()[m]
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_id": pa.array(b["event_id"].to_numpy()[m]),
+                "is_click": pa.array((et[m] == "click").astype(np.int8)),
+                "tsu": pa.array(tsu),
+                "bucket": pa.array(
+                    (uid.astype(np.uint64) * np.uint64(2654435761))
+                    % np.uint64(64)
+                ),
+            }
+        )
+
+    def bucket_attr(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g["user_id"], sort=True)
+        t0 = int(g["tsu"].min())
+        span = int(g["tsu"].max()) - t0 + 2
+        ckey = codes.astype(np.int64) * np.int64(span) + (
+            g["tsu"].to_numpy() - t0
+        )
+        is_click = g["is_click"].to_numpy(np.bool_)
+        cl = pd.DataFrame(
+            {"k": ckey[is_click], "id": g["event_id"].to_numpy()[is_click]}
+        )
+        # equal-ts clicks collapse to min id (deterministic tie-break)
+        cl = cl.groupby("k", as_index=False).agg(id=("id", "min")).sort_values("k")
+        ck = cl["k"].to_numpy()
+        cid = cl["id"].to_numpy()
+        pk = ckey[~is_click]
+        pid = g["event_id"].to_numpy()[~is_click]
+        puser = g["user_id"].to_numpy()[~is_click]
+        pcode = codes[~is_click].astype(np.int64)
+        pos = np.searchsorted(ck, pk)
+        lo = np.clip(pos - 1, 0, max(len(ck) - 1, 0))
+        hi = np.clip(pos, 0, max(len(ck) - 1, 0))
+        BIG = np.int64(2**62)
+        if len(ck) == 0:
+            return pd.DataFrame(
+                {
+                    "purchase_id": pd.Series(dtype="int64"),
+                    "click_id": pd.Series(dtype="int64"),
+                    "delta_us": pd.Series(dtype="int64"),
+                }
+            )
+        # neighbor valid only within the same user's key segment
+        seg_lo = pcode * np.int64(span)
+        seg_hi = seg_lo + np.int64(span)
+        d_lo = np.where(
+            (ck[lo] >= seg_lo) & (ck[lo] < seg_hi) & (pos > 0),
+            pk - ck[lo],
+            BIG,
+        )
+        d_hi = np.where(
+            (hi < len(ck)) & (ck[hi] >= seg_lo) & (ck[hi] < seg_hi)
+            & (pos < len(ck)),
+            ck[hi] - pk,
+            BIG,
+        )
+        # pick smaller distance; ties -> smaller click id
+        use_lo = (d_lo < d_hi) | (
+            (d_lo == d_hi) & (cid[lo] < cid[hi])
+        )
+        best_d = np.where(use_lo, d_lo, d_hi)
+        best_id = np.where(use_lo, cid[lo], cid[hi])
+        ok = best_d < BIG
+        return pd.DataFrame(
+            {
+                "purchase_id": pid[ok].astype(np.int64),
+                "click_id": best_id[ok].astype(np.int64),
+                "delta_us": best_d[ok].astype(np.int64),
+            }
+        )
+
+    out = (
+        _events(sf_dir, columns=["event_id", "user_id", "event_type", "ts"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_attr, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(
+        out.sort_values("purchase_id").reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+def revenue_share_within_region(sf_dir: str) -> pa.Table:
+    """Ratio-to-parent analytics: every nation's share of its region's
+    order revenue, exact to the tick. Facts flow through ONE broadcast
+    dimension gather (cust→nation→region maps built once, ray.put'd) into
+    per-(region, nation) integer tick partials; shares are driver
+    arithmetic over the |nations| result — the two-level rollup never
+    re-shuffles the fact table."""
+    cust = pd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+    nat = pd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    reg = pd.read_parquet(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    import ray as _ray
+
+    cust2nat = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    ref = _ray.put(cust2nat)
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = _ray.get(ref)
+        df = pd.DataFrame(
+            {
+                "o_custkey": b["o_custkey"].to_numpy(),
+                "tick": np.floor(
+                    b["o_totalprice"].to_numpy() * 100.0
+                ).astype(np.int64),
+            }
+        )
+        df["nationkey"] = df["o_custkey"].map(m)
+        g = df.groupby("nationkey", as_index=False).agg(
+            revenue_ticks=("tick", "sum"), n_orders=("tick", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_nat = (
+        _read_sized(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_totalprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("nationkey")
+        .aggregate(
+            Sum("revenue_ticks", alias_name="revenue_ticks"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+        .to_pandas()
+    )
+    per_nat = per_nat.merge(
+        nat, left_on="nationkey", right_on="n_nationkey"
+    ).merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    region_tot = per_nat.groupby("r_name")["revenue_ticks"].transform("sum")
+    out = pd.DataFrame(
+        {
+            "r_name": per_nat["r_name"].astype(str),
+            "n_name": per_nat["n_name"].astype(str),
+            "revenue_ticks": per_nat["revenue_ticks"].astype("int64"),
+            "n_orders": per_nat["n_orders"].astype("int64"),
+            "share_bp": (
+                per_nat["revenue_ticks"] * 10000 // region_tot
+            ).astype("int64"),
+        }
+    )
+    return pa.Table.from_pandas(
+        out.sort_values(["r_name", "n_name"]).reset_index(drop=True),
+        preserve_index=False,
+    )
