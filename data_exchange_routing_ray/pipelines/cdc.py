@@ -491,7 +491,15 @@ class CDCLake:
             pending.append(f)
         for i in range(0, len(pending), files_per_epoch):
             chunk = pending[i : i + files_per_epoch]
-            ds = ray.data.read_parquet(chunk, columns=columns)
+            # block count follows shard BYTES (128 MB target): a small
+            # epoch must not fan into the session-default ~2x-CPU block
+            # count — the merge exchange's fixed cost scales with the
+            # number of blocks entering it
+            nbytes = sum(os.path.getsize(f) for f in chunk)
+            nblocks = max(len(chunk), nbytes // (128 << 20))
+            ds = ray.data.read_parquet(
+                chunk, columns=columns, override_num_blocks=nblocks
+            )
             results.append(self.apply_changes(ds, quarantine=quarantine))
         return results
 

@@ -45,9 +45,12 @@ from data_exchange_routing_ray.stages.route import folders_to_path, make_router,
 from data_exchange_routing_ray.stages.validate import keep_invalid, validate_batch
 
 
-def _events(sf_dir: str, columns=None) -> ray.data.Dataset:
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, "events.parquet"), columns=columns
+def _events(sf_dir: str, columns=None, min_blocks: int = 16) -> ray.data.Dataset:
+    # byte-sized blocks (floor 16): small test tables skip 64-block shuffle
+    # overhead; at 100 TB the 128 MB target governs (see _read_sized)
+    return _read_sized(
+        os.path.join(sf_dir, "events.parquet"), columns=columns,
+        min_blocks=min_blocks,
     )
 
 
@@ -5241,7 +5244,7 @@ def percent_rank_orders(sf_dir: str) -> pa.Table:
         )
 
     base = (
-        ray.data.read_parquet(
+        _read_sized(
             os.path.join(sf_dir, "orders.parquet"),
             columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
         )
@@ -5606,7 +5609,7 @@ def weighted_median_price(sf_dir: str) -> pa.Table:
         return pa.Table.from_pandas(g, preserve_index=False)
 
     hist = (
-        ray.data.read_parquet(
+        _read_sized(
             os.path.join(sf_dir, "lineitem.parquet"),
             columns=["l_returnflag", "l_extendedprice", "l_quantity"],
         )
