@@ -247,6 +247,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_distinct_event_types": q.user_distinct_event_types,
         "nearest_click_attribution": q.nearest_click_attribution,
         "revenue_share_within_region": q.revenue_share_within_region,
+        # ---- round-2 widening, batch 15 ----
+        "weighted_sample_topk": q.weighted_sample_topk,
+        "duplicate_charge_flags": q.duplicate_charge_flags,
+        "order_reconciliation_audit": q.order_reconciliation_audit,
+        "lake_final_role_counts": q.lake_final_role_counts,
     }
 
 
@@ -1762,6 +1767,73 @@ SELECT r_name, n_name, revenue_ticks, n_orders,
        CAST(revenue_ticks * 10000 //
             sum(revenue_ticks) OVER (PARTITION BY r_name) AS BIGINT) AS share_bp
 FROM per_nat
+""",
+        "weighted_sample_topk": """
+WITH t AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS w_ticks,
+         ln((CAST((o_orderkey * 2654435761) % 4294967296 AS DOUBLE) + 1.0)
+            / 4294967297.0)
+           / CAST(floor(o_totalprice * 100) AS BIGINT) AS aes_key
+  FROM orders
+)
+SELECT o_orderkey, w_ticks FROM t ORDER BY aes_key DESC LIMIT 500
+""",
+        "duplicate_charge_flags": """
+WITH p AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
+         CAST(floor(value * 10000) AS BIGINT) AS tick,
+         epoch_us(ts) AS tsu
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT a.event_id, CAST(count(b.event_id) AS BIGINT) AS n_dups
+FROM p a LEFT JOIN p b
+  ON a.user_id = b.user_id AND a.tick = b.tick
+ AND a.event_id <> b.event_id AND abs(a.tsu - b.tsu) <= 3600000000
+GROUP BY a.event_id
+""",
+        "order_reconciliation_audit": """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS lsum
+  FROM lineitem GROUP BY l_orderkey
+), j AS (
+  SELECT o.o_orderpriority,
+         CAST(floor(o.o_totalprice * 100) AS BIGINT) AS tot, li.lsum
+  FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+), c AS (
+  SELECT o_orderpriority,
+         CASE WHEN lsum IS NOT NULL AND 4 * abs(lsum - tot) <= tot
+              THEN 1 ELSE 0 END AS w25,
+         CASE WHEN lsum IS NOT NULL AND NOT (4 * abs(lsum - tot) <= tot)
+                   AND 2 * abs(lsum - tot) <= tot
+              THEN 1 ELSE 0 END AS w50
+  FROM j
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(w25) AS BIGINT) AS n_within_25,
+       CAST(sum(w50) AS BIGINT) AS n_within_50,
+       CAST(count(*) - sum(w25) - sum(w50) AS BIGINT) AS n_off
+FROM c GROUP BY o_orderpriority
+""",
+        "lake_final_role_counts": _CH
+        + """
+, last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY seq DESC) AS rn
+  FROM ch
+), fs AS (
+  SELECT conv_id, role FROM last WHERE rn = 1 AND op <> 'delete'
+)
+SELECT conv_id,
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_user,
+       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_assistant,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM fs GROUP BY conv_id
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

@@ -536,8 +536,8 @@ def agg_pricing_summary(sf_dir: str) -> pa.Table:
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
+    ds = _read_sized(
+os.path.join(sf_dir, "lineitem.parquet"),
         columns=[
             "l_returnflag",
             "l_linestatus",
@@ -585,8 +585,8 @@ def join_broadcast_segments(sf_dir: str) -> pa.Table:
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    ds = _read_sized(
+os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
     )
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -633,8 +633,8 @@ def join_multiway_region_revenue(sf_dir: str) -> pa.Table:
         return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+        _read_sized(
+os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
         )
         .map_batches(partial, batch_format="pyarrow")
         .groupby("r_name")
@@ -658,13 +658,13 @@ def anti_join_customers_no_orders(sf_dir: str) -> pa.Table:
         [("c_custkey", pa.int64()), ("c_mktsegment", pa.string())]
     )
     out = filter_join_bucketed(
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "customer.parquet"),
+        _read_sized(
+os.path.join(sf_dir, "customer.parquet"),
             columns=["c_custkey", "c_mktsegment"],
         ),
         left_schema,
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+        _read_sized(
+os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
         ),
         left_key="c_custkey",
         right_key="o_custkey",
@@ -692,8 +692,8 @@ def union_event_streams(sf_dir: str) -> pa.Table:
 
 
 def sort_topk_orders(sf_dir: str) -> pa.Table:
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_totalprice"]
+    ds = _read_sized(
+os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_totalprice"]
     )
     top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(20)
     return pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
@@ -868,8 +868,8 @@ def grouped_topk_orders(sf_dir: str, k: int = 3) -> pa.Table:
         )
 
     cand = (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "orders.parquet"),
+        _read_sized(
+os.path.join(sf_dir, "orders.parquet"),
             columns=["o_orderpriority", "o_orderkey", "o_totalprice"],
         )
         .map_batches(local_topk, batch_format="pyarrow")
@@ -1298,8 +1298,8 @@ def cdc_bootstrap_then_changes(sf_dir: str) -> pa.Table:
             }
         )
 
-    boot = ray.data.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    boot = _read_sized(
+os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
     ).map_batches(boot_batch, batch_format="pyarrow")
     with tempfile.TemporaryDirectory(prefix="cdclake-") as d:
         lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
@@ -1699,8 +1699,8 @@ def semi_join_orders_building(sf_dir: str, segment: str = "BUILDING") -> pa.Tabl
         )
 
     out = (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "orders.parquet"),
+        _read_sized(
+os.path.join(sf_dir, "orders.parquet"),
             columns=["o_custkey", "o_orderpriority", "o_totalprice"],
         )
         .map_batches(partial, batch_format="pyarrow")
@@ -1869,8 +1869,8 @@ def rollup_region_nation_revenue(sf_dir: str) -> pa.Table:
         )
 
     fine = (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+        _read_sized(
+os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
         )
         .map_batches(partial, batch_format="pyarrow")
         .groupby(["r_name", "n_name"])
@@ -3544,8 +3544,8 @@ def full_outer_join_users_customers(sf_dir: str) -> pa.Table:
     ev = _events(sf_dir, columns=["user_id", "value"]).map_batches(
         prep_events, batch_format="pyarrow"
     )
-    cust = ray.data.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_acctbal"]
+    cust = _read_sized(
+os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_acctbal"]
     ).map_batches(prep_cust, batch_format="pyarrow")
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -3739,8 +3739,8 @@ def paginate_orders(sf_dir: str, limit: int = 20, offset: int = 40) -> pa.Table:
         return pa.Table.from_pandas(df, preserve_index=False)
 
     cand = (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "orders.parquet"),
+        _read_sized(
+os.path.join(sf_dir, "orders.parquet"),
             columns=["o_orderkey", "o_totalprice"],
         )
         .map_batches(partial, batch_format="pyarrow")
@@ -4555,8 +4555,8 @@ def pareto_orders(sf_dir: str) -> pa.Table:
         return pa.Table.from_pandas(_frontier(df), preserve_index=False)
 
     cand = (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "orders.parquet"),
+        _read_sized(
+os.path.join(sf_dir, "orders.parquet"),
             columns=["o_orderkey", "o_totalprice", "o_orderdate"],
         )
         .map_batches(block_frontier, batch_format="pyarrow")
@@ -4674,8 +4674,8 @@ def orders_above_customer_avg(sf_dir: str) -> pa.Table:
             preserve_index=False,
         )
 
-    orders = ray.data.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"),
+    orders = _read_sized(
+os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey", "o_totalprice", "o_orderpriority"],
     )
     both = orders.map_batches(order_rows, batch_format="pyarrow").union(
@@ -5107,8 +5107,8 @@ def dense_cross_counts(sf_dir: str) -> pa.Table:
         return pa.Table.from_pandas(df, preserve_index=False)
 
     part = (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "orders.parquet"),
+        _read_sized(
+os.path.join(sf_dir, "orders.parquet"),
             columns=["o_custkey", "o_orderpriority"],
         )
         .map_batches(partial, batch_format="pyarrow")
@@ -5168,8 +5168,8 @@ def union_by_name_activity(sf_dir: str) -> pa.Table:
     ev = _events(sf_dir, columns=["event_id", "event_type", "value"]).map_batches(
         ev_branch, batch_format="pyarrow"
     )
-    orders = ray.data.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"),
+    orders = _read_sized(
+os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_orderpriority"],
     ).map_batches(ord_branch, batch_format="pyarrow")
 
@@ -6840,4 +6840,254 @@ def revenue_share_within_region(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         out.sort_values(["r_name", "n_name"]).reset_index(drop=True),
         preserve_index=False,
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-2 widening, batch 15
+# ---------------------------------------------------------------------------
+
+
+def weighted_sample_topk(sf_dir: str, k: int = 500) -> pa.Table:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each order draws key = ln(u)/w with u a Knuth-hash
+    uniform from its key and w = price ticks; the k largest keys form the
+    sample. Deterministic hash ⇒ reproducible and parallelism-invariant;
+    distributed as per-batch top-k partials (k rows per block cross the
+    wire, never the table) + a driver merge of block winners — the
+    standard distributed top-k, here keyed by the A-ES score."""
+    M32 = np.uint64(0xFFFFFFFF)
+
+    def partial(b: pa.Table) -> pa.Table:
+        kk = b["o_orderkey"].to_numpy()
+        w = np.floor(b["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        h = (kk.astype(np.uint64) * np.uint64(2654435761)) & M32
+        u = (h.astype(np.float64) + 1.0) / 4294967297.0  # (0,1], never 0
+        key = np.log(u) / w.astype(np.float64)
+        top = np.argsort(key)[::-1][:k]  # largest keys win
+        return pa.table(
+            {
+                "o_orderkey": pa.array(kk[top].astype(np.int64)),
+                "w_ticks": pa.array(w[top]),
+                "aes_key": pa.array(key[top]),
+            }
+        )
+
+    part = (
+        _read_sized(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_totalprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    top = part.nlargest(k, "aes_key").drop(columns=["aes_key"])
+    top["o_orderkey"] = top["o_orderkey"].astype("int64")
+    top["w_ticks"] = top["w_ticks"].astype("int64")
+    return pa.Table.from_pandas(
+        top.sort_values("o_orderkey").reset_index(drop=True), preserve_index=False
+    )
+
+
+def duplicate_charge_flags(sf_dir: str, window_us: int = 3_600_000_000) -> pa.Table:
+    """Duplicate-charge detector: for every purchase, how many OTHER
+    purchases by the same user have the same amount tick within ±1 h —
+    the fraud/idempotency scan an ingest runs on payment feeds. ONE
+    (user, tick)-hash bucket exchange; inside a bucket all (user, tick)
+    groups answer together: events sort once by composite (group-code ×
+    time-offset) key and each event counts its window neighbors with two
+    ``np.searchsorted`` probes minus itself — no pairwise expansion, no
+    per-group Python loop."""
+
+    def tag(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        m = et == "purchase"
+        tick = np.floor(b["value"].to_numpy()[m] * 10000.0).astype(np.int64)
+        uid = b["user_id"].to_numpy()[m]
+        tsu = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)[m]
+        h = (
+            uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            + tick.astype(np.uint64) * np.uint64(2654435761)
+        ) % np.uint64(64)
+        return pa.table(
+            {
+                "event_id": pa.array(b["event_id"].to_numpy()[m]),
+                "user_id": pa.array(uid),
+                "tick": pa.array(tick),
+                "tsu": pa.array(tsu),
+                "bucket": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(
+            pd.MultiIndex.from_arrays([g["user_id"], g["tick"]]), sort=True
+        )
+        t0 = int(g["tsu"].min())
+        span = int(g["tsu"].max()) - t0 + 2 * window_us + 2
+        key = codes.astype(np.int64) * np.int64(span) + (
+            g["tsu"].to_numpy() - t0 + window_us
+        )
+        order = np.argsort(key, kind="stable")
+        sk = key[order]
+        lo = np.searchsorted(sk, key - window_us, side="left")
+        hi = np.searchsorted(sk, key + window_us, side="right")
+        n = hi - lo - 1  # window peers minus self; offsets keep the probe
+        # inside this (user,tick) group because ±window never crosses span
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy().astype(np.int64),
+                "n_dups": n.astype(np.int64),
+            }
+        )
+
+    out = (
+        _events(sf_dir, columns=["event_id", "user_id", "event_type", "value", "ts"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_count, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(
+        out.sort_values("event_id").reset_index(drop=True), preserve_index=False
+    )
+
+
+def order_reconciliation_audit(sf_dir: str) -> pa.Table:
+    """Cross-table reconciliation (the conformance report between a feed
+    and its rollup): per order priority, classify every order by how far
+    sum(lineitem price) strays from o_totalprice — within 25%, within 50%,
+    or off. Lineitem pre-aggregates per batch (combiner), both fact tables
+    co-partition in ONE bucket exchange, orders with no lineitems count as
+    'off'; integer tick math end to end."""
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        kk = b["o_orderkey"].to_numpy()
+        return pa.table(
+            {
+                "key": pa.array(kk.astype(np.int64)),
+                "prio": b["o_orderpriority"].cast(pa.string()),
+                "tot": pa.array(
+                    np.floor(b["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+                ),
+                "lsum": pa.array(np.zeros(len(kk), np.int64)),
+                "side": pa.array(np.zeros(len(kk), np.int8), pa.int8()),
+                "bucket": pa.array(
+                    ((kk.astype(np.uint64) * mix) >> np.uint64(40)).astype(np.int64)
+                    % 64
+                ),
+            }
+        )
+
+    def prep_items(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "key": b["l_orderkey"].to_numpy(),
+                "t": np.floor(
+                    b["l_extendedprice"].to_numpy() * 100.0
+                ).astype(np.int64),
+            }
+        ).groupby("key", as_index=False).agg(lsum=("t", "sum"))
+        kk = df["key"].to_numpy()
+        return pa.table(
+            {
+                "key": pa.array(kk.astype(np.int64)),
+                "prio": pa.nulls(len(df), pa.string()),
+                "tot": pa.array(np.zeros(len(df), np.int64)),
+                "lsum": pa.array(df["lsum"].to_numpy()),
+                "side": pa.array(np.ones(len(df), np.int8), pa.int8()),
+                "bucket": pa.array(
+                    ((kk.astype(np.uint64) * mix) >> np.uint64(40)).astype(np.int64)
+                    % 64
+                ),
+            }
+        )
+
+    def audit_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0][["key", "prio", "tot"]]
+        li = g[g["side"] == 1].groupby("key", as_index=False).agg(
+            lsum=("lsum", "sum")
+        )
+        j = o.merge(li, on="key", how="left")
+        lsum = j["lsum"].fillna(-1).to_numpy(np.int64)  # no items -> off
+        tot = j["tot"].to_numpy(np.int64)
+        diff = np.abs(lsum - tot)
+        w25 = (lsum >= 0) & (4 * diff <= tot)
+        w50 = (lsum >= 0) & ~w25 & (2 * diff <= tot)
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": j["prio"],
+                "n_orders": np.ones(len(j), np.int64),
+                "n_within_25": w25.astype(np.int64),
+                "n_within_50": w50.astype(np.int64),
+                "n_off": (~(w25 | w50)).astype(np.int64),
+            }
+        )
+        return df.groupby("o_orderpriority", as_index=False).sum()
+
+    out = (
+        _read_sized(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+        )
+        .map_batches(prep_orders, batch_format="pyarrow")
+        .union(
+            _read_sized(
+                os.path.join(sf_dir, "lineitem.parquet"),
+                columns=["l_orderkey", "l_extendedprice"],
+            ).map_batches(prep_items, batch_format="pyarrow")
+        )
+        .groupby("bucket")
+        .map_groups(audit_bucket, batch_format="pandas")
+        .to_pandas()
+        .groupby("o_orderpriority", as_index=False)
+        .sum()
+    )
+    for c in ("n_orders", "n_within_25", "n_within_50", "n_off"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("o_orderpriority").reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+def lake_final_role_counts(sf_dir: str) -> pa.Table:
+    """Post-merge analytics over the COMMITTED lake (not the change
+    stream): replay the standard stream through the full engine, then
+    aggregate role balance per conversation from ``final_dataset()`` —
+    the read path a downstream consumer of the lake uses (manifest →
+    partition files → distributed aggregate)."""
+    with tempfile.TemporaryDirectory(prefix="cdclake-") as d:
+        lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
+        lake.apply_changes(derived_change_stream(sf_dir), quarantine=False)
+
+        def partial(b: pa.Table) -> pa.Table:
+            role = b["role"].to_numpy(zero_copy_only=False)
+            df = pd.DataFrame(
+                {
+                    "conv_id": b["conv_id"].to_numpy(zero_copy_only=False),
+                    "n_user": (role == "user").astype(np.int64),
+                    "n_assistant": (role == "assistant").astype(np.int64),
+                    "n_turns": np.ones(b.num_rows, np.int64),
+                }
+            ).groupby("conv_id", as_index=False).sum()
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        out = (
+            lake.final_dataset(columns=["conv_id", "role"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("conv_id")
+            .aggregate(
+                Sum("n_user", alias_name="n_user"),
+                Sum("n_assistant", alias_name="n_assistant"),
+                Sum("n_turns", alias_name="n_turns"),
+            )
+            .to_pandas()
+        )
+    for c in ("n_user", "n_assistant", "n_turns"):
+        out[c] = out[c].astype("int64")
+    out["conv_id"] = out["conv_id"].astype(str)
+    return pa.Table.from_pandas(
+        out.sort_values("conv_id").reset_index(drop=True), preserve_index=False
     )
