@@ -252,6 +252,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_charge_flags": q.duplicate_charge_flags,
         "order_reconciliation_audit": q.order_reconciliation_audit,
         "lake_final_role_counts": q.lake_final_role_counts,
+        # ---- round-2 widening, batch 16 ----
+        "cdc_seq_gap_audit": q.cdc_seq_gap_audit,
+        "dedup_survivorship": q.dedup_survivorship,
+        "lake_partition_fingerprint": q.lake_partition_fingerprint,
+        "user_ltv_power_buckets": q.user_ltv_power_buckets,
+        "blob_path_hierarchy_rollup": q.blob_path_hierarchy_rollup,
     }
 
 
@@ -1834,6 +1840,84 @@ SELECT conv_id,
          AS n_assistant,
        CAST(count(*) AS BIGINT) AS n_turns
 FROM fs GROUP BY conv_id
+""",
+        "cdc_seq_gap_audit": _CH
+        + """
+, s AS (SELECT seq FROM ch WHERE seq % 7 <> 0),
+b AS (SELECT min(seq) AS lo, max(seq) AS hi FROM s),
+blocks AS (
+  SELECT CAST(unnest(generate_series(b.lo // 1000, b.hi // 1000)) AS BIGINT)
+    AS block
+  FROM b
+),
+actual AS (SELECT seq // 1000 AS block, count(*) AS n FROM s GROUP BY 1)
+SELECT blk.block,
+       CAST(least(b.hi, (blk.block + 1) * 1000 - 1)
+            - greatest(b.lo, blk.block * 1000) + 1
+            - coalesce(a.n, 0) AS BIGINT) AS n_missing
+FROM blocks blk CROSS JOIN b
+LEFT JOIN actual a ON a.block = blk.block
+WHERE least(b.hi, (blk.block + 1) * 1000 - 1)
+      - greatest(b.lo, blk.block * 1000) + 1 - coalesce(a.n, 0) > 0
+""",
+        "dedup_survivorship": _CH
+        + """
+, scored AS (
+  SELECT conv_id, turn_idx, seq,
+         (CASE WHEN role IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS comp
+  FROM ch
+), w AS (
+  SELECT comp, seq,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY comp DESC, seq DESC) AS rn
+  FROM scored
+)
+SELECT CAST(comp AS BIGINT) AS completeness,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(seq) AS BIGINT) AS sum_winner_seq
+FROM w WHERE rn = 1 GROUP BY comp
+""",
+        "lake_partition_fingerprint": _CH
+        + """
+, last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY seq DESC) AS rn
+  FROM ch
+), fs AS (
+  SELECT conv_id, turn_idx, role, text, tool
+  FROM last WHERE rn = 1 AND op <> 'delete'
+)
+SELECT CAST(CAST(substr(conv_id, 6) AS BIGINT) % 16 AS BIGINT) AS part,
+       CAST(sum(md5_number_lower(
+                  conv_id || '|' || CAST(turn_idx AS VARCHAR) || '|'
+                  || role || '|' || text || '|' || tool)
+                % 2305843009213693951)
+            % 2305843009213693951 AS BIGINT) AS fingerprint
+FROM fs GROUP BY 1
+""",
+        "user_ltv_power_buckets": """
+WITH u AS (
+  SELECT user_id,
+         sum(CAST(floor(value * 100) AS BIGINT)) AS ticks
+  FROM events GROUP BY user_id
+)
+SELECT CAST(length(bin(ticks)) AS BIGINT) AS bits,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM u GROUP BY 1
+""",
+        "blob_path_hierarchy_rollup": """
+WITH e AS (
+  SELECT event_id % 5 AS a, event_id % 7 AS b, event_id % 2 AS c FROM events
+)
+SELECT CAST(1 AS BIGINT) AS depth, 'c' || a AS prefix,
+       CAST(count(*) AS BIGINT) AS n_blobs
+FROM e GROUP BY 2
+UNION ALL
+SELECT 2, 'c' || a || '/f' || b, count(*) FROM e GROUP BY 2
+UNION ALL
+SELECT 3, 'c' || a || '/f' || b || '/d' || c, count(*) FROM e GROUP BY 2
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

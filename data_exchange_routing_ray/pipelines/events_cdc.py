@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from data_exchange_routing_ray.functions.text import (
     add_lang_id,
@@ -7090,4 +7090,261 @@ def lake_final_role_counts(sf_dir: str) -> pa.Table:
     out["conv_id"] = out["conv_id"].astype(str)
     return pa.Table.from_pandas(
         out.sort_values("conv_id").reset_index(drop=True), preserve_index=False
+    )
+
+
+# ------------------------------------------------------------- batch 16
+
+def cdc_seq_gap_audit(sf_dir: str, width: int = 1000, drop_mod: int = 7) -> pa.Table:
+    """Binlog sequence-gap audit (delivery-integrity check; the reference
+    leans on Azure's per-blob ``sequencer`` token, HL7Message.kt:25, and
+    never verifies continuity): a feed with every ``drop_mod``-th seq
+    dropped is scanned for holes, reported as missing-count per
+    fixed-width seq block. The per-batch combiner reduces raw rows to
+    per-block (n, lo, hi) partials, so only a |stream|/width-row table
+    crosses the wire (no raw-row shuffle); the driver reindexes over the
+    global [lo, hi] domain — wholly-missing blocks included — with pure
+    integer arithmetic."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        seq = b["seq"].to_numpy()
+        seq = seq[seq % drop_mod != 0]  # planted delivery loss
+        df = pd.DataFrame({"block": seq // width, "n": np.ones(len(seq), np.int64),
+                           "lo": seq, "hi": seq})
+        g = df.groupby("block", as_index=False).agg(
+            n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        derived_change_stream(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("block")
+        .aggregate(Sum("n", alias_name="n"), Min("lo", alias_name="lo"),
+                   Max("hi", alias_name="hi"))
+        .to_pandas()
+    )
+    lo, hi = int(agg["lo"].min()), int(agg["hi"].max())
+    blocks = np.arange(lo // width, hi // width + 1, dtype=np.int64)
+    n = np.zeros(len(blocks), np.int64)
+    n[agg["block"].to_numpy(dtype=np.int64) - blocks[0]] = agg["n"].to_numpy(
+        dtype=np.int64)
+    expected = (np.minimum(hi, (blocks + 1) * width - 1)
+                - np.maximum(lo, blocks * width) + 1)
+    miss = expected - n
+    out = pd.DataFrame({"block": blocks, "n_missing": miss})
+    out = out[out["n_missing"] > 0].reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def dedup_survivorship(sf_dir: str) -> pa.Table:
+    """Golden-record survivorship (the MDM generalization of LWW; the
+    reference's idempotent-overwrite D1 is the completeness-blind case):
+    per (conv_id, turn_idx) the surviving row is the MOST COMPLETE one
+    (non-null count over role/text/tool), ties broken by latest seq — so
+    a trailing delete (all-null) never beats an earlier full record.
+    Associative per-batch argmax combiner on the composite integer rank
+    completeness * 2^40 + seq; one key-hash bucket exchange carries only
+    per-key winners; per-completeness totals leave the buckets."""
+    SHIFT = np.int64(1) << np.int64(40)
+
+    def partial(b: pa.Table) -> pa.Table:
+        comp = (
+            b["role"].is_valid().to_numpy(zero_copy_only=False).astype(np.int64)
+            + b["text"].is_valid().to_numpy(zero_copy_only=False).astype(np.int64)
+            + b["tool"].is_valid().to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        df = pd.DataFrame(
+            {
+                "conv_id": b["conv_id"].to_numpy(zero_copy_only=False),
+                "turn_idx": b["turn_idx"].to_numpy().astype(np.int64),
+                "rank": comp * SHIFT + b["seq"].to_numpy(),
+            }
+        )
+        idx = df.groupby(["conv_id", "turn_idx"], sort=False)["rank"].idxmax()
+        w = df.loc[idx].reset_index(drop=True)
+        uid = w["conv_id"].str[5:].astype(np.int64).to_numpy()
+        w["bucket"] = ((uid.astype(np.uint64) * np.uint64(2654435761))
+                       % np.uint64(64)).astype(np.int64)
+        return pa.Table.from_pandas(w, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        idx = g.groupby(["conv_id", "turn_idx"], sort=False)["rank"].idxmax()
+        w = g.loc[idx]
+        out = pd.DataFrame(
+            {
+                "completeness": (w["rank"] // int(SHIFT)).astype(np.int64),
+                "n_keys": np.ones(len(w), np.int64),
+                "sum_winner_seq": (w["rank"] % int(SHIFT)).astype(np.int64),
+            }
+        )
+        return out.groupby("completeness", as_index=False).agg(
+            n_keys=("n_keys", "sum"), sum_winner_seq=("sum_winner_seq", "sum"))
+
+    out = (
+        derived_change_stream(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("completeness")
+        .aggregate(Sum("n_keys", alias_name="n_keys"),
+                   Sum("sum_winner_seq", alias_name="sum_winner_seq"))
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(
+        out.sort_values("completeness").reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+def lake_partition_fingerprint(sf_dir: str) -> pa.Table:
+    """Anti-entropy table checksum (the replica-repair primitive a second
+    cluster runs to verify a copy of the exactly-once lake): per-partition
+    order-insensitive fingerprint = sum of md5-derived 64-bit row digests
+    mod 2^61-1 over the COMMITTED final state. Rows hash where they live
+    (distributed md5 inside map_batches, same per-row C-speed idiom as
+    add_md5_fingerprint); only 16-row digest partials per block reach the
+    driver, which folds them with exact Python-int arithmetic. DuckDB's
+    ``md5_number_lower`` equals ``int.from_bytes(md5[8:16], 'little')``,
+    so the oracle computes the identical checksum."""
+    import hashlib
+
+    P = (1 << 61) - 1
+    MASK = np.uint64(0xFFFFFFFF)
+
+    def partial(b: pa.Table) -> pa.Table:
+        conv = b["conv_id"].to_numpy(zero_copy_only=False)
+        turn = b["turn_idx"].to_numpy()
+        role = b["role"].to_numpy(zero_copy_only=False)
+        text = b["text"].to_numpy(zero_copy_only=False)
+        tool = b["tool"].to_numpy(zero_copy_only=False)
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(
+                        f"{c}|{t}|{r}|{x}|{o}".encode()).digest()[8:16], "little"
+                ) % P
+                for c, t, r, x, o in zip(conv, turn, role, text, tool)
+            ),
+            np.uint64,
+            len(conv),
+        )
+        part = pd.Series(conv).str[5:].astype(np.int64).to_numpy() % 16
+        rows = []
+        for p in np.unique(part):
+            v = h[part == p]
+            # exact sum without uint64 overflow: two 32-bit lanes
+            s = ((int(np.sum(v >> np.uint64(32), dtype=np.uint64)) << 32)
+                 + int(np.sum(v & MASK, dtype=np.uint64))) % P
+            rows.append((int(p), s))
+        return pa.table(
+            {"part": pa.array([r[0] for r in rows], pa.int64()),
+             "fp": pa.array([r[1] for r in rows], pa.int64())}
+        )
+
+    with tempfile.TemporaryDirectory(prefix="cdclake-") as d:
+        lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
+        lake.apply_changes(derived_change_stream(sf_dir), quarantine=False)
+        parts = (
+            lake.final_dataset(
+                columns=["conv_id", "turn_idx", "role", "text", "tool"])
+            .map_batches(partial, batch_format="pyarrow")
+            .to_pandas()
+        )
+    folded = {}
+    for p, s in zip(parts["part"], parts["fp"]):
+        folded[int(p)] = (folded.get(int(p), 0) + int(s)) % P
+    out = pd.DataFrame(
+        {"part": sorted(folded), "fingerprint": [folded[k] for k in sorted(folded)]}
+    ).astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def user_ltv_power_buckets(sf_dir: str) -> pa.Table:
+    """Log-scale (power-of-2) lifetime-value histogram: per-user total
+    value ticks → bucket = bit_length(ticks) → user count per bucket.
+    Per-batch (user, ticks) sum combiner, ONE user-hash bucket exchange
+    folds exact totals; bucket edges via integer ``searchsorted`` against
+    [1,2,4,...] (no float log2 — 2^k-1 vs 2^k can never misround); the
+    final exchange carries ≤64 histogram rows."""
+    pows = np.int64(1) << np.arange(63, dtype=np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(),
+                "ticks": np.floor(b["value"].to_numpy() * 100.0).astype(np.int64),
+            }
+        ).groupby("user_id", as_index=False).agg(ticks=("ticks", "sum"))
+        df["bucket"] = (
+            (df["user_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(64)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("user_id")["ticks"].sum().to_numpy()
+        bits = np.maximum(np.searchsorted(pows, t, side="right"), 1)
+        u, n = np.unique(bits, return_counts=True)
+        return pd.DataFrame({"bits": u.astype(np.int64), "n_users": n.astype(np.int64)})
+
+    out = (
+        _events(sf_dir, columns=["user_id", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("bits")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(
+        out.sort_values("bits").reset_index(drop=True), preserve_index=False
+    )
+
+
+def blob_path_hierarchy_rollup(sf_dir: str) -> pa.Table:
+    """Folder-hierarchy usage report (M4 foldersToPath flavor over
+    cdc_parse_urls' synthesized layout): blob counts per path prefix at
+    depths 1..3. Prefix codes are pure arithmetic on event_id (e%5, e%7,
+    e%2), so per-batch partials are ``np.bincount`` over a ≤110-prefix
+    dense code domain — no string splitting anywhere, prefixes render
+    once from lookup tables; only the tiny histogram crosses the wire."""
+    p1 = np.array([f"c{a}" for a in range(5)], object)
+    p2 = np.array([f"c{a}/f{b}" for a in range(5) for b in range(7)], object)
+    p3 = np.array(
+        [f"c{a}/f{b}/d{c}" for a in range(5) for b in range(7) for c in range(2)],
+        object,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ev = b["event_id"].to_numpy()
+        a, bb, c = ev % 5, ev % 7, ev % 2
+        c1 = np.bincount(a, minlength=5)
+        c2 = np.bincount(a * 7 + bb, minlength=35)
+        c3 = np.bincount((a * 7 + bb) * 2 + c, minlength=70)
+        return pa.table(
+            {
+                "depth": pa.array(
+                    np.repeat(np.int64([1, 2, 3]), [5, 35, 70]), pa.int64()),
+                "prefix": pa.array(np.concatenate([p1, p2, p3]), pa.string()),
+                "n_blobs": pa.array(
+                    np.concatenate([c1, c2, c3]).astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        _events(sf_dir, columns=["event_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["depth", "prefix"])
+        .aggregate(Sum("n_blobs", alias_name="n_blobs"))
+        .to_pandas()
+    )
+    out = out[out["n_blobs"] > 0]
+    out["n_blobs"] = out["n_blobs"].astype(np.int64)
+    return pa.Table.from_pandas(
+        out.sort_values(["depth", "prefix"]).reset_index(drop=True),
+        preserve_index=False,
     )
