@@ -258,6 +258,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_partition_fingerprint": q.lake_partition_fingerprint,
         "user_ltv_power_buckets": q.user_ltv_power_buckets,
         "blob_path_hierarchy_rollup": q.blob_path_hierarchy_rollup,
+        # ---- round-2 widening, batch 17 ----
+        "audience_overlap_matrix": q.audience_overlap_matrix,
+        "trimmed_stats_per_type": q.trimmed_stats_per_type,
+        "emb_per_dim_stats": q.emb_per_dim_stats,
+        "seasonality_profile": q.seasonality_profile,
+        "cdc_tombstone_stats": q.cdc_tombstone_stats,
+        # ---- round-2 widening, batch 18 ----
+        "ship_latency_quartiles": q.ship_latency_quartiles,
+        "revenue_abc_classification": q.revenue_abc_classification,
+        "benford_profile_by_type": q.benford_profile_by_type,
+        "user_interarrival_power_histogram": q.user_interarrival_power_histogram,
+        "conv_turn_density_profile": q.conv_turn_density_profile,
     }
 
 
@@ -1918,6 +1930,138 @@ UNION ALL
 SELECT 2, 'c' || a || '/f' || b, count(*) FROM e GROUP BY 2
 UNION ALL
 SELECT 3, 'c' || a || '/f' || b || '/d' || c, count(*) FROM e GROUP BY 2
+""",
+        "audience_overlap_matrix": """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ut a JOIN ut b USING (user_id)
+GROUP BY 1, 2
+""",
+        "trimmed_stats_per_type": """
+WITH t AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS tick FROM events
+), r AS (
+  SELECT event_type, tick,
+         row_number() OVER (PARTITION BY event_type ORDER BY tick) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM t
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(tick) AS BIGINT) AS sum_ticks
+FROM r WHERE rn > n // 10 AND rn <= n - n // 10
+GROUP BY event_type
+""",
+        "emb_per_dim_stats": """
+WITH d AS (SELECT unnest(generate_series(1, 64)) AS dim),
+e AS (
+  SELECT d.dim,
+         CAST(floor(CAST(list_extract(embedding, d.dim) AS DOUBLE)
+                    * 1000000) AS BIGINT) AS t
+  FROM embeddings CROSS JOIN d
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(t) AS BIGINT) AS sum_ticks,
+       CAST(min(t) AS BIGINT) AS min_tick,
+       CAST(max(t) AS BIGINT) AS max_tick
+FROM e GROUP BY dim
+""",
+        "seasonality_profile": """
+SELECT event_type,
+       CAST(isodow(ts) AS BIGINT) AS isodow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2, 3
+""",
+        "cdc_tombstone_stats": _CH
+        + """
+, last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY seq DESC) AS rn
+  FROM ch
+)
+SELECT CAST(CAST(substr(conv_id, 6) AS BIGINT) % 16 AS BIGINT) AS part,
+       CAST(sum(CASE WHEN op <> 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_live,
+       CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tombstoned
+FROM last WHERE rn = 1 GROUP BY 1
+""",
+        "ship_latency_quartiles": """
+WITH j AS (
+  SELECT l.l_returnflag AS flag,
+         CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE)) AS BIGINT) AS days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), r AS (
+  SELECT flag, days,
+         row_number() OVER (PARTITION BY flag ORDER BY days) AS rn,
+         count(*) OVER (PARTITION BY flag) AS n
+  FROM j
+)
+SELECT flag AS l_returnflag,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(max(CASE WHEN rn = (n - 1) // 4 + 1 THEN days END) AS BIGINT)
+         AS p25_days,
+       CAST(max(CASE WHEN rn = (2 * (n - 1)) // 4 + 1 THEN days END)
+            AS BIGINT) AS p50_days,
+       CAST(max(CASE WHEN rn = (3 * (n - 1)) // 4 + 1 THEN days END)
+            AS BIGINT) AS p75_days
+FROM r GROUP BY flag
+""",
+        "revenue_abc_classification": """
+WITH r AS (
+  SELECT o_custkey, sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY o_custkey
+), w AS (
+  SELECT rev,
+         sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(rev) OVER () AS tot
+  FROM r
+)
+SELECT CASE WHEN 5 * cum <= 4 * tot THEN 'A'
+            WHEN 20 * cum <= 19 * tot THEN 'B' ELSE 'C' END AS abc,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(rev) AS BIGINT) AS sum_ticks
+FROM w GROUP BY 1
+""",
+        "benford_profile_by_type": """
+WITH t AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS tick FROM events
+)
+SELECT event_type,
+       CAST(substr(CAST(tick AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       CAST(count(*) AS BIGINT) AS n
+FROM t GROUP BY 1, 2
+""",
+        "user_interarrival_power_histogram": """
+WITH g AS (
+  SELECT user_id, epoch_us(ts) AS tsu,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events
+)
+SELECT CAST(length(bin(tsu - prev)) AS BIGINT) AS bits,
+       CAST(count(*) AS BIGINT) AS n
+FROM g WHERE prev IS NOT NULL GROUP BY 1
+""",
+        "conv_turn_density_profile": _CH
+        + """
+, last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY seq DESC) AS rn
+  FROM ch
+), fs AS (
+  SELECT conv_id FROM last WHERE rn = 1 AND op <> 'delete'
+), pc AS (
+  SELECT conv_id, count(*) AS n_turns FROM fs GROUP BY 1
+)
+SELECT CAST(n_turns AS BIGINT) AS n_turns,
+       CAST(count(*) AS BIGINT) AS n_convs
+FROM pc GROUP BY 1
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

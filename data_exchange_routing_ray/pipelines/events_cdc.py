@@ -7348,3 +7348,596 @@ def blob_path_hierarchy_rollup(sf_dir: str) -> pa.Table:
         out.sort_values(["depth", "prefix"]).reset_index(drop=True),
         preserve_index=False,
     )
+
+
+# ------------------------------------------------------------- batch 17
+
+def audience_overlap_matrix(sf_dir: str) -> pa.Table:
+    """Audience-overlap matrix (the segment-intersection report behind
+    route fan-out planning): for every ordered pair of event types, how
+    many distinct users did BOTH. Per-user type-set as a BITMASK — the
+    per-batch combiner ORs 5 indicator bits per user (groupby-max per
+    bit, fully vectorized), ONE user-hash bucket exchange ORs partials,
+    and only a ≤2^|types| mask histogram leaves each bucket; the driver
+    expands the |types|² matrix from 32 counters. No |users|²-anything."""
+    types = sorted(
+        _events(sf_dir, columns=["event_type"])
+        .unique("event_type")
+    )
+    t_index = {t: i for i, t in enumerate(types)}
+    T = len(types)
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"user_id": b["user_id"].to_numpy()})
+        code = np.array(
+            [t_index[t] for t in b["event_type"].to_numpy(zero_copy_only=False)],
+            np.int64,
+        )
+        for i in range(T):
+            df[f"b{i}"] = (code == i).astype(np.int64)
+        g = df.groupby("user_id", as_index=False).max()
+        mask = np.zeros(len(g), np.int64)
+        for i in range(T):
+            mask |= g[f"b{i}"].to_numpy() << i
+        out = pd.DataFrame({"user_id": g["user_id"], "mask": mask})
+        out["bucket"] = (
+            (out["user_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(64)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g["mask"].to_numpy()
+        agg = pd.DataFrame({"user_id": g["user_id"], "mask": m})
+        bits = [
+            ((agg["mask"].to_numpy() >> i) & 1) for i in range(T)
+        ]
+        df = pd.DataFrame({"user_id": agg["user_id"]})
+        for i in range(T):
+            df[f"b{i}"] = bits[i]
+        gg = df.groupby("user_id", as_index=False).max()
+        mask = np.zeros(len(gg), np.int64)
+        for i in range(T):
+            mask |= gg[f"b{i}"].to_numpy() << i
+        counts = np.bincount(mask, minlength=1 << T)
+        nz = np.nonzero(counts)[0]
+        return pd.DataFrame(
+            {"mask": nz.astype(np.int64), "n": counts[nz].astype(np.int64)}
+        )
+
+    hist = (
+        _events(sf_dir, columns=["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("mask")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    counts = np.zeros(1 << T, np.int64)
+    counts[hist["mask"].to_numpy(dtype=np.int64)] = hist["n"].to_numpy(
+        dtype=np.int64)
+    rows = []
+    for a in range(T):
+        for b in range(T):
+            sel = sum(
+                int(counts[m])
+                for m in range(1 << T)
+                if (m >> a) & 1 and (m >> b) & 1
+            )
+            rows.append((types[a], types[b], sel))
+    return pa.table(
+        {
+            "type_a": pa.array([r[0] for r in rows], pa.string()),
+            "type_b": pa.array([r[1] for r in rows], pa.string()),
+            "n_users": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def trimmed_stats_per_type(sf_dir: str) -> pa.Table:
+    """Exact rank-trimmed aggregate (robust mean's integer core): per
+    event type, drop the bottom and top decile BY RANK and report kept
+    count + kept tick sum. Value ticks live in a bounded integer domain
+    (floor(value·100)), so per-(type, tick) count partials reduce to a
+    histogram ≤ |types|×|domain| — the exchange never carries raw rows —
+    and the driver slices exact rank positions [n//10, n−n//10) from
+    cumulative counts. Tie-stable: equal ticks are interchangeable, so
+    the positional sum is well-defined on both sides."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                "tick": np.floor(b["value"].to_numpy() * 100.0).astype(np.int64),
+                "n": np.ones(b.num_rows, np.int64),
+            }
+        ).groupby(["event_type", "tick"], as_index=False).agg(n=("n", "sum"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    hist = (
+        _events(sf_dir, columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "tick"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["event_type", "tick"])
+    )
+    rows = []
+    for et, g in hist.groupby("event_type", sort=True):
+        c = g["n"].to_numpy(dtype=np.int64)
+        t = g["tick"].to_numpy(dtype=np.int64)
+        n = int(c.sum())
+        lo_pos, hi_pos = n // 10, n - n // 10
+        cb = np.concatenate([[0], np.cumsum(c)[:-1]])
+        kept = np.clip(np.minimum(cb + c, hi_pos) - np.maximum(cb, lo_pos), 0, None)
+        rows.append((et, int(kept.sum()), int(np.dot(kept, t))))
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n_kept": pa.array([r[1] for r in rows], pa.int64()),
+            "sum_ticks": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def emb_per_dim_stats(sf_dir: str) -> pa.Table:
+    """Per-dimension corpus stats over a list<float> embedding column
+    (the feature-drift profile a training pipeline runs per shard):
+    n/sum/min/max of integer ticks per dimension. Each batch reshapes the
+    flat Arrow list buffer to (rows, 64) ZERO-COPY and reduces along
+    axis 0 — partials are 64 rows regardless of input size; ticks are
+    floor(double(float32)·10^6), bit-identical to the DuckDB oracle's
+    CAST-to-DOUBLE arithmetic."""
+    DIM = 64
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["embedding"].combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+        arr = flat.reshape(-1, DIM)
+        ticks = np.floor(arr * 1_000_000.0).astype(np.int64)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, DIM + 1, dtype=np.int64)),
+                "n": pa.array(np.full(DIM, arr.shape[0], np.int64)),
+                "sum_ticks": pa.array(ticks.sum(axis=0)),
+                "min_tick": pa.array(ticks.min(axis=0)),
+                "max_tick": pa.array(ticks.max(axis=0)),
+            }
+        )
+
+    out = (
+        _embeddings(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_ticks", alias_name="sum_ticks"),
+            Min("min_tick", alias_name="min_tick"),
+            Max("max_tick", alias_name="max_tick"),
+        )
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(
+        out.sort_values("dim").reset_index(drop=True), preserve_index=False
+    )
+
+
+def seasonality_profile(sf_dir: str) -> pa.Table:
+    """Traffic seasonality profile: event counts per (type, ISO weekday,
+    hour) — the capacity-planning heatmap. Arrow temporal kernels derive
+    dow/hour vectorized; the per-batch combiner collapses to a ≤|types|
+    ×7×24 cell table so the exchange is O(cells), not O(rows)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                "isodow": pc.day_of_week(
+                    b["ts"], count_from_zero=False, week_start=1
+                ).to_numpy(zero_copy_only=False).astype(np.int64),
+                "hour": pc.hour(b["ts"]).to_numpy(zero_copy_only=False).astype(
+                    np.int64),
+                "n": np.ones(b.num_rows, np.int64),
+            }
+        ).groupby(["event_type", "isodow", "hour"], as_index=False).agg(
+            n=("n", "sum"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (
+        _events(sf_dir, columns=["event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "isodow", "hour"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return pa.Table.from_pandas(
+        out.sort_values(["event_type", "isodow", "hour"]).reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+def cdc_tombstone_stats(sf_dir: str) -> pa.Table:
+    """Lake-hygiene report: per partition, how many keys are LIVE vs
+    TOMBSTONED (last op = delete) in the change stream — the signal that
+    drives compaction/vacuum scheduling. Associative per-batch latest-op
+    argmax combiner (seq-ranked), ONE key-hash bucket exchange carrying
+    per-key winners, per-partition counters out."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "conv_id": b["conv_id"].to_numpy(zero_copy_only=False),
+                "turn_idx": b["turn_idx"].to_numpy().astype(np.int64),
+                "seq": b["seq"].to_numpy(),
+                "is_del": (
+                    b["op"].to_numpy(zero_copy_only=False) == "delete"
+                ).astype(np.int64),
+            }
+        )
+        idx = df.groupby(["conv_id", "turn_idx"], sort=False)["seq"].idxmax()
+        w = df.loc[idx].reset_index(drop=True)
+        uid = w["conv_id"].str[5:].astype(np.int64).to_numpy()
+        w["part"] = uid % 16
+        w["bucket"] = (
+            (uid.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(64)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(w, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        idx = g.groupby(["conv_id", "turn_idx"], sort=False)["seq"].idxmax()
+        w = g.loc[idx]
+        out = pd.DataFrame(
+            {
+                "part": w["part"].to_numpy(dtype=np.int64),
+                "n_live": (1 - w["is_del"].to_numpy(dtype=np.int64)),
+                "n_tombstoned": w["is_del"].to_numpy(dtype=np.int64),
+            }
+        )
+        return out.groupby("part", as_index=False).sum()
+
+    out = (
+        derived_change_stream(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("part")
+        .aggregate(Sum("n_live", alias_name="n_live"),
+                   Sum("n_tombstoned", alias_name="n_tombstoned"))
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(
+        out.sort_values("part").reset_index(drop=True), preserve_index=False
+    )
+
+
+# ------------------------------------------------------------- batch 18
+
+def ship_latency_quartiles(sf_dir: str) -> pa.Table:
+    """Order→ship latency quartiles per returnflag — the SLA report. A
+    co-partitioned orderkey-bucket join attaches o_orderdate to each
+    lineitem (no broadcast side at scale), day-latencies collapse to a
+    bounded (flag, days) histogram inside the buckets, and the driver
+    takes EXACT positional quartiles (0-indexed floor((n−1)·q) — the
+    tie-stable rank arithmetic the trimmed aggregate uses) from
+    cumulative counts; raw rows cross the wire exactly once."""
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        kk = b["o_orderkey"].to_numpy()
+        return pa.table(
+            {
+                "key": pa.array(kk.astype(np.int64)),
+                "day": pa.array(
+                    b["o_orderdate"].to_numpy().astype("datetime64[D]")
+                    .astype(np.int64)),
+                "flag": pa.array(np.array([""] * len(kk), object), pa.string()),
+                "side": pa.array(np.zeros(len(kk), np.int8), pa.int8()),
+                "bucket": pa.array(
+                    ((kk.astype(np.uint64) * mix) >> np.uint64(40)).astype(
+                        np.int64) % 64),
+            }
+        )
+
+    def prep_items(b: pa.Table) -> pa.Table:
+        kk = b["l_orderkey"].to_numpy()
+        return pa.table(
+            {
+                "key": pa.array(kk.astype(np.int64)),
+                "day": pa.array(
+                    b["l_shipdate"].to_numpy().astype("datetime64[D]")
+                    .astype(np.int64)),
+                "flag": b["l_returnflag"].cast(pa.string()),
+                "side": pa.array(np.ones(len(kk), np.int8), pa.int8()),
+                "bucket": pa.array(
+                    ((kk.astype(np.uint64) * mix) >> np.uint64(40)).astype(
+                        np.int64) % 64),
+            }
+        )
+
+    def join_hist(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0]
+        li = g[g["side"] == 1]
+        m = li.merge(
+            o[["key", "day"]].rename(columns={"day": "oday"}), on="key",
+            how="inner")
+        lat = (m["day"] - m["oday"]).astype(np.int64)
+        out = pd.DataFrame({"flag": m["flag"], "days": lat,
+                            "n": np.ones(len(m), np.int64)})
+        return out.groupby(["flag", "days"], as_index=False).agg(n=("n", "sum"))
+
+    hist = (
+        _read_sized(os.path.join(sf_dir, "orders.parquet"),
+                    columns=["o_orderkey", "o_orderdate"])
+        .map_batches(prep_orders, batch_format="pyarrow")
+        .union(
+            _read_sized(os.path.join(sf_dir, "lineitem.parquet"),
+                        columns=["l_orderkey", "l_shipdate", "l_returnflag"])
+            .map_batches(prep_items, batch_format="pyarrow")
+        )
+        .groupby("bucket")
+        .map_groups(join_hist, batch_format="pandas")
+        .groupby(["flag", "days"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["flag", "days"])
+    )
+    rows = []
+    for fl, g in hist.groupby("flag", sort=True):
+        c = g["n"].to_numpy(dtype=np.int64)
+        d = g["days"].to_numpy(dtype=np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        qs = []
+        for num in (1, 2, 3):
+            pos = (num * (n - 1)) // 4  # 0-indexed exact rank
+            qs.append(int(d[np.searchsorted(cum, pos + 1, side="left")]))
+        rows.append((fl, n, qs[0], qs[1], qs[2]))
+    return pa.table(
+        {
+            "l_returnflag": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "p25_days": pa.array([r[2] for r in rows], pa.int64()),
+            "p50_days": pa.array([r[3] for r in rows], pa.int64()),
+            "p75_days": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+def revenue_abc_classification(sf_dir: str) -> pa.Table:
+    """ABC / Pareto revenue classes: customers sorted by revenue DESC are
+    class A while cumulative share ≤80%, B ≤95%, else C. Per-customer
+    ticks fold in a custkey-hash bucket exchange; the global ordered
+    cumsum uses the two-pass prefix-scan shape (range-partition on
+    (−rev, cust) sampled boundaries → per-range totals → driver prefix →
+    in-range vectorized cumsum) — the sort exchange carries one row per
+    CUSTOMER, never per order; class split by integer cross-multiply."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "cust": b["o_custkey"].to_numpy(),
+                "rev": np.floor(b["o_totalprice"].to_numpy() * 100.0).astype(
+                    np.int64),
+            }
+        ).groupby("cust", as_index=False).agg(rev=("rev", "sum"))
+        df["bucket"] = (
+            (df["cust"].to_numpy().astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(64)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("cust", as_index=False).agg(rev=("rev", "sum"))
+
+    cust = (
+        _read_sized(os.path.join(sf_dir, "orders.parquet"),
+                    columns=["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+    # global ordered prefix over (rev DESC, cust): range-partition into
+    # R coarse rev-bands (rev is the leading key, band = rev >> shift so
+    # ordering is preserved band-to-band), per-band totals to the driver,
+    # broadcast base offsets, in-band exact cumsum
+    bands = cust.map_batches(
+        lambda b: pa.table(
+            {
+                "cust": b["cust"],
+                "rev": b["rev"],
+                "band": pa.array(
+                    (np.int64(63)
+                     - (b["rev"].to_numpy() >> np.int64(18))).clip(0, 63)
+                    .astype(np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def band_stat(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [{
+                "band": int(g["band"].iloc[0]),
+                "n": len(g),
+                "rev": int(g["rev"].sum()),
+            }]
+        )
+
+    totals = (
+        bands.groupby("band").map_groups(band_stat, batch_format="pandas")
+        .to_pandas().sort_values("band")
+    )
+    tot = int(totals["rev"].sum())
+    base = {}
+    run = 0
+    for _, r in totals.iterrows():
+        base[int(r["band"])] = run
+        run += int(r["rev"])
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["rev", "cust"], ascending=[False, True])
+        cum = base[int(g["band"].iloc[0])] + g["rev"].cumsum()
+        cls = np.where(
+            5 * cum <= 4 * tot, "A", np.where(20 * cum <= 19 * tot, "B", "C"))
+        out = pd.DataFrame(
+            {"abc": cls, "n_customers": np.ones(len(g), np.int64),
+             "sum_ticks": g["rev"].to_numpy()})
+        return out.groupby("abc", as_index=False).agg(
+            n_customers=("n_customers", "sum"), sum_ticks=("sum_ticks", "sum"))
+
+    out = (
+        bands.groupby("band").map_groups(classify, batch_format="pandas")
+        .groupby("abc")
+        .aggregate(Sum("n_customers", alias_name="n_customers"),
+                   Sum("sum_ticks", alias_name="sum_ticks"))
+        .to_pandas()
+    )
+    out["n_customers"] = out["n_customers"].astype(np.int64)
+    out["sum_ticks"] = out["sum_ticks"].astype(np.int64)
+    return pa.Table.from_pandas(
+        out.sort_values("abc").reset_index(drop=True), preserve_index=False
+    )
+
+
+def benford_profile_by_type(sf_dir: str) -> pa.Table:
+    """Leading-digit (Benford) profile per event type — the classic
+    synthetic-data / fraud smell test. Exact integer digit extraction via
+    ``searchsorted`` against powers of 10 (no float log10: 10^k never
+    misrounds); per-batch partials over a ≤|types|×9 cell domain."""
+    pows10 = np.int64(10) ** np.arange(19, dtype=np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = np.floor(b["value"].to_numpy() * 100.0).astype(np.int64)
+        exp = np.searchsorted(pows10, t, side="right") - 1
+        digit = t // pows10[exp]
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                "digit": digit.astype(np.int64),
+                "n": np.ones(len(t), np.int64),
+            }
+        ).groupby(["event_type", "digit"], as_index=False).agg(n=("n", "sum"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (
+        _events(sf_dir, columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "digit"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    for c in ("digit", "n"):
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(
+        out.sort_values(["event_type", "digit"]).reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+def user_interarrival_power_histogram(sf_dir: str) -> pa.Table:
+    """Inter-arrival-time profile (the ingest capacity signal): per-user
+    event gaps in µs, bucketed into power-of-2 bands. ONE user-hash
+    bucket exchange; in-bucket composite sort (user, ts, event_id) makes
+    LAG a boundary-masked ``np.diff``; integer searchsorted bit-length
+    (no float log2); only the ≤64-row band histogram leaves buckets."""
+    pows = np.int64(1) << np.arange(63, dtype=np.int64)
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "tsu": pa.array(
+                    b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)),
+                "event_id": b["event_id"],
+                "bucket": pa.array(
+                    (
+                        (b["user_id"].to_numpy().astype(np.uint64)
+                         * np.uint64(2654435761)) % np.uint64(64)
+                    ).astype(np.int64)),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "tsu", "event_id"])
+        u = g["user_id"].to_numpy()
+        t = g["tsu"].to_numpy()
+        gap = np.diff(t)
+        same = u[1:] == u[:-1]
+        gap = gap[same]
+        bits = np.maximum(np.searchsorted(pows, gap, side="right"), 1)
+        ub, n = np.unique(bits, return_counts=True)
+        return pd.DataFrame({"bits": ub.astype(np.int64),
+                             "n": n.astype(np.int64)})
+
+    out = (
+        _events(sf_dir, columns=["user_id", "ts", "event_id"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("bits")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(
+        out.sort_values("bits").reset_index(drop=True), preserve_index=False
+    )
+
+
+def conv_turn_density_profile(sf_dir: str) -> pa.Table:
+    """Conversation-length distribution of the FINAL state (the transcript
+    corpus shape report): count-of-counts histogram of live turns per
+    conversation. Latest-op argmax combiner (as the tombstone census),
+    key-hash bucket fold; a conversation lives wholly in its bucket, so
+    per-conv counts and the count-of-counts partial both resolve in-bucket
+    — the final exchange carries ≤max_turns histogram rows."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "conv_id": b["conv_id"].to_numpy(zero_copy_only=False),
+                "turn_idx": b["turn_idx"].to_numpy().astype(np.int64),
+                "seq": b["seq"].to_numpy(),
+                "is_del": (
+                    b["op"].to_numpy(zero_copy_only=False) == "delete"
+                ).astype(np.int64),
+            }
+        )
+        idx = df.groupby(["conv_id", "turn_idx"], sort=False)["seq"].idxmax()
+        w = df.loc[idx].reset_index(drop=True)
+        uid = w["conv_id"].str[5:].astype(np.int64).to_numpy()
+        w["bucket"] = (
+            (uid.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(64)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(w, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        idx = g.groupby(["conv_id", "turn_idx"], sort=False)["seq"].idxmax()
+        w = g.loc[idx]
+        live = w[w["is_del"] == 0]
+        per_conv = live.groupby("conv_id").size()
+        ub, n = np.unique(per_conv.to_numpy(), return_counts=True)
+        return pd.DataFrame({"n_turns": ub.astype(np.int64),
+                             "n_convs": n.astype(np.int64)})
+
+    out = (
+        derived_change_stream(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("n_turns")
+        .aggregate(Sum("n_convs", alias_name="n_convs"))
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(
+        out.sort_values("n_turns").reset_index(drop=True), preserve_index=False
+    )
