@@ -270,6 +270,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_profile_by_type": q.benford_profile_by_type,
         "user_interarrival_power_histogram": q.user_interarrival_power_histogram,
         "conv_turn_density_profile": q.conv_turn_density_profile,
+        # ---- round-2 widening, batch 19 ----
+        "time_weighted_value_integral": q.time_weighted_value_integral,
+        "conv_transcript_assembly": q.conv_transcript_assembly,
+        "iqr_outlier_counts": q.iqr_outlier_counts,
+        "join_cardinality_stats": q.join_cardinality_stats,
+        "k_anonymity_audit": q.k_anonymity_audit,
     }
 
 
@@ -2062,6 +2068,94 @@ FROM g WHERE prev IS NOT NULL GROUP BY 1
 SELECT CAST(n_turns AS BIGINT) AS n_turns,
        CAST(count(*) AS BIGINT) AS n_convs
 FROM pc GROUP BY 1
+""",
+        "time_weighted_value_integral": """
+WITH g AS (
+  SELECT user_id, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS tick,
+         epoch_us(ts) AS tsu,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS nxt
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(tick * ((nxt - tsu) // 1000000)) AS BIGINT)
+         AS sum_weighted_ticks,
+       CAST(sum((nxt - tsu) // 1000000) AS BIGINT) AS sum_dur_s
+FROM g WHERE nxt IS NOT NULL
+GROUP BY event_type
+""",
+        "conv_transcript_assembly": _CH
+        + """
+, last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY seq DESC) AS rn
+  FROM ch
+), fs AS (
+  SELECT conv_id, turn_idx, role, text
+  FROM last WHERE rn = 1 AND op <> 'delete'
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       md5(string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx))
+         AS digest
+FROM fs GROUP BY conv_id
+""",
+        "iqr_outlier_counts": """
+WITH t AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS tick FROM events
+), r AS (
+  SELECT event_type, tick,
+         row_number() OVER (PARTITION BY event_type ORDER BY tick) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM t
+), qq AS (
+  SELECT event_type,
+         max(CASE WHEN rn = (n - 1) // 4 + 1 THEN tick END) AS q1,
+         max(CASE WHEN rn = (3 * (n - 1)) // 4 + 1 THEN tick END) AS q3
+  FROM r GROUP BY event_type
+)
+SELECT t.event_type,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN 2 * t.tick < 2 * qq.q1 - 3 * (qq.q3 - qq.q1)
+                       OR 2 * t.tick > 2 * qq.q3 + 3 * (qq.q3 - qq.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(max(qq.q1) AS BIGINT) AS q1_tick,
+       CAST(max(qq.q3) AS BIGINT) AS q3_tick
+FROM t JOIN qq ON t.event_type = qq.event_type
+GROUP BY t.event_type
+""",
+        "join_cardinality_stats": """
+SELECT
+  CAST((SELECT count(*) FROM orders o JOIN lineitem l
+        ON o.o_orderkey = l.l_orderkey) AS BIGINT) AS n_join_rows,
+  CAST((SELECT count(DISTINCT o_orderkey) FROM orders) AS BIGINT)
+    AS n_keys_orders,
+  CAST((SELECT count(DISTINCT l_orderkey) FROM lineitem) AS BIGINT)
+    AS n_keys_lineitem,
+  CAST((SELECT count(DISTINCT o_orderkey) FROM orders
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)) AS BIGINT)
+    AS n_keys_both
+""",
+        "k_anonymity_audit": _CH
+        + """
+, last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY seq DESC) AS rn
+  FROM ch
+), fs AS (
+  SELECT role, tool, turn_idx FROM last WHERE rn = 1 AND op <> 'delete'
+), g AS (
+  SELECT role, tool, turn_idx, count(*) AS n FROM fs GROUP BY 1, 2, 3
+)
+SELECT CAST(5 AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_groups_at_risk,
+       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk
+FROM g
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

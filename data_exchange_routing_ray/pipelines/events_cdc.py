@@ -7941,3 +7941,319 @@ def conv_turn_density_profile(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         out.sort_values("n_turns").reset_index(drop=True), preserve_index=False
     )
+
+
+# ------------------------------------------------------------- batch 19
+
+def time_weighted_value_integral(sf_dir: str) -> pa.Table:
+    """Time-weighted aggregate (the streaming step-function integral —
+    billing/utilization semantics): each event's value tick is weighted
+    by the seconds until the SAME user's next event. ONE user-hash bucket
+    exchange; the in-bucket composite sort (user, ts, event_id) turns
+    LEAD into a boundary-masked ``np.diff``; per-type (n, Σtick·dur,
+    Σdur) partials leave the bucket, so the final reduce folds ≤64×|types|
+    rows. Durations are integer SECONDS (µs // 10⁶) to keep the products
+    inside int64 at 100 TB row counts."""
+
+    def tag(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy()
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "tsu": pa.array(
+                    b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+                ),
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "tick": pa.array(
+                    np.floor(b["value"].to_numpy() * 100.0).astype(np.int64)
+                ),
+                "bucket": pa.array(
+                    (
+                        (uid.astype(np.uint64) * np.uint64(2654435761))
+                        % np.uint64(64)
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "tsu", "event_id"])
+        u = g["user_id"].to_numpy()
+        t = g["tsu"].to_numpy()
+        same = u[1:] == u[:-1]
+        dur = ((t[1:] - t[:-1]) // 1_000_000)[same]
+        et = g["event_type"].to_numpy()[:-1][same]
+        tick = g["tick"].to_numpy()[:-1][same]
+        out = pd.DataFrame(
+            {
+                "event_type": et,
+                "w": tick * dur,
+                "d": dur,
+                "one": np.ones(len(et), np.int64),
+            }
+        )
+        return out.groupby("event_type", as_index=False).agg(
+            n_intervals=("one", "sum"),
+            sum_weighted_ticks=("w", "sum"),
+            sum_dur_s=("d", "sum"),
+        )
+
+    out = (
+        _events(sf_dir, columns=["user_id", "ts", "event_id", "event_type", "value"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_intervals", alias_name="n_intervals"),
+            Sum("sum_weighted_ticks", alias_name="sum_weighted_ticks"),
+            Sum("sum_dur_s", alias_name="sum_dur_s"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_intervals", "sum_weighted_ticks", "sum_dur_s"):
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(
+        out.sort_values("event_type").reset_index(drop=True), preserve_index=False
+    )
+
+
+def conv_transcript_assembly(sf_dir: str) -> pa.Table:
+    """Ordered transcript reassembly (the reference's ordered-reassembly
+    sink, `RouteIngestedFile.kt` block-list ordering, as a query): the
+    FINAL live turns of each conversation, sorted by turn_idx, are
+    concatenated 'role: text' and md5-digested so only (conv_id, n_turns,
+    digest) leaves the bucket. Latest-op argmax combiner per batch → ONE
+    conv-hash bucket exchange → whole conversation resolves in-bucket;
+    the digest proves byte-exact ordered assembly against the SQL
+    string_agg oracle without shipping transcripts."""
+    import hashlib
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "conv_id": b["conv_id"].to_numpy(zero_copy_only=False),
+                "turn_idx": b["turn_idx"].to_numpy().astype(np.int64),
+                "seq": b["seq"].to_numpy(),
+                "role": b["role"].to_numpy(zero_copy_only=False),
+                "text": b["text"].to_numpy(zero_copy_only=False),
+                "op": b["op"].to_numpy(zero_copy_only=False),
+            }
+        )
+        idx = df.groupby(["conv_id", "turn_idx"], sort=False)["seq"].idxmax()
+        w = df.loc[idx].reset_index(drop=True)
+        uid = w["conv_id"].str[5:].astype(np.int64).to_numpy()
+        w["bucket"] = (
+            (uid.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(64)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(w, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        idx = g.groupby(["conv_id", "turn_idx"], sort=False)["seq"].idxmax()
+        w = g.loc[idx]
+        live = w[w["op"] != "delete"].sort_values(["conv_id", "turn_idx"])
+        convs, counts, digests = [], [], []
+        for cid, cg in live.groupby("conv_id", sort=True):
+            txt = "\n".join(cg["role"].str.cat(cg["text"], sep=": "))
+            convs.append(cid)
+            counts.append(len(cg))
+            digests.append(hashlib.md5(txt.encode()).hexdigest())
+        return pd.DataFrame(
+            {
+                "conv_id": convs,
+                "n_turns": np.array(counts, np.int64),
+                "digest": digests,
+            }
+        )
+
+    out = (
+        derived_change_stream(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(
+        out.sort_values("conv_id").reset_index(drop=True), preserve_index=False
+    )
+
+
+def iqr_outlier_counts(sf_dir: str) -> pa.Table:
+    """Tukey-fence outlier audit: per event type, exact positional
+    quartiles on integer ticks (rank (n−1)//4+1 / 3(n−1)//4+1 — the
+    repo-wide positional convention) define fences q1−1.5·IQR /
+    q3+1.5·IQR; outliers are counted from the SAME bounded (type, tick)
+    histogram — one pass over the data, the exchange never carries raw
+    rows, and the driver classifies cumsum slices. Fence comparisons run
+    in doubled-tick units (2t vs 2q±3·IQR) so nothing is ever float."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                "tick": np.floor(b["value"].to_numpy() * 100.0).astype(np.int64),
+                "n": np.ones(b.num_rows, np.int64),
+            }
+        ).groupby(["event_type", "tick"], as_index=False).agg(n=("n", "sum"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    hist = (
+        _events(sf_dir, columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "tick"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["event_type", "tick"])
+    )
+    rows = []
+    for et, g in hist.groupby("event_type", sort=True):
+        c = g["n"].to_numpy(dtype=np.int64)
+        t = g["tick"].to_numpy(dtype=np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        q1 = int(t[np.searchsorted(cum, (n - 1) // 4 + 1)])
+        q3 = int(t[np.searchsorted(cum, (3 * (n - 1)) // 4 + 1)])
+        iqr = q3 - q1
+        out_mask = (2 * t < 2 * q1 - 3 * iqr) | (2 * t > 2 * q3 + 3 * iqr)
+        rows.append((et, n, int(c[out_mask].sum()), q1, q3))
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n_total": pa.array([r[1] for r in rows], pa.int64()),
+            "n_outliers": pa.array([r[2] for r in rows], pa.int64()),
+            "q1_tick": pa.array([r[3] for r in rows], pa.int64()),
+            "q3_tick": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+def join_cardinality_stats(sf_dir: str) -> pa.Table:
+    """Join-size statistics WITHOUT running the join (the optimizer's
+    cardinality pass, and the capacity check before a 100 TB exchange):
+    per-batch orderkey count partials from BOTH fact tables co-locate in
+    ONE key-hash bucket exchange; Σ c_o(k)·c_l(k) inside the bucket is
+    the exact equi-join row count. The wire carries key histograms (≤
+    distinct keys per batch), never fact rows; the driver folds a 64-row
+    partial table."""
+
+    def side_partial(col: str, side: int):
+        def f(b: pa.Table) -> pa.Table:
+            k, n = np.unique(b[col].to_numpy(), return_counts=True)
+            return pa.table(
+                {
+                    "k": pa.array(k, pa.int64()),
+                    "n": pa.array(n.astype(np.int64)),
+                    "side": pa.array(np.full(len(k), side, np.int8)),
+                    "bucket": pa.array(
+                        (
+                            (k.astype(np.uint64) * np.uint64(2654435761))
+                            % np.uint64(64)
+                        ).astype(np.int64)
+                    ),
+                }
+            )
+
+        return f
+
+    o = _read_sized(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey"]
+    ).map_batches(side_partial("o_orderkey", 0), batch_format="pyarrow")
+    l = _read_sized(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey"]
+    ).map_batches(side_partial("l_orderkey", 1), batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["k", "side"], as_index=False)["n"].sum()
+        p = s.pivot(index="k", columns="side", values="n")
+        no = (
+            p[0].fillna(0).to_numpy().astype(np.int64)
+            if 0 in p.columns
+            else np.zeros(len(p), np.int64)
+        )
+        nl = (
+            p[1].fillna(0).to_numpy().astype(np.int64)
+            if 1 in p.columns
+            else np.zeros(len(p), np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "n_join_rows": [int((no * nl).sum())],
+                "n_keys_orders": [int((no > 0).sum())],
+                "n_keys_lineitem": [int((nl > 0).sum())],
+                "n_keys_both": [int(((no > 0) & (nl > 0)).sum())],
+            }
+        )
+
+    parts = o.union(l).groupby("bucket").map_groups(
+        fold, batch_format="pandas"
+    ).to_pandas()
+    tot = parts.sum()
+    return pa.table(
+        {
+            c: pa.array([int(tot[c])], pa.int64())
+            for c in (
+                "n_join_rows",
+                "n_keys_orders",
+                "n_keys_lineitem",
+                "n_keys_both",
+            )
+        }
+    )
+
+
+def k_anonymity_audit(sf_dir: str, k: int = 5) -> pa.Table:
+    """k-anonymity audit over the FINAL state (the privacy gate a public
+    data exchange runs before release — the reference's domain is public-
+    health data): quasi-identifier = (role, tool, turn_idx); groups
+    smaller than k are re-identification risks. LWW argmax combiner →
+    conv-hash bucket fold emits per-bucket QI count partials (≤|QI
+    domain| rows) → QI-key reduce → the driver classifies |QI| rows. The
+    only row-weight exchange is the LWW fold the engine needs anyway."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "conv_id": b["conv_id"].to_numpy(zero_copy_only=False),
+                "turn_idx": b["turn_idx"].to_numpy().astype(np.int64),
+                "seq": b["seq"].to_numpy(),
+                "role": b["role"].to_numpy(zero_copy_only=False),
+                "tool": b["tool"].to_numpy(zero_copy_only=False),
+                "op": b["op"].to_numpy(zero_copy_only=False),
+            }
+        )
+        idx = df.groupby(["conv_id", "turn_idx"], sort=False)["seq"].idxmax()
+        w = df.loc[idx].reset_index(drop=True)
+        uid = w["conv_id"].str[5:].astype(np.int64).to_numpy()
+        w["bucket"] = (
+            (uid.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(64)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(w, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        idx = g.groupby(["conv_id", "turn_idx"], sort=False)["seq"].idxmax()
+        w = g.loc[idx]
+        live = w[w["op"] != "delete"]
+        return live.groupby(
+            ["role", "tool", "turn_idx"], as_index=False
+        ).size().rename(columns={"size": "n"})
+
+    qi = (
+        derived_change_stream(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .groupby(["role", "tool", "turn_idx"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    n = qi["n"].to_numpy().astype(np.int64)
+    risk = n < k
+    return pa.table(
+        {
+            "k": pa.array([k], pa.int64()),
+            "n_groups": pa.array([len(n)], pa.int64()),
+            "n_groups_at_risk": pa.array([int(risk.sum())], pa.int64()),
+            "n_rows_at_risk": pa.array([int(n[risk].sum())], pa.int64()),
+        }
+    )
