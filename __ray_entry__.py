@@ -276,6 +276,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "iqr_outlier_counts": q.iqr_outlier_counts,
         "join_cardinality_stats": q.join_cardinality_stats,
         "k_anonymity_audit": q.k_anonymity_audit,
+        # ---- round-2 widening, batch 20 ----
+        "basket_part_pairs": q.basket_part_pairs,
+        "hourly_autocorr_lag1": q.hourly_autocorr_lag1,
+        "cusum_max_deviation": q.cusum_max_deviation,
+        "repeated_word_stats": q.repeated_word_stats,
+        "session_path_trigrams": q.session_path_trigrams,
     }
 
 
@@ -2156,6 +2162,89 @@ SELECT CAST(5 AS BIGINT) AS k,
        CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
          AS n_rows_at_risk
 FROM g
+""",
+        "basket_part_pairs": """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM d a JOIN d b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 50
+""",
+        "hourly_autocorr_lag1": """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(a.c * b.c) AS BIGINT) AS sxy,
+       CAST(sum(a.c) AS BIGINT) AS sx,
+       CAST(sum(b.c) AS BIGINT) AS sy,
+       CAST(sum(a.c * a.c) AS BIGINT) AS sxx,
+       CAST(sum(b.c * b.c) AS BIGINT) AS syy
+FROM h a JOIN h b
+  ON a.event_type = b.event_type AND b.hr = a.hr + INTERVAL 1 HOUR
+GROUP BY 1
+""",
+        "cusum_max_deviation": """
+WITH t AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS x, ts, event_id
+  FROM events
+), g AS (
+  SELECT event_type,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(x) OVER (PARTITION BY event_type) AS sx,
+         sum(x) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS cumx,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS k
+  FROM t
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_events,
+       CAST(max(abs(n * cumx - k * sx)) AS BIGINT) AS max_abs_scaled_cusum
+FROM g GROUP BY 1
+""",
+        "repeated_word_stats": """
+WITH l AS (
+  SELECT source, string_split(text, ' ') AS lst FROM documents
+), d AS (
+  SELECT source, len(lst) AS nw,
+         len(list_filter(lst, (x, i) -> i > 1 AND x = lst[i - 1])) AS nrep
+  FROM l
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nw) AS BIGINT) AS n_words,
+       CAST(sum(nrep) AS BIGINT) AS n_repeat_pairs,
+       CAST(sum(CASE WHEN nrep > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_with_repeat
+FROM d GROUP BY source
+""",
+        "session_path_trigrams": """
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch(ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)) > 1800.0
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), s2 AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM s
+), t AS (
+  SELECT event_type || '>' ||
+         lead(event_type, 1) OVER w || '>' ||
+         lead(event_type, 2) OVER w AS trigram
+  FROM s2
+  WINDOW w AS (PARTITION BY user_id, sess ORDER BY ts, event_id)
+)
+SELECT trigram, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM t WHERE trigram IS NOT NULL GROUP BY 1
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

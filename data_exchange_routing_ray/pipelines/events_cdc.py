@@ -8257,3 +8257,324 @@ def k_anonymity_audit(sf_dir: str, k: int = 5) -> pa.Table:
             "n_rows_at_risk": pa.array([int(n[risk].sum())], pa.int64()),
         }
     )
+
+
+# ------------------------------------------------------------- batch 20
+
+def basket_part_pairs(sf_dir: str, k: int = 50) -> pa.Table:
+    """Market-basket pair mining (co-purchased part pairs) — the classic
+    A-priori first pass, reference-adjacent to the router's tuple-keyed
+    match (J3) but over data pairs. Scale shape: ONE orderkey-hash bucket
+    exchange co-locates each order's lines; in-bucket the pair expansion
+    is fully vectorized (per-order distinct parts sorted, pair index grids
+    built from run lengths — baskets are small, ≤~15 parts, so pairs/order
+    is bounded); per-bucket partial pair counts then reduce on a pair-hash
+    bucket (second exchange moves only distinct-pair partials, not rows);
+    driver sees just the global pair histogram tail for top-k."""
+
+    def tag(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy()
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_partkey": b["l_partkey"],
+                "bucket": pa.array(
+                    ((ok.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(64)).astype(np.int64)
+                ),
+            }
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        d = d.sort_values(["l_orderkey", "l_partkey"], kind="stable")
+        ok = d["l_orderkey"].to_numpy()
+        pk = d["l_partkey"].to_numpy()
+        # run starts/lengths per order
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        lens = np.diff(np.r_[starts, len(ok)])
+        # vectorized pair grid: for a run of length m emit m*(m-1)/2 (i<j)
+        npairs = lens * (lens - 1) // 2
+        tot = int(npairs.sum())
+        if tot == 0:
+            return pd.DataFrame({"part_a": [], "part_b": [], "n": []}).astype(np.int64)
+        run_id = np.repeat(np.arange(len(lens)), npairs)
+        # within-run pair rank 0..npairs[r]-1
+        off = np.concatenate([[0], np.cumsum(npairs)[:-1]])
+        r = np.arange(tot) - off[run_id]
+        m = lens[run_id]
+        # map rank r -> (i, j) with i<j in an m-element run (row-major upper tri)
+        # i = m-2 - floor((sqrt(8*(npairs-1-r)+1)-1)/2) trick; use direct search
+        rr = npairs[run_id] - 1 - r
+        i_rev = ((np.sqrt(8.0 * rr + 1.0) - 1.0) // 2.0).astype(np.int64)
+        i = m - 2 - i_rev
+        j = r - (i * (2 * m - i - 1)) // 2 + i + 1
+        base = starts[run_id]
+        out = pd.DataFrame({"part_a": pk[base + i], "part_b": pk[base + j], "one": 1})
+        agg = out.groupby(["part_a", "part_b"], as_index=False, sort=False).agg(n=("one", "sum"))
+        agg["pbucket"] = (
+            (agg["part_a"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B9)
+             + agg["part_b"].to_numpy().astype(np.uint64)) % np.uint64(64)
+        ).astype(np.int64)
+        return agg
+
+    def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["part_a", "part_b"], as_index=False).agg(n_orders=("n", "sum"))
+
+    out = (
+        _read_sized(os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_partkey"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(reduce_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.sort_values(
+        ["n_orders", "part_a", "part_b"], ascending=[False, True, True], kind="stable"
+    ).head(k).reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def hourly_autocorr_lag1(sf_dir: str) -> pa.Table:
+    """Lag-1 temporal autocorrelation building blocks per event type: the
+    hourly count series paired with itself shifted one hour (pairs only
+    where both hours exist), reduced to EXACT integer co-moment sums
+    (n, Σxy, Σx, Σy, Σx², Σy²) so the driver (or the caller) derives
+    Pearson r without float-order drift. Scale shape: the raw scan emits
+    per-batch (type, hour) partial counts — the only thing that leaves a
+    worker; the hourly series' cardinality is bounded by the TIME SPAN
+    (types × hours, ~44k/decade/type), not the row count, so the lag pair
+    fold is a driver-side array shift over a bounded frame."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        hr = b["ts"].to_numpy().astype("datetime64[h]").astype(np.int64)
+        df = pd.DataFrame({"event_type": b["event_type"].to_numpy(zero_copy_only=False), "hr": hr})
+        agg = df.groupby(["event_type", "hr"], as_index=False, sort=False).size()
+        return pa.Table.from_pandas(agg.rename(columns={"size": "c"}), preserve_index=False)
+
+    hourly = (
+        _events(sf_dir, columns=["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hr"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    rows = []
+    for et, g in hourly.groupby("event_type", sort=True):
+        g = g.sort_values("hr")
+        h = g["hr"].to_numpy()
+        c = g["c"].to_numpy().astype(np.int64)
+        m = h[1:] == h[:-1] + 1  # contiguous hours only
+        x, y = c[:-1][m], c[1:][m]
+        rows.append(
+            (et, len(x), int((x * y).sum()), int(x.sum()), int(y.sum()),
+             int((x * x).sum()), int((y * y).sum()))
+        )
+    out = pd.DataFrame(
+        rows, columns=["event_type", "n_pairs", "sxy", "sx", "sy", "sxx", "syy"]
+    )
+    for c_ in out.columns[1:]:
+        out[c_] = out[c_].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def cusum_max_deviation(sf_dir: str) -> pa.Table:
+    """Distributed CUSUM (change-detection statistic): per event type, the
+    max |scaled cumulative deviation| N·Σ_{i≤k}x_i − k·ΣX over events in
+    global (ts, event_id) order — all integer, exact. Scale shape: the
+    classic two-pass ordered prefix-scan (same machinery as
+    pack_token_sequences): pass 1 emits per-(type, day) partials (k, Σx) —
+    tiny, bounded by span×types — the driver prefix-sums them into
+    per-type per-day offsets and broadcasts; pass 2 groups rows by DAY
+    (coarse ordered ranges), sorts in-bucket, adds the offsets to the
+    within-day cumulative, and emits one max per (day, type). No global
+    sort, no unbounded driver state. int64 bound: N·Σx must fit 2⁶³ —
+    holds to ~3e6 rows/type at tick≤1e5; beyond that switch the scaled
+    statistic to float64 (documented, not silently)."""
+    import ray as _ray
+
+    def tag(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "tsu": pa.array(ts),
+                "event_id": b["event_id"],
+                "x": pa.array(np.floor(b["value"].to_numpy() * 100.0).astype(np.int64)),
+                "day": pa.array(ts // (86_400 * 1_000_000)),
+            }
+        )
+
+    tagged = (
+        _events(sf_dir, columns=["ts", "event_id", "event_type", "value"])
+        .map_batches(tag, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                "day": b["day"].to_numpy(),
+                "x": b["x"].to_numpy(),
+                "one": np.ones(b.num_rows, np.int64),
+            }
+        )
+        agg = df.groupby(["event_type", "day"], as_index=False, sort=False).agg(
+            k=("one", "sum"), sx=("x", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = (
+        tagged.map_batches(day_partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("k", alias_name="k"), Sum("sx", alias_name="sx"))
+        .to_pandas()
+        .sort_values(["event_type", "day"])
+    )
+    # per-type totals + per-(type, day) BEFORE-day prefix offsets
+    totals = partials.groupby("event_type").agg(N=("k", "sum"), SX=("sx", "sum"))
+    offs: dict[tuple[str, int], tuple[int, int]] = {}
+    for et, g in partials.groupby("event_type", sort=False):
+        ck = np.concatenate([[0], np.cumsum(g["k"].to_numpy())[:-1]])
+        cx = np.concatenate([[0], np.cumsum(g["sx"].to_numpy())[:-1]])
+        for d, a, b_ in zip(g["day"].to_numpy(), ck, cx):
+            offs[(et, int(d))] = (int(a), int(b_))
+    glob = _ray.put((offs, {et: (int(r["N"]), int(r["SX"])) for et, r in totals.iterrows()}))
+
+    def day_max(g: pd.DataFrame) -> pd.DataFrame:
+        offsets, tots = _ray.get(glob)
+        g = g.sort_values(["event_type", "tsu", "event_id"], kind="stable")
+        et = g["event_type"].to_numpy()
+        x = g["x"].to_numpy()
+        day = int(g["day"].iloc[0])
+        starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+        ends = np.r_[starts[1:], len(et)]
+        rows = []
+        for s, e in zip(starts, ends):
+            t = et[s]
+            N, SX = tots[t]
+            k0, x0 = offsets[(t, day)]
+            cumx = x0 + np.cumsum(x[s:e])
+            kk = k0 + np.arange(1, e - s + 1)
+            dev = N * cumx - kk * SX
+            rows.append((t, int(np.abs(dev).max())))
+        return pd.DataFrame(rows, columns=["event_type", "mx"])
+
+    out = (
+        tagged.groupby("day")
+        .map_groups(day_max, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Max("mx", alias_name="max_abs_scaled_cusum"))
+        .to_pandas()
+        .merge(totals.reset_index()[["event_type", "N"]], on="event_type")
+        .rename(columns={"N": "n_events"})
+    )
+    out["max_abs_scaled_cusum"] = out["max_abs_scaled_cusum"].astype(np.int64)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return pa.Table.from_pandas(
+        out.sort_values("event_type").reset_index(drop=True)[
+            ["event_type", "n_events", "max_abs_scaled_cusum"]
+        ],
+        preserve_index=False,
+    )
+
+
+def repeated_word_stats(sf_dir: str) -> pa.Table:
+    """Adjacent-duplicate-token quality signal per source (the Gopher-style
+    repetition family, cheapest member): counts word pairs where
+    word[i]==word[i-1] inside each doc. Scale shape: ZERO shuffles — the
+    whole signal folds per batch in Arrow C++ (split_pattern → flattened
+    values + list offsets; one shifted equality over the flat array with
+    doc boundaries masked via offsets), leaving only per-source scalar
+    partials; the final reduce is a ~|sources|-row aggregate."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        lst = pc.split_pattern(b["text"], " ")
+        flat = lst.combine_chunks().flatten() if isinstance(lst, pa.ChunkedArray) else lst.flatten()
+        la = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
+        off = la.offsets.to_numpy()
+        w = flat.to_numpy(zero_copy_only=False)
+        eq = np.r_[False, w[1:] == w[:-1]] if len(w) else np.zeros(0, bool)
+        eq[off[:-1][off[:-1] < len(eq)]] = False  # doc starts are never pairs
+        # per-doc repeat counts via offset segments
+        cs = np.concatenate([[0], np.cumsum(eq)])
+        per_doc = cs[off[1:]] - cs[off[:-1]]
+        nw = off[1:] - off[:-1]
+        df = pd.DataFrame(
+            {
+                "source": b["source"].to_numpy(zero_copy_only=False),
+                "n_docs": 1,
+                "n_words": nw,
+                "n_repeat_pairs": per_doc,
+                "n_docs_with_repeat": (per_doc > 0).astype(np.int64),
+            }
+        )
+        agg = df.groupby("source", as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    out = (
+        _documents(sf_dir, columns=["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_words", alias_name="n_words"),
+            Sum("n_repeat_pairs", alias_name="n_repeat_pairs"),
+            Sum("n_docs_with_repeat", alias_name="n_docs_with_repeat"),
+        )
+        .to_pandas()
+    )
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(
+        out.sort_values("source").reset_index(drop=True), preserve_index=False
+    )
+
+
+def session_path_trigrams(sf_dir: str, gap_seconds: float = 1800.0) -> pa.Table:
+    """Sessionized path mining: counts of event-type TRIGRAMS inside user
+    sessions (30-min gap, sessionize_events semantics) — the navigation-
+    path analysis shape. Scale shape: ONE user-hash bucket exchange (same
+    coarse 256-bucket layout as sessionize_events); in-bucket the session
+    ids come from one cumsum over the sorted frame and the trigram join is
+    three shifted array views with user+session boundary masks — no per-
+    user or per-session Python; only per-bucket (trigram, n) partials
+    (≤|types|³ rows each) leave, and the final reduce folds a bounded
+    histogram."""
+
+    def bucket(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy()
+        bk = (uid * np.int64(0x9E3779B9)) % 256
+        return b.append_column("bucket", pa.array(bk.astype(np.int64), pa.int64()))
+
+    def tri_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        gap = g["ts"].diff().dt.total_seconds().to_numpy()
+        sess = np.cumsum(new_user | (gap > gap_seconds))
+        ok = (sess[2:] == sess[:-2]) if len(sess) > 2 else np.zeros(0, bool)
+        if not ok.any():
+            return pd.DataFrame({"trigram": pd.Series([], dtype=object), "n": pd.Series([], dtype=np.int64)})
+        a, b_, c = et[:-2][ok], et[1:-1][ok], et[2:][ok]
+        tri = pd.Series(a).str.cat([b_, c], sep=">")
+        out = tri.value_counts().rename_axis("trigram").reset_index(name="n")
+        return out
+
+    out = (
+        _events(sf_dir, columns=["user_id", "event_id", "ts", "event_type"])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(tri_bucket, batch_format="pandas")
+        .groupby("trigram")
+        .aggregate(Sum("n", alias_name="n_occurrences"))
+        .to_pandas()
+    )
+    out["n_occurrences"] = out["n_occurrences"].astype(np.int64)
+    return pa.Table.from_pandas(
+        out.sort_values("trigram").reset_index(drop=True), preserve_index=False
+    )
