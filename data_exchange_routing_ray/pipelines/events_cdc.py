@@ -1125,8 +1125,11 @@ def emb_neardup_lsh(
     row for this approximate op still enforces quality, not just a count."""
     from data_exchange_routing_ray.functions.dedup import lsh_neardup_pairs
 
+    # min_blocks=8: banding is trivial compute, so the block count only
+    # sets the sort-shuffle's fixed cost on small corpora (A/B: 8 blocks
+    # ~1.2s vs 64 blocks ~4-6s at sf0.1); at scale byte-sizing governs.
     out = lsh_neardup_pairs(
-        _embeddings(sf_dir, min_blocks=64), threshold=threshold
+        _embeddings(sf_dir, min_blocks=8), threshold=threshold
     ).to_pandas()
     exact = emb_neardup_blocked(sf_dir, threshold=threshold).to_pandas()
     truth = set(zip(exact["id_a"], exact["id_b"]))
