@@ -83,6 +83,13 @@ HEADLINE = [
     "profile_table_stats",
     "fk_integrity_audit",
     "interval_overlap_counts",
+    # round-2 widening, batches 19-20
+    "time_weighted_value_integral",
+    "conv_transcript_assembly",
+    "basket_part_pairs",
+    "cusum_max_deviation",
+    "session_path_trigrams",
+    "repeated_word_stats",
 ]
 
 
@@ -166,13 +173,12 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
             f"({n_events} events); sustained rates at scale (3.5-5.1M ev/s "
             "at 32 cpus on 24-96M events) and scaling evidence are in "
             "BASELINE.md / bench.py --scaling. Round 2: emb_neardup_lsh "
-            "now runs 24-table LSH (0.97+ recall vs the round-1 "
+            "runs 24-table LSH (0.97+ recall vs the round-1 "
             "single-table's 0.02) AND an in-query exact-recall gate, so "
             "its wall time includes the exact blocked variant; "
             "dedup_minhash_pairs verifies via distributed size-gated "
             "strategies instead of a driver broadcast (500k-doc worst "
-            "case improved 89s->80s; tiny-sf wall carries ~2s more fixed "
-            "stage overhead)"
+            "case improved 89s->80s)"
         ),
     }
 
