@@ -282,6 +282,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_max_deviation": q.cusum_max_deviation,
         "repeated_word_stats": q.repeated_word_stats,
         "session_path_trigrams": q.session_path_trigrams,
+        # ---- round-2 widening, batch 21 ----
+        "triangle_count_parts": q.triangle_count_parts,
+        "session_duration_deciles": q.session_duration_deciles,
+        "rfm_segments": q.rfm_segments,
+        "conv_edit_churn": q.conv_edit_churn,
+        "time_to_first_purchase": q.time_to_first_purchase,
     }
 
 
@@ -2245,6 +2251,89 @@ WITH s AS (
 )
 SELECT trigram, CAST(count(*) AS BIGINT) AS n_occurrences
 FROM t WHERE trigram IS NOT NULL GROUP BY 1
+""",
+        "triangle_count_parts": """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT CAST((SELECT count(*) FROM p) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*)
+             FROM p xy JOIN p yz ON xy.pb = yz.pa
+                       JOIN p xz ON xz.pa = xy.pa AND xz.pb = yz.pb)
+            AS BIGINT) AS n_triangles
+""",
+        "session_duration_deciles": """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)) > 1800.0
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), s2 AS (
+  SELECT user_id,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess,
+         epoch_us(ts) AS tsu
+  FROM s
+), dur AS (
+  SELECT max(tsu) - min(tsu) AS dur_us FROM s2 GROUP BY user_id, sess
+), r AS (
+  SELECT dur_us, row_number() OVER (ORDER BY dur_us) AS rn,
+         count(*) OVER () AS n
+  FROM dur
+)
+SELECT CAST(q AS BIGINT) AS decile,
+       CAST(max(CASE WHEN rn = (q * (n - 1)) // 10 + 1 THEN dur_us END)
+            AS BIGINT) AS dur_us
+FROM r CROSS JOIN (SELECT unnest(range(1, 10)) AS q)
+GROUP BY q
+""",
+        "rfm_segments": """
+WITH c AS (
+  SELECT o_custkey, count(*) AS f,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m,
+         max(o_orderdate) AS lastd
+  FROM orders GROUP BY 1
+), g AS (
+  SELECT o_custkey,
+         date_diff('day', lastd, (SELECT max(o_orderdate) FROM orders)) AS r_days,
+         f, m, (SELECT count(*) FROM c) AS n
+  FROM c
+), s AS (
+  SELECT ((row_number() OVER (ORDER BY r_days, o_custkey) - 1) * 5) // n + 1 AS rq,
+         ((row_number() OVER (ORDER BY f, o_custkey) - 1) * 5) // n + 1 AS fq,
+         ((row_number() OVER (ORDER BY m, o_custkey) - 1) * 5) // n + 1 AS mq
+  FROM g
+)
+SELECT CAST(rq * 100 + fq * 10 + mq AS BIGINT) AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM s GROUP BY 1
+""",
+        "conv_edit_churn": _CH
+        + """
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_ops,
+       CAST(count(DISTINCT CASE WHEN op = 'update' THEN turn_idx END)
+            AS BIGINT) AS n_turns_updated,
+       CAST(count(DISTINCT CASE WHEN op = 'delete' THEN turn_idx END)
+            AS BIGINT) AS n_turns_deleted
+FROM ch GROUP BY conv_id
+""",
+        "time_to_first_purchase": """
+WITH u AS (
+  SELECT user_id, min(ts) AS fe,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+  FROM events GROUP BY 1
+)
+SELECT CAST(CASE WHEN fp IS NULL THEN -1
+            ELSE (epoch_us(fp) - epoch_us(fe)) // 3600000000 END AS BIGINT)
+         AS hours_bucket,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM u GROUP BY 1
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

@@ -8264,16 +8264,15 @@ def k_anonymity_audit(sf_dir: str, k: int = 5) -> pa.Table:
 
 # ------------------------------------------------------------- batch 20
 
-def basket_part_pairs(sf_dir: str, k: int = 50) -> pa.Table:
-    """Market-basket pair mining (co-purchased part pairs) — the classic
-    A-priori first pass, reference-adjacent to the router's tuple-keyed
-    match (J3) but over data pairs. Scale shape: ONE orderkey-hash bucket
-    exchange co-locates each order's lines; in-bucket the pair expansion
-    is fully vectorized (per-order distinct parts sorted, pair index grids
-    built from run lengths — baskets are small, ≤~15 parts, so pairs/order
-    is bounded); per-bucket partial pair counts then reduce on a pair-hash
-    bucket (second exchange moves only distinct-pair partials, not rows);
-    driver sees just the global pair histogram tail for top-k."""
+def _part_pair_counts_ds(sf_dir: str) -> ray.data.Dataset:
+    """Distributed (part_a < part_b, n_orders) co-purchase pair counts —
+    shared by basket_part_pairs and triangle_count_parts. ONE orderkey-hash
+    bucket exchange co-locates each order's lines; in-bucket the pair
+    expansion is fully vectorized (per-order distinct parts sorted, pair
+    index grids built from run lengths — baskets are small, ≤~15 parts, so
+    pairs/order is bounded); per-bucket partial pair counts then reduce on
+    a pair-hash bucket (the second exchange moves only distinct-pair
+    partials, never rows)."""
 
     def tag(b: pa.Table) -> pa.Table:
         ok = b["l_orderkey"].to_numpy()
@@ -8323,15 +8322,23 @@ def basket_part_pairs(sf_dir: str, k: int = 50) -> pa.Table:
     def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby(["part_a", "part_b"], as_index=False).agg(n_orders=("n", "sum"))
 
-    out = (
+    return (
         _read_sized(os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_partkey"])
         .map_batches(tag, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(pairs_in_bucket, batch_format="pandas")
         .groupby("pbucket")
         .map_groups(reduce_pairs, batch_format="pandas")
-        .to_pandas()
     )
+
+
+def basket_part_pairs(sf_dir: str, k: int = 50) -> pa.Table:
+    """Market-basket pair mining (co-purchased part pairs) — the classic
+    A-priori first pass, reference-adjacent to the router's tuple-keyed
+    match (J3) but over data pairs. Pair counting is _part_pair_counts_ds
+    (two bounded exchanges, fully vectorized expansion); the driver sees
+    just the global pair histogram tail for top-k."""
+    out = _part_pair_counts_ds(sf_dir).to_pandas()
     out = out.sort_values(
         ["n_orders", "part_a", "part_b"], ascending=[False, True, True], kind="stable"
     ).head(k).reset_index(drop=True)
@@ -8580,4 +8587,420 @@ def session_path_trigrams(sf_dir: str, gap_seconds: float = 1800.0) -> pa.Table:
     out["n_occurrences"] = out["n_occurrences"].astype(np.int64)
     return pa.Table.from_pandas(
         out.sort_values("trigram").reset_index(drop=True), preserve_index=False
+    )
+
+
+# ------------------------------------------------------------- batch 21
+
+def triangle_count_parts(sf_dir: str, min_support: int = 2) -> pa.Table:
+    """Distributed triangle counting over the derived co-purchase graph
+    (edges = part pairs sharing ≥min_support orders, oriented a<b) — the
+    graph-analytics shape Ray Data lacks natively. Node-iterator plan:
+    (1) edges from _part_pair_counts_ds (bounded by the support filter);
+    (2) wedges — per low-endpoint neighbor-pair grids, generated in one
+    node-hash bucket exchange with the same vectorized triu expansion as
+    basket mining (each triangle x<y<z is generated exactly once, from
+    x's neighbor list); (3) wedge→edge membership probe as a UNION +
+    one (y,z)-hash bucket exchange with an in-bucket vectorized merge —
+    no broadcast of the edge set, no driver materialization; only
+    per-bucket match counts leave."""
+
+    edges = (
+        _part_pair_counts_ds(sf_dir)
+        .map_batches(
+            lambda b: b.filter(pc.greater_equal(b["n_orders"], min_support)).select(
+                ["part_a", "part_b"]
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n_edges = edges.count()
+
+    def tag_by_a(b: pa.Table) -> pa.Table:
+        a = b["part_a"].to_numpy()
+        return b.append_column(
+            "abucket",
+            pa.array(((a.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(64)).astype(np.int64)),
+        )
+
+    def wedges_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["part_a", "part_b"], kind="stable")
+        a = g["part_a"].to_numpy()
+        bnb = g["part_b"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+        lens = np.diff(np.r_[starts, len(a)])
+        npairs = lens * (lens - 1) // 2
+        tot = int(npairs.sum())
+        if tot == 0:
+            return pd.DataFrame({"y": pd.Series(dtype=np.int64), "z": pd.Series(dtype=np.int64)})
+        run_id = np.repeat(np.arange(len(lens)), npairs)
+        off = np.concatenate([[0], np.cumsum(npairs)[:-1]])
+        r = np.arange(tot) - off[run_id]
+        m = lens[run_id]
+        rr = npairs[run_id] - 1 - r
+        i_rev = ((np.sqrt(8.0 * rr + 1.0) - 1.0) // 2.0).astype(np.int64)
+        i = m - 2 - i_rev
+        j = r - (i * (2 * m - i - 1)) // 2 + i + 1
+        base = starts[run_id]
+        return pd.DataFrame({"y": bnb[base + i], "z": bnb[base + j]})
+
+    wedges = (
+        edges.map_batches(tag_by_a, batch_format="pyarrow")
+        .groupby("abucket")
+        .map_groups(wedges_in_bucket, batch_format="pandas")
+    )
+
+    def tag_pair(col_y: str, col_z: str, is_edge: int):
+        def f(b: pa.Table) -> pa.Table:
+            y = b[col_y].to_numpy()
+            z = b[col_z].to_numpy()
+            return pa.table(
+                {
+                    "y": pa.array(y.astype(np.int64)),
+                    "z": pa.array(z.astype(np.int64)),
+                    "is_edge": pa.array(np.full(len(y), is_edge, np.int64)),
+                    "pbucket": pa.array(
+                        ((y.astype(np.uint64) * np.uint64(0x9E3779B9)
+                          + z.astype(np.uint64)) % np.uint64(64)).astype(np.int64)
+                    ),
+                }
+            )
+        return f
+
+    probe = wedges.map_batches(tag_pair("y", "z", 0), batch_format="pyarrow").union(
+        edges.map_batches(tag_pair("part_a", "part_b", 1), batch_format="pyarrow")
+    )
+
+    def count_matches(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["is_edge"] == 1][["y", "z"]].drop_duplicates()
+        w = g[g["is_edge"] == 0][["y", "z"]]
+        if len(e) == 0 or len(w) == 0:
+            return pd.DataFrame({"n": pd.Series([0], dtype=np.int64)})
+        hit = w.merge(e, on=["y", "z"], how="inner")
+        return pd.DataFrame({"n": pd.Series([len(hit)], dtype=np.int64)})
+
+    tri = (
+        probe.groupby("pbucket")
+        .map_groups(count_matches, batch_format="pandas")
+        .sum("n")
+    )
+    return pa.table(
+        {
+            "n_edges": pa.array([int(n_edges)], pa.int64()),
+            "n_triangles": pa.array([int(tri)], pa.int64()),
+        }
+    )
+
+
+def _rank_ranged(totals, key_col: str, ascending: bool, n_ranges: int = 16):
+    """Range-partition a dataset on one numeric key for EXACT global
+    ranking (the ntile_users_by_spend plan, factored): driver-sampled
+    boundaries steer load only — equal keys always land in one range, so
+    any within-range tiebreak stays local and global position = range
+    offset + local index. Returns (ranged_ds, {rng: offset}, total_n)."""
+    import ray as _ray
+
+    sign = 1 if ascending else -1
+    sample = totals.random_sample(0.1, seed=7).limit(4096).to_pandas()
+    if len(sample) >= n_ranges:
+        keys = np.sort(sign * sample[key_col].to_numpy())
+        bounds = keys[np.linspace(0, len(keys) - 1, n_ranges + 1).astype(int)][1:-1]
+    else:
+        bounds = np.array([], dtype=np.int64)
+    bref = _ray.put(bounds)
+
+    def assign(b: pa.Table) -> pa.Table:
+        bs = _ray.get(bref)
+        ck = sign * b[key_col].to_numpy()
+        rng = (
+            np.searchsorted(bs, ck, side="left")
+            if len(bs)
+            else np.zeros(b.num_rows, np.int64)
+        )
+        return b.append_column("rng", pa.array(rng.astype(np.int64)))
+
+    ranged = totals.map_batches(assign, batch_format="pyarrow").materialize()
+    counts = (
+        ranged.groupby("rng").aggregate(Count(alias_name="cnt")).to_pandas()
+        .sort_values("rng")
+    )
+    total_n = int(counts["cnt"].sum())
+    offs = dict(
+        zip(
+            counts["rng"].astype(int),
+            np.concatenate([[0], np.cumsum(counts["cnt"].to_numpy())[:-1]]).astype(int),
+        )
+    )
+    return ranged, offs, total_n
+
+
+def session_duration_deciles(sf_dir: str, gap_seconds: float = 1800.0) -> pa.Table:
+    """Exact decile boundaries of session durations (sessionize_events'
+    30-min-gap semantics): a composite of the session derivation (one
+    user-hash bucket exchange, vectorized boundary masks) and the exact
+    distributed order-statistic plan (_rank_ranged): each duration range
+    knows its global offset, so the range holding rank r_q emits that
+    decile's value locally — no global sort materialization, no driver
+    collection of the duration set."""
+    import ray as _ray
+
+    def bucket(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy()
+        bk = (uid * np.int64(0x9E3779B9)) % 256
+        return b.append_column("bucket", pa.array(bk.astype(np.int64), pa.int64()))
+
+    def durations(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        gap = np.r_[np.inf, np.diff(t) / 1e6]
+        new_sess = new_user | (gap > gap_seconds)
+        starts = np.flatnonzero(new_sess)
+        ends = np.r_[starts[1:], len(t)]
+        return pd.DataFrame({"dur_us": t[ends - 1] - t[starts]})
+
+    durs = (
+        _events(sf_dir, columns=["user_id", "event_id", "ts"])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(durations, batch_format="pandas")
+    )
+    ranged, offs, n = _rank_ranged(durs, "dur_us", ascending=True)
+    ranks = {q: (q * (n - 1)) // 10 for q in range(1, 10)}
+    rref = _ray.put((offs, ranks))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        offsets, rks = _ray.get(rref)
+        off = offsets[int(g["rng"].iloc[0])]
+        v = np.sort(g["dur_us"].to_numpy())
+        rows = [
+            (q, int(v[r - off]))
+            for q, r in rks.items()
+            if off <= r < off + len(v)
+        ]
+        return pd.DataFrame(rows, columns=["decile", "dur_us"]).astype(np.int64)
+
+    out = ranged.groupby("rng").map_groups(pick, batch_format="pandas").to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values("decile").reset_index(drop=True), preserve_index=False
+    )
+
+
+def rfm_segments(sf_dir: str, tiles: int = 5) -> pa.Table:
+    """RFM customer segmentation (recency / frequency / monetary), the
+    marketing-analytics composite: per-customer aggregates by ONE
+    custkey-hash bucket reduce, then THREE exact global quantile passes
+    (_rank_ranged — rank = range offset + local sorted index, tiebreak
+    custkey never crosses ranges), merged back per customer in one final
+    custkey-hash exchange; only the ≤tiles³ segment histogram reaches the
+    driver."""
+    import ray as _ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_custkey": b["o_custkey"].to_numpy(),
+                "d": b["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64),
+                "m": np.floor(b["o_totalprice"].to_numpy() * 100.0).astype(np.int64),
+            }
+        )
+        g = df.groupby("o_custkey", as_index=False).agg(
+            lastd=("d", "max"), f=("d", "size"), m=("m", "sum")
+        )
+        g["bucket"] = (
+            g["o_custkey"].to_numpy().astype(np.uint64) * np.uint64(2654435761)
+        ) % np.uint64(64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def reduce_cust(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("o_custkey", as_index=False).agg(
+            lastd=("lastd", "max"), f=("f", "sum"), m=("m", "sum")
+        )
+
+    cust = (
+        _read_sized(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_cust, batch_format="pandas")
+        .materialize()
+    )
+    maxd = int(cust.max("lastd"))
+    cust = cust.map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": b["o_custkey"],
+                "r_days": pa.array(maxd - b["lastd"].to_numpy()),
+                "f": b["f"],
+                "m": b["m"],
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def quintiles_for(metric: str) -> ray.data.Dataset:
+        ranged, offs, n = _rank_ranged(cust, metric, ascending=True)
+        oref = _ray.put(offs)
+
+        def score(g: pd.DataFrame) -> pd.DataFrame:
+            off = _ray.get(oref)[int(g["rng"].iloc[0])]
+            g = g.sort_values([metric, "o_custkey"], kind="stable")
+            pos = off + np.arange(len(g))
+            return pd.DataFrame(
+                {
+                    "o_custkey": g["o_custkey"].astype(np.int64),
+                    "q": (pos * tiles // n + 1).astype(np.int64),
+                }
+            )
+
+        return ranged.groupby("rng").map_groups(score, batch_format="pandas")
+
+    def tag_scored(which: int):
+        def f(b: pa.Table) -> pa.Table:
+            ck = b["o_custkey"].to_numpy()
+            return pa.table(
+                {
+                    "o_custkey": b["o_custkey"],
+                    "q": b["q"],
+                    "which": pa.array(np.full(len(ck), which, np.int64)),
+                    "bucket": pa.array(
+                        ((ck.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(64)).astype(np.int64)
+                    ),
+                }
+            )
+        return f
+
+    scored = (
+        quintiles_for("r_days").map_batches(tag_scored(100), batch_format="pyarrow")
+        .union(quintiles_for("f").map_batches(tag_scored(10), batch_format="pyarrow"))
+        .union(quintiles_for("m").map_batches(tag_scored(1), batch_format="pyarrow"))
+    )
+
+    def fold_segments(g: pd.DataFrame) -> pd.DataFrame:
+        seg = g.groupby("o_custkey").apply(
+            lambda x: int((x["q"] * x["which"]).sum()), include_groups=False
+        )
+        out = seg.value_counts().rename_axis("segment").reset_index(name="n_customers")
+        return out.astype(np.int64)
+
+    out = (
+        scored.groupby("bucket")
+        .map_groups(fold_segments, batch_format="pandas")
+        .groupby("segment")
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+        .to_pandas()
+        .astype(np.int64)
+    )
+    return pa.Table.from_pandas(
+        out.sort_values("segment").reset_index(drop=True), preserve_index=False
+    )
+
+
+def conv_edit_churn(sf_dir: str) -> pa.Table:
+    """Per-conversation edit-churn audit over the CDC stream: total ops,
+    distinct turns updated at least once, distinct turns deleted at least
+    once — the producer-behavior telemetry an ingest operator watches.
+    ONE conv-hash bucket exchange of slim (conv, turn, op) rows; in-bucket
+    the distinct counts are two drop_duplicates over the whole frame."""
+    from data_exchange_routing_ray.hashing import stable_hash_strings
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        h = stable_hash_strings(b["conv_id"].combine_chunks())
+        return pa.table(
+            {
+                "conv_id": b["conv_id"],
+                "turn_idx": b["turn_idx"].cast(pa.int64()),
+                "op": b["op"],
+                "bucket": pa.array((h % np.uint64(64)).astype(np.int64)),
+            }
+        )
+
+    def churn(g: pd.DataFrame) -> pd.DataFrame:
+        n_ops = g.groupby("conv_id", as_index=False).size().rename(columns={"size": "n_ops"})
+        upd = (
+            g[g["op"] == "update"][["conv_id", "turn_idx"]]
+            .drop_duplicates()
+            .groupby("conv_id", as_index=False)
+            .size()
+            .rename(columns={"size": "n_turns_updated"})
+        )
+        dele = (
+            g[g["op"] == "delete"][["conv_id", "turn_idx"]]
+            .drop_duplicates()
+            .groupby("conv_id", as_index=False)
+            .size()
+            .rename(columns={"size": "n_turns_deleted"})
+        )
+        out = n_ops.merge(upd, on="conv_id", how="left").merge(dele, on="conv_id", how="left")
+        for c in ("n_turns_updated", "n_turns_deleted"):
+            out[c] = out[c].fillna(0).astype(np.int64)
+        out["n_ops"] = out["n_ops"].astype(np.int64)
+        return out
+
+    out = (
+        derived_change_stream(sf_dir)
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(churn, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(
+        out.sort_values("conv_id").reset_index(drop=True), preserve_index=False
+    )
+
+
+def time_to_first_purchase(sf_dir: str) -> pa.Table:
+    """Conversion-latency histogram: hours from each user's FIRST event to
+    their FIRST 'purchase' (bucket −1 = never purchased). Per-batch
+    per-user min partials → one user-hash bucket reduce → per-bucket
+    histogram partials → a final ≤|buckets| sum; no full-row shuffle, no
+    driver per-user state."""
+
+    # sentinel 2**62 (exactly float64-representable, though the path below
+    # never leaves int64): "no purchase yet"; survives min-folds untouched
+    _NOP = np.int64(1) << 62
+
+    def partial(b: pa.Table) -> pa.Table:
+        tsu = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        is_p = b["event_type"].to_numpy(zero_copy_only=False) == "purchase"
+        df = pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(),
+                "tsu": tsu,
+                "tsp": np.where(is_p, tsu, _NOP),
+            }
+        )
+        g = df.groupby("user_id", as_index=False).agg(
+            fe=("tsu", "min"), fp=("tsp", "min")
+        )
+        g["bucket"] = (
+            g["user_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761)
+        ) % np.uint64(64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.groupby("user_id", as_index=False).agg(fe=("fe", "min"), fp=("fp", "min"))
+        never = u["fp"] == _NOP
+        hb = np.where(never, -1, (u["fp"] - u["fe"]) // 3_600_000_000)
+        out = (
+            pd.Series(hb).value_counts().rename_axis("hours_bucket").reset_index(name="n_users")
+        )
+        return out.astype(np.int64)
+
+    out = (
+        _events(sf_dir, columns=["user_id", "ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("hours_bucket")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+        .astype(np.int64)
+    )
+    return pa.Table.from_pandas(
+        out.sort_values("hours_bucket").reset_index(drop=True), preserve_index=False
     )
