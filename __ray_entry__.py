@@ -288,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": q.rfm_segments,
         "conv_edit_churn": q.conv_edit_churn,
         "time_to_first_purchase": q.time_to_first_purchase,
+        "group_txn_two_lakes": q.group_txn_two_lakes,
     }
 
 
@@ -2334,6 +2335,23 @@ SELECT CAST(CASE WHEN fp IS NULL THEN -1
          AS hours_bucket,
        CAST(count(*) AS BIGINT) AS n_users
 FROM u GROUP BY 1
+""",
+        "group_txn_two_lakes": _CH
+        + """
+, last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY seq DESC) AS rn
+  FROM ch
+), fs AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN CAST(substr(conv_id, 6) AS BIGINT) % 2 = 0
+              THEN 'even' ELSE 'odd' END AS lake
+  FROM last WHERE rn = 1 AND op <> 'delete'
+)
+SELECT lake,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM fs GROUP BY lake
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

@@ -9004,3 +9004,69 @@ def time_to_first_purchase(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         out.sort_values("hours_bucket").reset_index(drop=True), preserve_index=False
     )
+
+
+def group_txn_two_lakes(sf_dir: str) -> pa.Table:
+    """Multi-table transactional group commit, driver-checked end-to-end:
+    the derived change stream splits into two lakes (even/odd users), the
+    group transaction CRASHES after lake 'even' publishes but before
+    'odd' applies, consistent readers are verified to still see the empty
+    pre-state, then roll-forward recovery commits the group (the fenced
+    re-apply of 'even' is a no-op). Output = per-lake final counts, which
+    must equal the SQL final-state oracle per parity — proving atomic
+    visibility AND exactly-once under the crash. See state/group_txn.py
+    (reference analog: FnOrchestrator fanInFailIfAnyFail + the router's
+    multi-destination expansion)."""
+    from data_exchange_routing_ray.state.group_txn import GroupTransaction
+
+    stream = derived_change_stream(sf_dir).materialize()
+
+    def split(parity: int):
+        def f(b: pa.Table) -> pa.Table:
+            uid = pc.cast(pc.utf8_slice_codeunits(b["conv_id"], 5, 11), pa.int64())
+            return b.filter(pc.equal(pc.bit_wise_and(uid, 1), parity))
+        return f
+
+    with tempfile.TemporaryDirectory(prefix="grouptxn-") as d:
+        lakes = {
+            "even": CDCLake(os.path.join(d, "lake_even"), num_partitions=8),
+            "odd": CDCLake(os.path.join(d, "lake_odd"), num_partitions=8),
+        }
+        txn = GroupTransaction(os.path.join(d, "journal"), lakes)
+
+        def apply_even(lake):
+            return lake.apply_changes(
+                stream.map_batches(split(0), batch_format="pyarrow"),
+                quarantine=False,
+            )
+
+        def apply_odd(lake):
+            return lake.apply_changes(
+                stream.map_batches(split(1), batch_format="pyarrow"),
+                quarantine=False,
+            )
+
+        def boom(lake):
+            raise RuntimeError("injected crash before lake odd applies")
+
+        try:
+            txn.run({"even": apply_even, "odd": boom})
+        except RuntimeError:
+            pass
+        # partial group is invisible to consistent readers
+        pins = txn.consistent_epochs()
+        assert pins == {"even": -1, "odd": -1}, pins
+        assert len(txn.journal.pending()) == 1
+        # roll forward
+        txn.recover({"even": apply_even, "odd": apply_odd})
+        assert txn.journal.pending() == []
+
+        rows = []
+        for name in ("even", "odd"):
+            t = lakes[name].final_table()
+            n_convs = len(pc.unique(t["conv_id"]))
+            rows.append((name, n_convs, t.num_rows))
+    out = pd.DataFrame(rows, columns=["lake", "n_convs", "n_rows"])
+    out["n_convs"] = out["n_convs"].astype(np.int64)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
