@@ -289,6 +289,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_edit_churn": q.conv_edit_churn,
         "time_to_first_purchase": q.time_to_first_purchase,
         "group_txn_two_lakes": q.group_txn_two_lakes,
+        # ---- round-2 widening, batch 22 ----
+        "ann_quantized_topk": q.ann_quantized_topk,
+        "vocab_coverage_by_source": q.vocab_coverage_by_source,
+        "local_clustering_top_parts": q.local_clustering_top_parts,
     }
 
 
@@ -2353,7 +2357,47 @@ SELECT lake,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM fs GROUP BY lake
 """,
+        "vocab_coverage_by_source": """
+WITH w AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+), vocab AS (
+  SELECT word FROM (SELECT word, count(*) AS n FROM w GROUP BY 1)
+  ORDER BY n DESC, word LIMIT 10
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN word IN (SELECT word FROM vocab)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab
+FROM w GROUP BY source
+""",
+        "local_clustering_top_parts": """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), t AS (
+  SELECT xy.pa AS x, xy.pb AS y, yz.pb AS z
+  FROM p xy JOIN p yz ON xy.pb = yz.pa
+            JOIN p xz ON xz.pa = xy.pa AND xz.pb = yz.pb
+), nodes AS (
+  SELECT x AS node FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t
+), tc AS (
+  SELECT node, count(*) AS n_triangles FROM nodes GROUP BY 1
+), deg AS (
+  SELECT node, count(*) AS degree
+  FROM (SELECT pa AS node FROM p UNION ALL SELECT pb FROM p) GROUP BY 1
+)
+SELECT tc.node AS part,
+       CAST(tc.n_triangles AS BIGINT) AS n_triangles,
+       CAST(deg.degree AS BIGINT) AS degree
+FROM tc JOIN deg ON tc.node = deg.node
+ORDER BY n_triangles DESC, part
+LIMIT 20
+""",
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,
-        # dedup_ngram_jaccard, emb_neardup_lsh, ann_ivf_topk, multimodal_decode
+        # dedup_ngram_jaccard, emb_neardup_lsh, ann_ivf_topk, multimodal_decode,
+        # ann_quantized_topk (in-query recall gate vs exact top-k)
     }

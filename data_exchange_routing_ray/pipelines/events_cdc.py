@@ -9070,3 +9070,285 @@ def group_txn_two_lakes(sf_dir: str) -> pa.Table:
     out["n_convs"] = out["n_convs"].astype(np.int64)
     out["n_rows"] = out["n_rows"].astype(np.int64)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ------------------------------------------------------------- batch 22
+
+def ann_quantized_topk(sf_dir: str, k: int = 10, min_recall: float = 0.8) -> pa.Table:
+    """Scalar-quantized (int8) ANN: pass 1 computes per-dimension global
+    min/max (per-batch 2-row partials, driver fold — the two-pass broadcast-
+    stats pattern); pass 2 materializes the QUANTIZED index (8× smaller
+    than float64 — what would live in the object store / on disk at 100 TB)
+    and searches it per batch (dequantize → cosine → local top-k → tiny
+    driver reduce). In-query gate: recall@k vs the exact float64 top-k must
+    be ≥ ``min_recall`` or the query raises — quality enforced, not just
+    row shape."""
+    import ray as _ray
+
+    from data_exchange_routing_ray.functions.similarity import topk_cosine
+
+    ds = _embeddings(sf_dir, min_blocks=8)
+
+    def minmax(b: pa.Table) -> pa.Table:
+        M = np.stack(b["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        return pa.table(
+            {
+                "kind": pa.array(["min", "max"]),
+                "v": pa.array([M.min(axis=0).tobytes(), M.max(axis=0).tobytes()], pa.binary()),
+            }
+        )
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    lo = np.min(np.stack([np.frombuffer(v) for v in mm[mm["kind"] == "min"]["v"]]), axis=0)
+    hi = np.max(np.stack([np.frombuffer(v) for v in mm[mm["kind"] == "max"]["v"]]), axis=0)
+    scale = np.where(hi > lo, (hi - lo) / 255.0, 1.0)
+    pref = _ray.put((lo, scale))
+
+    def quantize(b: pa.Table) -> pa.Table:
+        lo_, sc_ = _ray.get(pref)
+        M = np.stack(b["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        Q = np.clip(np.round((M - lo_) / sc_), 0, 255).astype(np.uint8)
+        return pa.table(
+            {
+                "vec_id": b["vec_id"].cast(pa.int64()),
+                "qvec": pa.array([Q[i].tobytes() for i in range(len(Q))], pa.binary()),
+            }
+        )
+
+    index = ds.map_batches(quantize, batch_format="pyarrow").materialize()
+
+    q_raw = np.asarray(
+        ds.filter(expr="vec_id == 0").take(1)[0]["embedding"], dtype=np.float64
+    )
+    qn = q_raw / (np.linalg.norm(q_raw) or 1.0)
+    qref = _ray.put(qn)
+
+    def search(b: pa.Table) -> pa.Table:
+        lo_, sc_ = _ray.get(pref)
+        qv = _ray.get(qref)
+        Q = np.frombuffer(b"".join(b["qvec"].to_pylist()), dtype=np.uint8).reshape(
+            b.num_rows, -1
+        )
+        M = Q.astype(np.float64) * sc_ + lo_
+        nrm = np.linalg.norm(M, axis=1)
+        nrm[nrm == 0] = 1.0
+        s = (M @ qv) / nrm
+        kk = min(k, len(s))
+        idx = np.argpartition(-s, kk - 1)[:kk]
+        return pa.table(
+            {
+                "vec_id": b["vec_id"].take(pa.array(idx)),
+                "cosine_q": pa.array(np.round(s[idx], 6), pa.float64()),
+            }
+        )
+
+    cand = index.map_batches(search, batch_format="pyarrow").to_pandas()
+    out = cand.sort_values(
+        ["cosine_q", "vec_id"], ascending=[False, True], kind="stable"
+    ).head(k).reset_index(drop=True)
+
+    exact = topk_cosine(_embeddings(sf_dir), q_raw, k=k)
+    recall = len(set(out["vec_id"]) & set(exact["vec_id"])) / k
+    if recall < min_recall:
+        raise AssertionError(
+            f"ann_quantized_topk recall@{k} {recall:.3f} < {min_recall} vs exact"
+        )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def vocab_coverage_by_source(sf_dir: str, vocab_k: int = 10) -> pa.Table:
+    """Tokenizer-vocabulary coverage per source: pass 1 builds the global
+    top-``vocab_k`` vocabulary (word-hash bucket reduce — each word's count
+    completes inside ONE bucket, so per-bucket top-k then a driver merge of
+    64 tiny leader lists is EXACT); pass 2 broadcasts the vocab set and
+    folds per-source (n_tokens, n_in_vocab) scalar partials per batch —
+    zero full-row shuffles, vocabulary never leaves the reduce buckets."""
+    import ray as _ray
+
+    def wc_partial(b: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(b["text"], " "))
+        s = pd.Series(words.to_numpy(zero_copy_only=False))
+        vc = s.value_counts()
+        out = pd.DataFrame({"word": vc.index, "n": vc.to_numpy()})
+        out["bucket"] = (
+            pd.util.hash_array(out["word"].to_numpy(dtype=object)) % 64
+        ).astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("word", as_index=False).agg(n=("n", "sum"))
+        return agg.sort_values(
+            ["n", "word"], ascending=[False, True], kind="stable"
+        ).head(vocab_k)
+
+    leaders = (
+        _documents(sf_dir, columns=["text"])
+        .map_batches(wc_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    vocab = set(
+        leaders.sort_values(["n", "word"], ascending=[False, True], kind="stable")
+        .head(vocab_k)["word"]
+    )
+    vref = _ray.put(vocab)
+
+    def coverage(b: pa.Table) -> pa.Table:
+        vs = _ray.get(vref)
+        lst = pc.split_pattern(b["text"], " ")
+        la = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
+        flat = la.flatten().to_numpy(zero_copy_only=False)
+        inv = np.isin(flat, list(vs))
+        off = la.offsets.to_numpy()
+        cs = np.concatenate([[0], np.cumsum(inv)])
+        per_doc_in = cs[off[1:]] - cs[off[:-1]]
+        df = pd.DataFrame(
+            {
+                "source": b["source"].to_numpy(zero_copy_only=False),
+                "n_tokens": off[1:] - off[:-1],
+                "n_in_vocab": per_doc_in,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("source", as_index=False).sum(), preserve_index=False
+        )
+
+    out = (
+        _documents(sf_dir, columns=["source", "text"])
+        .map_batches(coverage, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_in_vocab", alias_name="n_in_vocab"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_tokens", "n_in_vocab"):
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(
+        out.sort_values("source").reset_index(drop=True), preserve_index=False
+    )
+
+
+def local_clustering_top_parts(sf_dir: str, min_support: int = 2, k: int = 20) -> pa.Table:
+    """Per-node triangle participation + degree (local clustering inputs)
+    over the co-purchase graph — the node-level companion of
+    triangle_count_parts. Same oriented node-iterator plan, but wedges
+    carry their apex x and matched triangles fan out to all three member
+    nodes; per-bucket (node, n_triangles) partials reduce in one exchange;
+    degrees fold from the edge list the same way. Top-k by triangles is
+    deterministic (count desc, part asc)."""
+
+    edges = (
+        _part_pair_counts_ds(sf_dir)
+        .map_batches(
+            lambda b: b.filter(pc.greater_equal(b["n_orders"], min_support)).select(
+                ["part_a", "part_b"]
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def tag_by_a(b: pa.Table) -> pa.Table:
+        a = b["part_a"].to_numpy()
+        return b.append_column(
+            "abucket",
+            pa.array(((a.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(64)).astype(np.int64)),
+        )
+
+    def wedges_with_apex(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["part_a", "part_b"], kind="stable")
+        a = g["part_a"].to_numpy()
+        bnb = g["part_b"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+        lens = np.diff(np.r_[starts, len(a)])
+        npairs = lens * (lens - 1) // 2
+        tot = int(npairs.sum())
+        if tot == 0:
+            return pd.DataFrame(
+                {"x": pd.Series(dtype=np.int64), "y": pd.Series(dtype=np.int64),
+                 "z": pd.Series(dtype=np.int64)}
+            )
+        run_id = np.repeat(np.arange(len(lens)), npairs)
+        off = np.concatenate([[0], np.cumsum(npairs)[:-1]])
+        r = np.arange(tot) - off[run_id]
+        m = lens[run_id]
+        rr = npairs[run_id] - 1 - r
+        i_rev = ((np.sqrt(8.0 * rr + 1.0) - 1.0) // 2.0).astype(np.int64)
+        i = m - 2 - i_rev
+        j = r - (i * (2 * m - i - 1)) // 2 + i + 1
+        base = starts[run_id]
+        return pd.DataFrame(
+            {"x": a[base], "y": bnb[base + i], "z": bnb[base + j]}
+        )
+
+    wedges = (
+        edges.map_batches(tag_by_a, batch_format="pyarrow")
+        .groupby("abucket")
+        .map_groups(wedges_with_apex, batch_format="pandas")
+    )
+
+    def tag_yz(is_edge: int, ycol: str, zcol: str, xcol: str | None):
+        def f(b: pa.Table) -> pa.Table:
+            y = b[ycol].to_numpy()
+            z = b[zcol].to_numpy()
+            x = b[xcol].to_numpy() if xcol else np.zeros(len(y), np.int64)
+            return pa.table(
+                {
+                    "x": pa.array(x.astype(np.int64)),
+                    "y": pa.array(y.astype(np.int64)),
+                    "z": pa.array(z.astype(np.int64)),
+                    "is_edge": pa.array(np.full(len(y), is_edge, np.int64)),
+                    "pbucket": pa.array(
+                        ((y.astype(np.uint64) * np.uint64(0x9E3779B9)
+                          + z.astype(np.uint64)) % np.uint64(64)).astype(np.int64)
+                    ),
+                }
+            )
+        return f
+
+    probe = wedges.map_batches(tag_yz(0, "y", "z", "x"), batch_format="pyarrow").union(
+        edges.map_batches(tag_yz(1, "part_a", "part_b", None), batch_format="pyarrow")
+    )
+
+    def node_tri_partials(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["is_edge"] == 1][["y", "z"]].drop_duplicates()
+        w = g[g["is_edge"] == 0]
+        if len(e) == 0 or len(w) == 0:
+            return pd.DataFrame({"node": pd.Series(dtype=np.int64), "nt": pd.Series(dtype=np.int64)})
+        hit = w.merge(e, on=["y", "z"], how="inner")
+        nodes = pd.concat([hit["x"], hit["y"], hit["z"]], ignore_index=True)
+        vc = nodes.value_counts()
+        return pd.DataFrame({"node": vc.index.astype(np.int64), "nt": vc.to_numpy().astype(np.int64)})
+
+    tri = (
+        probe.groupby("pbucket")
+        .map_groups(node_tri_partials, batch_format="pandas")
+        .groupby("node")
+        .aggregate(Sum("nt", alias_name="n_triangles"))
+        .to_pandas()
+    )
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        nodes = np.concatenate([b["part_a"].to_numpy(), b["part_b"].to_numpy()])
+        vc = pd.Series(nodes).value_counts()
+        return pa.table(
+            {"node": pa.array(vc.index.to_numpy().astype(np.int64)),
+             "d": pa.array(vc.to_numpy().astype(np.int64))}
+        )
+
+    deg = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("d", alias_name="degree"))
+        .to_pandas()
+    )
+    out = tri.merge(deg, on="node", how="inner").rename(columns={"node": "part"})
+    out = out.sort_values(
+        ["n_triangles", "part"], ascending=[False, True], kind="stable"
+    ).head(k).reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out[["part", "n_triangles", "degree"]], preserve_index=False)
