@@ -220,8 +220,17 @@ class CDCLake:
         fence: bool = True,
         rebuild: bool = False,
         max_attempts: int | None = 6,
+        audit_fn=None,
     ) -> EpochResult:
         """Apply one epoch of change events; atomically commit; return stats.
+
+        ``audit_fn`` enables WRITE-AUDIT-PUBLISH: called with the candidate
+        (uncommitted) manifest and the lake dir AFTER all merge output is
+        staged but BEFORE publish. If it raises, the epoch aborts with NO
+        visible effect — readers still see the previous epoch; the staged
+        files are vacuumable orphans (identical semantics to a crashed
+        commit). Use ``read_manifest_table(manifest, lake_dir)`` inside the
+        audit to query the candidate state.
 
         ``rebuild=True`` starts the epoch from an EMPTY partition set (no
         base files, no inherited entries) while preserving the epoch counter
@@ -400,6 +409,11 @@ class CDCLake:
                 schema_names=man.schema_names,
                 partitions=new_partitions,
             )
+            # WRITE-AUDIT-PUBLISH: the audit sees the staged candidate state
+            # (files on disk, manifest object in hand) while readers still
+            # see the previous epoch; a raise here aborts publication.
+            if audit_fn is not None:
+                audit_fn(new_man, self.lake_dir)
             # atomic commitBlockList + optimistic single-writer fence: abort
             # if another writer published since this epoch read the manifest
             self.store.publish(new_man, expect_epoch=man.epoch)
@@ -687,6 +701,30 @@ class CDCLake:
                     os.remove(path)
                     removed += 1
         return removed
+
+
+def read_manifest_table(manifest: Manifest, lake_dir: str) -> pa.Table:
+    """Materialize the state a manifest DESCRIBES, committed or not — the
+    write-audit-publish reader: an ``audit_fn`` passed to ``apply_changes``
+    uses this to query the staged candidate epoch before it becomes
+    visible. Folds any delta stacks exactly like ``final_table``."""
+    from data_exchange_routing_ray.stages.upsert import fold_deltas
+
+    if not manifest.partitions:
+        return TRANSCRIPT_SCHEMA.empty_table()
+    tables = []
+    for _, e in sorted(manifest.partitions.items()):
+        t = pq.read_table(os.path.join(lake_dir, e.file))
+        if e.deltas:
+            t = fold_deltas(
+                t,
+                [
+                    pq.read_table(os.path.join(lake_dir, d["file"]))
+                    for d in e.deltas
+                ],
+            )
+        tables.append(t)
+    return pa.concat_tables(tables, promote_options="permissive")
 
 
 def _seq_range(parquet_file: str) -> tuple[int | None, int | None]:
