@@ -293,6 +293,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_quantized_topk": q.ann_quantized_topk,
         "vocab_coverage_by_source": q.vocab_coverage_by_source,
         "local_clustering_top_parts": q.local_clustering_top_parts,
+        # ---- round-2 widening, batch 23 ----
+        "hard_negative_mining": q.hard_negative_mining,
+        "zorder_pruned_read": q.zorder_pruned_read,
     }
 
 
@@ -2395,6 +2398,40 @@ SELECT tc.node AS part,
 FROM tc JOIN deg ON tc.node = deg.node
 ORDER BY n_triangles DESC, part
 LIMIT 20
+""",
+        "hard_negative_mining": """
+WITH q AS (
+  SELECT label, vec_id, embedding FROM (
+    SELECT *, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+    FROM embeddings
+  ) WHERE rn = 1
+)
+SELECT query_id, vec_id, cosine FROM (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 CAST(q.embedding AS DOUBLE[])), 6) DESC,
+                    e.vec_id
+         ) AS rn
+  FROM embeddings e JOIN q ON e.label <> q.label
+) WHERE rn <= 5
+""",
+        "zorder_pruned_read": """
+WITH b AS (
+  SELECT (SELECT max(l_partkey) FROM lineitem) AS pmax,
+         (SELECT max(l_suppkey) FROM lineitem) AS smax
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+         AS sum_qty_ticks,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_ticks
+FROM lineitem, b
+WHERE l_partkey BETWEEN pmax // 4 AND pmax // 2
+  AND l_suppkey BETWEEN smax // 4 AND smax // 2
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

@@ -68,6 +68,8 @@ def batch_topk_cosine(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    exclude_label_col: str | None = None,
+    query_labels: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Exact top-k per query for a BATCH of queries (one matmul per block
     against the broadcast query matrix — batched model-inference shape).
@@ -75,20 +77,30 @@ def batch_topk_cosine(
     Returns columns (query_id, vec_id, cosine); ties broken by lower vec_id.
     Cosine is computed as dot / (|a||b|) in float64 — bit-for-bit the SQL
     ``list_cosine_similarity`` formula, so the result is oracle-verifiable.
+
+    ``exclude_label_col`` + ``query_labels`` turn this into HARD-NEGATIVE
+    mining: corpus rows sharing the query's label are masked out, so the
+    result is the most-similar OTHER-label rows per query.
     """
     Q = np.asarray(queries, dtype=np.float64)
     qn = np.linalg.norm(Q, axis=1)
     qn[qn == 0] = 1.0
-    q_ref = ray.put((Q, qn))
+    q_ref = ray.put((Q, qn, query_labels))
     qid = np.asarray(query_ids, dtype=np.int64)
+    sel_cols = [id_col, vec_col] + ([exclude_label_col] if exclude_label_col else [])
 
     def local_topk(batch: pa.Table) -> pa.Table:
-        Qv, qnv = ray.get(q_ref)
-        df = batch.select([id_col, vec_col]).to_pandas()
+        Qv, qnv, qlab = ray.get(q_ref)
+        df = batch.select(sel_cols).to_pandas()
         M = np.stack(df[vec_col].to_numpy()).astype(np.float64)
         mn = np.linalg.norm(M, axis=1)
         mn[mn == 0] = 1.0
         S = (M @ Qv.T) / np.outer(mn, qnv)  # (rows, n_queries)
+        if exclude_label_col is not None:
+            # hard-negative masking: a row never scores against a query of
+            # its OWN label (set to -inf; all-masked columns filtered below)
+            lab = df[exclude_label_col].to_numpy()
+            S = np.where(lab[:, None] == np.asarray(qlab)[None, :], -np.inf, S)
         kk = min(k, S.shape[0])
         idx = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (kk, n_queries)
         ids = df[id_col].to_numpy()
@@ -108,6 +120,8 @@ def batch_topk_cosine(
         )
 
     cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    if exclude_label_col is not None:
+        cand = cand[np.isfinite(cand["cosine"])]
     cand = cand.sort_values(
         ["query_id", "cosine", id_col], ascending=[True, False, True], kind="stable"
     )

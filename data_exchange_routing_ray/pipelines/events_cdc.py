@@ -9352,3 +9352,147 @@ def local_clustering_top_parts(sf_dir: str, min_support: int = 2, k: int = 20) -
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return pa.Table.from_pandas(out[["part", "n_triangles", "degree"]], preserve_index=False)
+
+
+# ------------------------------------------------------------- batch 23
+
+def hard_negative_mining(sf_dir: str, k: int = 5) -> pa.Table:
+    """Hard-negative mining for contrastive training: for one anchor per
+    label (min vec_id — deterministic), the top-k most-similar vectors of
+    a DIFFERENT label. Same batched-matmul shape as ann_batch_topk (one
+    broadcast query matrix, per-block masked top-k, tiny driver reduce);
+    the label mask runs inside the block, so corpus rows never leave
+    workers. Exact float64 cosine ⇒ fully oracle-verifiable."""
+    from data_exchange_routing_ray.functions.similarity import batch_topk_cosine
+
+    ds = _embeddings(sf_dir)
+    mins = (
+        ds.groupby("label")
+        .aggregate(Min("vec_id", alias_name="vec_id"))
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    ids = np.asarray(mins["vec_id"].astype(np.int64))
+    qdf = (
+        ds.map_batches(
+            lambda b: b.filter(pc.is_in(b["vec_id"], pa.array(ids, pa.int64()))),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    out = batch_topk_cosine(
+        ds,
+        np.stack(qdf["embedding"].to_numpy()).astype(np.float64),
+        qdf["vec_id"].to_numpy(),
+        k=k,
+        exclude_label_col="label",
+        query_labels=qdf["label"].to_numpy(),
+    )
+    return pa.Table.from_pandas(
+        out[["query_id", "vec_id", "cosine"]], preserve_index=False
+    )
+
+
+def zorder_pruned_read(sf_dir: str) -> pa.Table:
+    """Z-order (Morton) multi-dimensional clustering + pruned read — the
+    100 TB data-layout technique: lineitem is rewritten SORTED BY the bit-
+    interleave of (l_partkey, l_suppkey) into small row groups, then a 2-D
+    box query reads it back through parquet row-group statistics pruning.
+    The distributed sort is the one exchange (range-partitioned, never a
+    driver materialization); the read plans from METADATA only — the
+    in-query assertion verifies the box touches a strict subset of row
+    groups (the point of the layout), then the filtered aggregate is
+    value-checked against SQL."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+
+    src = _read_sized(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"],
+    ).materialize()
+    pmax = int(src.max("l_partkey"))
+    smax = int(src.max("l_suppkey"))
+    plo, phi = pmax // 4, pmax // 2
+    slo, shi = smax // 4, smax // 2
+
+    def zcode(b: pa.Table) -> pa.Table:
+        x = b["l_partkey"].to_numpy().astype(np.uint64)
+        y = b["l_suppkey"].to_numpy().astype(np.uint64)
+
+        def spread(v: np.ndarray) -> np.ndarray:
+            # spread 21 low bits to even positions (Morton)
+            v = v & np.uint64((1 << 21) - 1)
+            v = (v | (v << np.uint64(32))) & np.uint64(0x1F00000000FFFF)
+            v = (v | (v << np.uint64(16))) & np.uint64(0x1F0000FF0000FF)
+            v = (v | (v << np.uint64(8))) & np.uint64(0x100F00F00F00F00F)
+            v = (v | (v << np.uint64(4))) & np.uint64(0x10C30C30C30C30C3)
+            v = (v | (v << np.uint64(2))) & np.uint64(0x1249249249249249)
+            return v
+
+        z = spread(x) | (spread(y) << np.uint64(1))
+        return b.append_column("zcode", pa.array(z.astype(np.int64)))
+
+    with tempfile.TemporaryDirectory(prefix="zorder-") as d:
+        out_dir = os.path.join(d, "zsorted")
+        (
+            src.map_batches(zcode, batch_format="pyarrow")
+            .sort("zcode")
+            .write_parquet(out_dir, row_group_size=1024)
+        )
+
+        # metadata-only pruning audit: row groups whose [min,max] stats
+        # intersect the box vs total — clustering must make this a strict
+        # subset (that is what the layout buys at 100 TB)
+        total_rg, hit_rg = 0, 0
+        for name in os.listdir(out_dir):
+            if not name.endswith(".parquet"):
+                continue
+            md = _pq.ParquetFile(os.path.join(out_dir, name)).metadata
+            sch = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                total_rg += 1
+                ps = g.column(sch["l_partkey"]).statistics
+                ss = g.column(sch["l_suppkey"]).statistics
+                if ps.min <= phi and ps.max >= plo and ss.min <= shi and ss.max >= slo:
+                    hit_rg += 1
+        if total_rg > 8:
+            assert hit_rg < total_rg, (
+                f"z-order layout failed to prune: {hit_rg}/{total_rg} row "
+                "groups intersect the 2-D box"
+            )
+
+        filt = (
+            (pads.field("l_partkey") >= plo) & (pads.field("l_partkey") <= phi)
+            & (pads.field("l_suppkey") >= slo) & (pads.field("l_suppkey") <= shi)
+        )
+        ds2 = ray.data.read_parquet(
+            out_dir,
+            columns=["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"],
+            filter=filt,
+        )
+
+        def agg_partial(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "n_rows": pa.array([b.num_rows], pa.int64()),
+                    "sum_qty_ticks": pa.array(
+                        [int(np.floor(b["l_quantity"].to_numpy() * 100.0).astype(np.int64).sum())],
+                        pa.int64(),
+                    ),
+                    "sum_price_ticks": pa.array(
+                        [int(np.floor(b["l_extendedprice"].to_numpy() * 100.0).astype(np.int64).sum())],
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        parts = ds2.map_batches(agg_partial, batch_format="pyarrow").to_pandas()
+    return pa.table(
+        {
+            "n_rows": pa.array([int(parts["n_rows"].sum())], pa.int64()),
+            "sum_qty_ticks": pa.array([int(parts["sum_qty_ticks"].sum())], pa.int64()),
+            "sum_price_ticks": pa.array([int(parts["sum_price_ticks"].sum())], pa.int64()),
+        }
+    )
