@@ -296,6 +296,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- round-2 widening, batch 23 ----
         "hard_negative_mining": q.hard_negative_mining,
         "zorder_pruned_read": q.zorder_pruned_read,
+        # ---- round-2 widening, batch 24 ----
+        "cdc_wap_audit": q.cdc_wap_audit,
+        "priority_ship_sla": q.priority_ship_sla,
     }
 
 
@@ -2432,6 +2435,32 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
 FROM lineitem, b
 WHERE l_partkey BETWEEN pmax // 4 AND pmax // 2
   AND l_suppkey BETWEEN smax // 4 AND smax // 2
+""",
+        "cdc_wap_audit": _CH
+        + """
+, last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY seq DESC) AS rn
+  FROM ch
+), fs AS (
+  SELECT conv_id, turn_idx FROM last WHERE rn = 1 AND op <> 'delete'
+)
+SELECT CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM fs
+""",
+        "priority_ship_sla": """
+WITH fs AS (
+  SELECT l_orderkey, min(l_shipdate) AS first_ship FROM lineitem GROUP BY 1
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN first_ship IS NOT NULL
+                      AND date_diff('day', CAST(o_orderdate AS DATE),
+                                    CAST(first_ship AS DATE)) <= 30
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_shipped_sla
+FROM orders LEFT JOIN fs ON o_orderkey = fs.l_orderkey
+GROUP BY 1
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

@@ -9496,3 +9496,128 @@ def zorder_pruned_read(sf_dir: str) -> pa.Table:
             "sum_price_ticks": pa.array([int(parts["sum_price_ticks"].sum())], pa.int64()),
         }
     )
+
+
+# ------------------------------------------------------------- batch 24
+
+def cdc_wap_audit(sf_dir: str) -> pa.Table:
+    """WRITE-AUDIT-PUBLISH through the driver gate: the first commit
+    attempt runs under an audit that REJECTS the candidate epoch (after
+    the full merge is staged) — verified to leave no visible state, no
+    epoch advance; the retry runs under a row-conservation audit (staged
+    candidate must hold exactly the live keys) and publishes. Output =
+    the final census, matching the SQL final-state oracle — proving the
+    audited commit is still exactly-once. See CDCLake.apply_changes
+    (audit_fn) and read_manifest_table."""
+    from data_exchange_routing_ray.pipelines.cdc import read_manifest_table
+
+    stream = derived_change_stream(sf_dir).materialize()
+
+    with tempfile.TemporaryDirectory(prefix="wap-") as d:
+        lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
+
+        def reject(man, lake_dir):
+            raise AssertionError("planted audit rejection")
+
+        try:
+            lake.apply_changes(stream, quarantine=False, audit_fn=reject)
+        except AssertionError:
+            pass
+        assert lake.manifest.epoch == -1, "rejected epoch must not publish"
+        assert lake.final_table().num_rows == 0
+
+        def conserve(man, lake_dir):
+            t = read_manifest_table(man, lake_dir)
+            keys = pa.table({"c": t["conv_id"], "k": t["turn_idx"]})
+            n_keys = keys.group_by(["c", "k"]).aggregate([]).num_rows
+            assert n_keys == t.num_rows, "duplicate keys in candidate epoch"
+            assert t.num_rows > 0, "empty candidate epoch"
+
+        lake.apply_changes(stream, quarantine=False, audit_fn=conserve)
+        t = lake.final_table()
+        n_convs = len(pc.unique(t["conv_id"]))
+        return pa.table(
+            {
+                "n_convs": pa.array([n_convs], pa.int64()),
+                "n_rows": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+
+def priority_ship_sla(sf_dir: str, sla_days: int = 30) -> pa.Table:
+    """Order-priority SLA rollup: fraction of orders whose FIRST line
+    ships within ``sla_days``. ONE orderkey-hash co-partitioned exchange:
+    lineitem min-shipdate partials (per-batch combiner — raw lines never
+    shuffle) co-group with order headers; the in-bucket left merge and the
+    day arithmetic are vectorized; only per-priority scalar partials
+    leave."""
+    _NOS = np.int64(1) << 62  # "never shipped" sentinel, min-fold stable
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "okey": b["l_orderkey"].to_numpy(),
+                "sd": b["l_shipdate"].to_numpy().astype("datetime64[D]").astype(np.int64),
+            }
+        )
+        g = df.groupby("okey", as_index=False).agg(first_ship=("sd", "min"))
+        g["bucket"] = (
+            g["okey"].to_numpy().astype(np.uint64) * np.uint64(2654435761)
+        ) % np.uint64(64)
+        g["side"] = np.int64(0)
+        g["pri"] = ""
+        g["od"] = np.int64(0)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def o_tag(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy()
+        return pa.table(
+            {
+                "okey": b["o_orderkey"],
+                "first_ship": pa.array(np.full(len(ok), _NOS)),
+                "bucket": pa.array(
+                    ((ok.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(64)).astype(np.uint64)
+                ),
+                "side": pa.array(np.ones(len(ok), np.int64)),
+                "pri": b["o_orderpriority"],
+                "od": pa.array(
+                    b["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+                ),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["side"] == 0]
+        fs = li.groupby("okey")["first_ship"].min()
+        o = g[g["side"] == 1]
+        first = o["okey"].map(fs).fillna(_NOS).astype(np.int64).to_numpy()
+        ok30 = (first != _NOS) & (first - o["od"].to_numpy() <= sla_days)
+        out = pd.DataFrame({"o_orderpriority": o["pri"].to_numpy(), "one": 1, "s": ok30.astype(np.int64)})
+        return out.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("one", "sum"), n_shipped_sla=("s", "sum")
+        )
+
+    li = _read_sized(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(li_partial, batch_format="pyarrow")
+    orders = _read_sized(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+    ).map_batches(o_tag, batch_format="pyarrow")
+
+    out = (
+        li.union(orders)
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("n_shipped_sla", alias_name="n_shipped_sla"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_orders", "n_shipped_sla"):
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(
+        out.sort_values("o_orderpriority").reset_index(drop=True), preserve_index=False
+    )
