@@ -299,6 +299,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- round-2 widening, batch 24 ----
         "cdc_wap_audit": q.cdc_wap_audit,
         "priority_ship_sla": q.priority_ship_sla,
+        # ---- round-2 widening, batch 25 ----
+        "cdc_quarantine_replay": q.cdc_quarantine_replay,
+        "rate_limit_audit": q.rate_limit_audit,
+        "conv_tool_run_lengths": q.conv_tool_run_lengths,
+        "rank_agreement_topk": q.rank_agreement_topk,
     }
 
 
@@ -2461,6 +2466,95 @@ SELECT o_orderpriority,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_shipped_sla
 FROM orders LEFT JOIN fs ON o_orderkey = fs.l_orderkey
 GROUP BY 1
+""",
+        "cdc_quarantine_replay": """
+WITH ch AS (
+  SELECT CASE WHEN event_id % 101 = 1
+              THEN event_id + (SELECT max(event_id) + 1 FROM events)
+              ELSE event_id END AS seq,
+         CASE WHEN event_id % 101 = 1 THEN 'update'
+              WHEN event_id % 10 < 7 THEN 'insert'
+              WHEN event_id % 10 < 9 THEN 'update'
+              ELSE 'delete' END AS op,
+         'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx
+  FROM events
+  WHERE event_id % 101 NOT IN (0, 2, 3)  -- unrepairable classes stay dead
+), last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY seq DESC) AS rn
+  FROM ch
+), fs AS (
+  SELECT conv_id FROM last WHERE rn = 1 AND op <> 'delete'
+)
+SELECT CAST((SELECT count(*) FROM events WHERE event_id % 101 = 1) AS BIGINT)
+         AS n_repaired,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM fs
+""",
+        "rate_limit_audit": """
+WITH c AS (
+  SELECT user_id,
+         count(*) OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN CURRENT ROW
+                              AND INTERVAL 60 SECONDS FOLLOWING) AS w
+  FROM events
+), m AS (SELECT user_id, max(w) AS burst FROM c GROUP BY 1)
+SELECT CAST(burst AS BIGINT) AS burst, CAST(count(*) AS BIGINT) AS n_users
+FROM m GROUP BY 1
+""",
+        "conv_tool_run_lengths": _CH
+        + """
+, last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY seq DESC) AS rn
+  FROM ch
+), fs AS (
+  SELECT conv_id, turn_idx, tool FROM last WHERE rn = 1 AND op <> 'delete'
+), r AS (
+  SELECT conv_id, turn_idx, tool,
+         CASE WHEN lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   IS DISTINCT FROM tool THEN 1 ELSE 0 END AS brk
+  FROM fs
+), g AS (
+  SELECT conv_id,
+         sum(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM r
+), rl AS (
+  SELECT conv_id, count(*) AS run_len FROM g GROUP BY conv_id, grp
+), mx AS (
+  SELECT conv_id, max(run_len) AS max_run FROM rl GROUP BY 1
+)
+SELECT CAST(max_run AS BIGINT) AS max_run,
+       CAST(count(*) AS BIGINT) AS n_convs
+FROM mx GROUP BY 1
+""",
+        "rank_agreement_topk": """
+WITH t AS (
+  SELECT user_id,
+         sum(CAST(floor(value * 10000) AS BIGINT)) AS spend_ticks,
+         count(*) AS n_events
+  FROM events GROUP BY 1
+), a AS (
+  SELECT user_id, row_number() OVER (ORDER BY spend_ticks DESC, user_id) - 1 AS ra
+  FROM t QUALIFY ra < 50
+), b AS (
+  SELECT user_id, row_number() OVER (ORDER BY n_events DESC, user_id) - 1 AS rb
+  FROM t QUALIFY rb < 50
+), bo AS (
+  SELECT a.user_id, ra, rb FROM a JOIN b ON a.user_id = b.user_id
+), pairs AS (
+  SELECT (x.ra < y.ra) = (x.rb < y.rb) AS conc
+  FROM bo x JOIN bo y ON x.user_id < y.user_id
+)
+SELECT CAST((SELECT count(*) FROM bo) AS BIGINT) AS n_overlap,
+       CAST(coalesce(sum(CASE WHEN conc THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_concordant,
+       CAST(coalesce(sum(CASE WHEN NOT conc THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_discordant
+FROM pairs
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

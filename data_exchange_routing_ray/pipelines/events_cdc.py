@@ -9621,3 +9621,238 @@ def priority_ship_sla(sf_dir: str, sla_days: int = 30) -> pa.Table:
     return pa.Table.from_pandas(
         out.sort_values("o_orderpriority").reset_index(drop=True), preserve_index=False
     )
+
+
+# ------------------------------------------------------------- batch 25
+
+def cdc_quarantine_replay(sf_dir: str) -> pa.Table:
+    """The operational dead-letter loop, end-to-end: corrupt stream →
+    validation quarantines four error classes → the REPAIRABLE class
+    (unsupported op) is read back from the dead-letter store, repaired
+    deterministically (op := update) and RE-ENQUEUED: like a real queue
+    redelivery it gets a NEW offset (seq + stream-high), so the normal
+    fence admits it and LWW orders it after everything it originally lost
+    to. (Replaying the RAW seq below the watermark would resurrect
+    deleted keys — the lake keeps no tombstone seq to fence against; the
+    re-enqueue offset is the correct dead-letter semantics.) Census of
+    the final state + repair count must match the SQL oracle that models
+    the re-enqueue inline."""
+    stream = derived_change_stream(sf_dir, corrupt=True)
+    bad_op_err = "Unsupported op; expected insert|update|delete"
+    hi = int(_events(sf_dir, columns=["event_id"]).max("event_id")) + 1
+
+    with tempfile.TemporaryDirectory(prefix="qreplay-") as d:
+        lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
+        lake.apply_changes(stream)
+        qt = lake.quarantine_table()
+        assert qt is not None and qt.num_rows > 0
+        rep = qt.filter(pc.equal(qt["error"], bad_op_err)).drop_columns(["error"])
+        n_repaired = rep.num_rows
+        rep = rep.set_column(
+            rep.schema.get_field_index("op"),
+            "op",
+            pa.array(["update"] * n_repaired, pa.string()),
+        )
+        rep = rep.set_column(
+            rep.schema.get_field_index("seq"),
+            "seq",
+            pc.add(rep["seq"], hi),
+        )
+        lake.apply_changes(ray.data.from_arrow(rep), quarantine=False)
+        t = lake.final_table()
+        n_convs = len(pc.unique(t["conv_id"]))
+        return pa.table(
+            {
+                "n_repaired": pa.array([n_repaired], pa.int64()),
+                "n_convs": pa.array([n_convs], pa.int64()),
+                "n_rows": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+
+def rate_limit_audit(sf_dir: str, window_s: int = 60) -> pa.Table:
+    """Peak-burst audit (sliding-window rate limiting): each user's max
+    event count inside ANY trailing-anchored ``window_s`` window, folded
+    to a burst histogram. ONE user-hash bucket exchange; in-bucket the
+    per-event window count is two vectorized searchsorted probes over the
+    user's sorted timestamp run (peer-inclusive, matching SQL RANGE frame
+    semantics) — no per-event Python, no pairwise expansion."""
+
+    def bucket(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy()
+        bk = (uid * np.int64(0x9E3779B9)) % 256
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "tsu": pa.array(
+                    b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+                ),
+                "bucket": pa.array(bk.astype(np.int64)),
+            }
+        )
+
+    def burst(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "tsu"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        t = g["tsu"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(t)]
+        users, bursts = [], []
+        for s, e in zip(starts, ends):
+            tt = t[s:e]
+            hi = np.searchsorted(tt, tt + window_s * 1_000_000, side="right")
+            lo = np.searchsorted(tt, tt, side="left")
+            users.append(uid[s])
+            bursts.append(int((hi - lo).max()))
+        out = pd.DataFrame({"burst": bursts})
+        return out.groupby("burst", as_index=False).size().rename(columns={"size": "n_users"})
+
+    out = (
+        _events(sf_dir, columns=["user_id", "ts"])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(burst, batch_format="pandas")
+        .groupby("burst")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+        .astype(np.int64)
+    )
+    return pa.Table.from_pandas(
+        out.sort_values("burst").reset_index(drop=True), preserve_index=False
+    )
+
+
+def conv_tool_run_lengths(sf_dir: str) -> pa.Table:
+    """Gaps-and-islands over the MERGED final state: each conversation's
+    longest run of consecutive turns using the same tool, as a histogram.
+    Latest-op argmax combiner per batch → ONE conv-hash exchange → whole
+    conversation resolves in-bucket (same shape as transcript assembly);
+    run lengths are one boundary mask + diff over the sorted frame."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "conv_id": b["conv_id"].to_numpy(zero_copy_only=False),
+                "turn_idx": b["turn_idx"].to_numpy().astype(np.int64),
+                "seq": b["seq"].to_numpy(),
+                "op": b["op"].to_numpy(zero_copy_only=False),
+                "tool": b["tool"].to_numpy(zero_copy_only=False),
+            }
+        )
+        idx = df.groupby(["conv_id", "turn_idx"], sort=False)["seq"].idxmax()
+        w = df.loc[idx].reset_index(drop=True)
+        uid = w["conv_id"].str[5:].astype(np.int64).to_numpy()
+        w["bucket"] = (
+            (uid.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(64)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(w, preserve_index=False)
+
+    def runs(g: pd.DataFrame) -> pd.DataFrame:
+        idx = g.groupby(["conv_id", "turn_idx"], sort=False)["seq"].idxmax()
+        w = g.loc[idx]
+        live = w[w["op"] != "delete"].sort_values(["conv_id", "turn_idx"], kind="stable")
+        if not len(live):
+            return pd.DataFrame({"max_run": pd.Series(dtype=np.int64),
+                                 "n_convs": pd.Series(dtype=np.int64)})
+        cid = live["conv_id"].to_numpy()
+        tool = live["tool"].to_numpy()
+        brk = np.r_[True, (cid[1:] != cid[:-1]) | (tool[1:] != tool[:-1])]
+        run_id = np.cumsum(brk) - 1
+        run_len = np.bincount(run_id)
+        # max run per conv: conv of each run = cid at run starts
+        run_conv = cid[np.flatnonzero(brk)]
+        mr = pd.DataFrame({"conv_id": run_conv, "rl": run_len}).groupby(
+            "conv_id"
+        )["rl"].max()
+        out = mr.value_counts().rename_axis("max_run").reset_index(name="n_convs")
+        return out.astype({"max_run": np.int64, "n_convs": np.int64})
+
+    out = (
+        derived_change_stream(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(runs, batch_format="pandas")
+        .groupby("max_run")
+        .aggregate(Sum("n_convs", alias_name="n_convs"))
+        .to_pandas()
+        .astype(np.int64)
+    )
+    return pa.Table.from_pandas(
+        out.sort_values("max_run").reset_index(drop=True), preserve_index=False
+    )
+
+
+def rank_agreement_topk(sf_dir: str, k: int = 50) -> pa.Table:
+    """Rank-agreement metric between two user rankings (by total spend
+    ticks vs by event count): overlap of the two exact top-k lists plus
+    Kendall concordant/discordant pair counts over the intersection — the
+    evaluation-metric shape for comparing scoring functions. Per-user
+    totals by ONE bucket reduce; each top-k via per-block bounded
+    candidates (k rows leave each block) + driver merge; the Kendall fold
+    is O(overlap²) on ≤k driver rows."""
+
+    def totals_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(),
+                "ticks": np.floor(b["value"].to_numpy() * 10000.0).astype(np.int64),
+            }
+        )
+        g = df.groupby("user_id", as_index=False).agg(
+            spend_ticks=("ticks", "sum"), n_events=("ticks", "size")
+        )
+        g["bucket"] = (
+            g["user_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761)
+        ) % np.uint64(64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def totals_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("user_id", as_index=False).agg(
+            spend_ticks=("spend_ticks", "sum"), n_events=("n_events", "sum")
+        )
+
+    totals = (
+        _events(sf_dir, columns=["user_id", "value"])
+        .map_batches(totals_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(totals_reduce, batch_format="pandas")
+        .materialize()
+    )
+
+    def local_top(metric: str):
+        def f(b: pa.Table) -> pa.Table:
+            df = b.to_pandas()
+            return pa.Table.from_pandas(
+                df.sort_values([metric, "user_id"], ascending=[False, True]).head(k),
+                preserve_index=False,
+            )
+        return f
+
+    top_a = (
+        totals.map_batches(local_top("spend_ticks"), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["spend_ticks", "user_id"], ascending=[False, True])
+        .head(k)
+    )
+    top_b = (
+        totals.map_batches(local_top("n_events"), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["n_events", "user_id"], ascending=[False, True])
+        .head(k)
+    )
+    ra = {u: i for i, u in enumerate(top_a["user_id"])}
+    rb = {u: i for i, u in enumerate(top_b["user_id"])}
+    both = sorted(set(ra) & set(rb))
+    conc = disc = 0
+    for i in range(len(both)):
+        for j in range(i + 1, len(both)):
+            u, v = both[i], both[j]
+            conc += (ra[u] < ra[v]) == (rb[u] < rb[v])
+            disc += (ra[u] < ra[v]) != (rb[u] < rb[v])
+    return pa.table(
+        {
+            "n_overlap": pa.array([len(both)], pa.int64()),
+            "n_concordant": pa.array([conc], pa.int64()),
+            "n_discordant": pa.array([disc], pa.int64()),
+        }
+    )
