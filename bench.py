@@ -90,6 +90,15 @@ HEADLINE = [
     "cusum_max_deviation",
     "session_path_trigrams",
     "repeated_word_stats",
+    # round-2 widening, batches 21-25
+    "triangle_count_parts",
+    "rfm_segments",
+    "session_duration_deciles",
+    "zorder_pruned_read",
+    "hard_negative_mining",
+    "rate_limit_audit",
+    "cdc_quarantine_replay",
+    "group_txn_two_lakes",
 ]
 
 
