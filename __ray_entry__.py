@@ -304,6 +304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rate_limit_audit": q.rate_limit_audit,
         "conv_tool_run_lengths": q.conv_tool_run_lengths,
         "rank_agreement_topk": q.rank_agreement_topk,
+        # ---- round-2 widening, batch 26 ----
+        "dq_expectations": q.dq_expectations,
     }
 
 
@@ -2555,6 +2557,38 @@ SELECT CAST((SELECT count(*) FROM bo) AS BIGINT) AS n_overlap,
        CAST(coalesce(sum(CASE WHEN NOT conc THEN 1 ELSE 0 END), 0) AS BIGINT)
          AS n_discordant
 FROM pairs
+""",
+        "dq_expectations": """
+SELECT expectation,
+       CAST(n_checked AS BIGINT) AS n_checked,
+       CAST(n_violations AS BIGINT) AS n_violations
+FROM (
+  SELECT 'shipdate_not_null' AS expectation, count(*) AS n_checked,
+         sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS n_violations
+  FROM lineitem
+  UNION ALL
+  SELECT 'quantity_in_1_50', count(*),
+         sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+  FROM lineitem
+  UNION ALL
+  SELECT 'discount_in_0_010', count(*),
+         sum(CASE WHEN l_discount < 0 OR l_discount > 0.10001 THEN 1 ELSE 0 END)
+  FROM lineitem
+  UNION ALL
+  SELECT 'returnflag_in_enum', count(*),
+         sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END)
+  FROM lineitem
+  UNION ALL
+  SELECT 'orderkey_linenumber_unique', count(*),
+         count(*) - (SELECT count(*) FROM
+                     (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+  FROM lineitem
+  UNION ALL
+  SELECT 'orderkey_fk_in_orders', count(*),
+         (SELECT count(DISTINCT l_orderkey) FROM lineitem
+          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+  FROM lineitem
+)
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

@@ -683,6 +683,45 @@ class CDCLake:
         ds = pads.dataset(qdir, format="parquet")
         return ds.to_table()
 
+    def changed_partitions(self, since_epoch: int) -> list[int]:
+        """Partitions rewritten or delta-appended AFTER ``since_epoch`` —
+        a manifest-only diff (no data read), the planning step of an
+        incremental export/backup. A partition untouched since the
+        baseline epoch never appears, however large the lake."""
+        return sorted(
+            pid
+            for pid, e in self.manifest.partitions.items()
+            if e.epoch > since_epoch
+            or any(d["epoch"] > since_epoch for d in e.deltas)
+        )
+
+    def export_incremental(self, since_epoch: int, out_dir: str) -> int:
+        """Incremental export: copy the CURRENT state of every partition
+        changed since ``since_epoch`` into ``out_dir`` (one parquet per
+        partition, delta stacks folded). Unchanged partitions cost zero
+        bytes — the incremental-backup contract. Returns rows exported."""
+        from data_exchange_routing_ray.stages.upsert import fold_deltas
+
+        os.makedirs(out_dir, exist_ok=True)
+        man = self.manifest
+        total = 0
+        for pid in self.changed_partitions(since_epoch):
+            e = man.partitions[pid]
+            t = pq.read_table(os.path.join(self.lake_dir, e.file))
+            if e.deltas:
+                t = fold_deltas(
+                    t,
+                    [
+                        pq.read_table(os.path.join(self.lake_dir, d["file"]))
+                        for d in e.deltas
+                    ],
+                )
+            pq.write_table(
+                t, os.path.join(out_dir, f"part-{pid:05d}.parquet")
+            )
+            total += t.num_rows
+        return total
+
     def vacuum(self) -> int:
         """Delete partition files not referenced by the current manifest."""
         man = self.manifest

@@ -9856,3 +9856,131 @@ def rank_agreement_topk(sf_dir: str, k: int = 50) -> pa.Table:
             "n_discordant": pa.array([disc], pa.int64()),
         }
     )
+
+
+# ------------------------------------------------------------- batch 26
+
+def dq_expectations(sf_dir: str) -> pa.Table:
+    """Declarative data-quality expectation suite over lineitem (the
+    Great-Expectations shape, reference-adjacent to the metadata validator
+    M2 elevated to the data plane): six expectations evaluated in ONE
+    corpus scan of per-batch scalar partials plus two key-hash exchanges
+    (exact uniqueness and FK containment — the only expectations that
+    need cross-row state; both move deduped keys, never rows)."""
+
+    def scan_partial(b: pa.Table) -> pa.Table:
+        qty = b["l_quantity"].to_numpy()
+        disc = b["l_discount"].to_numpy()
+        rf = b["l_returnflag"].to_numpy(zero_copy_only=False)
+        sd_null = int(pc.sum(pc.is_null(b["l_shipdate"])).as_py() or 0)
+        return pa.table(
+            {
+                "n": pa.array([b.num_rows], pa.int64()),
+                "v_shipdate_null": pa.array([sd_null], pa.int64()),
+                "v_qty_range": pa.array([int(((qty < 1) | (qty > 50)).sum())], pa.int64()),
+                "v_disc_range": pa.array(
+                    [int(((disc < 0.0) | (disc > 0.10001)).sum())], pa.int64()
+                ),
+                "v_rf_enum": pa.array(
+                    [int((~np.isin(rf, ["A", "N", "R"])).sum())], pa.int64()
+                ),
+            }
+        )
+
+    scan = (
+        _read_sized(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_quantity", "l_discount", "l_returnflag", "l_shipdate"],
+        )
+        .map_batches(scan_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sum()
+    )
+
+    # exact uniqueness of (orderkey, linenumber): rows − distinct keys
+    def key_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "okey": b["l_orderkey"].to_numpy(),
+                "ln": b["l_linenumber"].to_numpy().astype(np.int64),
+            }
+        ).drop_duplicates()
+        df["bucket"] = (
+            (df["okey"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B9)
+             + df["ln"].to_numpy().astype(np.uint64)) % np.uint64(64)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def distinct_count(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"d": [len(g[["okey", "ln"]].drop_duplicates())]}, dtype=np.int64
+        )
+
+    n_distinct = int(
+        _read_sized(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_linenumber"],
+        )
+        .map_batches(key_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(distinct_count, batch_format="pandas")
+        .sum("d")
+    )
+
+    # FK containment: distinct lineitem orderkeys missing from orders
+    def li_keys(b: pa.Table) -> pa.Table:
+        k = np.unique(b["l_orderkey"].to_numpy())
+        return pa.table(
+            {
+                "okey": pa.array(k),
+                "side": pa.array(np.zeros(len(k), np.int64)),
+                "bucket": pa.array(
+                    ((k.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(64)).astype(np.int64)
+                ),
+            }
+        )
+
+    def o_keys(b: pa.Table) -> pa.Table:
+        k = np.unique(b["o_orderkey"].to_numpy())
+        return pa.table(
+            {
+                "okey": pa.array(k),
+                "side": pa.array(np.ones(len(k), np.int64)),
+                "bucket": pa.array(
+                    ((k.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(64)).astype(np.int64)
+                ),
+            }
+        )
+
+    def orphan_count(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["side"] == 0]["okey"].unique()
+        oo = g[g["side"] == 1]["okey"].unique()
+        return pd.DataFrame({"d": [int((~np.isin(li, oo)).sum())]}, dtype=np.int64)
+
+    n_orphans = int(
+        _read_sized(os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey"])
+        .map_batches(li_keys, batch_format="pyarrow")
+        .union(
+            _read_sized(os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey"])
+            .map_batches(o_keys, batch_format="pyarrow")
+        )
+        .groupby("bucket")
+        .map_groups(orphan_count, batch_format="pandas")
+        .sum("d")
+    )
+
+    n = int(scan["n"])
+    rows = [
+        ("shipdate_not_null", n, int(scan["v_shipdate_null"])),
+        ("quantity_in_1_50", n, int(scan["v_qty_range"])),
+        ("discount_in_0_010", n, int(scan["v_disc_range"])),
+        ("returnflag_in_enum", n, int(scan["v_rf_enum"])),
+        ("orderkey_linenumber_unique", n, n - n_distinct),
+        ("orderkey_fk_in_orders", n, n_orphans),
+    ]
+    out = pd.DataFrame(rows, columns=["expectation", "n_checked", "n_violations"])
+    out["n_checked"] = out["n_checked"].astype(np.int64)
+    out["n_violations"] = out["n_violations"].astype(np.int64)
+    return pa.Table.from_pandas(
+        out.sort_values("expectation").reset_index(drop=True), preserve_index=False
+    )
