@@ -143,6 +143,29 @@ def cmd_vacuum(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_export(args: argparse.Namespace) -> int:
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    if not os.path.isdir(args.lake):
+        print(f"error: no lake at {args.lake}", file=sys.stderr)
+        return 2
+    lake = CDCLake(args.lake)
+    changed = lake.changed_partitions(args.since_epoch)
+    rows = lake.export_incremental(args.since_epoch, args.out)
+    print(
+        json.dumps(
+            {
+                "since_epoch": args.since_epoch,
+                "current_epoch": lake.manifest.epoch,
+                "partitions_exported": changed,
+                "rows_exported": rows,
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_repartition(args: argparse.Namespace) -> int:
     if not os.path.isdir(args.lake):
         print(f"error: no lake at {args.lake}", file=sys.stderr)
@@ -236,6 +259,14 @@ def main(argv: list[str] | None = None) -> int:
     rpp.add_argument("--num-partitions", type=int, required=True)
     rpp.add_argument("--num-cpus", type=int, default=None)
     rpp.set_defaults(fn=cmd_repartition)
+
+    ep = sub.add_parser(
+        "export", help="incremental export of partitions changed since an epoch"
+    )
+    ep.add_argument("--lake", required=True)
+    ep.add_argument("--since-epoch", type=int, required=True)
+    ep.add_argument("--out", required=True)
+    ep.set_defaults(fn=cmd_export)
 
     cp = sub.add_parser("compact", help="fold open delta files into fresh bases")
     cp.add_argument("--lake", required=True)

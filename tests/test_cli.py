@@ -87,3 +87,36 @@ def test_cli_compact_folds_deltas(ray_session, tmp_path):
     after = CDCLake(lake_dir, num_partitions=4)
     assert not any(e.deltas for e in after.manifest.partitions.values())
     assert after.final_table().equals(before)
+
+
+def test_cli_export_incremental(ray_session, tmp_path):
+    from data_exchange_routing_ray.synth import make_change_stream, write_change_stream
+
+    ch = make_change_stream(num_convs=25, max_turns=4, seed=9)
+    write_change_stream(ch, str(tmp_path / "stream"), num_files=2)
+    lake = str(tmp_path / "lake")
+    _run(
+        "replay", "--lake", lake, "--stream", str(tmp_path / "stream"),
+        "--files-per-epoch", "1", "--num-partitions", "8", "--num-cpus", "2",
+    )
+    out = _run(
+        "export", "--lake", lake, "--since-epoch", "0",
+        "--out", str(tmp_path / "backup"),
+    )
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["current_epoch"] == 1
+    assert rep["rows_exported"] > 0
+    assert rep["partitions_exported"]
+    files = os.listdir(str(tmp_path / "backup"))
+    assert len(files) == len(rep["partitions_exported"])
+    # exporting since the current epoch is a no-op
+    out2 = _run(
+        "export", "--lake", lake, "--since-epoch", str(rep["current_epoch"]),
+        "--out", str(tmp_path / "backup2"),
+    )
+    rep2 = json.loads(out2.stdout.strip().splitlines()[-1])
+    assert rep2["rows_exported"] == 0 and rep2["partitions_exported"] == []
+    # missing lake errors cleanly
+    bad = _run("export", "--lake", str(tmp_path / "nope"), "--since-epoch", "0",
+               "--out", str(tmp_path / "x"), check=False)
+    assert bad.returncode == 2
