@@ -306,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_agreement_topk": q.rank_agreement_topk,
         # ---- round-2 widening, batch 26 ----
         "dq_expectations": q.dq_expectations,
+        "pagerank_parts": q.pagerank_parts,
     }
 
 
@@ -2589,6 +2590,31 @@ FROM (
           WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
   FROM lineitem
 )
+""",
+        "pagerank_parts": """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS dg
+        FROM edges GROUP BY 1),
+r0 AS (SELECT node, 1.0 AS r FROM deg),
+r1 AS (SELECT e.dst AS node, 0.15 + 0.85 * sum(p.r / deg.dg) AS r
+       FROM edges e JOIN r0 p ON p.node = e.src
+                    JOIN deg ON deg.node = e.src
+       GROUP BY e.dst),
+r2 AS (SELECT e.dst AS node, 0.15 + 0.85 * sum(p.r / deg.dg) AS r
+       FROM edges e JOIN r1 p ON p.node = e.src
+                    JOIN deg ON deg.node = e.src
+       GROUP BY e.dst),
+r3 AS (SELECT e.dst AS node, 0.15 + 0.85 * sum(p.r / deg.dg) AS r
+       FROM edges e JOIN r2 p ON p.node = e.src
+                    JOIN deg ON deg.node = e.src
+       GROUP BY e.dst)
+SELECT CAST(node AS BIGINT) AS part_id, round(r, 6) AS pr
+FROM r3 ORDER BY part_id
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

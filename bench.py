@@ -99,6 +99,8 @@ HEADLINE = [
     "rate_limit_audit",
     "cdc_quarantine_replay",
     "group_txn_two_lakes",
+    # round-2 widening, batch 27
+    "pagerank_parts",
 ]
 
 

@@ -8693,6 +8693,150 @@ def triangle_count_parts(sf_dir: str, min_support: int = 2) -> pa.Table:
     )
 
 
+def pagerank_parts(
+    sf_dir: str,
+    iters: int = 3,
+    damping: float = 0.85,
+    num_buckets: int = 32,
+) -> pa.Table:
+    """Damped PageRank (K fixed BSP rounds) over the undirected co-purchase
+    part graph — the iterative-algorithm representative (alongside the
+    one-shot graph ops: connected components, triangles, clustering).
+
+    Scale shape: the rank vector lives as a BUCKETED DATASET co-partitioned
+    with the edge list on node-hash — never a driver materialization and
+    never a rank-vector broadcast (|nodes| grows with the data). Each round
+    is exactly two bounded exchanges in pure Dataset algebra:
+
+      1. edges ∪ ranks groupby(src bucket): every edge meets its source's
+         (rank, degree) in-bucket; emits per-edge contributions r/deg keyed
+         by ``bucket(dst)`` plus pass-through (node, deg) meta rows.
+      2. groupby(dst bucket): new rank = (1-d) + d·Σ contrib, folded back
+         against the meta rows — output is the next round's rank dataset in
+         the SAME bucket layout.
+
+    On a symmetric graph every node has an in-neighbor, so no
+    dangling-mass term is needed and Σr = |nodes| is invariant. On a real
+    cluster the static edge buckets would be pinned in per-bucket actors to
+    avoid re-shipping per round; the union re-ship is the cost of staying
+    in checkpoint-free Dataset algebra (Spark's uncached PageRank pays the
+    same). Ranks are normalized to mean 1 (r0 = 1) and rounded to 6 dp on
+    both sides of the oracle, so cross-engine float-sum ordering (~1e-13)
+    cannot flip the comparison."""
+    MIX = np.uint64(0x9E3779B97F4A7C15)
+    B = np.uint64(num_buckets)
+
+    def bucket_of(nodes: np.ndarray) -> np.ndarray:
+        return (((nodes.astype(np.uint64) * MIX) >> np.uint64(32)) % B).astype(
+            np.int64
+        )
+
+    # union-schema rows: side 0 = edge (a=src, b=dst), side 1 = rank state
+    # (a=node, b=deg, r=rank); bucket always = bucket(a)
+    def to_edges(t: pa.Table) -> pa.Table:
+        x = t["part_a"].to_numpy()
+        y = t["part_b"].to_numpy()
+        src = np.concatenate([x, y])
+        dst = np.concatenate([y, x])
+        n = len(src)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket_of(src)),
+                "side": pa.array(np.zeros(n, np.int8)),
+                "a": pa.array(src.astype(np.int64)),
+                "b": pa.array(dst.astype(np.int64)),
+                "r": pa.array(np.zeros(n, np.float64)),
+            }
+        )
+
+    edges = (
+        _part_pair_counts_ds(sf_dir)
+        .map_batches(to_edges, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def init_ranks(g: pd.DataFrame) -> pd.DataFrame:
+        deg = g.groupby("a", as_index=False).size().rename(columns={"size": "b"})
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "bucket": np.full(len(deg), int(g["bucket"].iloc[0]), np.int64),
+                    "side": np.ones(len(deg), np.int8),
+                    "a": deg["a"].to_numpy(np.int64),
+                    "b": deg["b"].to_numpy(np.int64),
+                    "r": np.ones(len(deg), np.float64),
+                }
+            ),
+            preserve_index=False,
+        )
+
+    ranks = (
+        edges.groupby("bucket")
+        .map_groups(init_ranks, batch_format="pandas")
+        .materialize()
+    )
+
+    def contribs(g: pd.DataFrame) -> pd.DataFrame:
+        st = g[g["side"] == 1]
+        ed = g[g["side"] == 0]
+        out = [st]  # pass deg meta through to the reduce side (same bucket)
+        if len(ed) and len(st):
+            m = ed[["a", "b"]].merge(
+                st[["a", "b", "r"]].rename(
+                    columns={"b": "deg", "r": "rsrc"}
+                ),
+                on="a",
+                how="left",
+            )
+            out.append(
+                pd.DataFrame(
+                    {
+                        "bucket": bucket_of(m["b"].to_numpy(np.int64)),
+                        "side": np.zeros(len(m), np.int8),
+                        "a": m["b"].to_numpy(np.int64),  # dst node
+                        "b": np.zeros(len(m), np.int64),
+                        "r": m["rsrc"].to_numpy(np.float64)
+                        / m["deg"].to_numpy(np.float64),
+                    }
+                )
+            )
+        return pa.Table.from_pandas(
+            pd.concat(out, ignore_index=True), preserve_index=False
+        )
+
+    def reduce_ranks(g: pd.DataFrame) -> pd.DataFrame:
+        st = g[g["side"] == 1]
+        cb = g[g["side"] == 0]
+        summed = (
+            cb.groupby("a", as_index=False)
+            .agg(s=("r", "sum"))
+            if len(cb)
+            else pd.DataFrame({"a": [], "s": []})
+        )
+        m = st[["bucket", "side", "a", "b"]].merge(summed, on="a", how="left")
+        m["r"] = (1.0 - damping) + damping * m["s"].fillna(0.0)
+        return pa.Table.from_pandas(m.drop(columns=["s"]), preserve_index=False)
+
+    for _ in range(iters):
+        ranks = (
+            edges.union(ranks)
+            .groupby("bucket")
+            .map_groups(contribs, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(reduce_ranks, batch_format="pandas")
+            .materialize()
+        )
+
+    out = ranks.to_pandas()  # |nodes with ≥1 edge| rows — the query result
+    res = pd.DataFrame(
+        {
+            "part_id": out["a"].astype("int64"),
+            "pr": np.round(out["r"].astype(np.float64), 6),
+        }
+    ).sort_values("part_id")
+    return pa.Table.from_pandas(res.reset_index(drop=True), preserve_index=False)
+
+
 def _rank_ranged(totals, key_col: str, ascending: bool, n_ranges: int = 16):
     """Range-partition a dataset on one numeric key for EXACT global
     ranking (the ntile_users_by_spend plan, factored): driver-sampled

@@ -1,0 +1,48 @@
+"""PageRank over the co-purchase part graph: bruteforce power-iteration
+equivalence and rank-mass conservation (Σr = |nodes| is invariant on a
+symmetric graph with r0 = 1 and no dangling mass)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from data_exchange_routing_ray.pipelines import events_cdc as q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _bruteforce_pagerank(iters: int, damping: float = 0.85) -> pd.DataFrame:
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pandas().drop_duplicates()
+    m = li.merge(li, on="l_orderkey")
+    m = m[m["l_partkey_x"] != m["l_partkey_y"]]
+    edges = m[["l_partkey_x", "l_partkey_y"]].drop_duplicates()
+    edges.columns = ["src", "dst"]
+    nodes = np.sort(edges["src"].unique())
+    idx = {n: i for i, n in enumerate(nodes)}
+    s = edges["src"].map(idx).to_numpy()
+    d = edges["dst"].map(idx).to_numpy()
+    deg = np.bincount(s, minlength=len(nodes)).astype(np.float64)
+    r = np.ones(len(nodes))
+    for _ in range(iters):
+        contrib = np.zeros(len(nodes))
+        np.add.at(contrib, d, r[s] / deg[s])
+        r = (1.0 - damping) + damping * contrib
+    return pd.DataFrame({"part_id": nodes, "pr": r})
+
+
+def test_pagerank_matches_bruteforce_power_iteration(ray_session):
+    got = q.pagerank_parts(SF, iters=2).to_pandas()
+    want = _bruteforce_pagerank(iters=2)
+    merged = got.merge(want, on="part_id", suffixes=("_got", "_want"))
+    assert len(merged) == len(got) == len(want)
+    assert np.allclose(merged["pr_got"], merged["pr_want"], atol=2e-6)
+
+
+def test_pagerank_conserves_rank_mass(ray_session):
+    got = q.pagerank_parts(SF, iters=3).to_pandas()
+    # Σr = |nodes| exactly in exact arithmetic; 6-dp rounding bounds drift
+    assert abs(got["pr"].sum() - len(got)) < 1e-2
+    assert (got["pr"] > 0).all()
+    assert got["part_id"].is_unique
