@@ -307,6 +307,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- round-2 widening, batch 26 ----
         "dq_expectations": q.dq_expectations,
         "pagerank_parts": q.pagerank_parts,
+        "bm25_score_docs": q.bm25_score_docs,
+        "khop_reachable_parts": q.khop_reachable_parts,
     }
 
 
@@ -2615,6 +2617,58 @@ r3 AS (SELECT e.dst AS node, 0.15 + 0.85 * sum(p.r / deg.dg) AS r
        GROUP BY e.dst)
 SELECT CAST(node AS BIGINT) AS part_id, round(r, 6) AS pr
 FROM r3 ORDER BY part_id
+""",
+        "bm25_score_docs": r"""
+WITH tok AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+')) AS w
+    FROM documents) WHERE w <> ''
+),
+g AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM tok) * 1.0
+           / (SELECT count(*) FROM documents) AS avglen
+),
+dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+df AS (SELECT w, count(DISTINCT doc_id) AS dfreq FROM tok
+       WHERE w IN ('shuffle', 'merge', 'join') GROUP BY 1),
+tf AS (SELECT doc_id, w, count(*) AS tfreq FROM tok
+       WHERE w IN ('shuffle', 'merge', 'join') GROUP BY 1, 2)
+SELECT tf.doc_id,
+       round(sum(ln((g.n - df.dfreq + 0.5) / (df.dfreq + 0.5) + 1.0)
+                 * tf.tfreq
+                 / (tf.tfreq + 1.2 * (1 - 0.75 + 0.75 * dl.len / g.avglen))),
+             6) AS bm25
+FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN g
+GROUP BY tf.doc_id ORDER BY tf.doc_id
+""",
+        "khop_reachable_parts": """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+v0 AS (SELECT DISTINCT src AS node FROM edges WHERE src % 97 = 0),
+v1 AS (SELECT DISTINCT e.dst AS node FROM edges e
+       JOIN v0 ON v0.node = e.src
+       WHERE e.dst NOT IN (SELECT node FROM v0)),
+v2 AS (SELECT DISTINCT e.dst AS node FROM edges e
+       JOIN v1 ON v1.node = e.src
+       WHERE e.dst NOT IN (SELECT node FROM v0)
+         AND e.dst NOT IN (SELECT node FROM v1)),
+v3 AS (SELECT DISTINCT e.dst AS node FROM edges e
+       JOIN v2 ON v2.node = e.src
+       WHERE e.dst NOT IN (SELECT node FROM v0)
+         AND e.dst NOT IN (SELECT node FROM v1)
+         AND e.dst NOT IN (SELECT node FROM v2))
+SELECT * FROM (
+  SELECT 0 AS dist, CAST(count(*) AS BIGINT) AS n_nodes FROM v0
+  UNION ALL SELECT 1, count(*) FROM v1
+  UNION ALL SELECT 2, count(*) FROM v2
+  UNION ALL SELECT 3, count(*) FROM v3
+) ORDER BY dist
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

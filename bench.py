@@ -101,6 +101,7 @@ HEADLINE = [
     "group_txn_two_lakes",
     # round-2 widening, batch 27
     "pagerank_parts",
+    "bm25_score_docs",
 ]
 
 

@@ -1375,6 +1375,112 @@ def text_top_words(sf_dir: str, k: int = 50) -> pa.Table:
     return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
 
 
+def bm25_score_docs(
+    sf_dir: str,
+    terms: tuple[str, ...] = ("shuffle", "merge", "join"),
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> pa.Table:
+    """BM25 relevance scoring of every document matching a query — the
+    retrieval-side scorer paired with tfidf_top_terms / the inverted index.
+
+    Two-pass merge-on-stats plan, all in Dataset algebra: pass 1 tokenizes
+    once (the shared ``[^\\p{L}\\p{N}]+`` contract) and emits ONLY slim
+    per-doc hit rows (doc_id, len, tf per term) plus one stats row per
+    batch (N, Σlen, df per term) — raw text never leaves the scan. The
+    global BM25 constants (idf per term, avg doc length) fold from the
+    per-batch stats rows at the driver (O(batches) rows), then pass 2 is a
+    vectorized scoring map over the materialized hit rows. Returns ALL
+    matching docs (no top-k rank cut: scores are rounded to 6 dp on both
+    oracle sides, and a boundary tie between rounded scores could flip a
+    LIMIT — the caller applies its own cut)."""
+    nt = len(terms)
+
+    def stage1(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"]), pattern=r"[^\p{L}\p{N}]+"
+        )
+        lc = pa.chunked_array([words]).combine_chunks()
+        if isinstance(lc, pa.ChunkedArray):
+            lc = lc.chunk(0)
+        flat = np.asarray(lc.flatten().to_pandas(), dtype=object)
+        offs = lc.offsets.to_numpy()
+        n = t.num_rows
+        row = np.repeat(np.arange(n), np.diff(offs))
+        keep = flat != ""
+        row, flat = row[keep], flat[keep]
+        doc_len = np.bincount(row, minlength=n).astype(np.int64)
+        tfs = []
+        for term in terms:
+            m = flat == term
+            tfs.append(np.bincount(row[m], minlength=n).astype(np.int64))
+        hit = np.zeros(n, bool)
+        for tf in tfs:
+            hit |= tf > 0
+        ids = t["doc_id"].to_numpy()
+        cols = {
+            "doc_id": ids[hit],
+            "len": doc_len[hit],
+            **{f"tf{i}": tfs[i][hit] for i in range(nt)},
+        }
+        # one stats row per batch: doc_id = -1, len = Σlen, tf_i = df_i, plus n
+        stats = {
+            "doc_id": np.array([-1], np.int64),
+            "len": np.array([int(doc_len.sum())], np.int64),
+            **{
+                f"tf{i}": np.array([int((tfs[i] > 0).sum())], np.int64)
+                for i in range(nt)
+            },
+        }
+        out = pd.concat(
+            [
+                pd.DataFrame({**cols, "n_docs": np.zeros(hit.sum(), np.int64)}),
+                pd.DataFrame({**stats, "n_docs": np.array([n], np.int64)}),
+            ],
+            ignore_index=True,
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    tagged = (
+        _documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(stage1, batch_format="pyarrow")
+        .materialize()  # slim hit rows + O(batches) stats rows only
+    )
+    st = tagged.filter(expr="doc_id < 0").to_pandas()
+    N = int(st["n_docs"].sum())
+    total_len = int(st["len"].sum())
+    avglen = total_len / max(N, 1)
+    idf = np.array(
+        [
+            np.log((N - int(st[f"tf{i}"].sum()) + 0.5)
+                   / (int(st[f"tf{i}"].sum()) + 0.5) + 1.0)
+            for i in range(nt)
+        ]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        ln = t["len"].to_numpy().astype(np.float64)
+        denom_norm = k1 * (1.0 - b + b * ln / avglen)
+        s = np.zeros(t.num_rows, np.float64)
+        for i in range(nt):
+            tf = t[f"tf{i}"].to_numpy().astype(np.float64)
+            s += idf[i] * tf / (tf + denom_norm)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "bm25": pa.array(np.round(s, 6)),
+            }
+        )
+
+    out = (
+        tagged.filter(expr="doc_id >= 0")
+        .map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
 def split_train_val(sf_dir: str) -> pa.Table:
     """Deterministic train/val split (doc_id mod — replay-stable, no RNG
     state to checkpoint) with per-split doc and token budgets."""
@@ -8835,6 +8941,127 @@ def pagerank_parts(
         }
     ).sort_values("part_id")
     return pa.Table.from_pandas(res.reset_index(drop=True), preserve_index=False)
+
+
+def khop_reachable_parts(sf_dir: str, k: int = 3, num_buckets: int = 32) -> pa.Table:
+    """K-hop BFS reachability census from a deterministic seed set
+    (``part_id % 97 == 0``) over the co-purchase graph — the frontier-BSP
+    companion to ``pagerank_parts``: per hop, the frontier meets its edge
+    bucket (src-hash exchange), candidate neighbors fold into the visited
+    state with a min-dist reduce (dst-hash exchange). The visited set stays
+    a bucketed dataset end-to-end — no driver set, no broadcast; only the
+    ≤(K+1)-row census leaves the cluster."""
+    BIG = np.int64(1 << 40)
+    MIX = np.uint64(0x9E3779B97F4A7C15)
+    B = np.uint64(num_buckets)
+
+    def bucket_of(nodes: np.ndarray) -> np.ndarray:
+        return (((nodes.astype(np.uint64) * MIX) >> np.uint64(32)) % B).astype(
+            np.int64
+        )
+
+    # union schema: side 0 = edge (a=src, b=dst); side 1 = state (a=node, b=dist)
+    def to_edges(t: pa.Table) -> pa.Table:
+        x = t["part_a"].to_numpy()
+        y = t["part_b"].to_numpy()
+        src = np.concatenate([x, y]).astype(np.int64)
+        dst = np.concatenate([y, x]).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket_of(src)),
+                "side": pa.array(np.zeros(len(src), np.int8)),
+                "a": pa.array(src),
+                "b": pa.array(dst),
+            }
+        )
+
+    edges = (
+        _part_pair_counts_ds(sf_dir)
+        .map_batches(to_edges, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def init_state(g: pd.DataFrame) -> pa.Table:
+        nodes = np.unique(g["a"].to_numpy(np.int64))
+        dist = np.where(nodes % 97 == 0, np.int64(0), BIG)
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "bucket": np.full(len(nodes), int(g["bucket"].iloc[0]), np.int64),
+                    "side": np.ones(len(nodes), np.int8),
+                    "a": nodes,
+                    "b": dist,
+                }
+            ),
+            preserve_index=False,
+        )
+
+    state = (
+        edges.groupby("bucket")
+        .map_groups(init_state, batch_format="pandas")
+        .materialize()
+    )
+
+    for hop in range(1, k + 1):
+        h = hop  # bind per-iteration for the closures
+
+        def expand(g: pd.DataFrame, h=h) -> pa.Table:
+            st = g[g["side"] == 1]
+            frontier = st[st["b"] == h - 1]
+            out = [st]
+            if len(frontier):
+                ed = g[g["side"] == 0]
+                cand = ed[ed["a"].isin(frontier["a"])]
+                if len(cand):
+                    dst = cand["b"].to_numpy(np.int64)
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "bucket": bucket_of(dst),
+                                "side": np.full(len(dst), 2, np.int8),
+                                "a": dst,
+                                "b": np.full(len(dst), h, np.int64),
+                            }
+                        )
+                    )
+            return pa.Table.from_pandas(
+                pd.concat(out, ignore_index=True), preserve_index=False
+            )
+
+        def fold(g: pd.DataFrame) -> pa.Table:
+            # min dist across existing state (side 1) and candidates (side 2)
+            m = g.groupby("a", as_index=False).agg(b=("b", "min"))
+            m["bucket"] = int(g["bucket"].iloc[0])
+            m["side"] = np.int8(1)
+            return pa.Table.from_pandas(
+                m[["bucket", "side", "a", "b"]], preserve_index=False
+            )
+
+        state = (
+            edges.union(state)
+            .groupby("bucket")
+            .map_groups(expand, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pandas")
+            .materialize()
+        )
+
+    def census(t: pa.Table) -> pa.Table:
+        d = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = d[d <= k]
+        cnt = np.bincount(d, minlength=k + 1)
+        return pa.table(
+            {
+                "dist": pa.array(np.arange(k + 1, dtype=np.int64)),
+                "n_nodes": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    parts = state.map_batches(census, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("dist", as_index=False).agg(n_nodes=("n_nodes", "sum"))
+    return pa.Table.from_pandas(
+        out.sort_values("dist").reset_index(drop=True), preserve_index=False
+    )
 
 
 def _rank_ranged(totals, key_col: str, ascending: bool, n_ranges: int = 16):
