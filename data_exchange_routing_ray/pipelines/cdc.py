@@ -39,6 +39,7 @@ from data_exchange_routing_ray.stages.upsert import (
     PART_COLUMN,
     QUARANTINE_PARTITION,
     SALT_COLUMN,
+    add_partition_column,
     add_salt_column,
     make_merge_fn,
     partial_reduce_group,
@@ -480,6 +481,96 @@ class CDCLake:
             total_rows=sum(e.rows for e in new_partitions.values()),
             stats=stats,
         )
+
+    def merge_into(
+        self,
+        staging: ray.data.Dataset,
+        delete_col: str = "del_flag",
+        quarantine: bool = False,
+    ) -> EpochResult:
+        """SQL MERGE-statement semantics compiled onto the change-event
+        engine (the lakehouse ``MERGE INTO`` a reference user would run
+        against the routed store):
+
+            WHEN MATCHED AND <delete_col>      THEN DELETE
+            WHEN MATCHED                       THEN UPDATE (full row, LWW)
+            WHEN NOT MATCHED AND NOT delete    THEN INSERT
+            (not-matched deletes are no-ops)
+
+        ``staging`` must carry the transcript key + payload columns
+        (conv_id, turn_idx, role, text, tool, ts), a ``seq`` column (used
+        both for within-key staging dedup — highest seq wins, the MERGE
+        "source must be unique per key" rule made deterministic — and for
+        LWW once compiled), and a boolean ``delete_col``.
+
+        Scale shape: the matched-probe never materializes the lake or the
+        staging set — staging rows hash to the lake's OWN partition
+        function and each per-partition group reads ONLY that partition's
+        key columns from its base file (column-pruned point read), so the
+        probe is one co-partitioned exchange of slim staging rows. The
+        compiled ops then flow through the normal ``apply_changes`` epoch
+        (validation, combiner, single shuffle, two-phase commit).
+        """
+        man = self.manifest
+        if any(e.deltas for e in man.partitions.values()):
+            raise ValueError(
+                "merge_into probes base partition files only — compact the "
+                "delta stack first (repartition_lake or a full-size epoch)"
+            )
+        base_files = {pid: e.file for pid, e in man.partitions.items()}
+        lake_dir = self.lake_dir
+        seq_base = man.applied_offset + 1
+        P = self.num_partitions
+
+        def probe(g: pa.Table) -> pa.Table:
+            import numpy as np
+
+            df = g.to_pandas()
+            pid = int(df[PART_COLUMN].iloc[0])
+            # staging dedup: one source row per key, highest seq wins
+            df = (
+                df.sort_values("seq", kind="stable")
+                .drop_duplicates(["conv_id", "turn_idx"], keep="last")
+                .reset_index(drop=True)
+            )
+            rel = base_files.get(pid)
+            if rel is None:
+                matched = np.zeros(len(df), bool)
+            else:
+                keys = pq.read_table(
+                    os.path.join(lake_dir, rel), columns=["conv_id", "turn_idx"]
+                ).to_pandas()
+                idx = pd.MultiIndex.from_frame(keys)
+                matched = pd.MultiIndex.from_frame(
+                    df[["conv_id", "turn_idx"]]
+                ).isin(idx)
+            dele = df[delete_col].to_numpy(bool)
+            keep = matched | ~dele  # not-matched deletes are no-ops
+            df = df[keep].reset_index(drop=True)
+            matched, dele = matched[keep], dele[keep]
+            op = np.where(dele, "delete", np.where(matched, "update", "insert"))
+            out = pd.DataFrame(
+                {
+                    "seq": seq_base + df["seq"].to_numpy(np.int64),
+                    "op": op,
+                    "conv_id": df["conv_id"],
+                    "turn_idx": df["turn_idx"].astype("int32"),
+                    "role": df["role"].where(~dele, None),
+                    "text": df["text"].where(~dele, None),
+                    "tool": df["tool"].where(~dele, None),
+                    "ts": df["ts"],
+                }
+            )
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        ops = (
+            staging.map_batches(
+                lambda b: add_partition_column(b, P), batch_format="pyarrow"
+            )
+            .groupby(PART_COLUMN)
+            .map_groups(probe, batch_format="pyarrow")
+        )
+        return self.apply_changes(ops, quarantine=quarantine)
 
     def replay_files(
         self,

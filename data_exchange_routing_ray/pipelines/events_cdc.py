@@ -183,6 +183,46 @@ def cdc_final_state_multi_epoch(sf_dir: str, epochs: int = 4) -> pa.Table:
         return lake.final_table()
 
 
+def lake_merge_into(sf_dir: str) -> pa.Table:
+    """MERGE INTO over the committed lake: build final state from the
+    derived change stream, then merge a deterministic staging set
+    (``event_id % 7 == 0``; every third staging row a DELETE) through
+    ``CDCLake.merge_into`` — matched-probe co-partitioned with the lake's
+    own partition function, compiled ops through the normal epoch path."""
+
+    def stage_batch(b: pa.Table) -> pa.Table:
+        keep = b["event_id"].to_numpy() % 7 == 0
+        b = b.filter(pa.array(keep))
+        eid = b["event_id"].to_numpy()
+        uid = b["user_id"].to_numpy()
+        conv = np.char.add(
+            "conv-", np.char.zfill(uid.astype("U"), 6)
+        )
+        return pa.table(
+            {
+                "seq": pa.array(eid.astype(np.int64)),
+                "conv_id": pa.array(conv),
+                "turn_idx": pa.array(((eid * 3) % 25).astype(np.int32)),
+                "role": pa.array(
+                    np.where(eid % 2 == 0, "user", "assistant")
+                ),
+                "text": pa.array(np.char.add("s-", eid.astype("U"))),
+                "tool": pa.array(np.full(len(eid), "merge", object)),
+                "ts": b["ts"],
+                "del_flag": pa.array(eid % 3 == 0),
+            }
+        )
+
+    staging = _events(sf_dir, columns=["event_id", "user_id", "ts"]).map_batches(
+        stage_batch, batch_format="pyarrow"
+    )
+    with tempfile.TemporaryDirectory(prefix="cdclake-") as d:
+        lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
+        lake.apply_changes(derived_change_stream(sf_dir), quarantine=False)
+        lake.merge_into(staging)
+        return lake.final_table()
+
+
 def cdc_quarantine_counts(sf_dir: str) -> pa.Table:
     """Validation matrix over a corrupted stream: dead-letter rows per exact
     error message (first-failing-rule order)."""
