@@ -310,6 +310,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_score_docs": q.bm25_score_docs,
         "khop_reachable_parts": q.khop_reachable_parts,
         "lake_merge_into": q.lake_merge_into,
+        "basket_association_rules": q.basket_association_rules,
+        "event_type_correlation_matrix": q.event_type_correlation_matrix,
     }
 
 
@@ -2707,6 +2709,65 @@ SELECT s.conv_id, s.turn_idx, s.role, s.text, s.tool, s.ts
 FROM stg s LEFT JOIN base b
   ON s.conv_id = b.conv_id AND s.turn_idx = b.turn_idx
 WHERE b.conv_id IS NULL AND NOT s.del_flag
+""",
+        "basket_association_rules": """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+top AS (SELECT * FROM p ORDER BY n_ab DESC, part_a, part_b LIMIT 30),
+pc AS (SELECT l_partkey, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
+       FROM lineitem GROUP BY 1),
+nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+       FROM lineitem)
+SELECT t.part_a, t.part_b, t.n_ab,
+       a.n AS n_a, b.n AS n_b, nb.n_baskets,
+       round(t.n_ab * 1.0 / a.n, 6) AS conf_a_b,
+       round(t.n_ab * 1.0 / b.n, 6) AS conf_b_a,
+       round(nb.n_baskets * t.n_ab * 1.0 / (a.n * b.n), 6) AS lift
+FROM top t
+JOIN pc a ON a.l_partkey = t.part_a
+JOIN pc b ON b.l_partkey = t.part_b
+CROSS JOIN nb
+ORDER BY part_a, part_b
+""",
+        "event_type_correlation_matrix": """
+WITH de AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT min(day) AS lo, max(day) AS hi FROM de),
+days AS (SELECT unnest(range((SELECT lo FROM span),
+                             (SELECT hi FROM span) + 1)) AS day),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (
+  SELECT t.event_type, d.day, coalesce(de.c, 0) AS c
+  FROM types t CROSS JOIN days d
+  LEFT JOIN de ON de.event_type = t.event_type AND de.day = d.day
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(a.c) AS sx, sum(b.c) AS sy,
+         sum(a.c * a.c) AS sxx, sum(b.c * b.c) AS syy,
+         sum(a.c * b.c) AS sxy
+  FROM grid a JOIN grid b
+    ON a.day = b.day AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n AS n_days,
+       CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0 THEN 0.0
+            ELSE round((n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * 1.0
+                              * (n * syy - sy * sy)), 6)
+       END AS corr
+FROM pairs ORDER BY type_a, type_b
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

@@ -103,6 +103,7 @@ HEADLINE = [
     "pagerank_parts",
     "bm25_score_docs",
     "lake_merge_into",
+    "basket_association_rules",
 ]
 
 

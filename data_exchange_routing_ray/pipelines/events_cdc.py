@@ -8493,6 +8493,170 @@ def basket_part_pairs(sf_dir: str, k: int = 50) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def basket_association_rules(sf_dir: str, k: int = 30) -> pa.Table:
+    """Association-rule mining over co-purchase pairs (A-priori second
+    pass): support count, per-direction confidence and lift for the top-k
+    pairs by co-occurrence. Pair counts ride the shared
+    ``_part_pair_counts_ds`` exchange; per-part basket counts are a
+    part-hash bucket reduce of per-batch-deduped (order, part) partials.
+    Only the k winning pairs reach the driver; their ≤2k part counts are
+    fetched with a broadcast membership filter, never a full gather. The
+    output keeps the INTEGER counts (n_ab, n_a, n_b, n_baskets) alongside
+    6-dp confidence/lift so the comparison is float-order-proof."""
+    import ray as _ray
+
+    # top-k pairs by (n DESC, part_a, part_b) — deterministic tie-break
+    pairs = _part_pair_counts_ds(sf_dir).to_pandas()
+    top = (
+        pairs.sort_values(
+            ["n_orders", "part_a", "part_b"],
+            ascending=[False, True, True],
+            kind="stable",
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+    want = np.unique(
+        np.concatenate([top["part_a"].to_numpy(), top["part_b"].to_numpy()])
+    )
+    wref = _ray.put(set(int(x) for x in want))
+
+    # per-part distinct-basket counts for the ≤2k winning parts: per-batch
+    # deduped (order, part) pairs bucket on part hash (wire bounded by the
+    # winning parts' distinct pairs), EXACT distinct fold in-bucket — a
+    # per-batch count would double-count an (order, part) spanning batches
+    def partial(b: pa.Table) -> pa.Table:
+        df = (
+            pa.table({"o": b["l_orderkey"], "p": b["l_partkey"]})
+            .to_pandas()
+            .drop_duplicates()
+        )
+        df = df[df["p"].isin(_ray.get(wref))]
+        df["bkt"] = (df["p"].to_numpy(np.int64) % 64).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def distinct_fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["o", "p"])
+        return d.groupby("p", as_index=False).size().rename(columns={"size": "n"})
+
+    counts = (
+        _read_sized(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_partkey"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(distinct_fold, batch_format="pandas")
+        .to_pandas()
+        .set_index("p")["n"]
+    )
+    # total baskets: per-batch-unique orderkeys, exact nunique per bucket
+    n_baskets = int(
+        _read_sized(
+            os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey"]
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {"o": pa.array(np.unique(b["l_orderkey"].to_numpy()))}
+            ),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "bkt": pa.array(b["o"].to_numpy() % 64),
+                    "o": b["o"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("bkt")
+        .map_groups(
+            lambda g: pd.DataFrame({"n": [g["o"].nunique()]}),
+            batch_format="pandas",
+        )
+        .sum("n")
+    )
+
+    na = top["part_a"].map(counts).to_numpy(np.int64)
+    nb = top["part_b"].map(counts).to_numpy(np.int64)
+    nab = top["n_orders"].to_numpy(np.int64)
+    out = pd.DataFrame(
+        {
+            "part_a": top["part_a"].astype(np.int64),
+            "part_b": top["part_b"].astype(np.int64),
+            "n_ab": nab,
+            "n_a": na,
+            "n_b": nb,
+            "n_baskets": np.int64(n_baskets),
+            "conf_a_b": np.round(nab / na, 6),
+            "conf_b_a": np.round(nab / nb, 6),
+            "lift": np.round(n_baskets * nab / (na.astype(np.float64) * nb), 6),
+        }
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def event_type_correlation_matrix(sf_dir: str) -> pa.Table:
+    """Pairwise Pearson correlation between event types' DAILY count
+    series — exact integer co-moment algebra: the scan emits per-batch
+    (type, day) count partials (wire ≤ types × span-days, like
+    hourly_autocorr_lag1), the bounded (type, day) frame reduces once,
+    and every (n, Σx, Σy, Σxy, Σx², Σy²) is int64 so the only float op is
+    the final correlation division — identical on both oracle sides at
+    6 dp. Day domain = all days in [min, max] with zero fill."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = b["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                "day": day,
+            }
+        )
+        agg = df.groupby(["event_type", "day"], as_index=False, sort=False).size()
+        return pa.Table.from_pandas(
+            agg.rename(columns={"size": "c"}), preserve_index=False
+        )
+
+    daily = (
+        _events(sf_dir, columns=["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    lo, hi = int(daily["day"].min()), int(daily["day"].max())
+    days = np.arange(lo, hi + 1)
+    types = sorted(daily["event_type"].unique())
+    mat = np.zeros((len(types), len(days)), np.int64)
+    tidx = {t: i for i, t in enumerate(types)}
+    mat[
+        daily["event_type"].map(tidx).to_numpy(),
+        daily["day"].to_numpy() - lo,
+    ] = daily["c"].to_numpy(np.int64)
+    n = np.int64(len(days))
+    rows = []
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            x, y = mat[i], mat[j]
+            sx, sy = int(x.sum()), int(y.sum())
+            sxx, syy = int((x * x).sum()), int((y * y).sum())
+            sxy = int((x * y).sum())
+            num = n * sxy - sx * sy
+            den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+            corr = float(num) / float(np.sqrt(den2)) if den2 > 0 else 0.0
+            rows.append(
+                {
+                    "type_a": types[i],
+                    "type_b": types[j],
+                    "n_days": int(n),
+                    "corr": round(corr, 6),
+                }
+            )
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
 def hourly_autocorr_lag1(sf_dir: str) -> pa.Table:
     """Lag-1 temporal autocorrelation building blocks per event type: the
     hourly count series paired with itself shifted one hour (pairs only
@@ -8869,6 +9033,7 @@ def pagerank_parts(
     same). Ranks are normalized to mean 1 (r0 = 1) and rounded to 6 dp on
     both sides of the oracle, so cross-engine float-sum ordering (~1e-13)
     cannot flip the comparison."""
+    iters = max(1, iters)
     MIX = np.uint64(0x9E3779B97F4A7C15)
     B = np.uint64(num_buckets)
 
@@ -8901,30 +9066,29 @@ def pagerank_parts(
         .materialize()
     )
 
-    def init_ranks(g: pd.DataFrame) -> pd.DataFrame:
-        deg = g.groupby("a", as_index=False).size().rename(columns={"size": "b"})
-        return pa.Table.from_pandas(
-            pd.DataFrame(
+    def contribs(g: pd.DataFrame) -> pd.DataFrame:
+        st = g[g["side"] == 1]
+        ed = g[g["side"] == 0]
+        if not len(st) and len(ed):
+            # first round: rank state is implicit (r0 = 1; deg derived
+            # in-bucket from the edges themselves) — fusing initialization
+            # into round 1 saves a full init shuffle + materialization
+            deg = (
+                ed.groupby("a", as_index=False)
+                .size()
+                .rename(columns={"size": "b"})
+            )
+            st = pd.DataFrame(
                 {
-                    "bucket": np.full(len(deg), int(g["bucket"].iloc[0]), np.int64),
+                    "bucket": np.full(
+                        len(deg), int(g["bucket"].iloc[0]), np.int64
+                    ),
                     "side": np.ones(len(deg), np.int8),
                     "a": deg["a"].to_numpy(np.int64),
                     "b": deg["b"].to_numpy(np.int64),
                     "r": np.ones(len(deg), np.float64),
                 }
-            ),
-            preserve_index=False,
-        )
-
-    ranks = (
-        edges.groupby("bucket")
-        .map_groups(init_ranks, batch_format="pandas")
-        .materialize()
-    )
-
-    def contribs(g: pd.DataFrame) -> pd.DataFrame:
-        st = g[g["side"] == 1]
-        ed = g[g["side"] == 0]
+            )
         out = [st]  # pass deg meta through to the reduce side (same bucket)
         if len(ed) and len(st):
             m = ed[["a", "b"]].merge(
@@ -8963,10 +9127,11 @@ def pagerank_parts(
         m["r"] = (1.0 - damping) + damping * m["s"].fillna(0.0)
         return pa.Table.from_pandas(m.drop(columns=["s"]), preserve_index=False)
 
+    ranks = None
     for _ in range(iters):
+        src = edges if ranks is None else edges.union(ranks)
         ranks = (
-            edges.union(ranks)
-            .groupby("bucket")
+            src.groupby("bucket")
             .map_groups(contribs, batch_format="pandas")
             .groupby("bucket")
             .map_groups(reduce_ranks, batch_format="pandas")

@@ -72,3 +72,41 @@ def test_khop_matches_bruteforce_bfs(ray_session):
         seen |= nxt
         frontier = nxt
     assert [got.get(i, 0) for i in range(4)] == levels
+
+
+def test_association_rules_match_bruteforce(ray_session):
+    got = q.basket_association_rules(SF, k=10).to_pandas()
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pandas().drop_duplicates()
+    n_baskets = li["l_orderkey"].nunique()
+    per_part = li.groupby("l_partkey")["l_orderkey"].nunique()
+    m = li.merge(li, on="l_orderkey")
+    m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+    pair_n = m.groupby(["l_partkey_x", "l_partkey_y"]).size()
+    assert (got["n_baskets"] == n_baskets).all()
+    for r in got.itertuples(index=False):
+        assert r.n_ab == pair_n[(r.part_a, r.part_b)]
+        assert r.n_a == per_part[r.part_a] and r.n_b == per_part[r.part_b]
+        assert r.n_ab <= min(r.n_a, r.n_b)
+        assert 0 < r.conf_a_b <= 1 and 0 < r.conf_b_a <= 1
+        assert abs(r.lift - n_baskets * r.n_ab / (r.n_a * r.n_b)) < 1e-5
+
+
+def test_correlation_matrix_matches_pandas(ray_session):
+    got = q.event_type_correlation_matrix(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts", "event_type"]).to_pandas()
+    ev["day"] = ev["ts"].to_numpy().astype("datetime64[D]")
+    piv = (
+        ev.groupby(["event_type", "day"]).size().unstack(fill_value=0)
+    )
+    # reindex to the full [min, max] day grid with zero fill
+    days = pd.date_range(piv.columns.min(), piv.columns.max(), freq="D")
+    piv = piv.reindex(columns=days, fill_value=0)
+    c = piv.T.corr()
+    assert (got["n_days"] == len(days)).all()
+    for r in got.itertuples(index=False):
+        assert abs(r.corr - c.loc[r.type_a, r.type_b]) < 1e-5
+    # symmetric upper triangle only, every unordered type pair once
+    k = len(piv.index)
+    assert len(got) == k * (k - 1) // 2
