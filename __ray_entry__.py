@@ -312,6 +312,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_merge_into": q.lake_merge_into,
         "basket_association_rules": q.basket_association_rules,
         "event_type_correlation_matrix": q.event_type_correlation_matrix,
+        "lake_bitemporal_asof": q.lake_bitemporal_asof,
+        "bpe_train_merges": q.bpe_train_merges,
     }
 
 
@@ -2769,7 +2771,22 @@ SELECT type_a, type_b, n AS n_days,
        END AS corr
 FROM pairs ORDER BY type_a, type_b
 """,
+        "lake_bitemporal_asof": _CH + """
+, lim AS (SELECT max(event_id) AS hi FROM events),
+last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY seq DESC) AS rn
+  FROM ch WHERE seq < (SELECT (2 * (hi + 1)) // 4 FROM lim)
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM last
+WHERE rn = 1 AND op <> 'delete'
+  AND ts <= (SELECT max(ts) FROM events
+             WHERE event_id <= (SELECT hi // 2 FROM lim))
+""",
         # no oracle (approximate / stateful / binary-payload ops):
+        # bpe_train_merges (K-round iterative training; serial-reference
+        # equivalence in tests/test_batch27_ops.py),
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,
         # dedup_ngram_jaccard, emb_neardup_lsh, ann_ivf_topk, multimodal_decode,
         # ann_quantized_topk (in-query recall gate vs exact top-k)

@@ -104,6 +104,7 @@ HEADLINE = [
     "bm25_score_docs",
     "lake_merge_into",
     "basket_association_rules",
+    "bpe_train_merges",
 ]
 
 

@@ -223,6 +223,40 @@ def lake_merge_into(sf_dir: str) -> pa.Table:
         return lake.final_table()
 
 
+def lake_bitemporal_asof(sf_dir: str) -> pa.Table:
+    """Bitemporal slice: TRANSACTION-time travel (state as committed after
+    the SECOND of four epochs — epoch ids are 0-based, so ``epoch=1`` —
+    via the archived-manifest reader) × EVENT-time cut
+    (rows whose ``ts`` ≤ V, V = max ts of the stream's first half).
+    Epoch bounds use integer arithmetic ((i·n)//4) so the SQL oracle's
+    seq fence is bit-identical — linspace floats could differ by one id."""
+    hi = int(_events(sf_dir, columns=["event_id"]).max("event_id"))
+    n = hi + 1
+    bounds = [(i * n) // 4 for i in range(5)]
+    vmax = (
+        _events(sf_dir, columns=["event_id", "ts"])
+        .filter(expr=f"event_id <= {hi // 2}")
+        .max("ts")
+    )
+
+    def epoch_stream(lo: int, up: int) -> ray.data.Dataset:
+        return _events(
+            sf_dir, columns=["event_id", "user_id", "event_type", "ts"]
+        ).filter(expr=f"event_id >= {lo} and event_id < {up}").map_batches(
+            derive_changes_batch, batch_format="pyarrow"
+        )
+
+    with tempfile.TemporaryDirectory(prefix="cdclake-") as d:
+        lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
+        for i in range(4):
+            lake.apply_changes(
+                epoch_stream(bounds[i], bounds[i + 1]), quarantine=False
+            )
+        t = lake.final_table(epoch=1)  # transaction-time travel
+    t = t.filter(pc.less_equal(t["ts"], pa.scalar(vmax, t.schema.field("ts").type)))
+    return t
+
+
 def cdc_quarantine_counts(sf_dir: str) -> pa.Table:
     """Validation matrix over a corrupted stream: dead-letter rows per exact
     error message (first-failing-rule order)."""
@@ -1384,28 +1418,13 @@ def text_top_words(sf_dir: str, k: int = 50) -> pa.Table:
     """Distributed word count + top-k (vocabulary analysis): per-batch
     partial counts (one Arrow split + pandas value_counts), coarse-bucket
     reduce, driver-side top-k over the small per-bucket leaders."""
-    def partial(b: pa.Table) -> pa.Table:
-        words = pc.list_flatten(
-            pc.split_pattern_regex(
-                pc.utf8_lower(b["text"]), pattern=r"[^\p{L}\p{N}]+"
-            )
-        )
-        s = pd.Series(words.to_numpy(zero_copy_only=False))
-        s = s[s != ""]
-        vc = s.value_counts()
-        out = pd.DataFrame({"word": vc.index, "n": vc.to_numpy()})
-        out["bucket"] = (
-            pd.util.hash_array(out["word"].to_numpy(dtype=object)) % 64
-        ).astype("int64")
-        return pa.Table.from_pandas(out, preserve_index=False)
-
     def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby("word", as_index=False).agg(n=("n", "sum"))
         return agg
 
     counts = (
         _documents(sf_dir, columns=["text"])
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(_word_count_partial, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(reduce_bucket, batch_format="pandas")
         .to_pandas()
@@ -1519,6 +1538,117 @@ def bm25_score_docs(
         .sort_values("doc_id")
     )
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def bpe_train_merges(sf_dir: str, num_merges: int = 3) -> pa.Table:
+    """BPE merge-rule training (the tokenizer-construction step of a
+    training-data pipeline): K rounds of most-frequent-adjacent-pair
+    merging over the corpus, trained — as classic BPE is — on the WORD
+    FREQUENCY DICTIONARY, not the raw corpus: one corpus scan folds
+    per-batch word counts through a word-hash bucket reduce (the
+    text_top_words exchange), and every merge round then runs over the
+    vocab dataset (|vocab| ≪ corpus, still distributed): per-batch symbol-
+    pair count partials → pair-hash bucket reduce (each pair's count
+    completes inside ONE bucket, so per-bucket argmax + a 64-row driver
+    fold finds the EXACT global top pair) → the winning rule broadcasts
+    into the next round's split. Deterministic tie-break (count DESC,
+    pair lexicographic) makes the rule sequence reproducible across block
+    layouts. Rows-only driver gate; the serial-reference equivalence is
+    pytest ``test_bpe_merges_match_serial_reference``."""
+    vocab = (
+        _documents(sf_dir, columns=["text"])
+        .map_batches(_word_count_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: g.groupby("word", as_index=False).agg(n=("n", "sum")),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+
+        def pair_partial(b: pa.Table, merges=tuple(merges)) -> pa.Table:
+            words = b["word"].to_numpy(zero_copy_only=False)
+            ns = b["n"].to_numpy()
+            counts: dict[tuple[str, str], int] = {}
+            for w, n in zip(words, ns):
+                syms = _bpe_apply(list(w) + ["</w>"], merges)
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + int(n)
+            if not counts:
+                return pa.table(
+                    {"l": pa.array([], pa.string()), "r": pa.array([], pa.string()),
+                     "n": pa.array([], pa.int64()), "bucket": pa.array([], pa.int64())}
+                )
+            ls, rs = zip(*counts.keys())
+            out = pd.DataFrame({"l": ls, "r": rs, "n": list(counts.values())})
+            out["bucket"] = (
+                pd.util.hash_array((out["l"] + "\x00" + out["r"]).to_numpy(object))
+                % 64
+            ).astype(np.int64)
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        def bucket_best(g: pd.DataFrame) -> pd.DataFrame:
+            agg = g.groupby(["l", "r"], as_index=False).agg(n=("n", "sum"))
+            agg = agg.sort_values(["n", "l", "r"], ascending=[False, True, True])
+            return agg.head(1)
+
+        leaders = (
+            vocab.map_batches(pair_partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_best, batch_format="pandas")
+            .to_pandas()
+        )
+        if not len(leaders):
+            break
+        best = leaders.sort_values(
+            ["n", "l", "r"], ascending=[False, True, True], kind="stable"
+        ).iloc[0]
+        merges.append((str(best["l"]), str(best["r"])))
+
+    out = pd.DataFrame(
+        {
+            "rank": np.arange(len(merges), dtype=np.int64),
+            "left": [m[0] for m in merges],
+            "right": [m[1] for m in merges],
+        }
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _bpe_apply(syms: list[str], merges: tuple[tuple[str, str], ...]) -> list[str]:
+    """Apply merge rules in rank order (each rule greedily left-to-right) —
+    the classic BPE segmentation used by both the distributed trainer and
+    the serial test reference."""
+    for l, r in merges:
+        out = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _word_count_partial(b: pa.Table) -> pa.Table:
+    words = pc.list_flatten(
+        pc.split_pattern_regex(pc.utf8_lower(b["text"]), pattern=r"[^\p{L}\p{N}]+")
+    )
+    s = pd.Series(words.to_numpy(zero_copy_only=False))
+    s = s[s != ""]
+    vc = s.value_counts()
+    out = pd.DataFrame({"word": vc.index, "n": vc.to_numpy()})
+    out["bucket"] = (
+        pd.util.hash_array(out["word"].to_numpy(dtype=object)) % 64
+    ).astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def split_train_val(sf_dir: str) -> pa.Table:

@@ -110,3 +110,30 @@ def test_correlation_matrix_matches_pandas(ray_session):
     # symmetric upper triangle only, every unordered type pair once
     k = len(piv.index)
     assert len(got) == k * (k - 1) // 2
+
+
+def test_bpe_merges_match_serial_reference(ray_session):
+    import re
+    from collections import Counter
+
+    got = q.bpe_train_merges(SF, num_merges=4).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).to_pandas()
+    vocab = Counter()
+    for text in docs["text"]:
+        for w in re.split(r"[^\w]+", text.lower()):
+            if w:
+                vocab[w] += 1
+    merges = []
+    for _ in range(4):
+        pairs = Counter()
+        for w, n in vocab.items():
+            syms = q._bpe_apply(list(w) + ["</w>"], tuple(merges))
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        # deterministic: count DESC, pair lexicographic
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+    assert list(zip(got["left"], got["right"])) == merges
+    assert list(got["rank"]) == list(range(len(merges)))
