@@ -314,6 +314,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_correlation_matrix": q.event_type_correlation_matrix,
         "lake_bitemporal_asof": q.lake_bitemporal_asof,
         "bpe_train_merges": q.bpe_train_merges,
+        "group_aware_split": q.group_aware_split,
+        "lake_write_amplification": q.lake_write_amplification,
     }
 
 
@@ -2784,9 +2786,23 @@ WHERE rn = 1 AND op <> 'delete'
   AND ts <= (SELECT max(ts) FROM events
              WHERE event_id <= (SELECT hi // 2 FROM lim))
 """,
+        "group_aware_split": """
+WITH s AS (
+  SELECT user_id,
+         CASE WHEN ((user_id * 2654435761) % 4294967296) % 100 < 80
+              THEN 'train' ELSE 'val' END AS split
+  FROM events
+)
+SELECT split,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY split ORDER BY split
+""",
         # no oracle (approximate / stateful / binary-payload ops):
         # bpe_train_merges (K-round iterative training; serial-reference
         # equivalence in tests/test_batch27_ops.py),
+        # lake_write_amplification (engine-internal commit stats; in-query
+        # delta<=rewrite assertion + tests/test_delta_policy.py),
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,
         # dedup_ngram_jaccard, emb_neardup_lsh, ann_ivf_topk, multimodal_decode,
         # ann_quantized_topk (in-query recall gate vs exact top-k)

@@ -137,3 +137,38 @@ def test_bpe_merges_match_serial_reference(ray_session):
         merges.append(best)
     assert list(zip(got["left"], got["right"])) == merges
     assert list(got["rank"]) == list(range(len(merges)))
+
+
+def test_group_aware_split_no_leakage_and_layout_invariant(ray_session, monkeypatch):
+    import ray.data
+
+    got = q.group_aware_split(SF).to_pandas().set_index("split")
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id"]).to_pandas()
+    h = (ev["user_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
+        1 << 32
+    )
+    ev["split"] = np.where(h % np.uint64(100) < 80, "train", "val")
+    want = ev.groupby("split").agg(
+        n_users=("user_id", "nunique"), n_events=("user_id", "size")
+    )
+    assert got.equals(want.astype("int64"))
+    # splits partition the user set (no group leakage)
+    assert got["n_users"].sum() == ev["user_id"].nunique()
+    # layout invariance: same result under a perturbed block layout
+    orig = ray.data.read_parquet
+
+    def perturbed(*a, **k):
+        k["override_num_blocks"] = 7
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ray.data, "read_parquet", perturbed)
+    got2 = q.group_aware_split(SF).to_pandas().set_index("split")
+    monkeypatch.setattr(ray.data, "read_parquet", orig)
+    assert got2.equals(got)
+
+
+def test_write_amplification_delta_below_rewrite(ray_session):
+    out = q.lake_write_amplification(SF, epochs=6).to_pandas().set_index("policy")
+    assert out.loc["delta", "amplification"] < out.loc["rewrite", "amplification"]
+    assert out.loc["delta", "net_rows"] == out.loc["rewrite", "net_rows"]
+    assert (out["amplification"] >= 1.0).all()
