@@ -316,6 +316,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train_merges": q.bpe_train_merges,
         "group_aware_split": q.group_aware_split,
         "lake_write_amplification": q.lake_write_amplification,
+        "small_cell_suppression": q.small_cell_suppression,
+        "dp_noisy_counts": q.dp_noisy_counts,
     }
 
 
@@ -2797,6 +2799,44 @@ SELECT split,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
        CAST(count(*) AS BIGINT) AS n_events
 FROM s GROUP BY split ORDER BY split
+""",
+        "small_cell_suppression": """
+WITH c AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+m AS (SELECT *, (n < 11) AS prim FROM c),
+rowstat AS (SELECT day, sum(CASE WHEN prim THEN 1 ELSE 0 END) AS n_prim
+            FROM m GROUP BY day),
+rk AS (
+  SELECT m.*, r.n_prim,
+         row_number() OVER (PARTITION BY m.day, m.prim
+                            ORDER BY m.n, m.event_type) AS rnk
+  FROM m JOIN rowstat r USING (day)
+)
+SELECT day, event_type,
+       CASE WHEN prim OR (n_prim = 1 AND NOT prim AND rnk = 1)
+            THEN CAST(-1 AS BIGINT) ELSE n END AS n_published,
+       CASE WHEN prim THEN 'primary'
+            WHEN n_prim = 1 AND rnk = 1 THEN 'complementary'
+            ELSE 'published' END AS status
+FROM rk ORDER BY day, event_type
+""",
+        "dp_noisy_counts": """
+WITH c AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1
+),
+u AS (
+  SELECT *,
+         ((md5_number_lower(event_type) % 4294967296) + 0.5)
+           / 4294967296.0 AS uu
+  FROM c
+)
+SELECT event_type, n,
+       round(n + (-2.0) * (CASE WHEN uu >= 0.5 THEN 1.0 ELSE -1.0 END)
+                        * ln(1.0 - 2.0 * abs(uu - 0.5)), 6) AS noisy_n
+FROM u ORDER BY event_type
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # bpe_train_merges (K-round iterative training; serial-reference

@@ -8912,6 +8912,101 @@ def event_type_correlation_matrix(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
 
 
+def small_cell_suppression(sf_dir: str, k: int = 11) -> pa.Table:
+    """Small-cell suppression for public release (the disclosure-control
+    step a public-health agency applies before publishing counts —
+    reference-domain: CDC releases suppress cells below ~11): PRIMARY
+    suppression of (day × event_type) cells with n < k, then
+    COMPLEMENTARY suppression — a row with exactly one primary-suppressed
+    cell also hides its smallest published cell so the row margin cannot
+    reconstruct the hidden value. Cell counts fold from per-batch
+    partials (wire ≤ days × types, the bounded-domain argument of the
+    correlation matrix); the suppression pass runs on that bounded frame.
+    Suppressed counts publish as -1 (never NULL) with an exact status."""
+    cells = (
+        _events(sf_dir, columns=["ts", "event_type"])
+        .map_batches(
+            lambda b: pa.Table.from_pandas(
+                pd.DataFrame(
+                    {
+                        "day": pc.strftime(b["ts"], format="%Y-%m-%d").to_numpy(
+                            zero_copy_only=False
+                        ),
+                        "event_type": b["event_type"].to_numpy(
+                            zero_copy_only=False
+                        ),
+                    }
+                )
+                .groupby(["day", "event_type"], as_index=False)
+                .size()
+                .rename(columns={"size": "n"}),
+                preserve_index=False,
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    cells["n"] = cells["n"].astype(np.int64)
+    cells["prim"] = cells["n"] < k
+    nprim = cells.groupby("day")["prim"].transform("sum")
+    pub = cells[~cells["prim"]].copy()
+    pub = pub.sort_values(["day", "n", "event_type"], kind="stable")
+    pub["rnk"] = pub.groupby("day").cumcount() + 1
+    cells = cells.merge(
+        pub[["day", "event_type", "rnk"]], on=["day", "event_type"], how="left"
+    )
+    comp = (~cells["prim"]) & (nprim.to_numpy() == 1) & (cells["rnk"] == 1)
+    cells["status"] = np.where(
+        cells["prim"], "primary", np.where(comp, "complementary", "published")
+    )
+    cells["n_published"] = np.where(
+        cells["prim"] | comp, np.int64(-1), cells["n"]
+    ).astype(np.int64)
+    out = cells.sort_values(["day", "event_type"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out[["day", "event_type", "n_published", "status"]], preserve_index=False
+    )
+
+
+def dp_noisy_counts(sf_dir: str, epsilon: float = 0.5) -> pa.Table:
+    """Seeded-Laplace noisy counts per event type (the mechanism plumbing
+    of a differentially-private release, made REPRODUCIBLE: the uniform
+    draw derives from md5 of the cell key — the same md5-low-8-bytes
+    contract as the partition fingerprint — so replays and the SQL oracle
+    see identical noise; a production release would swap in a true RNG).
+    Sensitivity 1, b = 1/ε; counts are a tiny per-type aggregate."""
+    import hashlib
+
+    b = 1.0 / epsilon
+    counts = (
+        _events(sf_dir, columns=["event_type"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    u = np.array(
+        [
+            (
+                int.from_bytes(
+                    hashlib.md5(t.encode()).digest()[8:16], "little"
+                )
+                % (1 << 32)
+                + 0.5
+            )
+            / float(1 << 32)
+            for t in counts["event_type"]
+        ]
+    )
+    noise = -b * np.sign(u - 0.5) * np.log(1.0 - 2.0 * np.abs(u - 0.5))
+    counts["noisy_n"] = np.round(counts["n"].astype(np.float64) + noise, 6)
+    counts["n"] = counts["n"].astype(np.int64)
+    return pa.Table.from_pandas(counts, preserve_index=False)
+
+
 def hourly_autocorr_lag1(sf_dir: str) -> pa.Table:
     """Lag-1 temporal autocorrelation building blocks per event type: the
     hourly count series paired with itself shifted one hour (pairs only

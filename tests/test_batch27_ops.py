@@ -172,3 +172,36 @@ def test_write_amplification_delta_below_rewrite(ray_session):
     assert out.loc["delta", "amplification"] < out.loc["rewrite", "amplification"]
     assert out.loc["delta", "net_rows"] == out.loc["rewrite", "net_rows"]
     assert (out["amplification"] >= 1.0).all()
+
+
+def test_small_cell_suppression_invariants(ray_session):
+    out = q.small_cell_suppression(SF, k=11).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts", "event_type"]).to_pandas()
+    ev["day"] = ev["ts"].dt.strftime("%Y-%m-%d")
+    raw = ev.groupby(["day", "event_type"]).size()
+    for r in out.itertuples(index=False):
+        n = raw[(r.day, r.event_type)]
+        if n < 11:
+            assert r.status == "primary" and r.n_published == -1
+        elif r.status == "published":
+            assert r.n_published == n
+        else:
+            assert r.status == "complementary" and r.n_published == -1
+    by_day = out.groupby("day")["status"].value_counts().unstack(fill_value=0)
+    for day, row in by_day.iterrows():
+        # a lone primary cell must drag exactly one complementary cell
+        # (when the day has any published cell left to hide)
+        if row.get("primary", 0) == 1 and (
+            row.get("published", 0) + row.get("complementary", 0) > 0
+        ):
+            assert row.get("complementary", 0) == 1
+        if row.get("primary", 0) != 1:
+            assert row.get("complementary", 0) == 0
+
+
+def test_dp_noisy_counts_deterministic_and_bounded(ray_session):
+    a = q.dp_noisy_counts(SF).to_pandas()
+    b = q.dp_noisy_counts(SF).to_pandas()
+    assert a.equals(b)  # seeded: replay-identical
+    dev = (a["noisy_n"] - a["n"]).abs()
+    assert (dev > 0).all() and (dev < 50).all()  # b=2 Laplace tail sanity
