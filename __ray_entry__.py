@@ -318,6 +318,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_write_amplification": q.lake_write_amplification,
         "small_cell_suppression": q.small_cell_suppression,
         "dp_noisy_counts": q.dp_noisy_counts,
+        "conv_context_windows": q.conv_context_windows,
+        "lake_codec_tradeoff": q.lake_codec_tradeoff,
     }
 
 
@@ -2838,7 +2840,34 @@ SELECT event_type, n,
                         * ln(1.0 - 2.0 * abs(uu - 0.5)), 6) AS noisy_n
 FROM u ORDER BY event_type
 """,
+        "conv_context_windows": _CH + """
+, last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY seq DESC) AS rn
+  FROM ch
+), fs AS (
+  SELECT conv_id, turn_idx, role, text
+  FROM last WHERE rn = 1 AND op <> 'delete'
+), rk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS r
+  FROM fs
+), starts AS (
+  SELECT conv_id, unnest(range(0, n, 4)) AS s
+  FROM (SELECT conv_id, count(*) AS n FROM rk GROUP BY 1)
+)
+SELECT st.conv_id, CAST(st.s AS BIGINT) AS win_start,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       md5(string_agg(rk.role || ': ' || rk.text, chr(10)
+                      ORDER BY rk.r)) AS digest
+FROM starts st
+JOIN rk ON rk.conv_id = st.conv_id AND rk.r >= st.s AND rk.r < st.s + 8
+GROUP BY st.conv_id, st.s
+ORDER BY st.conv_id, win_start
+""",
         # no oracle (approximate / stateful / binary-payload ops):
+        # lake_codec_tradeoff (byte totals are layout-dependent; in-query
+        # zstd<=snappy<=none ordering assertion),
         # bpe_train_merges (K-round iterative training; serial-reference
         # equivalence in tests/test_batch27_ops.py),
         # lake_write_amplification (engine-internal commit stats; in-query

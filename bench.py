@@ -105,6 +105,7 @@ HEADLINE = [
     "lake_merge_into",
     "basket_association_rules",
     "bpe_train_merges",
+    "conv_context_windows",
 ]
 
 

@@ -8423,6 +8423,106 @@ def time_weighted_value_integral(sf_dir: str) -> pa.Table:
     )
 
 
+def conv_context_windows(
+    sf_dir: str, window: int = 8, stride: int = 4
+) -> pa.Table:
+    """Sliding context-window assembly over final-state transcripts (the
+    training-sample chunking step for long conversations): per conv, the
+    live turns rank 0..n-1 by turn_idx and every window [s, s+W) for
+    s = 0, stride, 2·stride… < n is digested — only (conv, win_start,
+    n_turns, md5) leaves the bucket, never window text. Same latest-op
+    argmax combiner + ONE conv-hash exchange as conv_transcript_assembly;
+    window counts per conv are bounded by the turn cap, so the in-bucket
+    enumeration is O(turns·W/stride)."""
+    import hashlib
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "conv_id": b["conv_id"].to_numpy(zero_copy_only=False),
+                "turn_idx": b["turn_idx"].to_numpy().astype(np.int64),
+                "seq": b["seq"].to_numpy(),
+                "role": b["role"].to_numpy(zero_copy_only=False),
+                "text": b["text"].to_numpy(zero_copy_only=False),
+                "op": b["op"].to_numpy(zero_copy_only=False),
+            }
+        )
+        idx = df.groupby(["conv_id", "turn_idx"], sort=False)["seq"].idxmax()
+        w = df.loc[idx].reset_index(drop=True)
+        uid = w["conv_id"].str[5:].astype(np.int64).to_numpy()
+        w["bucket"] = (
+            (uid.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(64)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(w, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        idx = g.groupby(["conv_id", "turn_idx"], sort=False)["seq"].idxmax()
+        w = g.loc[idx]
+        live = w[w["op"] != "delete"].sort_values(["conv_id", "turn_idx"])
+        rows = []
+        for cid, cg in live.groupby("conv_id", sort=True):
+            lines = cg["role"].str.cat(cg["text"], sep=": ").tolist()
+            n = len(lines)
+            for s in range(0, n, stride):
+                chunk = lines[s : s + window]
+                rows.append(
+                    {
+                        "conv_id": cid,
+                        "win_start": np.int64(s),
+                        "n_turns": np.int64(len(chunk)),
+                        "digest": hashlib.md5(
+                            "\n".join(chunk).encode()
+                        ).hexdigest(),
+                    }
+                )
+        return pd.DataFrame(
+            rows, columns=["conv_id", "win_start", "n_turns", "digest"]
+        )
+
+    out = (
+        derived_change_stream(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["conv_id", "win_start"])
+        .reset_index(drop=True)
+    )
+    for c in ("win_start", "n_turns"):
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def lake_codec_tradeoff(sf_dir: str) -> pa.Table:
+    """Storage-codec A/B for the lake's partition files: the SAME change
+    rows written distributed (file-per-block) as uncompressed, snappy and
+    zstd parquet; reports bytes on disk + ratio vs uncompressed. In-query
+    gate: zstd ≤ snappy ≤ none. Rows-only (byte totals are layout-
+    dependent); the ordering assertion is the contract."""
+    sizes = {}
+    with tempfile.TemporaryDirectory(prefix="codec-") as d:
+        for codec in ("none", "snappy", "zstd"):
+            out_dir = os.path.join(d, codec)
+            derived_change_stream(sf_dir).write_parquet(
+                out_dir, compression=codec if codec != "none" else "none"
+            )
+            sizes[codec] = sum(
+                os.path.getsize(os.path.join(out_dir, f))
+                for f in os.listdir(out_dir)
+            )
+    assert sizes["zstd"] <= sizes["snappy"] <= sizes["none"], sizes
+    out = pd.DataFrame(
+        {
+            "codec": list(sizes),
+            "total_bytes": np.array(list(sizes.values()), np.int64),
+            "ratio_vs_none": np.round(
+                np.array(list(sizes.values())) / sizes["none"], 4
+            ),
+        }
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def conv_transcript_assembly(sf_dir: str) -> pa.Table:
     """Ordered transcript reassembly (the reference's ordered-reassembly
     sink, `RouteIngestedFile.kt` block-list ordering, as a query): the
