@@ -320,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dp_noisy_counts": q.dp_noisy_counts,
         "conv_context_windows": q.conv_context_windows,
         "lake_codec_tradeoff": q.lake_codec_tradeoff,
+        "pseudonymize_conv_ids": q.pseudonymize_conv_ids,
     }
 
 
@@ -2864,6 +2865,17 @@ FROM starts st
 JOIN rk ON rk.conv_id = st.conv_id AND rk.r >= st.s AND rk.r < st.s + 8
 GROUP BY st.conv_id, st.s
 ORDER BY st.conv_id, win_start
+""",
+        "pseudonymize_conv_ids": _CH + """
+, last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY seq DESC) AS rn
+  FROM ch
+)
+SELECT substr(sha256('k1|' || conv_id), 1, 16) AS pid,
+       turn_idx, role, tool, ts
+FROM last WHERE rn = 1 AND op <> 'delete'
+ORDER BY pid, turn_idx
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # lake_codec_tradeoff (byte totals are layout-dependent; in-query

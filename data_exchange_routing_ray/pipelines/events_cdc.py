@@ -257,6 +257,44 @@ def lake_bitemporal_asof(sf_dir: str) -> pa.Table:
     return t
 
 
+def pseudonymize_conv_ids(sf_dir: str, key: str = "k1") -> pa.Table:
+    """Privacy-preserving export of the final state: conversation ids are
+    replaced by a KEYED digest (sha256 over key|conv_id, truncated to 16
+    hex chars) and the free-text column is DROPPED (data minimization) —
+    the de-identified release a public-health pipeline ships downstream
+    while the key holder can still re-link. Pure per-batch map over the
+    replayed final state; the digest loop is per-row by necessity (no
+    vectorized sha256 kernel in-container — a production build would use
+    a C kernel), bounded per batch and embarrassingly parallel."""
+    import hashlib
+
+    def pseud(b: pa.Table) -> pa.Table:
+        ids = b["conv_id"].to_numpy(zero_copy_only=False)
+        pid = [
+            hashlib.sha256(f"{key}|{c}".encode()).hexdigest()[:16] for c in ids
+        ]
+        return pa.table(
+            {
+                "pid": pa.array(pid, pa.string()),
+                "turn_idx": b["turn_idx"],
+                "role": b["role"],
+                "tool": b["tool"],
+                "ts": b["ts"],
+            }
+        )
+
+    with tempfile.TemporaryDirectory(prefix="cdclake-") as d:
+        lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
+        lake.apply_changes(derived_change_stream(sf_dir), quarantine=False)
+        out = (
+            lake.final_dataset()
+            .map_batches(pseud, batch_format="pyarrow")
+            .to_pandas()
+        )
+    out = out.sort_values(["pid", "turn_idx"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def cdc_quarantine_counts(sf_dir: str) -> pa.Table:
     """Validation matrix over a corrupted stream: dead-letter rows per exact
     error message (first-failing-rule order)."""
