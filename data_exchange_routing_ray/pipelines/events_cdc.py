@@ -8803,15 +8803,20 @@ def k_anonymity_audit(sf_dir: str, k: int = 5) -> pa.Table:
 
 # ------------------------------------------------------------- batch 20
 
-def _part_pair_counts_ds(sf_dir: str) -> ray.data.Dataset:
+def _part_pair_counts_ds(
+    sf_dir: str, per_bucket_topk: int | None = None
+) -> ray.data.Dataset:
     """Distributed (part_a < part_b, n_orders) co-purchase pair counts —
-    shared by basket_part_pairs and triangle_count_parts. ONE orderkey-hash
-    bucket exchange co-locates each order's lines; in-bucket the pair
-    expansion is fully vectorized (per-order distinct parts sorted, pair
-    index grids built from run lengths — baskets are small, ≤~15 parts, so
-    pairs/order is bounded); per-bucket partial pair counts then reduce on
-    a pair-hash bucket (the second exchange moves only distinct-pair
-    partials, never rows)."""
+    shared by basket_part_pairs, association rules, triangles, PageRank
+    and K-hop BFS. ONE orderkey-hash bucket exchange co-locates each
+    order's lines; in-bucket the pair expansion is fully vectorized
+    (per-order distinct parts sorted, pair index grids built from run
+    lengths — baskets are small, ≤~15 parts, so pairs/order is bounded);
+    per-bucket partial pair counts then reduce on a pair-hash bucket (the
+    second exchange moves only distinct-pair partials, never rows).
+    ``per_bucket_topk`` prunes each pbucket to its exact top-k leaders for
+    top-k consumers — the driver then folds ≤64·k rows, never the whole
+    pair histogram."""
 
     def tag(b: pa.Table) -> pa.Table:
         ok = b["l_orderkey"].to_numpy()
@@ -8859,7 +8864,19 @@ def _part_pair_counts_ds(sf_dir: str) -> ray.data.Dataset:
         return agg
 
     def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(["part_a", "part_b"], as_index=False).agg(n_orders=("n", "sum"))
+        agg = g.groupby(["part_a", "part_b"], as_index=False).agg(
+            n_orders=("n", "sum")
+        )
+        if per_bucket_topk is not None:
+            # every pair's total completes inside ONE pbucket, so the
+            # per-bucket top-k is exact — only 64·k leader rows reach the
+            # driver instead of the whole pair histogram
+            agg = agg.sort_values(
+                ["n_orders", "part_a", "part_b"],
+                ascending=[False, True, True],
+                kind="stable",
+            ).head(per_bucket_topk)
+        return agg
 
     return (
         _read_sized(os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_partkey"])
@@ -8875,9 +8892,10 @@ def basket_part_pairs(sf_dir: str, k: int = 50) -> pa.Table:
     """Market-basket pair mining (co-purchased part pairs) — the classic
     A-priori first pass, reference-adjacent to the router's tuple-keyed
     match (J3) but over data pairs. Pair counting is _part_pair_counts_ds
-    (two bounded exchanges, fully vectorized expansion); the driver sees
-    just the global pair histogram tail for top-k."""
-    out = _part_pair_counts_ds(sf_dir).to_pandas()
+    (two bounded exchanges, fully vectorized expansion) with per-bucket
+    exact top-k pruning — the driver folds ≤64·k leader rows, never the
+    whole pair histogram."""
+    out = _part_pair_counts_ds(sf_dir, per_bucket_topk=k).to_pandas()
     out = out.sort_values(
         ["n_orders", "part_a", "part_b"], ascending=[False, True, True], kind="stable"
     ).head(k).reset_index(drop=True)
@@ -8899,7 +8917,7 @@ def basket_association_rules(sf_dir: str, k: int = 30) -> pa.Table:
     import ray as _ray
 
     # top-k pairs by (n DESC, part_a, part_b) — deterministic tie-break
-    pairs = _part_pair_counts_ds(sf_dir).to_pandas()
+    pairs = _part_pair_counts_ds(sf_dir, per_bucket_topk=k).to_pandas()
     top = (
         pairs.sort_values(
             ["n_orders", "part_a", "part_b"],
