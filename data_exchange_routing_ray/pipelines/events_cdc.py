@@ -1458,7 +1458,12 @@ def text_top_words(sf_dir: str, k: int = 50) -> pa.Table:
     reduce, driver-side top-k over the small per-bucket leaders."""
     def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby("word", as_index=False).agg(n=("n", "sum"))
-        return agg
+        # a word's count completes inside ONE bucket, so the per-bucket
+        # top-k is exact — 64·k leader rows reach the driver, never the
+        # full vocabulary histogram
+        return agg.sort_values(
+            ["n", "word"], ascending=[False, True], kind="stable"
+        ).head(k)
 
     counts = (
         _documents(sf_dir, columns=["text"])
