@@ -37,6 +37,15 @@ def _perturb(monkeypatch, nblocks):
         q.triangle_count_parts,
         q.rank_agreement_topk,
         q.time_weighted_value_integral,
+        # batches 27-32: iterative graph, retrieval, mining, windows
+        q.pagerank_parts,
+        q.khop_reachable_parts,
+        q.bm25_score_docs,
+        q.basket_association_rules,
+        q.event_type_correlation_matrix,
+        q.conv_context_windows,
+        q.small_cell_suppression,
+        q.lake_merge_into,
     ],
     ids=lambda f: f.__name__,
 )
