@@ -321,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_context_windows": q.conv_context_windows,
         "lake_codec_tradeoff": q.lake_codec_tradeoff,
         "pseudonymize_conv_ids": q.pseudonymize_conv_ids,
+        "pit_feature_join": q.pit_feature_join,
     }
 
 
@@ -2876,6 +2877,22 @@ SELECT substr(sha256('k1|' || conv_id), 1, 16) AS pid,
        turn_idx, role, tool, ts
 FROM last WHERE rn = 1 AND op <> 'delete'
 ORDER BY pid, turn_idx
+""",
+        "pit_feature_join": """
+WITH e AS (
+  SELECT user_id, event_id, event_type, ts,
+         CAST(floor(value * 10000) AS BIGINT) AS tick
+  FROM events
+),
+p AS (SELECT * FROM e WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id,
+       CAST(count(b.event_id) AS BIGINT) AS n_events_before,
+       CAST(coalesce(sum(CASE WHEN b.event_type = 'click' THEN 1 ELSE 0 END),
+                     0) AS BIGINT) AS n_clicks_before,
+       CAST(coalesce(sum(b.tick), 0) AS BIGINT) AS ticks_before
+FROM p LEFT JOIN e b ON b.user_id = p.user_id AND b.ts < p.ts
+GROUP BY p.event_id, p.user_id
+ORDER BY p.event_id
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # lake_codec_tradeoff (byte totals are layout-dependent; in-query

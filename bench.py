@@ -106,6 +106,7 @@ HEADLINE = [
     "basket_association_rules",
     "bpe_train_merges",
     "conv_context_windows",
+    "pit_feature_join",
 ]
 
 

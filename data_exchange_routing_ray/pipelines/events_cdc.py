@@ -8909,6 +8909,83 @@ def basket_part_pairs(sf_dir: str, k: int = 50) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def pit_feature_join(sf_dir: str) -> pa.Table:
+    """Point-in-time (leakage-free) feature join — the feature-store
+    correctness rule for training labels: every purchase event gets
+    features computed ONLY from the same user's STRICTLY-EARLIER events
+    (events-before, clicks-before, value-tick sum before). ONE user-hash
+    exchange of slim rows; in-bucket the composite key
+    ``code·span + (t − t0)`` (the interval_overlap_counts layout) confines
+    three vectorized searchsorted probes + one prefix-sum difference to
+    each user's segment — no per-user loop, no self-join expansion, and
+    integer ticks keep the sums float-free."""
+
+    def tag(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        uid = b["user_id"].to_numpy()
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_id": b["event_id"],
+                "tsu": pa.array(
+                    b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+                ),
+                "tick": pa.array(
+                    np.floor(b["value"].to_numpy() * 10000.0).astype(np.int64)
+                ),
+                "is_click": pa.array((et == "click").astype(np.int8)),
+                "is_purchase": pa.array((et == "purchase").astype(np.int8)),
+                "bucket": pa.array(
+                    (
+                        (uid.astype(np.uint64) * np.uint64(2654435761))
+                        % np.uint64(64)
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g["user_id"], sort=True)
+        tsu = g["tsu"].to_numpy(np.int64)
+        t0 = int(tsu.min())
+        span = int(tsu.max()) - t0 + 2
+        ckey = codes.astype(np.int64) * np.int64(span) + (tsu - t0)
+        order = np.argsort(ckey, kind="stable")
+        sk = ckey[order]
+        cum = np.concatenate(
+            [[0], np.cumsum(g["tick"].to_numpy(np.int64)[order])]
+        )
+        click_k = np.sort(ckey[g["is_click"].to_numpy(np.bool_)])
+        pm = g["is_purchase"].to_numpy(np.bool_)
+        pk = ckey[pm]
+        base = codes[pm].astype(np.int64) * np.int64(span)
+        lo_all = np.searchsorted(sk, base, side="left")
+        hi_all = np.searchsorted(sk, pk, side="left")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy()[pm],
+                "user_id": g["user_id"].to_numpy()[pm],
+                "n_events_before": (hi_all - lo_all).astype(np.int64),
+                "n_clicks_before": (
+                    np.searchsorted(click_k, pk, side="left")
+                    - np.searchsorted(click_k, base, side="left")
+                ).astype(np.int64),
+                "ticks_before": (cum[hi_all] - cum[lo_all]).astype(np.int64),
+            }
+        )
+
+    out = (
+        _events(sf_dir, columns=["event_id", "user_id", "event_type", "ts", "value"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def basket_association_rules(sf_dir: str, k: int = 30) -> pa.Table:
     """Association-rule mining over co-purchase pairs (A-priori second
     pass): support count, per-direction confidence and lift for the top-k

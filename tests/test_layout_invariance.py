@@ -46,6 +46,7 @@ def _perturb(monkeypatch, nblocks):
         q.conv_context_windows,
         q.small_cell_suppression,
         q.lake_merge_into,
+        q.pit_feature_join,
     ],
     ids=lambda f: f.__name__,
 )
