@@ -322,6 +322,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_codec_tradeoff": q.lake_codec_tradeoff,
         "pseudonymize_conv_ids": q.pseudonymize_conv_ids,
         "pit_feature_join": q.pit_feature_join,
+        "decay_weighted_user_scores": q.decay_weighted_user_scores,
+        "vocab_drift_topk": q.vocab_drift_topk,
     }
 
 
@@ -2893,6 +2895,40 @@ SELECT p.event_id, p.user_id,
 FROM p LEFT JOIN e b ON b.user_id = p.user_id AND b.ts < p.ts
 GROUP BY p.event_id, p.user_id
 ORDER BY p.event_id
+""",
+        "decay_weighted_user_scores": """
+WITH a AS (SELECT max(ts) AS tmax FROM events),
+s AS (
+  SELECT user_id,
+         round(sum(exp(-(ln(2) / (7 * 86400 * 1000000.0))
+                       * epoch_us((SELECT tmax FROM a) - ts))), 6) AS score
+  FROM events GROUP BY user_id
+)
+SELECT user_id, score FROM s ORDER BY score DESC, user_id LIMIT 50
+""",
+        "vocab_drift_topk": r"""
+WITH nd AS (SELECT count(*) AS n FROM documents),
+tok AS (
+  SELECT doc_id >= (SELECT n // 2 FROM nd) AS half, w
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+tots AS (
+  SELECT sum(CASE WHEN half THEN 0 ELSE 1 END) AS n1,
+         sum(CASE WHEN half THEN 1 ELSE 0 END) AS n2
+  FROM tok
+),
+wc AS (
+  SELECT w, sum(CASE WHEN half THEN 0 ELSE 1 END) AS c1,
+         sum(CASE WHEN half THEN 1 ELSE 0 END) AS c2
+  FROM tok GROUP BY w
+)
+SELECT w AS word, CAST(c1 AS BIGINT) AS n_first, CAST(c2 AS BIGINT) AS n_second,
+       CAST(abs(c1 * (SELECT n2 FROM tots) - c2 * (SELECT n1 FROM tots))
+            AS BIGINT) AS drift_score
+FROM wc ORDER BY drift_score DESC, word LIMIT 30
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # lake_codec_tradeoff (byte totals are layout-dependent; in-query

@@ -8909,6 +8909,145 @@ def basket_part_pairs(sf_dir: str, k: int = 50) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def decay_weighted_user_scores(
+    sf_dir: str, half_life_days: float = 7.0, k: int = 50
+) -> pa.Table:
+    """Exponentially time-decayed engagement score per user (the recency
+    weighting a ranking/feature pipeline applies): score = Σ 2^(−age/h)
+    over the user's events, age measured from the global max ts. Two tiny
+    passes: the global anchor is one scalar aggregate; scores fold from
+    per-batch partial sums through a user-hash reduce (partials are
+    associative — decay factors multiply against the fixed anchor).
+    Top-k by (score, user) with scores rounded to 6 dp on both sides;
+    cross-engine float-sum order shifts (~1e-15 relative) cannot reorder
+    a 6-dp-separated ranking, and ties break on user_id."""
+    tmax = _events(sf_dir, columns=["ts"]).max("ts")
+    tmax_us = np.datetime64(tmax, "us").astype(np.int64)
+    lam = np.log(2.0) / (half_life_days * 86400.0 * 1e6)
+
+    def partial(b: pa.Table) -> pa.Table:
+        tsu = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        w = np.exp(-lam * (tmax_us - tsu).astype(np.float64))
+        df = pd.DataFrame({"user_id": b["user_id"].to_numpy(), "s": w})
+        agg = df.groupby("user_id", as_index=False).agg(s=("s", "sum"))
+        agg["bkt"] = (agg["user_id"].to_numpy(np.int64) % 64).astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("user_id", as_index=False).agg(s=("s", "sum"))
+        agg["score"] = np.round(agg["s"], 6)
+        # per-bucket exact top-k (a user's partials complete in one bucket)
+        return agg.sort_values(
+            ["score", "user_id"], ascending=[False, True], kind="stable"
+        ).head(k)[["user_id", "score"]]
+
+    cand = (
+        _events(sf_dir, columns=["user_id", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    out = cand.sort_values(
+        ["score", "user_id"], ascending=[False, True], kind="stable"
+    ).head(k).reset_index(drop=True)
+    out["user_id"] = out["user_id"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def vocab_drift_topk(sf_dir: str, k: int = 30) -> pa.Table:
+    """Vocabulary distribution drift between the two halves of the corpus
+    (doc_id median split) — the training-data shift detector. The drift
+    score per word is the INTEGER cross product |n1·N2 − n2·N1| (share
+    difference scaled by N1·N2), so ranking is float-free and exact.
+    Pass 1: per-half token totals (two scalars). Pass 2: per-(word, half)
+    counts through the word-hash bucket reduce; each word completes in
+    ONE bucket, so per-bucket top-k by (score, word) is exact and only
+    64·k leader rows reach the driver."""
+    import pyarrow.parquet as _pq
+
+    meta = _pq.ParquetFile(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = meta.metadata.num_rows
+    cut = n_docs // 2  # doc_id < cut → half 1 (doc_ids are 0..n-1 dense)
+
+    def tok(b: pa.Table) -> pa.Table:
+        words = pc.list_flatten(
+            pc.split_pattern_regex(
+                pc.utf8_lower(b["text"]), pattern=r"[^\p{L}\p{N}]+"
+            )
+        )
+        lens = pc.list_value_length(
+            pc.split_pattern_regex(
+                pc.utf8_lower(b["text"]), pattern=r"[^\p{L}\p{N}]+"
+            )
+        ).to_numpy()
+        did = np.repeat(b["doc_id"].to_numpy(), lens)
+        w = pd.Series(words.to_numpy(zero_copy_only=False))
+        keep = w != ""
+        df = pd.DataFrame(
+            {"word": w[keep.to_numpy()], "half": (did[keep.to_numpy()] >= cut)}
+        )
+        agg = df.groupby(["word", "half"], as_index=False).size()
+        agg["bucket"] = (
+            pd.util.hash_array(agg["word"].to_numpy(dtype=object)) % 64
+        ).astype("int64")
+        return pa.Table.from_pandas(
+            agg.rename(columns={"size": "n"}), preserve_index=False
+        )
+
+    counted = (
+        _documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(tok, batch_format="pyarrow")
+        .materialize()  # word-count partials, reused for totals + reduce
+    )
+    tot = (
+        counted.map_batches(
+            lambda b: pa.Table.from_pandas(
+                pd.DataFrame(b.to_pandas().groupby("half")["n"].sum())
+                .reset_index(),
+                preserve_index=False,
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()  # O(batches) scalar partials, never the word histogram
+        .groupby("half")["n"]
+        .sum()
+    )
+    n1, n2 = int(tot.get(False, 0)), int(tot.get(True, 0))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.pivot_table(
+            index="word", columns="half", values="n", aggfunc="sum", fill_value=0
+        )
+        w1 = agg[False].to_numpy(np.int64) if False in agg else np.zeros(len(agg), np.int64)
+        w2 = agg[True].to_numpy(np.int64) if True in agg else np.zeros(len(agg), np.int64)
+        out = pd.DataFrame(
+            {
+                "word": agg.index,
+                "n_first": w1,
+                "n_second": w2,
+                "drift_score": np.abs(
+                    w1.astype(object) * n2 - w2.astype(object) * n1
+                ).astype(np.int64),
+            }
+        )
+        return out.sort_values(
+            ["drift_score", "word"], ascending=[False, True], kind="stable"
+        ).head(k)
+
+    cand = (
+        counted.groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    out = cand.sort_values(
+        ["drift_score", "word"], ascending=[False, True], kind="stable"
+    ).head(k).reset_index(drop=True)
+    for c in ("n_first", "n_second", "drift_score"):
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def pit_feature_join(sf_dir: str) -> pa.Table:
     """Point-in-time (leakage-free) feature join — the feature-store
     correctness rule for training labels: every purchase event gets

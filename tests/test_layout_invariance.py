@@ -47,6 +47,8 @@ def _perturb(monkeypatch, nblocks):
         q.small_cell_suppression,
         q.lake_merge_into,
         q.pit_feature_join,
+        q.decay_weighted_user_scores,
+        q.vocab_drift_topk,
     ],
     ids=lambda f: f.__name__,
 )
