@@ -52,6 +52,32 @@ FROM last WHERE rn = 1 AND op <> 'delete'
 """
 )
 
+_BM25_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+')) AS w
+    FROM documents) WHERE w <> ''
+),
+g AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM tok) * 1.0
+           / (SELECT count(*) FROM documents) AS avglen
+),
+dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+df AS (SELECT w, count(DISTINCT doc_id) AS dfreq FROM tok
+       WHERE w IN ('shuffle', 'merge', 'join') GROUP BY 1),
+tf AS (SELECT doc_id, w, count(*) AS tfreq FROM tok
+       WHERE w IN ('shuffle', 'merge', 'join') GROUP BY 1, 2)
+SELECT tf.doc_id,
+       round(sum(ln((g.n - df.dfreq + 0.5) / (df.dfreq + 0.5) + 1.0)
+                 * tf.tfreq
+                 / (tf.tfreq + 1.2 * (1 - 0.75 + 0.75 * dl.len / g.avglen))),
+             6) AS bm25
+FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN g
+GROUP BY tf.doc_id ORDER BY tf.doc_id
+"""
+
 _CORRUPT_CH = """
 WITH ch AS (
   SELECT event_id AS seq,
@@ -324,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pit_feature_join": q.pit_feature_join,
         "decay_weighted_user_scores": q.decay_weighted_user_scores,
         "vocab_drift_topk": q.vocab_drift_topk,
+        "rerank_bm25_candidates": q.rerank_bm25_candidates,
     }
 
 
@@ -2633,31 +2660,19 @@ r3 AS (SELECT e.dst AS node, 0.15 + 0.85 * sum(p.r / deg.dg) AS r
 SELECT CAST(node AS BIGINT) AS part_id, round(r, 6) AS pr
 FROM r3 ORDER BY part_id
 """,
-        "bm25_score_docs": r"""
-WITH tok AS (
-  SELECT doc_id, w FROM (
-    SELECT doc_id,
-           unnest(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+')) AS w
-    FROM documents) WHERE w <> ''
-),
-g AS (
-  SELECT (SELECT count(*) FROM documents) AS n,
-         (SELECT count(*) FROM tok) * 1.0
-           / (SELECT count(*) FROM documents) AS avglen
-),
-dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
-df AS (SELECT w, count(DISTINCT doc_id) AS dfreq FROM tok
-       WHERE w IN ('shuffle', 'merge', 'join') GROUP BY 1),
-tf AS (SELECT doc_id, w, count(*) AS tfreq FROM tok
-       WHERE w IN ('shuffle', 'merge', 'join') GROUP BY 1, 2)
-SELECT tf.doc_id,
-       round(sum(ln((g.n - df.dfreq + 0.5) / (df.dfreq + 0.5) + 1.0)
-                 * tf.tfreq
-                 / (tf.tfreq + 1.2 * (1 - 0.75 + 0.75 * dl.len / g.avglen))),
-             6) AS bm25
-FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN g
-GROUP BY tf.doc_id ORDER BY tf.doc_id
-""",
+        "bm25_score_docs": _BM25_SQL,
+        "rerank_bm25_candidates": (
+            "WITH bm AS (" + _BM25_SQL + """),
+cand AS (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 100),
+sc AS (
+  SELECT doc_id, bm25,
+         round(bm25 + (md5_number_lower('q|' || CAST(doc_id AS VARCHAR))
+                       % 1000) / 1000.0, 6) AS final
+  FROM cand
+)
+SELECT doc_id, bm25, final FROM sc ORDER BY final DESC, doc_id LIMIT 20
+"""
+        ),
         "khop_reachable_parts": """
 WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 edges AS (

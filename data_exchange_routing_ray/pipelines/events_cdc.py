@@ -1694,6 +1694,71 @@ def _word_count_partial(b: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+class _KeyedReranker:
+    """Deterministic stand-in for a cross-encoder reranker: 'model load'
+    happens once per actor in ``__init__`` (here: binding the query key —
+    a real build would load weights), scoring per batch in ``__call__``.
+    The fake score is the md5-low-8 keyed uniform so the SQL oracle can
+    replay it exactly; the Ray-side shape (actor pool, batched scoring,
+    rank fusion) is the real two-stage retrieval pattern."""
+
+    def __init__(self, query_key: str = "q"):
+        import hashlib
+
+        self._md5 = hashlib.md5
+        self.query_key = query_key
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        u = np.array(
+            [
+                int.from_bytes(
+                    self._md5(f"{self.query_key}|{i}".encode()).digest()[8:16],
+                    "little",
+                )
+                % 1000
+                for i in ids
+            ],
+            np.float64,
+        )
+        final = np.round(
+            b["bm25"].to_numpy().astype(np.float64) + u / 1000.0, 6
+        )
+        return pa.table(
+            {"doc_id": b["doc_id"], "bm25": b["bm25"], "final": pa.array(final)}
+        )
+
+
+def rerank_bm25_candidates(
+    sf_dir: str, n_candidates: int = 100, k: int = 20
+) -> pa.Table:
+    """Two-stage retrieval (the RAG/data-curation serving pattern):
+    stage 1 BM25 selects the candidate set; stage 2 reranks it with a
+    stateful ACTOR-POOL ``map_batches`` stage (``_KeyedReranker`` —
+    setup once per actor, score per batch). Candidates are bounded
+    (n_candidates), so the rerank input is tiny however large the
+    corpus; ties at both cut boundaries break on doc_id on both oracle
+    sides."""
+    cands = bm25_score_docs(sf_dir).to_pandas()
+    cands = cands.sort_values(
+        ["bm25", "doc_id"], ascending=[False, True], kind="stable"
+    ).head(n_candidates)
+    scored = (
+        ray.data.from_arrow(pa.Table.from_pandas(cands, preserve_index=False))
+        .map_batches(
+            _KeyedReranker,
+            batch_format="pyarrow",
+            concurrency=2,
+            batch_size=64,
+        )
+        .to_pandas()
+    )
+    out = scored.sort_values(
+        ["final", "doc_id"], ascending=[False, True], kind="stable"
+    ).head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def split_train_val(sf_dir: str) -> pa.Table:
     """Deterministic train/val split (doc_id mod — replay-stable, no RNG
     state to checkpoint) with per-split doc and token budgets."""
