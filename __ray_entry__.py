@@ -351,6 +351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decay_weighted_user_scores": q.decay_weighted_user_scores,
         "vocab_drift_topk": q.vocab_drift_topk,
         "rerank_bm25_candidates": q.rerank_bm25_candidates,
+        "lake_dataset_card": q.lake_dataset_card,
     }
 
 
@@ -2944,6 +2945,30 @@ SELECT w AS word, CAST(c1 AS BIGINT) AS n_first, CAST(c2 AS BIGINT) AS n_second,
        CAST(abs(c1 * (SELECT n2 FROM tots) - c2 * (SELECT n1 FROM tots))
             AS BIGINT) AS drift_score
 FROM wc ORDER BY drift_score DESC, word LIMIT 30
+""",
+        "lake_dataset_card": _CH + """
+, last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY seq DESC) AS rn
+  FROM ch
+), fs AS (
+  SELECT conv_id, turn_idx, role, text, tool
+  FROM last WHERE rn = 1 AND op <> 'delete'
+)
+SELECT * FROM (
+  SELECT 'max_turn_idx' AS metric, CAST(max(turn_idx) AS BIGINT) AS value FROM fs
+  UNION ALL SELECT 'n_assistant_rows',
+    CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) FROM fs
+  UNION ALL SELECT 'n_conversations',
+    CAST(count(DISTINCT conv_id) AS BIGINT) FROM fs
+  UNION ALL SELECT 'n_distinct_tools',
+    CAST(count(DISTINCT tool) AS BIGINT) FROM fs
+  UNION ALL SELECT 'n_rows', CAST(count(*) AS BIGINT) FROM fs
+  UNION ALL SELECT 'n_user_rows',
+    CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) FROM fs
+  UNION ALL SELECT 'total_text_chars',
+    CAST(sum(length(text)) AS BIGINT) FROM fs
+) ORDER BY metric
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # lake_codec_tradeoff (byte totals are layout-dependent; in-query

@@ -257,6 +257,80 @@ def lake_bitemporal_asof(sf_dir: str) -> pa.Table:
     return t
 
 
+def lake_dataset_card(sf_dir: str) -> pa.Table:
+    """Dataset-card metrics over the committed final state (the datasheet
+    a curated corpus ships with): row/conversation/role counts, tool
+    cardinality, total text bytes, turn-depth max — one engine replay,
+    then scalar per-batch partials + a deduped conv/tool bucket fold for
+    the exact distincts; the card itself is a fixed handful of rows."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        role = b["role"].to_numpy(zero_copy_only=False)
+        text = b["text"].to_numpy(zero_copy_only=False)
+        conv = pd.unique(pd.Series(b["conv_id"].to_numpy(zero_copy_only=False)))
+        tool = pd.unique(
+            pd.Series(b["tool"].to_numpy(zero_copy_only=False)).dropna()
+        )
+        scal = pd.DataFrame(
+            {
+                "kind": ["s"],
+                "key": ["_"],
+                "n_rows": [np.int64(b.num_rows)],
+                "n_user": [np.int64((role == "user").sum())],
+                "n_assistant": [np.int64((role == "assistant").sum())],
+                "chars": [
+                    np.int64(sum(len(t) for t in text if t is not None))
+                ],
+                "max_turn": [
+                    np.int64(b["turn_idx"].to_numpy().max())
+                    if b.num_rows
+                    else np.int64(-1)
+                ],
+            }
+        )
+        dedup = pd.DataFrame(
+            {
+                "kind": ["c"] * len(conv) + ["t"] * len(tool),
+                "key": list(conv) + list(tool),
+                "n_rows": np.int64(0),
+                "n_user": np.int64(0),
+                "n_assistant": np.int64(0),
+                "chars": np.int64(0),
+                "max_turn": np.int64(-1),
+            }
+        )
+        return pa.Table.from_pandas(
+            pd.concat([scal, dedup], ignore_index=True), preserve_index=False
+        )
+
+    with tempfile.TemporaryDirectory(prefix="cdclake-") as d:
+        lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
+        lake.apply_changes(derived_change_stream(sf_dir), quarantine=False)
+        parts = (
+            lake.final_dataset()
+            .map_batches(partial, batch_format="pyarrow")
+            .to_pandas()  # O(batches) scalar rows + per-batch-deduped keys
+        )
+    s = parts[parts["kind"] == "s"]
+    metrics = {
+        "n_rows": int(s["n_rows"].sum()),
+        "n_conversations": int(
+            parts.loc[parts["kind"] == "c", "key"].nunique()
+        ),
+        "n_user_rows": int(s["n_user"].sum()),
+        "n_assistant_rows": int(s["n_assistant"].sum()),
+        "n_distinct_tools": int(
+            parts.loc[parts["kind"] == "t", "key"].nunique()
+        ),
+        "total_text_chars": int(s["chars"].sum()),
+        "max_turn_idx": int(s["max_turn"].max()),
+    }
+    out = pd.DataFrame(
+        {"metric": list(metrics), "value": np.array(list(metrics.values()), np.int64)}
+    ).sort_values("metric")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
 def pseudonymize_conv_ids(sf_dir: str, key: str = "k1") -> pa.Table:
     """Privacy-preserving export of the final state: conversation ids are
     replaced by a KEYED digest (sha256 over key|conv_id, truncated to 16
