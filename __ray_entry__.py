@@ -352,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_drift_topk": q.vocab_drift_topk,
         "rerank_bm25_candidates": q.rerank_bm25_candidates,
         "lake_dataset_card": q.lake_dataset_card,
+        "conv_role_alternation_audit": q.conv_role_alternation_audit,
     }
 
 
@@ -2969,6 +2970,30 @@ SELECT * FROM (
   UNION ALL SELECT 'total_text_chars',
     CAST(sum(length(text)) AS BIGINT) FROM fs
 ) ORDER BY metric
+""",
+        "conv_role_alternation_audit": _CH + """
+, last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY seq DESC) AS rn
+  FROM ch
+), fs AS (
+  SELECT conv_id, turn_idx, role
+  FROM last WHERE rn = 1 AND op <> 'delete'
+), lagged AS (
+  SELECT conv_id,
+         role = lag(role) OVER (PARTITION BY conv_id
+                                ORDER BY turn_idx) AS same
+  FROM fs
+), v AS (
+  SELECT conv_id,
+         sum(CASE WHEN same THEN 1 ELSE 0 END) AS nv
+  FROM lagged GROUP BY conv_id
+)
+SELECT CAST(sum(CASE WHEN nv = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alternating,
+       CAST(sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_broken,
+       CAST(sum(nv) AS BIGINT) AS n_violations
+FROM v
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # lake_codec_tradeoff (byte totals are layout-dependent; in-query

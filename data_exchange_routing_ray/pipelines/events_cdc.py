@@ -257,6 +257,68 @@ def lake_bitemporal_asof(sf_dir: str) -> pa.Table:
     return t
 
 
+def conv_role_alternation_audit(sf_dir: str) -> pa.Table:
+    """Transcript-health audit: per conversation, does the final state
+    alternate user/assistant strictly by turn order? Reports the census
+    (n_alternating / n_broken) plus total adjacent violations — the
+    data-quality signal a dialogue-training pipeline filters on. Same
+    latest-op combiner + ONE conv-hash exchange as the assembly ops;
+    violations are a shifted-equality mask per conversation (boundary-
+    masked, no per-turn loop)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "conv_id": b["conv_id"].to_numpy(zero_copy_only=False),
+                "turn_idx": b["turn_idx"].to_numpy().astype(np.int64),
+                "seq": b["seq"].to_numpy(),
+                "role": b["role"].to_numpy(zero_copy_only=False),
+                "op": b["op"].to_numpy(zero_copy_only=False),
+            }
+        )
+        idx = df.groupby(["conv_id", "turn_idx"], sort=False)["seq"].idxmax()
+        w = df.loc[idx].reset_index(drop=True)
+        uid = w["conv_id"].str[5:].astype(np.int64).to_numpy()
+        w["bucket"] = (
+            (uid.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(64)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(w, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        idx = g.groupby(["conv_id", "turn_idx"], sort=False)["seq"].idxmax()
+        w = g.loc[idx]
+        live = w[w["op"] != "delete"].sort_values(["conv_id", "turn_idx"])
+        conv = live["conv_id"].to_numpy()
+        role = live["role"].to_numpy()
+        same_conv = np.r_[False, conv[1:] == conv[:-1]]
+        viol = same_conv & np.r_[False, role[1:] == role[:-1]]
+        per = pd.DataFrame({"conv_id": conv, "v": viol.astype(np.int64)})
+        agg = per.groupby("conv_id", as_index=False).agg(v=("v", "sum"))
+        return pd.DataFrame(
+            {
+                "n_alternating": [int((agg["v"] == 0).sum())],
+                "n_broken": [int((agg["v"] > 0).sum())],
+                "n_violations": [int(agg["v"].sum())],
+            }
+        )
+
+    parts = (
+        derived_change_stream(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "n_alternating": [np.int64(parts["n_alternating"].sum())],
+            "n_broken": [np.int64(parts["n_broken"].sum())],
+            "n_violations": [np.int64(parts["n_violations"].sum())],
+        }
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def lake_dataset_card(sf_dir: str) -> pa.Table:
     """Dataset-card metrics over the committed final state (the datasheet
     a curated corpus ships with): row/conversation/role counts, tool
