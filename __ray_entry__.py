@@ -353,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rerank_bm25_candidates": q.rerank_bm25_candidates,
         "lake_dataset_card": q.lake_dataset_card,
         "conv_role_alternation_audit": q.conv_role_alternation_audit,
+        "pagerank_parts_actors": q.pagerank_parts_actors,
     }
 
 
@@ -2638,6 +2639,31 @@ FROM (
 )
 """,
         "pagerank_parts": """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS dg
+        FROM edges GROUP BY 1),
+r0 AS (SELECT node, 1.0 AS r FROM deg),
+r1 AS (SELECT e.dst AS node, 0.15 + 0.85 * sum(p.r / deg.dg) AS r
+       FROM edges e JOIN r0 p ON p.node = e.src
+                    JOIN deg ON deg.node = e.src
+       GROUP BY e.dst),
+r2 AS (SELECT e.dst AS node, 0.15 + 0.85 * sum(p.r / deg.dg) AS r
+       FROM edges e JOIN r1 p ON p.node = e.src
+                    JOIN deg ON deg.node = e.src
+       GROUP BY e.dst),
+r3 AS (SELECT e.dst AS node, 0.15 + 0.85 * sum(p.r / deg.dg) AS r
+       FROM edges e JOIN r2 p ON p.node = e.src
+                    JOIN deg ON deg.node = e.src
+       GROUP BY e.dst)
+SELECT CAST(node AS BIGINT) AS part_id, round(r, 6) AS pr
+FROM r3 ORDER BY part_id
+""",
+        "pagerank_parts_actors": """
 WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 edges AS (
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

@@ -204,8 +204,9 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
             "dedup_minhash_pairs verifies via distributed size-gated "
             "strategies instead of a driver broadcast (500k-doc worst "
             "case improved 89s->80s); per-query gc.collect() frees the "
-            "previous query's block refs before timing (55-query session "
-            "total 85s->65s at sf0.1/32cpus, flagship rate 62k->146k)"
+            "previous query's block refs before timing (measured: 54-query "
+            "session total 85s->65s at sf0.1/32cpus, flagship rate "
+            "62k->146k; the 61-query set runs ~80s)"
         ),
     }
 

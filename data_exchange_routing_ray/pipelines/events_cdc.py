@@ -10076,6 +10076,24 @@ def pagerank_parts(
     return pa.Table.from_pandas(res.reset_index(drop=True), preserve_index=False)
 
 
+def pagerank_parts_actors(sf_dir: str, iters: int = 3) -> pa.Table:
+    """PageRank via BUCKET-PINNED ACTORS (the other point in the design
+    space vs the pure-Dataset ``pagerank_parts``): edges stage once into
+    per-bucket parquet shards, B actors pin their bucket + rank state,
+    and each BSP round moves only contribution shards actor→actor as
+    object refs — the static edge set never re-crosses the wire. Same
+    semantics, same SQL oracle; the A/B equality is also asserted by
+    ``test_pagerank_actor_mode_matches_dataset_mode``."""
+    from data_exchange_routing_ray.functions.graph_actors import (
+        pagerank_actor_mode,
+    )
+
+    with tempfile.TemporaryDirectory(prefix="prstage-") as d:
+        return pagerank_actor_mode(
+            _part_pair_counts_ds(sf_dir), d, iters=iters
+        )
+
+
 def khop_reachable_parts(sf_dir: str, k: int = 3, num_buckets: int = 32) -> pa.Table:
     """K-hop BFS reachability census from a deterministic seed set
     (``part_id % 97 == 0``) over the co-purchase graph — the frontier-BSP

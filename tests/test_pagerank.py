@@ -46,3 +46,11 @@ def test_pagerank_conserves_rank_mass(ray_session):
     assert abs(got["pr"].sum() - len(got)) < 1e-2
     assert (got["pr"] > 0).all()
     assert got["part_id"].is_unique
+
+
+def test_pagerank_actor_mode_matches_dataset_mode(ray_session):
+    a = q.pagerank_parts(SF, iters=3).to_pandas()
+    b = q.pagerank_parts_actors(SF, iters=3).to_pandas()
+    m = a.merge(b, on="part_id", suffixes=("_ds", "_ac"))
+    assert len(m) == len(a) == len(b)
+    assert np.allclose(m["pr_ds"], m["pr_ac"], atol=2e-6)
