@@ -354,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_dataset_card": q.lake_dataset_card,
         "conv_role_alternation_audit": q.conv_role_alternation_audit,
         "pagerank_parts_actors": q.pagerank_parts_actors,
+        "cdc_inflight_repair": q.cdc_inflight_repair,
     }
 
 
@@ -3020,6 +3021,22 @@ SELECT CAST(sum(CASE WHEN nv = 0 THEN 1 ELSE 0 END) AS BIGINT)
        CAST(sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_broken,
        CAST(sum(nv) AS BIGINT) AS n_violations
 FROM v
+""",
+        "cdc_inflight_repair": """
+WITH c AS (SELECT event_id FROM events)
+SELECT * FROM (
+  SELECT 'repaired_op_alias' AS metric,
+         CAST(sum(CASE WHEN event_id % 101 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n FROM c
+  UNION ALL SELECT 'repaired_ts_default',
+    CAST(sum(CASE WHEN event_id % 101 = 2 THEN 1 ELSE 0 END) AS BIGINT) FROM c
+  UNION ALL SELECT 'repaired_turn_from_seq',
+    CAST(sum(CASE WHEN event_id % 101 = 3 THEN 1 ELSE 0 END) AS BIGINT) FROM c
+  UNION ALL SELECT 'still_quarantined',
+    CAST(sum(CASE WHEN event_id % 101 = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM c
+  UNION ALL SELECT 'valid_rows',
+    CAST(sum(CASE WHEN event_id % 101 <> 0 THEN 1 ELSE 0 END) AS BIGINT) FROM c
+) ORDER BY metric
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # lake_codec_tradeoff (byte totals are layout-dependent; in-query

@@ -393,6 +393,89 @@ def lake_dataset_card(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
+def cdc_inflight_repair(sf_dir: str) -> pa.Table:
+    """In-flight repair pass BEFORE validation (the reference's
+    getOrDefault/legacy-alias posture taken one step further): repairable
+    corruptions are fixed deterministically — op alias mapping
+    ('upsert?' → update), turn_idx re-derived from the ordering token
+    (seq % 25), null ts defaulted — and the repaired stream then runs the
+    REAL validator; unrepairable rows (null conv_id: no key) still
+    dead-letter. Output is the audit census: per-rule repair counts +
+    post-repair valid/quarantined totals. The engine earns its numbers by
+    actually repairing and re-validating; the oracle derives them from the
+    corruption arithmetic — a buggy repair (row still invalid after 'fix')
+    breaks the match."""
+    default_ts = pa.scalar(
+        np.datetime64("2024-01-01T00:00:00", "us"), pa.timestamp("us")
+    )
+
+    def repair_and_census(b: pa.Table) -> pa.Table:
+        op = b["op"].to_numpy(zero_copy_only=False)
+        alias = op == "upsert?"
+        if alias.any():
+            op = np.where(alias, "update", op)
+            b = b.set_column(
+                b.column_names.index("op"), "op", pa.array(op, pa.string())
+            )
+        turn_null = pc.is_null(b["turn_idx"]).to_numpy(zero_copy_only=False)
+        if turn_null.any():
+            seq = b["seq"].to_numpy()
+            fixed = np.where(
+                turn_null,
+                (seq % 25).astype(np.int32),
+                b["turn_idx"].to_numpy(zero_copy_only=False),
+            )
+            b = b.set_column(
+                b.column_names.index("turn_idx"),
+                "turn_idx",
+                pa.array(fixed.astype(np.int32), pa.int32()),
+            )
+        ts_null = pc.is_null(b["ts"]).to_numpy(zero_copy_only=False)
+        if ts_null.any():
+            b = b.set_column(
+                b.column_names.index("ts"),
+                "ts",
+                pc.fill_null(b["ts"], default_ts),
+            )
+        v = validate_batch(b)
+        quarantined = int(pc.sum(pc.is_valid(v["error"])).as_py() or 0)
+        return pa.table(
+            {
+                "metric": pa.array(
+                    [
+                        "repaired_op_alias",
+                        "repaired_turn_from_seq",
+                        "repaired_ts_default",
+                        "still_quarantined",
+                        "valid_rows",
+                    ]
+                ),
+                "n": pa.array(
+                    [
+                        int(alias.sum()),
+                        int(turn_null.sum()),
+                        int(ts_null.sum()),
+                        quarantined,
+                        b.num_rows - quarantined,
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out = (
+        derived_change_stream(sf_dir, corrupt=True)
+        .map_batches(repair_and_census, batch_format="pyarrow")
+        .groupby("metric")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("metric")
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def pseudonymize_conv_ids(sf_dir: str, key: str = "k1") -> pa.Table:
     """Privacy-preserving export of the final state: conversation ids are
     replaced by a KEYED digest (sha256 over key|conv_id, truncated to 16
