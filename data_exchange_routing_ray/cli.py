@@ -166,6 +166,33 @@ def cmd_export(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_merge(args: argparse.Namespace) -> int:
+    """MERGE INTO the lake from a staging parquet (matched update/delete,
+    not-matched insert) — the SQL-MERGE operational surface."""
+    if not os.path.isdir(args.lake):
+        print(f"error: no lake at {args.lake}", file=sys.stderr)
+        return 2
+    _ensure_ray(args.num_cpus)
+    import ray.data
+
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    lake = CDCLake(args.lake)
+    staging = ray.data.read_parquet(args.staging)
+    res = lake.merge_into(staging, delete_col=args.delete_col)
+    print(
+        json.dumps(
+            {
+                "epoch": res.epoch,
+                "changes_applied": res.changes_applied,
+                "changes_fenced": res.changes_fenced,
+                "total_rows": res.total_rows,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_repartition(args: argparse.Namespace) -> int:
     if not os.path.isdir(args.lake):
         print(f"error: no lake at {args.lake}", file=sys.stderr)
@@ -267,6 +294,15 @@ def main(argv: list[str] | None = None) -> int:
     ep.add_argument("--since-epoch", type=int, required=True)
     ep.add_argument("--out", required=True)
     ep.set_defaults(fn=cmd_export)
+
+    mg = sub.add_parser(
+        "merge", help="MERGE INTO the lake from a staging parquet"
+    )
+    mg.add_argument("--lake", required=True)
+    mg.add_argument("--staging", required=True)
+    mg.add_argument("--delete-col", default="del_flag")
+    mg.add_argument("--num-cpus", type=int, default=None)
+    mg.set_defaults(fn=cmd_merge)
 
     cp = sub.add_parser("compact", help="fold open delta files into fresh bases")
     cp.add_argument("--lake", required=True)

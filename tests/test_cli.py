@@ -120,3 +120,48 @@ def test_cli_export_incremental(ray_session, tmp_path):
     bad = _run("export", "--lake", str(tmp_path / "nope"), "--since-epoch", "0",
                "--out", str(tmp_path / "x"), check=False)
     assert bad.returncode == 2
+
+
+def test_cli_merge(ray_session, tmp_path):
+    import pandas as pd
+
+    from data_exchange_routing_ray.synth import make_change_stream, write_change_stream
+
+    ch = make_change_stream(num_convs=20, max_turns=4, seed=3)
+    write_change_stream(ch, str(tmp_path / "stream"), num_files=1)
+    lake = str(tmp_path / "lake")
+    _run(
+        "replay", "--lake", lake, "--stream", str(tmp_path / "stream"),
+        "--files-per-epoch", "1", "--num-partitions", "4", "--num-cpus", "2",
+    )
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    before = CDCLake(lake).final_table().to_pandas()
+    key = (before.iloc[0]["conv_id"], int(before.iloc[0]["turn_idx"]))
+    stg = pd.DataFrame(
+        [
+            {
+                "seq": 1, "conv_id": key[0], "turn_idx": key[1],
+                "role": "assistant", "text": "cli-merged", "tool": "m",
+                "ts": pd.Timestamp("2024-03-01"), "del_flag": False,
+            },
+            {
+                "seq": 2, "conv_id": "conv-new", "turn_idx": 0,
+                "role": "user", "text": "cli-insert", "tool": "m",
+                "ts": pd.Timestamp("2024-03-01"), "del_flag": False,
+            },
+        ]
+    )
+    stg["turn_idx"] = stg["turn_idx"].astype("int32")
+    stg.to_parquet(str(tmp_path / "staging.parquet"))
+    out = _run(
+        "merge", "--lake", lake, "--staging", str(tmp_path / "staging.parquet"),
+        "--num-cpus", "2",
+    )
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["changes_applied"] == 2
+    after = CDCLake(lake).final_table().to_pandas()
+    got = {(r.conv_id, r.turn_idx): r.text for r in after.itertuples(index=False)}
+    assert got[key] == "cli-merged"
+    assert got[("conv-new", 0)] == "cli-insert"
+    assert len(after) == len(before) + 1
