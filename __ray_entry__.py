@@ -355,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_role_alternation_audit": q.conv_role_alternation_audit,
         "pagerank_parts_actors": q.pagerank_parts_actors,
         "cdc_inflight_repair": q.cdc_inflight_repair,
+        "lake_lineage_consistency": q.lake_lineage_consistency,
     }
 
 
@@ -3039,6 +3040,8 @@ SELECT * FROM (
 ) ORDER BY metric
 """,
         # no oracle (approximate / stateful / binary-payload ops):
+        # lake_lineage_consistency (engine-internal reconciliation; in-query
+        # zero-mismatch assertions),
         # lake_codec_tradeoff (byte totals are layout-dependent; in-query
         # zstd<=snappy<=none ordering assertion),
         # bpe_train_merges (K-round iterative training; serial-reference

@@ -393,6 +393,69 @@ def lake_dataset_card(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
+def lake_lineage_consistency(sf_dir: str, epochs: int = 4) -> pa.Table:
+    """Lineage↔lake reconciliation audit (the report-stream cross-check an
+    operator runs before trusting a lake): after a multi-epoch replay,
+    every partition's LATEST SUCCESS lineage row must agree with the
+    committed manifest entry AND with the physical parquet row count; the
+    manifest watermark must equal the lineage max offset. Engine-internal
+    invariants (no SQL analog — the whole point is checking the engine
+    against itself), so the gate is rows-only plus the in-query
+    assertions."""
+    hi = int(_events(sf_dir, columns=["event_id"]).max("event_id"))
+    n = hi + 1
+    bounds = [(i * n) // epochs for i in range(epochs + 1)]
+
+    def epoch_stream(lo: int, up: int) -> ray.data.Dataset:
+        return _events(
+            sf_dir, columns=["event_id", "user_id", "event_type", "ts"]
+        ).filter(expr=f"event_id >= {lo} and event_id < {up}").map_batches(
+            derive_changes_batch, batch_format="pyarrow"
+        )
+
+    with tempfile.TemporaryDirectory(prefix="cdclake-") as d:
+        lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
+        for i in range(epochs):
+            lake.apply_changes(epoch_stream(bounds[i], bounds[i + 1]), quarantine=False)
+        lin = lake.lineage.read_all().to_pandas()
+        man = lake.manifest
+        success = lin[lin["status"] == "SUCCESS"]
+        latest = success.sort_values("epoch").groupby("partition").tail(1)
+        mismatches = 0
+        checked = 0
+        for row in latest.itertuples(index=False):
+            pid = int(row.partition)
+            e = man.partitions.get(pid)
+            if e is None:
+                mismatches += 1
+                continue
+            checked += 1
+            import pyarrow.parquet as _pq
+
+            physical = _pq.ParquetFile(
+                os.path.join(lake.lake_dir, e.file)
+            ).metadata.num_rows
+            if not (
+                int(row.row_count) == e.rows == physical
+                and int(row.epoch) == e.epoch
+                and int(row.applied_offset) == e.applied_offset
+            ):
+                mismatches += 1
+        wm_ok = int(man.applied_offset) == int(success["applied_offset"].max())
+        assert mismatches == 0 and wm_ok, (
+            f"lineage/lake divergence: {mismatches} partitions, wm_ok={wm_ok}"
+        )
+        out = pd.DataFrame(
+            {
+                "partitions_checked": [np.int64(checked)],
+                "mismatches": [np.int64(mismatches)],
+                "watermark_consistent": [np.int64(1 if wm_ok else 0)],
+                "epochs": [np.int64(epochs)],
+            }
+        )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def cdc_inflight_repair(sf_dir: str) -> pa.Table:
     """In-flight repair pass BEFORE validation (the reference's
     getOrDefault/legacy-alias posture taken one step further): repairable
