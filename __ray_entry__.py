@@ -356,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_parts_actors": q.pagerank_parts_actors,
         "cdc_inflight_repair": q.cdc_inflight_repair,
         "lake_lineage_consistency": q.lake_lineage_consistency,
+        "conv_prefix_dup_census": q.conv_prefix_dup_census,
     }
 
 
@@ -3038,6 +3039,39 @@ SELECT * FROM (
   UNION ALL SELECT 'valid_rows',
     CAST(sum(CASE WHEN event_id % 101 <> 0 THEN 1 ELSE 0 END) AS BIGINT) FROM c
 ) ORDER BY metric
+""",
+        "conv_prefix_dup_census": _CH + """
+, last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY seq DESC) AS rn
+  FROM ch
+), fs AS (
+  SELECT conv_id, turn_idx, tool
+  FROM last WHERE rn = 1 AND op <> 'delete'
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS r
+  FROM fs
+), nlen AS (SELECT conv_id, count(*) AS n FROM fs GROUP BY 1),
+lens AS (SELECT DISTINCT n AS len FROM nlen),
+pref AS (
+  SELECT rk.conv_id, l.len, nl.n,
+         md5(string_agg(rk.tool, chr(31) ORDER BY rk.r)) AS d
+  FROM rk
+  JOIN nlen nl ON nl.conv_id = rk.conv_id
+  JOIN lens l ON l.len <= nl.n
+  WHERE rk.r <= l.len
+  GROUP BY rk.conv_id, l.len, nl.n
+),
+cnt AS (
+  SELECT d, len,
+         sum(CASE WHEN n = len THEN 1 ELSE 0 END) AS f,
+         sum(CASE WHEN n > len THEN 1 ELSE 0 END) AS p
+  FROM pref GROUP BY d, len
+)
+SELECT CAST(len AS BIGINT) AS len,
+       CAST(sum(f * p) AS BIGINT) AS prefix_pairs,
+       CAST(sum(f * (f - 1) // 2) AS BIGINT) AS exact_dups
+FROM cnt GROUP BY len ORDER BY len
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # lake_lineage_consistency (engine-internal reconciliation; in-query

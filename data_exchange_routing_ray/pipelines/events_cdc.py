@@ -8913,6 +8913,111 @@ def lake_codec_tradeoff(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def conv_prefix_dup_census(sf_dir: str) -> pa.Table:
+    """Prefix-duplicate census over final-state tool sequences — the
+    resumed-conversation dedup signal (conv A duplicated-then-continued
+    as conv B ⇒ A's full sequence is a prefix of B's). Pair COUNTS are
+    computed without enumerating pairs (a short shared prefix would
+    explode quadratically): per (digest, len) the census needs only
+    f = #convs whose FULL sequence has that digest and p = #longer convs
+    sharing the prefix — prefix pairs = f·p, exact dups = C(f,2). Shape:
+    distinct lengths are a tiny broadcast; one conv-hash exchange builds
+    ≤|lengths| prefix digests per conv; one digest-hash exchange folds
+    the census."""
+    import hashlib
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "conv_id": b["conv_id"].to_numpy(zero_copy_only=False),
+                "turn_idx": b["turn_idx"].to_numpy().astype(np.int64),
+                "seq": b["seq"].to_numpy(),
+                "tool": b["tool"].to_numpy(zero_copy_only=False),
+                "op": b["op"].to_numpy(zero_copy_only=False),
+            }
+        )
+        idx = df.groupby(["conv_id", "turn_idx"], sort=False)["seq"].idxmax()
+        w = df.loc[idx].reset_index(drop=True)
+        uid = w["conv_id"].str[5:].astype(np.int64).to_numpy()
+        w["bucket"] = (
+            (uid.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(64)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(w, preserve_index=False)
+
+    # pass 1: the distinct set of FULL conversation lengths (≤ turn cap)
+    def len_partial(g: pd.DataFrame) -> pd.DataFrame:
+        idx = g.groupby(["conv_id", "turn_idx"], sort=False)["seq"].idxmax()
+        w = g.loc[idx]
+        live = w[w["op"] != "delete"]
+        return live.groupby("conv_id", as_index=False).size().rename(
+            columns={"size": "n"}
+        )[["n"]].drop_duplicates()
+
+    base = (
+        derived_change_stream(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .materialize()
+    )
+    lengths = sorted(
+        base.groupby("bucket")
+        .map_groups(len_partial, batch_format="pandas")
+        .to_pandas()["n"]
+        .unique()
+        .tolist()
+    )
+
+    def digests(g: pd.DataFrame, lengths=tuple(lengths)) -> pd.DataFrame:
+        idx = g.groupby(["conv_id", "turn_idx"], sort=False)["seq"].idxmax()
+        w = g.loc[idx]
+        live = w[w["op"] != "delete"].sort_values(["conv_id", "turn_idx"])
+        rows = []
+        for cid, cg in live.groupby("conv_id", sort=False):
+            tools = cg["tool"].tolist()
+            n = len(tools)
+            for L in lengths:
+                if L > n:
+                    break
+                d = hashlib.md5("\x1f".join(tools[:L]).encode()).hexdigest()
+                rows.append((d, L, int(L == n), int(n > L)))
+        out = pd.DataFrame(
+            rows, columns=["d", "len", "is_full", "is_longer"]
+        )
+        if len(out):
+            out["dbkt"] = (
+                pd.util.hash_array(out["d"].to_numpy(object)) % 64
+            ).astype(np.int64)
+        else:
+            out["dbkt"] = np.array([], np.int64)
+        return out
+
+    def census(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["d", "len"], as_index=False).agg(
+            f=("is_full", "sum"), p=("is_longer", "sum")
+        )
+        agg["prefix_pairs"] = agg["f"] * agg["p"]
+        agg["exact_dups"] = agg["f"] * (agg["f"] - 1) // 2
+        return agg.groupby("len", as_index=False).agg(
+            prefix_pairs=("prefix_pairs", "sum"), exact_dups=("exact_dups", "sum")
+        )
+
+    parts = (
+        base.groupby("bucket")
+        .map_groups(digests, batch_format="pandas")
+        .groupby("dbkt")
+        .map_groups(census, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        parts.groupby("len", as_index=False)
+        .agg(prefix_pairs=("prefix_pairs", "sum"), exact_dups=("exact_dups", "sum"))
+        .sort_values("len")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def conv_transcript_assembly(sf_dir: str) -> pa.Table:
     """Ordered transcript reassembly (the reference's ordered-reassembly
     sink, `RouteIngestedFile.kt` block-list ordering, as a query): the
