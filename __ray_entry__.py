@@ -357,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_inflight_repair": q.cdc_inflight_repair,
         "lake_lineage_consistency": q.lake_lineage_consistency,
         "conv_prefix_dup_census": q.conv_prefix_dup_census,
+        "lake_branch_isolation": q.lake_branch_isolation,
     }
 
 
@@ -3039,6 +3040,27 @@ SELECT * FROM (
   UNION ALL SELECT 'valid_rows',
     CAST(sum(CASE WHEN event_id % 101 <> 0 THEN 1 ELSE 0 END) AS BIGINT) FROM c
 ) ORDER BY metric
+""",
+        "lake_branch_isolation": _CH + """
+, lim AS (SELECT max(event_id) AS hi FROM events),
+lastm AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY seq DESC) AS rn
+  FROM ch WHERE seq < (SELECT (3 * (hi + 1)) // 4 FROM lim)
+),
+lastb AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY seq DESC) AS rn
+  FROM ch
+)
+SELECT * FROM (
+  SELECT 'branch' AS side, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+  FROM lastb WHERE rn = 1 AND op <> 'delete'
+  UNION ALL
+  SELECT 'main', count(*), count(DISTINCT conv_id)
+  FROM lastm WHERE rn = 1 AND op <> 'delete'
+) ORDER BY side
 """,
         "conv_prefix_dup_census": _CH + """
 , last AS (

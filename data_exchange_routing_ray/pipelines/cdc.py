@@ -79,6 +79,7 @@ class CDCLake:
         merge_policy: str = "rewrite",
         delta_max_files: int = 4,
         delta_ratio: float = 0.2,
+        branch: str = "main",
     ):
         # combine_batch_size: rows per fused validate/partition/combine batch.
         # Larger ⇒ better pre-shuffle dedup and fewer shuffle blocks; 256Ki
@@ -112,9 +113,10 @@ class CDCLake:
         self.pool_size = pool_size
         self._pool = None
         self.lake_dir = lake_dir
+        self.branch = branch
         os.makedirs(lake_dir, exist_ok=True)
-        self.store = ManifestStore(lake_dir)
-        self.lineage = LineageLog(lake_dir)
+        self.store = ManifestStore(lake_dir, branch=branch)
+        self.lineage = LineageLog(lake_dir, branch=branch)
         current = self.store.load_current()
         # resuming a lake keeps its partition count (files are keyed by it)
         self.num_partitions = (
@@ -131,8 +133,32 @@ class CDCLake:
     def applied_offset(self) -> int:
         return self.manifest.applied_offset
 
+    def _file_tag(self) -> str:
+        return "" if self.branch == "main" else f"-{self.branch}"
+
+    def create_branch(self, name: str) -> "CDCLake":
+        """Zero-copy branch (Nessie/LakeFS-style): copy ONLY the current
+        manifest into the branch's manifest log — every data file is
+        shared until a branch epoch rewrites a partition (whose new file
+        carries the branch tag, so branches never clobber each other).
+        Readers of either branch see fully consistent, fully isolated
+        tables."""
+        if name == "main" or not name.isidentifier():
+            raise ValueError(f"invalid branch name {name!r}")
+        br = CDCLake(
+            self.lake_dir,
+            num_partitions=self.num_partitions,
+            merge_policy=self.merge_policy,
+            branch=name,
+        )
+        cur = self.store.load_current()
+        if cur is not None and br.store.load_current() is None:
+            br.store.publish(cur, expect_epoch=None)
+        return br
+
     def _stage_dir(self) -> str:
-        return os.path.join(self.lake_dir, "_tmp")
+        sub = "_tmp" if self.branch == "main" else f"_tmp-{self.branch}"
+        return os.path.join(self.lake_dir, sub)
 
     # -------------------------------------------------- attempt ledger
     # Poison-queue parity (reference host.json:26-27, maxDequeueCount: 6):
@@ -142,7 +168,7 @@ class CDCLake:
     # watermark advances past them (a poison message never blocks the
     # queue). Entries are pruned on successful publish.
     def _attempts_path(self) -> str:
-        return os.path.join(self.lake_dir, "manifests", "attempts.json")
+        return os.path.join(self.store.dir, "attempts.json")
 
     def _load_attempts(self) -> dict:
         import json
@@ -364,7 +390,8 @@ class CDCLake:
                         # delta append: base entry untouched, delta stacked
                         rel = os.path.join(
                             "partitions",
-                            f"delta-part-{pid:05d}-epoch-{epoch:012d}.parquet",
+                            f"delta-part-{pid:05d}-epoch-{epoch:012d}"
+                            f"{self._file_tag()}.parquet",
                         )
                         dst = os.path.join(self.lake_dir, rel)
                         os.makedirs(os.path.dirname(dst), exist_ok=True)
@@ -389,7 +416,8 @@ class CDCLake:
                         continue
                     rel = os.path.join(
                         "partitions",
-                        f"part-{pid:05d}-epoch-{epoch:012d}.parquet",
+                        f"part-{pid:05d}-epoch-{epoch:012d}"
+                        f"{self._file_tag()}.parquet",
                     )
                     dst = os.path.join(self.lake_dir, rel)
                     os.makedirs(os.path.dirname(dst), exist_ok=True)
@@ -814,14 +842,25 @@ class CDCLake:
         return total
 
     def vacuum(self) -> int:
-        """Delete partition files not referenced by the current manifest."""
-        man = self.manifest
-        live = {os.path.abspath(p) for p in self.store.data_files(man)}
-        live |= {
-            os.path.abspath(os.path.join(self.lake_dir, d["file"]))
-            for e in man.partitions.values()
-            for d in e.deltas
-        }
+        """Delete partition files not referenced by ANY branch's current
+        manifest (a zero-copy branch shares main's base files, so vacuum
+        considers every manifests[-<branch>]/ log before declaring a file
+        orphaned)."""
+        live: set[str] = set()
+        for sub in os.listdir(self.lake_dir):
+            if sub != "manifests" and not sub.startswith("manifests-"):
+                continue
+            branch = "main" if sub == "manifests" else sub[len("manifests-"):]
+            st = ManifestStore(self.lake_dir, branch=branch)
+            man = st.load_current()
+            if man is None:
+                continue
+            live |= {os.path.abspath(p) for p in st.data_files(man)}
+            live |= {
+                os.path.abspath(os.path.join(self.lake_dir, d["file"]))
+                for e in man.partitions.values()
+                for d in e.deltas
+            }
         pdir = os.path.join(self.lake_dir, "partitions")
         removed = 0
         if os.path.exists(pdir):

@@ -393,6 +393,51 @@ def lake_dataset_card(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
+def lake_branch_isolation(sf_dir: str) -> pa.Table:
+    """Zero-copy branching (Nessie/LakeFS-style dev/test isolation over
+    one physical lake): main ingests the first 3/4 of the stream, branch
+    'exp' is forked (manifest copy only — no data copied) and ingests the
+    last quarter ALONE. The census proves isolation both ways: main's
+    state equals the 3/4 window, the branch's equals the full window, and
+    the in-query assertion re-reads main AFTER the branch write. Branch
+    partition files carry a branch tag so rewrites never collide;
+    ``vacuum`` honors every branch's references."""
+    hi = int(_events(sf_dir, columns=["event_id"]).max("event_id"))
+    n = hi + 1
+    cut = (3 * n) // 4
+
+    def stream(lo: int, up: int) -> ray.data.Dataset:
+        return _events(
+            sf_dir, columns=["event_id", "user_id", "event_type", "ts"]
+        ).filter(expr=f"event_id >= {lo} and event_id < {up}").map_batches(
+            derive_changes_batch, batch_format="pyarrow"
+        )
+
+    def census(t: pa.Table, side: str) -> dict:
+        convs = len(pd.unique(pd.Series(t["conv_id"].to_numpy(zero_copy_only=False))))
+        return {"side": side, "n_rows": t.num_rows, "n_convs": convs}
+
+    with tempfile.TemporaryDirectory(prefix="cdclake-") as d:
+        lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
+        lake.apply_changes(stream(0, cut), quarantine=False)
+        main_before = lake.final_table()
+        br = lake.create_branch("exp")
+        br.apply_changes(stream(cut, n), quarantine=False)
+        rows = [
+            census(lake.final_table(), "main"),
+            census(br.final_table(), "branch"),
+        ]
+        assert lake.final_table().equals(main_before), (
+            "branch write leaked into main"
+        )
+    out = pd.DataFrame(rows)
+    for c in ("n_rows", "n_convs"):
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(
+        out.sort_values("side").reset_index(drop=True), preserve_index=False
+    )
+
+
 def lake_lineage_consistency(sf_dir: str, epochs: int = 4) -> pa.Table:
     """Lineage↔lake reconciliation audit (the report-stream cross-check an
     operator runs before trusting a lake): after a multi-epoch replay,

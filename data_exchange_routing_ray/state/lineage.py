@@ -20,8 +20,9 @@ from data_exchange_routing_ray.schemas import LINEAGE_SCHEMA
 
 
 class LineageLog:
-    def __init__(self, lake_dir: str):
-        self.dir = os.path.join(lake_dir, "lineage")
+    def __init__(self, lake_dir: str, branch: str = "main"):
+        sub = "lineage" if branch == "main" else f"lineage-{branch}"
+        self.dir = os.path.join(lake_dir, sub)
         os.makedirs(self.dir, exist_ok=True)
 
     def append_epoch(self, epoch: int, rows: pd.DataFrame) -> str:

@@ -82,9 +82,14 @@ class ConcurrentCommitError(RuntimeError):
 class ManifestStore:
     """Filesystem-backed manifest log under ``<lake>/manifests/``."""
 
-    def __init__(self, lake_dir: str):
+    def __init__(self, lake_dir: str, branch: str = "main"):
+        # a BRANCH is a separate manifest log over the SAME data files
+        # (zero-copy clone, Nessie/LakeFS-style): "main" keeps the legacy
+        # layout; any other branch lives under manifests-<branch>/
         self.lake_dir = lake_dir
-        self.dir = os.path.join(lake_dir, "manifests")
+        self.branch = branch
+        sub = "manifests" if branch == "main" else f"manifests-{branch}"
+        self.dir = os.path.join(lake_dir, sub)
         os.makedirs(self.dir, exist_ok=True)
 
     def _current_path(self) -> str:
