@@ -154,7 +154,40 @@ class CDCLake:
         cur = self.store.load_current()
         if cur is not None and br.store.load_current() is None:
             br.store.publish(cur, expect_epoch=None)
+            import json
+
+            with open(os.path.join(br.store.dir, "fork.json"), "w") as f:
+                json.dump({"fork_epoch": cur.epoch, "from": self.branch}, f)
         return br
+
+    def fast_forward(self, branch_lake: "CDCLake") -> int:
+        """FF-ONLY branch merge (git semantics): adopt the branch's current
+        manifest as this branch's new head — allowed only when this branch
+        has NOT advanced past the recorded fork point (a divergent main
+        needs a replay-based rebase, which the caller does by re-applying
+        the branch's change stream; no silent three-way merge). Zero data
+        movement: the manifest adopts the branch's tagged files in place.
+        Returns the new epoch."""
+        import json
+
+        fork_path = os.path.join(branch_lake.store.dir, "fork.json")
+        if not os.path.exists(fork_path):
+            raise ValueError("branch has no recorded fork point")
+        with open(fork_path) as f:
+            fork = json.load(f)
+        if fork.get("from") != self.branch:
+            raise ValueError(
+                f"branch forked from {fork.get('from')!r}, not {self.branch!r}"
+            )
+        cur = self.manifest
+        if cur.epoch != fork["fork_epoch"]:
+            raise ValueError(
+                f"non-fast-forward: {self.branch} advanced to epoch "
+                f"{cur.epoch} past fork epoch {fork['fork_epoch']}"
+            )
+        head = branch_lake.manifest
+        self.store.publish(head, expect_epoch=cur.epoch)
+        return head.epoch
 
     def _stage_dir(self) -> str:
         sub = "_tmp" if self.branch == "main" else f"_tmp-{self.branch}"

@@ -85,3 +85,32 @@ def test_branch_isolation_and_vacuum(ray_session, tmp_path):
     # branch files carry the tag; main files never do
     names = os.listdir(str(tmp_path / "lake" / "partitions"))
     assert any(n.endswith("-exp.parquet") for n in names)
+
+
+def test_fast_forward_merge(ray_session, tmp_path):
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=2)
+    lake.apply_changes(_changes([("conv-a", 0, "base")]), quarantine=False)
+    br = lake.create_branch("ff")
+    br.apply_changes(_changes([("conv-b", 0, "from-branch")], seq0=50), quarantine=False)
+    new_epoch = lake.fast_forward(br)
+    assert new_epoch == br.manifest.epoch
+    got = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in lake.final_table().to_pandas().itertuples(index=False)
+    }
+    assert got == {("conv-a", 0): "base", ("conv-b", 0): "from-branch"}
+    # main can keep ingesting after the FF (epoch counter adopted)
+    lake.apply_changes(_changes([("conv-c", 0, "post-ff")], seq0=90), quarantine=False)
+    assert lake.final_table().num_rows == 3
+
+
+def test_fast_forward_refuses_divergence(ray_session, tmp_path):
+    import pytest as _pytest
+
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=2)
+    lake.apply_changes(_changes([("conv-a", 0, "base")]), quarantine=False)
+    br = lake.create_branch("dv")
+    br.apply_changes(_changes([("conv-b", 0, "b")], seq0=50), quarantine=False)
+    lake.apply_changes(_changes([("conv-c", 0, "m")], seq0=70), quarantine=False)
+    with _pytest.raises(ValueError, match="non-fast-forward"):
+        lake.fast_forward(br)
