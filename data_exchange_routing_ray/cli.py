@@ -193,6 +193,46 @@ def cmd_merge(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_branch(args: argparse.Namespace) -> int:
+    """Zero-copy branch management: create / list / ff (fast-forward)."""
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    if not os.path.isdir(args.lake):
+        print(f"error: no lake at {args.lake}", file=sys.stderr)
+        return 2
+    lake = CDCLake(args.lake)
+    if args.action == "create":
+        br = lake.create_branch(args.name)
+        print(json.dumps({"branch": args.name, "epoch": br.manifest.epoch}))
+        return 0
+    if args.action == "list":
+        names = ["main"] + sorted(
+            d[len("manifests-"):]
+            for d in os.listdir(args.lake)
+            if d.startswith("manifests-")
+        )
+        rows = []
+        for nm in names:
+            b = CDCLake(args.lake, branch=nm)
+            m = b.manifest
+            rows.append(
+                {"branch": nm, "epoch": m.epoch, "applied_offset": m.applied_offset}
+            )
+        print(json.dumps(rows))
+        return 0
+    if args.action == "ff":
+        br = CDCLake(args.lake, branch=args.name)
+        try:
+            epoch = lake.fast_forward(br)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 3
+        print(json.dumps({"merged": args.name, "epoch": epoch}))
+        return 0
+    print(f"error: unknown action {args.action}", file=sys.stderr)
+    return 2
+
+
 def cmd_repartition(args: argparse.Namespace) -> int:
     if not os.path.isdir(args.lake):
         print(f"error: no lake at {args.lake}", file=sys.stderr)
@@ -303,6 +343,12 @@ def main(argv: list[str] | None = None) -> int:
     mg.add_argument("--delete-col", default="del_flag")
     mg.add_argument("--num-cpus", type=int, default=None)
     mg.set_defaults(fn=cmd_merge)
+
+    bp = sub.add_parser("branch", help="zero-copy branch create/list/ff")
+    bp.add_argument("action", choices=["create", "list", "ff"])
+    bp.add_argument("--lake", required=True)
+    bp.add_argument("--name", default=None)
+    bp.set_defaults(fn=cmd_branch)
 
     cp = sub.add_parser("compact", help="fold open delta files into fresh bases")
     cp.add_argument("--lake", required=True)

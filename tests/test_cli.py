@@ -165,3 +165,22 @@ def test_cli_merge(ray_session, tmp_path):
     assert got[key] == "cli-merged"
     assert got[("conv-new", 0)] == "cli-insert"
     assert len(after) == len(before) + 1
+
+
+def test_cli_branch_lifecycle(ray_session, tmp_path):
+    from data_exchange_routing_ray.synth import make_change_stream, write_change_stream
+
+    ch = make_change_stream(num_convs=10, max_turns=3, seed=5)
+    write_change_stream(ch, str(tmp_path / "stream"), num_files=1)
+    lake = str(tmp_path / "lake")
+    _run(
+        "replay", "--lake", lake, "--stream", str(tmp_path / "stream"),
+        "--files-per-epoch", "1", "--num-partitions", "4", "--num-cpus", "2",
+    )
+    out = _run("branch", "create", "--lake", lake, "--name", "exp")
+    assert json.loads(out.stdout.strip().splitlines()[-1])["branch"] == "exp"
+    lst = json.loads(_run("branch", "list", "--lake", lake).stdout.strip().splitlines()[-1])
+    assert {r["branch"] for r in lst} == {"main", "exp"}
+    assert len({r["epoch"] for r in lst}) == 1  # same head at fork
+    ff = _run("branch", "ff", "--lake", lake, "--name", "exp")
+    assert json.loads(ff.stdout.strip().splitlines()[-1])["merged"] == "exp"
