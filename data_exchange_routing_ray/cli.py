@@ -220,6 +220,13 @@ def cmd_branch(args: argparse.Namespace) -> int:
             )
         print(json.dumps(rows))
         return 0
+    if args.action == "rebase":
+        _ensure_ray(None)
+        br = CDCLake(args.lake, branch=args.name)
+        res = lake.rebase_from(br)
+        print(json.dumps({"rebased": args.name, "epoch": res.epoch,
+                          "changes_applied": res.changes_applied}))
+        return 0
     if args.action == "ff":
         br = CDCLake(args.lake, branch=args.name)
         try:
@@ -345,7 +352,7 @@ def main(argv: list[str] | None = None) -> int:
     mg.set_defaults(fn=cmd_merge)
 
     bp = sub.add_parser("branch", help="zero-copy branch create/list/ff")
-    bp.add_argument("action", choices=["create", "list", "ff"])
+    bp.add_argument("action", choices=["create", "list", "ff", "rebase"])
     bp.add_argument("--lake", required=True)
     bp.add_argument("--name", default=None)
     bp.set_defaults(fn=cmd_branch)

@@ -189,6 +189,118 @@ class CDCLake:
         self.store.publish(head, expect_epoch=cur.epoch)
         return head.epoch
 
+    def rebase_from(self, branch_lake: "CDCLake") -> EpochResult:
+        """Replay-based rebase for a DIVERGENT branch (the non-FF path):
+        the branch's net change since its fork point — upserts for keys it
+        added or rewrote, deletes for keys it removed — is computed as a
+        DISTRIBUTED per-partition diff (branch head vs archived fork
+        manifest; both sides share the partition function, so each diff
+        task reads exactly two co-partitioned files) and re-applied to
+        THIS branch as one normal epoch: fencing, validation, lineage and
+        the two-phase commit all apply, and main-side edits since the fork
+        survive unless the branch touched the same key (branch wins, LWW
+        by fresh seqs — the deterministic rebase rule, documented rather
+        than silently merged)."""
+        import json as _json
+
+        fork_path = os.path.join(branch_lake.store.dir, "fork.json")
+        if not os.path.exists(fork_path):
+            raise ValueError("branch has no recorded fork point")
+        with open(fork_path) as f:
+            fork = _json.load(f)
+        if fork.get("from") != self.branch:
+            raise ValueError(
+                f"branch forked from {fork.get('from')!r}, not {self.branch!r}"
+            )
+        fork_man = branch_lake.store.load_epoch(fork["fork_epoch"])
+        if fork_man is None:
+            raise ValueError("fork manifest not archived")
+        head_man = branch_lake.manifest
+        lake_dir = self.lake_dir
+        seq_base = self.manifest.applied_offset + 1
+        key_cols = ["conv_id", "turn_idx"]
+
+        pids = sorted(set(head_man.partitions) | set(fork_man.partitions))
+        head_files = {p: e.file for p, e in head_man.partitions.items()}
+        fork_files = {p: e.file for p, e in fork_man.partitions.items()}
+
+        def diff_pid(batch: pa.Table) -> pa.Table:
+            outs = []
+            for pid in batch["pid"].to_pylist():
+                hf, ff = head_files.get(pid), fork_files.get(pid)
+                head = (
+                    pq.read_table(os.path.join(lake_dir, hf)).to_pandas()
+                    if hf
+                    else None
+                )
+                forkt = (
+                    pq.read_table(os.path.join(lake_dir, ff)).to_pandas()
+                    if ff
+                    else None
+                )
+                if head is None and forkt is None:
+                    continue
+                if head is None:
+                    head = forkt.iloc[0:0]
+                if forkt is None:
+                    forkt = head.iloc[0:0]
+                m = head.merge(
+                    forkt, on=key_cols, how="outer", suffixes=("", "_f"),
+                    indicator=True,
+                )
+                changed = m["_merge"].eq("both") & (
+                    m["text"].fillna("\x00") != m["text_f"].fillna("\x00")
+                )
+                ups = m[m["_merge"].eq("left_only") | changed]
+                dels = m[m["_merge"].eq("right_only")]
+                rows = pd.DataFrame(
+                    {
+                        "op": ["update"] * len(ups) + ["delete"] * len(dels),
+                        "conv_id": pd.concat(
+                            [ups["conv_id"], dels["conv_id"]], ignore_index=True
+                        ),
+                        "turn_idx": pd.concat(
+                            [ups["turn_idx"], dels["turn_idx"]], ignore_index=True
+                        ).astype("int32"),
+                        "role": list(ups["role"]) + [None] * len(dels),
+                        "text": list(ups["text"]) + [None] * len(dels),
+                        "tool": list(ups["tool"]) + [None] * len(dels),
+                        "ts": pd.concat(
+                            [ups["ts"], dels["ts_f"]], ignore_index=True
+                        ),
+                    }
+                )
+                outs.append(rows)
+            if not outs:
+                return pa.Table.from_pandas(
+                    pd.DataFrame(
+                        columns=["op", "conv_id", "turn_idx", "role", "text", "tool", "ts"]
+                    ),
+                    preserve_index=False,
+                )
+            return pa.Table.from_pandas(
+                pd.concat(outs, ignore_index=True), preserve_index=False
+            )
+
+        def add_seq(b: pa.Table) -> pa.Table:
+            # fresh seqs above this branch's watermark; uniqueness per key
+            # is guaranteed (one diff row per key), ordering irrelevant
+            import numpy as _np
+
+            h = pd.util.hash_pandas_object(
+                b.select(["conv_id", "turn_idx"]).to_pandas(), index=False
+            ).to_numpy() % (1 << 40)
+            return b.append_column(
+                "seq", pa.array((seq_base + h).astype(_np.int64))
+            )
+
+        ops = (
+            ray.data.from_items([{"pid": p} for p in pids])
+            .map_batches(diff_pid, batch_format="pyarrow", batch_size=1)
+            .map_batches(add_seq, batch_format="pyarrow")
+        )
+        return self.apply_changes(ops, quarantine=False)
+
     def _stage_dir(self) -> str:
         sub = "_tmp" if self.branch == "main" else f"_tmp-{self.branch}"
         return os.path.join(self.lake_dir, sub)

@@ -114,3 +114,41 @@ def test_fast_forward_refuses_divergence(ray_session, tmp_path):
     lake.apply_changes(_changes([("conv-c", 0, "m")], seq0=70), quarantine=False)
     with _pytest.raises(ValueError, match="non-fast-forward"):
         lake.fast_forward(br)
+
+
+def test_rebase_divergent_branch(ray_session, tmp_path):
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=2)
+    lake.apply_changes(
+        _changes([("conv-a", 0, "base-a"), ("conv-b", 0, "base-b"),
+                  ("conv-e", 0, "base-e")]),
+        quarantine=False,
+    )
+    br = lake.create_branch("rb")
+    # branch: edit a, add c, delete e
+    br.apply_changes(_changes([("conv-a", 0, "branch-a"), ("conv-c", 0, "branch-c")], seq0=50), quarantine=False)
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    dele = pd.DataFrame(
+        [{"seq": 60, "op": "delete", "conv_id": "conv-e", "turn_idx": 0,
+          "role": None, "text": None, "tool": None,
+          "ts": pd.Timestamp("2024-01-02")}]
+    )
+    dele["turn_idx"] = dele["turn_idx"].astype("int32")
+    br.apply_changes(rd.from_arrow(pa.Table.from_pandas(dele, preserve_index=False)), quarantine=False)
+    # main diverges meanwhile: adds d, edits b
+    lake.apply_changes(_changes([("conv-d", 0, "main-d"), ("conv-b", 0, "main-b2")], seq0=80), quarantine=False)
+
+    res = lake.rebase_from(br)
+    assert res.changes_applied == 3  # a-edit, c-add, e-delete
+    got = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in lake.final_table().to_pandas().itertuples(index=False)
+    }
+    assert got == {
+        ("conv-a", 0): "branch-a",   # branch edit wins
+        ("conv-b", 0): "main-b2",    # untouched by branch: main edit survives
+        ("conv-c", 0): "branch-c",   # branch addition lands
+        ("conv-d", 0): "main-d",     # main addition survives
+    }                                 # conv-e deleted by the branch
