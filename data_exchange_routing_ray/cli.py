@@ -193,6 +193,22 @@ def cmd_merge(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_rollback(args: argparse.Namespace) -> int:
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    if not os.path.isdir(args.lake):
+        print(f"error: no lake at {args.lake}", file=sys.stderr)
+        return 2
+    lake = CDCLake(args.lake)
+    try:
+        head = lake.rollback_to(args.epoch)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 3
+    print(json.dumps({"restored_epoch": args.epoch, "new_head": head}))
+    return 0
+
+
 def cmd_branch(args: argparse.Namespace) -> int:
     """Zero-copy branch management: create / list / ff (fast-forward)."""
     from data_exchange_routing_ray.pipelines.cdc import CDCLake
@@ -350,6 +366,11 @@ def main(argv: list[str] | None = None) -> int:
     mg.add_argument("--delete-col", default="del_flag")
     mg.add_argument("--num-cpus", type=int, default=None)
     mg.set_defaults(fn=cmd_merge)
+
+    rb = sub.add_parser("rollback", help="restore the table to an archived epoch")
+    rb.add_argument("--lake", required=True)
+    rb.add_argument("--epoch", type=int, required=True)
+    rb.set_defaults(fn=cmd_rollback)
 
     bp = sub.add_parser("branch", help="zero-copy branch create/list/ff")
     bp.add_argument("action", choices=["create", "list", "ff", "rebase"])

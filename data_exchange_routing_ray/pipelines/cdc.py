@@ -189,6 +189,30 @@ class CDCLake:
         self.store.publish(head, expect_epoch=cur.epoch)
         return head.epoch
 
+    def rollback_to(self, epoch: int) -> int:
+        """Savepoint restore (disaster recovery): publish a NEW commit
+        whose partition set and watermark are those of the archived
+        ``epoch`` — the head moves forward (epoch monotone, OCC-fenced)
+        while the table state moves back; the rolled-back epochs' files
+        become vacuumable orphans and the lowered watermark means a
+        subsequent replay of the undone seq range re-applies cleanly
+        (that's the point of a rollback). Returns the new head epoch."""
+        target = self.store.load_epoch(epoch)
+        if target is None:
+            raise ValueError(f"no archived manifest for epoch {epoch}")
+        cur = self.manifest
+        restored = Manifest(
+            epoch=cur.epoch + 1,
+            applied_offset=target.applied_offset,
+            num_partitions=target.num_partitions,
+            schema_names=target.schema_names,
+            partitions=dict(target.partitions),
+        )
+        self.store.publish(restored, expect_epoch=cur.epoch)
+        if self.merge_mode == "actors" and self._pool is not None:
+            self._pool.reset()  # memtables are ahead of the restored state
+        return restored.epoch
+
     def rebase_from(self, branch_lake: "CDCLake") -> EpochResult:
         """Replay-based rebase for a DIVERGENT branch (the non-FF path):
         the branch's net change since its fork point — upserts for keys it

@@ -152,3 +152,22 @@ def test_rebase_divergent_branch(ray_session, tmp_path):
         ("conv-c", 0): "branch-c",   # branch addition lands
         ("conv-d", 0): "main-d",     # main addition survives
     }                                 # conv-e deleted by the branch
+
+
+def test_rollback_to_savepoint_then_replay_converges(ray_session, tmp_path):
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=2)
+    lake.apply_changes(_changes([("conv-a", 0, "v1")]), quarantine=False)      # epoch 0
+    e1_state_rows = lake.final_table().num_rows
+    lake.apply_changes(_changes([("conv-a", 0, "v2"), ("conv-b", 0, "b")], seq0=10), quarantine=False)  # epoch 1
+    after = lake.final_table()
+    new_head = lake.rollback_to(0)
+    assert new_head == 2
+    restored = lake.final_table()
+    assert restored.num_rows == e1_state_rows
+    assert {r.text for r in restored.to_pandas().itertuples(index=False)} == {"v1"}
+    # replaying the undone epoch converges to the pre-rollback state
+    lake.apply_changes(_changes([("conv-a", 0, "v2"), ("conv-b", 0, "b")], seq0=10), quarantine=False)
+    assert lake.final_table().equals(after)
+    # rolled-back files become vacuumable orphans, current state survives
+    lake.vacuum()
+    assert lake.final_table().equals(after)
