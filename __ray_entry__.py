@@ -358,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_lineage_consistency": q.lake_lineage_consistency,
         "conv_prefix_dup_census": q.conv_prefix_dup_census,
         "lake_branch_isolation": q.lake_branch_isolation,
+        "lake_rollback_replay": q.lake_rollback_replay,
     }
 
 
@@ -365,6 +366,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_final_state": _FINAL_STATE_SQL,
         "cdc_final_state_multi_epoch": _FINAL_STATE_SQL,
+        "lake_rollback_replay": _FINAL_STATE_SQL,
         "cdc_quarantine_counts": _CORRUPT_CH
         + """
 SELECT error, count(*) AS n FROM (

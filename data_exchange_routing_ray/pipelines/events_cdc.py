@@ -438,6 +438,36 @@ def lake_branch_isolation(sf_dir: str) -> pa.Table:
     )
 
 
+def lake_rollback_replay(sf_dir: str) -> pa.Table:
+    """Savepoint rollback + replay convergence through the driver gate:
+    ingest 4 epochs, ROLL BACK to the epoch-1 savepoint (head moves
+    forward, state moves back, watermark lowers), then replay the undone
+    seq range — the final state must equal the never-rolled-back full
+    window (the SQL oracle). Exercises rollback_to's watermark semantics
+    end-to-end: if the restored watermark were wrong, fencing would drop
+    the replayed changes and the hash would mismatch."""
+    hi = int(_events(sf_dir, columns=["event_id"]).max("event_id"))
+    n = hi + 1
+    bounds = [(i * n) // 4 for i in range(5)]
+
+    def stream(lo: int, up: int) -> ray.data.Dataset:
+        return _events(
+            sf_dir, columns=["event_id", "user_id", "event_type", "ts"]
+        ).filter(expr=f"event_id >= {lo} and event_id < {up}").map_batches(
+            derive_changes_batch, batch_format="pyarrow"
+        )
+
+    with tempfile.TemporaryDirectory(prefix="cdclake-") as d:
+        lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
+        for i in range(4):
+            lake.apply_changes(stream(bounds[i], bounds[i + 1]), quarantine=False)
+        lake.rollback_to(1)  # savepoint: state after the second epoch
+        assert lake.applied_offset < bounds[4] - 1  # watermark regressed
+        # replay the undone range (epochs 3-4's seqs pass the lowered fence)
+        lake.apply_changes(stream(bounds[2], bounds[4]), quarantine=False)
+        return lake.final_table()
+
+
 def lake_lineage_consistency(sf_dir: str, epochs: int = 4) -> pa.Table:
     """Lineage↔lake reconciliation audit (the report-stream cross-check an
     operator runs before trusting a lake): after a multi-epoch replay,
