@@ -107,6 +107,7 @@ HEADLINE = [
     "bpe_train_merges",
     "conv_context_windows",
     "pit_feature_join",
+    "lake_branch_isolation",
 ]
 
 
