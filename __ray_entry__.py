@@ -359,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_prefix_dup_census": q.conv_prefix_dup_census,
         "lake_branch_isolation": q.lake_branch_isolation,
         "lake_rollback_replay": q.lake_rollback_replay,
+        "udf_failures_quarantined": q.udf_failures_quarantined,
     }
 
 
@@ -3063,6 +3064,16 @@ SELECT * FROM (
   SELECT 'main', count(*), count(DISTINCT conv_id)
   FROM lastm WHERE rn = 1 AND op <> 'delete'
 ) ORDER BY side
+""",
+        "udf_failures_quarantined": r"""
+SELECT CAST(sum(CASE WHEN event_id % 37 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ok,
+       CAST(sum(CASE WHEN event_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_failed,
+       CAST(sum(CASE WHEN event_id % 37 <> 0
+                     THEN CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS sum_k_ok
+FROM events
 """,
         "conv_prefix_dup_census": _CH + """
 , last AS (

@@ -438,6 +438,67 @@ def lake_branch_isolation(sf_dir: str) -> pa.Table:
     )
 
 
+def udf_failures_quarantined(sf_dir: str) -> pa.Table:
+    """Failure-isolating UDF stage end-to-end: a per-row transform (parse
+    ``props`` JSON → k) with planted poison rows (``event_id % 37 == 0``
+    raises). ``guarded_udf_batch`` keeps the vectorized kernel on clean
+    batches and degrades ONLY poison batches to the per-row isolating
+    loop; the census (rows ok / rows failed / Σk over ok) hash-matches the
+    oracle's arithmetic — so a UDF failure that leaked into the valid set
+    (or a dropped row) breaks the gate."""
+    import json as _json
+
+    from data_exchange_routing_ray.stages.udf_guard import guarded_udf_batch
+
+    def vector_fn(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy()
+        if (eid % 37 == 0).any():
+            raise ValueError("poison rows in batch")  # forces row isolation
+        k = pc.cast(
+            pc.extract_regex(b["props"], r'"k": (?P<k>\d+)')
+            .field("k"),
+            pa.int64(),
+        )
+        return pa.table({"event_id": b["event_id"], "k": k})
+
+    def row_fn(row: dict) -> dict:
+        if row["event_id"] % 37 == 0:
+            raise ValueError("poison event")
+        return {"event_id": row["event_id"], "k": _json.loads(row["props"])["k"]}
+
+    row_fn.output_keys = ["event_id", "k"]
+
+    def stage(b: pa.Table) -> pa.Table:
+        out = guarded_udf_batch(b, vector_fn, row_fn)
+        ok = pc.is_null(out["error"])
+        n_ok = int(pc.sum(pc.cast(ok, pa.int64())).as_py() or 0)
+        ksum = int(
+            pc.sum(pc.if_else(ok, out["k"], pa.scalar(0, pa.int64()))).as_py()
+            or 0
+        )
+        return pa.table(
+            {
+                "n_ok": pa.array([n_ok], pa.int64()),
+                "n_failed": pa.array([out.num_rows - n_ok], pa.int64()),
+                "sum_k_ok": pa.array([ksum], pa.int64()),
+            }
+        )
+
+    parts = (
+        _events(sf_dir, columns=["event_id", "props"])
+        .map_batches(stage, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "n_ok": [np.int64(parts["n_ok"].sum())],
+            "n_failed": [np.int64(parts["n_failed"].sum())],
+            "sum_k_ok": [np.int64(parts["sum_k_ok"].sum())],
+        }
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def lake_rollback_replay(sf_dir: str) -> pa.Table:
     """Savepoint rollback + replay convergence through the driver gate:
     ingest 4 epochs, ROLL BACK to the epoch-1 savepoint (head moves
