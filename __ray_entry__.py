@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_branch_isolation": q.lake_branch_isolation,
         "lake_rollback_replay": q.lake_rollback_replay,
         "udf_failures_quarantined": q.udf_failures_quarantined,
+        "emb_kcenter_coreset": q.emb_kcenter_coreset,
     }
 
 
@@ -3109,6 +3110,7 @@ SELECT CAST(len AS BIGINT) AS len,
 FROM cnt GROUP BY len ORDER BY len
 """,
         # no oracle (approximate / stateful / binary-payload ops):
+        # emb_kcenter_coreset (iterative greedy; serial-reference pytest),
         # lake_lineage_consistency (engine-internal reconciliation; in-query
         # zero-mismatch assertions),
         # lake_codec_tradeoff (byte totals are layout-dependent; in-query

@@ -438,6 +438,73 @@ def lake_branch_isolation(sf_dir: str) -> pa.Table:
     )
 
 
+def emb_kcenter_coreset(sf_dir: str, k: int = 8) -> pa.Table:
+    """Greedy k-center coreset selection over the embedding table (the
+    diversity-sampling step of training-data curation: pick K points
+    maximizing pairwise spread; the farthest-point heuristic is the
+    classic 2-approximation). Each of the K rounds is ONE distributed
+    scan: centers broadcast via ``ray.put`` (K × dim — tiny), per block a
+    vectorized min-distance-to-centers + local argmax, then a
+    |blocks|-row driver fold picks the global farthest point
+    (deterministic: max distance, ties by vec_id). Returns the selection
+    order with each point's distance-to-previous-centers (the coverage
+    radius decreases monotonically — asserted in-query). Rows-only gate;
+    serial equivalence in ``test_kcenter_matches_serial_greedy``."""
+    import ray as _ray
+
+    ds = _embeddings(sf_dir)
+    seed = ds.filter(expr="vec_id == 0").take(1)[0]
+    centers = [np.asarray(seed["embedding"], np.float64)]
+    chosen = [0]
+    radii = [0.0]
+
+    for _ in range(k - 1):
+        cref = _ray.put(np.stack(centers))
+
+        def far_partial(b: pa.Table) -> pa.Table:
+            C = _ray.get(cref)
+            M = np.stack(b["embedding"].to_pandas().to_numpy()).astype(
+                np.float64
+            )
+            # unit vectors: squared L2 = 2 - 2·cos; min over centers
+            d = (2.0 - 2.0 * (M @ C.T)).min(axis=1)
+            ids = b["vec_id"].to_numpy()
+            # local winner: max distance, tie → smallest vec_id
+            order = np.lexsort((ids, -d))
+            w = order[0]
+            return pa.table(
+                {
+                    "vec_id": pa.array([int(ids[w])], pa.int64()),
+                    "dist2": pa.array([float(d[w])], pa.float64()),
+                }
+            )
+
+        cand = ds.map_batches(far_partial, batch_format="pyarrow").to_pandas()
+        cand = cand.sort_values(
+            ["dist2", "vec_id"], ascending=[False, True], kind="stable"
+        )
+        win = cand.iloc[0]
+        chosen.append(int(win["vec_id"]))
+        radii.append(float(win["dist2"]))
+        vec = (
+            ds.filter(expr=f"vec_id == {int(win['vec_id'])}").take(1)[0][
+                "embedding"
+            ]
+        )
+        centers.append(np.asarray(vec, np.float64))
+
+    # farthest-point property: each new point is at most as far as the last
+    assert all(radii[i] >= radii[i + 1] - 1e-9 for i in range(1, len(radii) - 1))
+    out = pd.DataFrame(
+        {
+            "pick_order": np.arange(k, dtype=np.int64),
+            "vec_id": np.array(chosen, np.int64),
+            "dist2_to_centers": np.round(np.array(radii), 6),
+        }
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def udf_failures_quarantined(sf_dir: str) -> pa.Table:
     """Failure-isolating UDF stage end-to-end: a per-row transform (parse
     ``props`` JSON → k) with planted poison rows (``event_id % 37 == 0``

@@ -205,3 +205,20 @@ def test_dp_noisy_counts_deterministic_and_bounded(ray_session):
     assert a.equals(b)  # seeded: replay-identical
     dev = (a["noisy_n"] - a["n"]).abs()
     assert (dev > 0).all() and (dev < 50).all()  # b=2 Laplace tail sanity
+
+
+def test_kcenter_matches_serial_greedy(ray_session):
+    got = q.emb_kcenter_coreset(SF, k=6).to_pandas()
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    centers = [M[ids == 0][0]]
+    chosen = [0]
+    for _ in range(5):
+        d = np.min(2.0 - 2.0 * (M @ np.stack(centers).T), axis=1)
+        order = np.lexsort((ids, -d))
+        w = order[0]
+        chosen.append(int(ids[w]))
+        centers.append(M[w])
+    assert list(got["vec_id"]) == chosen
