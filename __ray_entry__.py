@@ -361,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_rollback_replay": q.lake_rollback_replay,
         "udf_failures_quarantined": q.udf_failures_quarantined,
         "emb_kcenter_coreset": q.emb_kcenter_coreset,
+        "incremental_agg_recompute": q.incremental_agg_recompute,
     }
 
 
@@ -3065,6 +3066,16 @@ SELECT * FROM (
   SELECT 'main', count(*), count(DISTINCT conv_id)
   FROM lastm WHERE rn = 1 AND op <> 'delete'
 ) ORDER BY side
+""",
+        "incremental_agg_recompute": _CH + """
+, last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY seq DESC) AS rn
+  FROM ch
+)
+SELECT role, CAST(count(*) AS BIGINT) AS n
+FROM last WHERE rn = 1 AND op <> 'delete'
+GROUP BY role ORDER BY role
 """,
         "udf_failures_quarantined": r"""
 SELECT CAST(sum(CASE WHEN event_id % 37 <> 0 THEN 1 ELSE 0 END) AS BIGINT)

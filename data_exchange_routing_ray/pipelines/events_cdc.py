@@ -438,6 +438,84 @@ def lake_branch_isolation(sf_dir: str) -> pa.Table:
     )
 
 
+def incremental_agg_recompute(sf_dir: str) -> pa.Table:
+    """Changed-partitions-only aggregate refresh (the incremental-compute
+    economics that matter at 100 TB: an epoch touching 3 of 10,000
+    partitions should cost 3 partition reads, not a table scan). Epoch A
+    ingests 3/4 of the stream and caches per-partition role counts;
+    epoch B ingests the rest; the refresh recomputes ONLY
+    ``changed_partitions(epoch_A)`` and splices them over the cache. The
+    in-query assertion proves splice == full recompute (and that at least
+    one partition was skippable at these scales would be data-dependent,
+    so it is NOT asserted); the driver gate hash-checks the final counts
+    against the plain window oracle."""
+    hi = int(_events(sf_dir, columns=["event_id"]).max("event_id"))
+    n = hi + 1
+    cut = (3 * n) // 4
+
+    def stream(lo: int, up: int) -> ray.data.Dataset:
+        return _events(
+            sf_dir, columns=["event_id", "user_id", "event_type", "ts"]
+        ).filter(expr=f"event_id >= {lo} and event_id < {up}").map_batches(
+            derive_changes_batch, batch_format="pyarrow"
+        )
+
+    def role_counts_for(lake: CDCLake, pids: list[int] | None) -> pd.DataFrame:
+        man = lake.manifest
+        files = [
+            os.path.join(lake.lake_dir, e.file)
+            for pid, e in sorted(man.partitions.items())
+            if pids is None or pid in pids
+        ]
+        if not files:
+            return pd.DataFrame({"pid": [], "role": [], "n": []})
+        ds = ray.data.read_parquet(files, columns=["conv_id", "role"])
+
+        def partial(b: pa.Table) -> pa.Table:
+            from data_exchange_routing_ray.hashing import partition_ids
+
+            df = pd.DataFrame(
+                {
+                    "pid": partition_ids(
+                        b["conv_id"].to_numpy(zero_copy_only=False), 16
+                    ),
+                    "role": b["role"].to_numpy(zero_copy_only=False),
+                }
+            )
+            return pa.Table.from_pandas(
+                df.groupby(["pid", "role"], as_index=False).size().rename(
+                    columns={"size": "n"}
+                ),
+                preserve_index=False,
+            )
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .to_pandas()  # ≤ P×|roles| partial rows
+            .groupby(["pid", "role"], as_index=False)
+            .agg(n=("n", "sum"))
+        )
+
+    with tempfile.TemporaryDirectory(prefix="cdclake-") as d:
+        lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
+        res_a = lake.apply_changes(stream(0, cut), quarantine=False)
+        cache = role_counts_for(lake, None)  # cached per-partition counts
+        lake.apply_changes(stream(cut, n), quarantine=False)
+        changed = lake.changed_partitions(res_a.epoch)
+        fresh = role_counts_for(lake, changed)
+        spliced = pd.concat(
+            [cache[~cache["pid"].isin(changed)], fresh], ignore_index=True
+        )
+        full = role_counts_for(lake, None)
+        a = spliced.groupby("role")["n"].sum().sort_index()
+        b = full.groupby("role")["n"].sum().sort_index()
+        assert a.equals(b), "incremental splice diverged from full recompute"
+    out = pd.DataFrame({"role": a.index, "n": a.to_numpy(np.int64)})
+    return pa.Table.from_pandas(
+        out.sort_values("role").reset_index(drop=True), preserve_index=False
+    )
+
+
 def emb_kcenter_coreset(sf_dir: str, k: int = 8) -> pa.Table:
     """Greedy k-center coreset selection over the embedding table (the
     diversity-sampling step of training-data curation: pick K points
