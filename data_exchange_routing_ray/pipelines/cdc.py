@@ -137,8 +137,10 @@ class CDCLake:
         return "" if self.branch == "main" else f"-{self.branch}"
 
     def create_branch(self, name: str) -> "CDCLake":
-        """Zero-copy branch (Nessie/LakeFS-style): copy ONLY the current
-        manifest into the branch's manifest log — every data file is
+        """Zero-copy branch (Nessie/LakeFS-style; the reference's TST/PRD
+        environment split — CHANGELOG.md:56-57's load-test on TST against
+        production data paths — done properly inside ONE lake): copy ONLY
+        the current manifest into the branch's manifest log — every data file is
         shared until a branch epoch rewrites a partition (whose new file
         carries the branch tag, so branches never clobber each other).
         Readers of either branch see fully consistent, fully isolated
@@ -190,7 +192,9 @@ class CDCLake:
         return head.epoch
 
     def rollback_to(self, epoch: int) -> int:
-        """Savepoint restore (disaster recovery): publish a NEW commit
+        """Savepoint restore (disaster recovery; the reference's replay
+        posture — queue visibility timeout + redelivery, host.json:26 —
+        generalized to whole-epoch undo): publish a NEW commit
         whose partition set and watermark are those of the archived
         ``epoch`` — the head moves forward (epoch monotone, OCC-fenced)
         while the table state moves back; the rolled-back epochs' files
@@ -687,7 +691,10 @@ class CDCLake:
     ) -> EpochResult:
         """SQL MERGE-statement semantics compiled onto the change-event
         engine (the lakehouse ``MERGE INTO`` a reference user would run
-        against the routed store):
+        against the routed store; the reference's closest analog is the
+        idempotent overwrite-or-create upload path,
+        ``fns-routing/.../RouteIngestedFile.kt:251`` + the tuple-keyed
+        config match ``Common.kt:20-41`` deciding the destination):
 
             WHEN MATCHED AND <delete_col>      THEN DELETE
             WHEN MATCHED                       THEN UPDATE (full row, LWW)
