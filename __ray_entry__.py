@@ -362,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "udf_failures_quarantined": q.udf_failures_quarantined,
         "emb_kcenter_coreset": q.emb_kcenter_coreset,
         "incremental_agg_recompute": q.incremental_agg_recompute,
+        "windowed_emit_on_watermark": q.windowed_emit_on_watermark,
     }
 
 
@@ -3076,6 +3077,42 @@ SELECT * FROM (
 SELECT role, CAST(count(*) AS BIGINT) AS n
 FROM last WHERE rn = 1 AND op <> 'delete'
 GROUP BY role ORDER BY role
+""",
+        "windowed_emit_on_watermark": """
+WITH lim AS (SELECT max(event_id) + 1 AS n FROM events),
+e AS (SELECT event_id, epoch_us(ts) AS tsu,
+             epoch_us(ts) // 86400000000 AS day
+      FROM events),
+wm AS (
+  SELECT i,
+         (SELECT max(tsu) FROM e
+          WHERE event_id < ((i + 1) * (SELECT n FROM lim)) // 4)
+           - 86400000000 AS wmus
+  FROM (SELECT unnest(range(0, 4)) AS i)
+),
+em AS (
+  SELECT d.day, coalesce(min(wm.i), 4) AS emit_epoch
+  FROM (SELECT DISTINCT day FROM e) d
+  LEFT JOIN wm ON (d.day + 1) * 86400000000 <= wm.wmus
+  GROUP BY d.day
+),
+arr AS (
+  SELECT e.day,
+         CASE WHEN event_id < (1 * (SELECT n FROM lim)) // 4 THEN 0
+              WHEN event_id < (2 * (SELECT n FROM lim)) // 4 THEN 1
+              WHEN event_id < (3 * (SELECT n FROM lim)) // 4 THEN 2
+              ELSE 3 END AS ae
+  FROM e
+)
+SELECT strftime(make_timestamp(em.day * 86400000000), '%Y-%m-%d') AS day,
+       CAST(sum(CASE WHEN a.ae <= em.emit_epoch THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_emitted,
+       CAST(sum(CASE WHEN a.ae > em.emit_epoch THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_corrections,
+       CAST(em.emit_epoch AS BIGINT) AS emit_epoch
+FROM arr a JOIN em ON em.day = a.day
+GROUP BY em.day, em.emit_epoch
+ORDER BY 1
 """,
         "udf_failures_quarantined": r"""
 SELECT CAST(sum(CASE WHEN event_id % 37 <> 0 THEN 1 ELSE 0 END) AS BIGINT)

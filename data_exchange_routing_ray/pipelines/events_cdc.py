@@ -438,6 +438,79 @@ def lake_branch_isolation(sf_dir: str) -> pa.Table:
     )
 
 
+def windowed_emit_on_watermark(sf_dir: str) -> pa.Table:
+    """Event-time windows under out-of-order arrival with WATERMARK-GATED
+    emission (the streaming semantics Ray Data lacks natively): the stream
+    arrives in 4 seq-ordered epochs; after each, daily windows whose end
+    falls below ``watermark = max event-time seen − 1 day`` CLOSE and emit;
+    rows for an already-closed window are CORRECTIONS (the reprocessing
+    output a downstream consumer reconciles). Per-epoch day-counts are
+    distributed partials (wire ≤ span-days); only the bounded open-window
+    ledger lives at the driver — the same bounded-domain argument as the
+    correlation matrix. Output per day: rows in the closed emission,
+    late corrections, and the closing epoch (4 = final flush)."""
+    hi = int(_events(sf_dir, columns=["event_id"]).max("event_id"))
+    n = hi + 1
+    bounds = [(i * n) // 4 for i in range(5)]
+    DAY_US = 86_400_000_000
+
+    def day_counts(lo: int, up: int) -> tuple[pd.DataFrame, int]:
+        def partial(b: pa.Table) -> pa.Table:
+            tsu = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            df = pd.DataFrame({"day": tsu // DAY_US})
+            agg = df.groupby("day", as_index=False).size()
+            agg["max_ts"] = int(tsu.max()) if len(tsu) else -1
+            return pa.Table.from_pandas(
+                agg.rename(columns={"size": "c"}), preserve_index=False
+            )
+
+        parts = (
+            _events(sf_dir, columns=["event_id", "ts"])
+            .filter(expr=f"event_id >= {lo} and event_id < {up}")
+            .map_batches(partial, batch_format="pyarrow")
+            .to_pandas()
+        )
+        agg = parts.groupby("day", as_index=False).agg(c=("c", "sum"))
+        return agg, int(parts["max_ts"].max())
+
+    emitted_at: dict[int, int] = {}  # day -> closing epoch
+    emitted_n: dict[int, int] = {}
+    corrections: dict[int, int] = {}
+    open_counts: dict[int, int] = {}
+    max_ts = -(1 << 62)
+    for i in range(4):
+        agg, epoch_max = day_counts(bounds[i], bounds[i + 1])
+        max_ts = max(max_ts, epoch_max)
+        wm = max_ts - DAY_US
+        for day, c in zip(agg["day"], agg["c"]):
+            d, c = int(day), int(c)
+            if d in emitted_at:
+                corrections[d] = corrections.get(d, 0) + c  # late arrival
+            else:
+                open_counts[d] = open_counts.get(d, 0) + c
+        # close every open window whose end (exclusive) <= watermark
+        for d in sorted(open_counts):
+            if (d + 1) * DAY_US <= wm:
+                emitted_at[d] = i
+                emitted_n[d] = open_counts.pop(d)
+    for d, c in open_counts.items():  # final flush
+        emitted_at[d] = 4
+        emitted_n[d] = c
+    days = sorted(emitted_at)
+    out = pd.DataFrame(
+        {
+            "day": [
+                str(np.datetime64(d * DAY_US, "us").astype("datetime64[D]"))
+                for d in days
+            ],
+            "n_emitted": [np.int64(emitted_n[d]) for d in days],
+            "n_corrections": [np.int64(corrections.get(d, 0)) for d in days],
+            "emit_epoch": [np.int64(emitted_at[d]) for d in days],
+        }
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def incremental_agg_recompute(sf_dir: str) -> pa.Table:
     """Changed-partitions-only aggregate refresh (the incremental-compute
     economics that matter at 100 TB: an epoch touching 3 of 10,000
