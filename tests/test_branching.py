@@ -171,3 +171,25 @@ def test_rollback_to_savepoint_then_replay_converges(ray_session, tmp_path):
     # rolled-back files become vacuumable orphans, current state survives
     lake.vacuum()
     assert lake.final_table().equals(after)
+
+
+def test_within_epoch_arrival_order_invariance(ray_session, tmp_path):
+    """LWW by seq ⇒ the final state must be identical however the epoch's
+    rows are ordered/blocked on arrival (queue redelivery reorders)."""
+    import numpy as np
+
+    from data_exchange_routing_ray.synth import make_change_stream
+
+    ch = make_change_stream(num_convs=30, max_turns=5, seed=11).to_pandas()
+    rng = np.random.default_rng(7)
+    perm = ch.iloc[rng.permutation(len(ch))].reset_index(drop=True)
+
+    outs = []
+    for i, frame in enumerate((ch, perm)):
+        lake = CDCLake(str(tmp_path / f"lake{i}"), num_partitions=4)
+        ds = ray.data.from_arrow(
+            pa.Table.from_pandas(frame, preserve_index=False)
+        ).repartition(7)
+        lake.apply_changes(ds, quarantine=False)
+        outs.append(lake.final_table())
+    assert outs[0].equals(outs[1])
