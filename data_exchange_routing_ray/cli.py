@@ -209,6 +209,21 @@ def cmd_rollback(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_card(args: argparse.Namespace) -> int:
+    """Dataset-card metrics of an existing lake (datasheet for a release)."""
+    if not os.path.isdir(args.lake):
+        print(f"error: no lake at {args.lake}", file=sys.stderr)
+        return 2
+    _ensure_ray(args.num_cpus)
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+    from data_exchange_routing_ray.pipelines.events_cdc import dataset_card
+
+    lake = CDCLake(args.lake, branch=args.branch)
+    card = dataset_card(lake.final_dataset()).to_pylist()
+    print(json.dumps({r["metric"]: r["value"] for r in card}))
+    return 0
+
+
 def cmd_branch(args: argparse.Namespace) -> int:
     """Zero-copy branch management: create / list / ff (fast-forward)."""
     from data_exchange_routing_ray.pipelines.cdc import CDCLake
@@ -366,6 +381,12 @@ def main(argv: list[str] | None = None) -> int:
     mg.add_argument("--delete-col", default="del_flag")
     mg.add_argument("--num-cpus", type=int, default=None)
     mg.set_defaults(fn=cmd_merge)
+
+    cd = sub.add_parser("card", help="dataset-card metrics of the lake")
+    cd.add_argument("--lake", required=True)
+    cd.add_argument("--branch", default="main")
+    cd.add_argument("--num-cpus", type=int, default=None)
+    cd.set_defaults(fn=cmd_card)
 
     rb = sub.add_parser("rollback", help="restore the table to an archived epoch")
     rb.add_argument("--lake", required=True)

@@ -319,12 +319,10 @@ def conv_role_alternation_audit(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def lake_dataset_card(sf_dir: str) -> pa.Table:
-    """Dataset-card metrics over the committed final state (the datasheet
-    a curated corpus ships with): row/conversation/role counts, tool
-    cardinality, total text bytes, turn-depth max — one engine replay,
-    then scalar per-batch partials + a deduped conv/tool bucket fold for
-    the exact distincts; the card itself is a fixed handful of rows."""
+def dataset_card(final_ds: ray.data.Dataset) -> pa.Table:
+    """Dataset-card metrics over a final-state Dataset (shared by the
+    driver query and the CLI ``card`` command): scalar per-batch partials
+    + per-batch-deduped conv/tool keys for the exact distincts."""
 
     def partial(b: pa.Table) -> pa.Table:
         role = b["role"].to_numpy(zero_copy_only=False)
@@ -365,14 +363,7 @@ def lake_dataset_card(sf_dir: str) -> pa.Table:
             pd.concat([scal, dedup], ignore_index=True), preserve_index=False
         )
 
-    with tempfile.TemporaryDirectory(prefix="cdclake-") as d:
-        lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
-        lake.apply_changes(derived_change_stream(sf_dir), quarantine=False)
-        parts = (
-            lake.final_dataset()
-            .map_batches(partial, batch_format="pyarrow")
-            .to_pandas()  # O(batches) scalar rows + per-batch-deduped keys
-        )
+    parts = final_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     s = parts[parts["kind"] == "s"]
     metrics = {
         "n_rows": int(s["n_rows"].sum()),
@@ -391,6 +382,16 @@ def lake_dataset_card(sf_dir: str) -> pa.Table:
         {"metric": list(metrics), "value": np.array(list(metrics.values()), np.int64)}
     ).sort_values("metric")
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def lake_dataset_card(sf_dir: str) -> pa.Table:
+    """Dataset-card metrics over the committed final state (the datasheet
+    a curated corpus ships with) — one engine replay, then the shared
+    ``dataset_card`` fold (O(batches) scalar rows + deduped keys)."""
+    with tempfile.TemporaryDirectory(prefix="cdclake-") as d:
+        lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
+        lake.apply_changes(derived_change_stream(sf_dir), quarantine=False)
+        return dataset_card(lake.final_dataset())
 
 
 def lake_branch_isolation(sf_dir: str) -> pa.Table:

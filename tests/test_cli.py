@@ -184,3 +184,23 @@ def test_cli_branch_lifecycle(ray_session, tmp_path):
     assert len({r["epoch"] for r in lst}) == 1  # same head at fork
     ff = _run("branch", "ff", "--lake", lake, "--name", "exp")
     assert json.loads(ff.stdout.strip().splitlines()[-1])["merged"] == "exp"
+
+
+def test_cli_card(ray_session, tmp_path):
+    from data_exchange_routing_ray.synth import make_change_stream, write_change_stream
+
+    ch = make_change_stream(num_convs=15, max_turns=3, seed=2)
+    write_change_stream(ch, str(tmp_path / "stream"), num_files=1)
+    lake = str(tmp_path / "lake")
+    _run(
+        "replay", "--lake", lake, "--stream", str(tmp_path / "stream"),
+        "--files-per-epoch", "1", "--num-partitions", "4", "--num-cpus", "2",
+    )
+    out = _run("card", "--lake", lake, "--num-cpus", "2")
+    card = json.loads(out.stdout.strip().splitlines()[-1])
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    final = CDCLake(lake).final_table().to_pandas()
+    assert card["n_rows"] == len(final)
+    assert card["n_conversations"] == final["conv_id"].nunique()
+    assert card["n_user_rows"] + card["n_assistant_rows"] <= card["n_rows"]
