@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kcenter_coreset": q.emb_kcenter_coreset,
         "incremental_agg_recompute": q.incremental_agg_recompute,
         "windowed_emit_on_watermark": q.windowed_emit_on_watermark,
+        "cdc_changefeed_envelopes": q.cdc_changefeed_envelopes,
     }
 
 
@@ -3077,6 +3078,34 @@ SELECT * FROM (
 SELECT role, CAST(count(*) AS BIGINT) AS n
 FROM last WHERE rn = 1 AND op <> 'delete'
 GROUP BY role ORDER BY role
+""",
+        "cdc_changefeed_envelopes": _CH + """
+, lim AS (SELECT max(event_id) + 1 AS n FROM events),
+oldw AS (
+  SELECT conv_id, turn_idx, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY seq DESC) AS rn
+    FROM ch WHERE seq < (SELECT n // 2 FROM lim)
+  ) WHERE rn = 1 AND op <> 'delete'
+),
+neww AS (
+  SELECT conv_id, turn_idx, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY seq DESC) AS rn
+    FROM ch
+  ) WHERE rn = 1 AND op <> 'delete'
+)
+SELECT CASE WHEN o.conv_id IS NULL THEN 'insert'
+            WHEN w.conv_id IS NULL THEN 'delete'
+            ELSE 'update' END AS op,
+       coalesce(o.conv_id, w.conv_id) AS conv_id,
+       coalesce(o.turn_idx, w.turn_idx) AS turn_idx,
+       o.text AS before_text,
+       w.text AS after_text
+FROM oldw o FULL OUTER JOIN neww w
+  ON o.conv_id = w.conv_id AND o.turn_idx = w.turn_idx
+WHERE o.conv_id IS NULL OR w.conv_id IS NULL OR o.text <> w.text
+ORDER BY conv_id, turn_idx
 """,
         "windowed_emit_on_watermark": """
 WITH lim AS (SELECT max(event_id) + 1 AS n FROM events),
