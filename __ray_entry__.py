@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_agg_recompute": q.incremental_agg_recompute,
         "windowed_emit_on_watermark": q.windowed_emit_on_watermark,
         "cdc_changefeed_envelopes": q.cdc_changefeed_envelopes,
+        "k_anonymity_generalize": q.k_anonymity_generalize,
     }
 
 
@@ -3078,6 +3079,42 @@ SELECT * FROM (
 SELECT role, CAST(count(*) AS BIGINT) AS n
 FROM last WHERE rn = 1 AND op <> 'delete'
 GROUP BY role ORDER BY role
+""",
+        "k_anonymity_generalize": """
+WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d FROM events),
+cells AS (
+  SELECT 'day' AS level, event_type,
+         strftime(make_timestamp(d * 86400000000), '%Y-%m-%d') AS period,
+         count(*) AS n
+  FROM e GROUP BY 2, 3
+  UNION ALL
+  SELECT 'week', event_type,
+         strftime(make_timestamp((d // 7 * 7) * 86400000000), '%Y-%m-%d'),
+         count(*)
+  FROM e GROUP BY 2, 3
+  UNION ALL
+  SELECT 'month', event_type,
+         strftime(make_timestamp(d * 86400000000), '%Y-%m'), count(*)
+  FROM e GROUP BY 2, 3
+),
+lv AS (
+  SELECT level, CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(min(n) AS BIGINT) AS min_group_size,
+         CAST(CASE WHEN min(n) >= 11 THEN 1 ELSE 0 END AS BIGINT)
+           AS satisfies_k
+  FROM cells GROUP BY level
+),
+ch AS (
+  SELECT CASE
+    WHEN (SELECT satisfies_k FROM lv WHERE level = 'day') = 1 THEN 'day'
+    WHEN (SELECT satisfies_k FROM lv WHERE level = 'week') = 1 THEN 'week'
+    WHEN (SELECT satisfies_k FROM lv WHERE level = 'month') = 1 THEN 'month'
+    ELSE 'suppress_all' END AS c
+)
+SELECT level, n_groups, min_group_size, satisfies_k,
+       CAST(CASE WHEN level = (SELECT c FROM ch) THEN 1 ELSE 0 END AS BIGINT)
+         AS chosen
+FROM lv ORDER BY level
 """,
         "cdc_changefeed_envelopes": _CH + """
 , lim AS (SELECT max(event_id) + 1 AS n FROM events),

@@ -10255,6 +10255,67 @@ def small_cell_suppression(sf_dir: str, k: int = 11) -> pa.Table:
     )
 
 
+def k_anonymity_generalize(sf_dir: str, k: int = 11) -> pa.Table:
+    """K-anonymity ENFORCEMENT by generalization (the release-side
+    companion to the audit and to small-cell suppression): quasi-
+    identifier = (event_type, time period); the period ladder coarsens
+    day → week → month until EVERY group reaches size ≥ k, and the
+    chosen level's census ships. Each ladder level is one bounded
+    (type × period) count aggregate (wire ≤ types × span) — the scan
+    emits all three period keys at once, so the ladder costs ONE pass."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = b["ts"].to_numpy().astype("datetime64[D]")
+        frames = []
+        for level, key in (
+            ("day", day.astype("datetime64[D]")),
+            ("week", day.astype("datetime64[W]")),
+            ("month", day.astype("datetime64[M]")),
+        ):
+            df = pd.DataFrame(
+                {
+                    "level": level,
+                    "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                    "period": key.astype(str),
+                }
+            )
+            frames.append(
+                df.groupby(
+                    ["level", "event_type", "period"], as_index=False
+                ).size()
+            )
+        return pa.Table.from_pandas(
+            pd.concat(frames, ignore_index=True).rename(columns={"size": "n"}),
+            preserve_index=False,
+        )
+
+    cells = (
+        _events(sf_dir, columns=["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["level", "event_type", "period"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    chosen = None
+    for level in ("day", "week", "month"):
+        g = cells[cells["level"] == level]
+        mn = int(g["n"].min())
+        rows.append((level, len(g), mn, mn >= k))
+        if chosen is None and mn >= k:
+            chosen = level
+    if chosen is None:
+        chosen = "suppress_all"  # even month-level fails: nothing releasable
+    out = pd.DataFrame(
+        rows, columns=["level", "n_groups", "min_group_size", "satisfies_k"]
+    )
+    out["chosen"] = np.where(out["level"] == chosen, 1, 0).astype(np.int64)
+    out["n_groups"] = out["n_groups"].astype(np.int64)
+    out["min_group_size"] = out["min_group_size"].astype(np.int64)
+    out["satisfies_k"] = out["satisfies_k"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def dp_noisy_counts(sf_dir: str, epsilon: float = 0.5) -> pa.Table:
     """Seeded-Laplace noisy counts per event type (the mechanism plumbing
     of a differentially-private release, made REPRODUCIBLE: the uniform
