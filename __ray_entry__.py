@@ -365,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_emit_on_watermark": q.windowed_emit_on_watermark,
         "cdc_changefeed_envelopes": q.cdc_changefeed_envelopes,
         "k_anonymity_generalize": q.k_anonymity_generalize,
+        "text_compression_ratio": q.text_compression_ratio,
     }
 
 
@@ -3225,6 +3226,7 @@ FROM cnt GROUP BY len ORDER BY len
 """,
         # no oracle (approximate / stateful / binary-payload ops):
         # emb_kcenter_coreset (iterative greedy; serial-reference pytest),
+        # text_compression_ratio (zlib has no SQL analog; planted-extremes pytest),
         # lake_lineage_consistency (engine-internal reconciliation; in-query
         # zero-mismatch assertions),
         # lake_codec_tradeoff (byte totals are layout-dependent; in-query

@@ -2321,6 +2321,50 @@ def bm25_score_docs(
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
+def text_compression_ratio(sf_dir: str) -> pa.Table:
+    """Per-source zlib compression-ratio profile — the classic
+    low-information/gibberish detector of web-corpus quality filtering
+    (highly repetitive text compresses far below prose): per-doc
+    deflate-ratio, folded to per-source (n_docs, mean ratio, n_flagged
+    below 0.35). The per-row zlib call is a C-speed stdlib kernel (no
+    vectorized alternative exists); only per-source scalars leave the
+    scan. Deterministic (zlib level fixed), so the gate is rows-only +
+    the planted-extremes pytest."""
+    import zlib
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_numpy(zero_copy_only=False)
+        src = b["source"].to_numpy(zero_copy_only=False)
+        ratios = np.array(
+            [
+                len(zlib.compress(t.encode(), 6)) / max(len(t.encode()), 1)
+                for t in texts
+            ]
+        )
+        df = pd.DataFrame(
+            {"source": src, "r": ratios, "flag": (ratios < 0.35).astype(np.int64)}
+        )
+        agg = df.groupby("source", as_index=False).agg(
+            n_docs=("r", "size"), sum_r=("r", "sum"), n_flagged=("flag", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = (
+        _documents(sf_dir, columns=["text", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("source", as_index=False)
+        .agg(n_docs=("n_docs", "sum"), sum_r=("sum_r", "sum"), n_flagged=("n_flagged", "sum"))
+    )
+    parts["mean_ratio"] = np.round(parts["sum_r"] / parts["n_docs"], 6)
+    out = parts[["source", "n_docs", "n_flagged", "mean_ratio"]].sort_values(
+        "source"
+    )
+    for c in ("n_docs", "n_flagged"):
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
 def bpe_train_merges(sf_dir: str, num_merges: int = 3) -> pa.Table:
     """BPE merge-rule training (the tokenizer-construction step of a
     training-data pipeline): K rounds of most-frequent-adjacent-pair

@@ -222,3 +222,32 @@ def test_kcenter_matches_serial_greedy(ray_session):
         chosen.append(int(ids[w]))
         centers.append(M[w])
     assert list(got["vec_id"]) == chosen
+
+
+def test_compression_ratio_flags_planted_extremes(ray_session, tmp_path):
+    import zlib
+
+    import pyarrow as pa
+    import ray.data
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["a" * 5000, "the quick brown fox " * 100,
+                     "x9$k!q7#" * 3],
+            "source": ["rep", "prose", "short"],
+        }
+    )
+    out_dir = tmp_path / "sf"
+    out_dir.mkdir()
+    # reuse the real op over a tiny synthetic documents table
+    pa_tab = pa.Table.from_pandas(docs, preserve_index=False)
+    import pyarrow.parquet as pqw
+
+    pqw.write_table(pa_tab, str(out_dir / "documents.parquet"))
+    got = q.text_compression_ratio(str(out_dir)).to_pandas().set_index("source")
+    for s, text in (("rep", "a" * 5000), ("prose", "the quick brown fox " * 100)):
+        want = len(zlib.compress(text.encode(), 6)) / len(text.encode())
+        assert abs(got.loc[s, "mean_ratio"] - want) < 1e-5
+    assert got.loc["rep", "n_flagged"] == 1      # extreme repetition flagged
+    assert got.loc["short", "n_flagged"] == 0    # tiny text compresses poorly
