@@ -108,6 +108,8 @@ HEADLINE = [
     "conv_context_windows",
     "pit_feature_join",
     "lake_branch_isolation",
+    "windowed_emit_on_watermark",
+    "cdc_changefeed_envelopes",
 ]
 
 
