@@ -380,8 +380,11 @@ class CDCLake:
 
             from data_exchange_routing_ray.state.merge_actors import MergeActorPool
 
+            # the branch is part of the identity: a branch lake in actors
+            # mode must NOT share main's memtables (cross-branch state
+            # contamination would silently merge the two histories)
             tag = hashlib.md5(
-                os.path.abspath(self.lake_dir).encode()
+                f"{os.path.abspath(self.lake_dir)}@{self.branch}".encode()
             ).hexdigest()[:8]
             self._pool = MergeActorPool(
                 self.lake_dir, self.pool_size, name_prefix=f"cdclake-{tag}-"

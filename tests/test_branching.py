@@ -193,3 +193,44 @@ def test_within_epoch_arrival_order_invariance(ray_session, tmp_path):
         lake.apply_changes(ds, quarantine=False)
         outs.append(lake.final_table())
     assert outs[0].equals(outs[1])
+
+
+def test_actor_mode_branches_do_not_share_memtables(ray_session, tmp_path):
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=2, merge_mode="actors")
+    lake.apply_changes(_changes([("conv-a", 0, "base")]), quarantine=False)
+    br = lake.create_branch("act")
+    br2 = CDCLake(str(tmp_path / "lake"), num_partitions=2,
+                  merge_mode="actors", branch="act")
+    br2.apply_changes(_changes([("conv-b", 0, "branch-only")], seq0=50), quarantine=False)
+    # main keeps ingesting through ITS pool; branch rows must not leak in
+    lake.apply_changes(_changes([("conv-c", 0, "main-only")], seq0=90), quarantine=False)
+    main_keys = set(lake.final_table().to_pandas()["conv_id"])
+    br_keys = set(br2.final_table().to_pandas()["conv_id"])
+    assert main_keys == {"conv-a", "conv-c"}
+    assert br_keys == {"conv-a", "conv-b"}
+    lake.close()
+    br2.close()
+
+
+def test_small_block_size_layout_invariance(ray_session, tmp_path, monkeypatch):
+    """Backpressure shape: a tiny target block size (many small blocks
+    through the whole pipeline) must not change the committed state."""
+    from ray.data import DataContext
+
+    ch = None
+    from data_exchange_routing_ray.synth import make_change_stream
+
+    ch = make_change_stream(num_convs=40, max_turns=5, seed=21)
+    base = CDCLake(str(tmp_path / "a"), num_partitions=4)
+    base.apply_changes(ray.data.from_arrow(ch), quarantine=False)
+    want = base.final_table()
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 16 * 1024  # 16 KiB blocks
+        small = CDCLake(str(tmp_path / "b"), num_partitions=4)
+        small.apply_changes(ray.data.from_arrow(ch), quarantine=False)
+        assert small.final_table().equals(want)
+    finally:
+        ctx.target_max_block_size = old
