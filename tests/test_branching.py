@@ -234,3 +234,29 @@ def test_small_block_size_layout_invariance(ray_session, tmp_path, monkeypatch):
         assert small.final_table().equals(want)
     finally:
         ctx.target_max_block_size = old
+
+
+def test_merge_into_and_delta_policy_on_branch(ray_session, tmp_path):
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=2, merge_policy="delta")
+    lake.apply_changes(_changes([("conv-a", 0, "base"), ("conv-b", 0, "keep")]), quarantine=False)
+    br = lake.create_branch("mi")
+    br.delta_ratio = 1e9  # force the branch's next epoch onto the delta path
+    stg = pd.DataFrame(
+        [{"seq": 5, "conv_id": "conv-a", "turn_idx": 0, "role": "user",
+          "text": "merged-on-branch", "tool": "m",
+          "ts": pd.Timestamp("2024-02-02"), "del_flag": False}]
+    )
+    stg["turn_idx"] = stg["turn_idx"].astype("int32")
+    br.merge_into(
+        ray.data.from_arrow(pa.Table.from_pandas(stg, preserve_index=False))
+    )
+    # branch delta file carries the branch tag; main reads unchanged
+    assert any(e.deltas for e in br.manifest.partitions.values())
+    for e in br.manifest.partitions.values():
+        for d in e.deltas:
+            assert d["file"].endswith("-mi.parquet")
+    got_br = {r.conv_id: r.text for r in br.final_table().to_pandas().itertuples(index=False)}
+    got_main = {r.conv_id: r.text for r in lake.final_table().to_pandas().itertuples(index=False)}
+    assert got_br["conv-a"] == "merged-on-branch"
+    assert got_main["conv-a"] == "base"
+
