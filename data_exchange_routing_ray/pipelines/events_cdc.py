@@ -729,6 +729,9 @@ def emb_kcenter_coreset(sf_dir: str, k: int = 8) -> pa.Table:
                 {
                     "vec_id": pa.array([int(ids[w])], pa.int64()),
                     "dist2": pa.array([float(d[w])], pa.float64()),
+                    # the winner's vector rides along (dim × 8 B per block)
+                    # so the driver never runs a fetch scan per round
+                    "vec": pa.array([M[w].tobytes()], pa.binary()),
                 }
             )
 
@@ -739,12 +742,7 @@ def emb_kcenter_coreset(sf_dir: str, k: int = 8) -> pa.Table:
         win = cand.iloc[0]
         chosen.append(int(win["vec_id"]))
         radii.append(float(win["dist2"]))
-        vec = (
-            ds.filter(expr=f"vec_id == {int(win['vec_id'])}").take(1)[0][
-                "embedding"
-            ]
-        )
-        centers.append(np.asarray(vec, np.float64))
+        centers.append(np.frombuffer(win["vec"], dtype=np.float64))
 
     # farthest-point property: each new point is at most as far as the last
     assert all(radii[i] >= radii[i + 1] - 1e-9 for i in range(1, len(radii) - 1))
