@@ -556,24 +556,32 @@ def windowed_emit_on_watermark(sf_dir: str) -> pa.Table:
     bounds = [(i * n) // 4 for i in range(5)]
     DAY_US = 86_400_000_000
 
-    def day_counts(lo: int, up: int) -> tuple[pd.DataFrame, int]:
-        def partial(b: pa.Table) -> pa.Table:
-            tsu = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-            df = pd.DataFrame({"day": tsu // DAY_US})
-            agg = df.groupby("day", as_index=False).size()
-            agg["max_ts"] = int(tsu.max()) if len(tsu) else -1
-            return pa.Table.from_pandas(
-                agg.rename(columns={"size": "c"}), preserve_index=False
-            )
+    barr = np.array(bounds[1:], np.int64)
 
-        parts = (
-            _events(sf_dir, columns=["event_id", "ts"])
-            .filter(expr=f"event_id >= {lo} and event_id < {up}")
-            .map_batches(partial, batch_format="pyarrow")
-            .to_pandas()
+    def partial(b: pa.Table) -> pa.Table:
+        # ONE scan: every row tagged with its arrival epoch; the per-epoch
+        # loop below replays the tiny (epoch, day) frame, not the table
+        tsu = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ae = np.searchsorted(barr, b["event_id"].to_numpy(), side="right")
+        df = pd.DataFrame({"ae": ae, "day": tsu // DAY_US, "tsu": tsu})
+        agg = df.groupby(["ae", "day"], as_index=False).agg(
+            c=("tsu", "size"), max_ts=("tsu", "max")
         )
-        agg = parts.groupby("day", as_index=False).agg(c=("c", "sum"))
-        return agg, int(parts["max_ts"].max())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    frame = (
+        _events(sf_dir, columns=["event_id", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["ae", "day"], as_index=False)
+        .agg(c=("c", "sum"), max_ts=("max_ts", "max"))
+    )
+
+    def day_counts(epoch: int) -> tuple[pd.DataFrame, int]:
+        g = frame[frame["ae"] == epoch]
+        if not len(g):
+            return g[["day", "c"]], -1
+        return g[["day", "c"]], int(g["max_ts"].max())
 
     emitted_at: dict[int, int] = {}  # day -> closing epoch
     emitted_n: dict[int, int] = {}
@@ -581,7 +589,7 @@ def windowed_emit_on_watermark(sf_dir: str) -> pa.Table:
     open_counts: dict[int, int] = {}
     max_ts = -(1 << 62)
     for i in range(4):
-        agg, epoch_max = day_counts(bounds[i], bounds[i + 1])
+        agg, epoch_max = day_counts(i)
         max_ts = max(max_ts, epoch_max)
         wm = max_ts - DAY_US
         for day, c in zip(agg["day"], agg["c"]):
