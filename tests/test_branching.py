@@ -260,3 +260,26 @@ def test_merge_into_and_delta_policy_on_branch(ray_session, tmp_path):
     assert got_br["conv-a"] == "merged-on-branch"
     assert got_main["conv-a"] == "base"
 
+
+
+def test_rebase_delete_only_branch(ray_session, tmp_path):
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=2)
+    lake.apply_changes(
+        _changes([("conv-a", 0, "a"), ("conv-b", 0, "b")]), quarantine=False
+    )
+    br = lake.create_branch("del")
+    dele = pd.DataFrame(
+        [{"seq": 40, "op": "delete", "conv_id": "conv-a", "turn_idx": 0,
+          "role": None, "text": None, "tool": None,
+          "ts": pd.Timestamp("2024-01-03")}]
+    )
+    dele["turn_idx"] = dele["turn_idx"].astype("int32")
+    br.apply_changes(
+        ray.data.from_arrow(pa.Table.from_pandas(dele, preserve_index=False)),
+        quarantine=False,
+    )
+    lake.apply_changes(_changes([("conv-c", 0, "c")], seq0=70), quarantine=False)
+    res = lake.rebase_from(br)
+    assert res.changes_applied == 1  # just the delete
+    got = set(lake.final_table().to_pandas()["conv_id"])
+    assert got == {"conv-b", "conv-c"}
