@@ -209,7 +209,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
             "case improved 89s->80s); per-query gc.collect() frees the "
             "previous query's block refs before timing (measured: 54-query "
             "session total 85s->65s at sf0.1/32cpus, flagship rate "
-            "62k->146k; the 61-query set runs ~80s)"
+            "62k->146k; the final 64-query set runs ~68s, flagship 158k)"
         ),
     }
 
