@@ -366,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_changefeed_envelopes": q.cdc_changefeed_envelopes,
         "k_anonymity_generalize": q.k_anonymity_generalize,
         "text_compression_ratio": q.text_compression_ratio,
+        "multi_agg_shared_scan": q.multi_agg_shared_scan,
     }
 
 
@@ -3080,6 +3081,28 @@ SELECT * FROM (
 SELECT role, CAST(count(*) AS BIGINT) AS n
 FROM last WHERE rn = 1 AND op <> 'delete'
 GROUP BY role ORDER BY role
+""",
+        "multi_agg_shared_scan": """
+WITH e AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(user_id % 10 AS VARCHAR) AS dec,
+         CAST(floor(value * 10000) AS BIGINT) AS tick
+  FROM events
+)
+SELECT * FROM (
+  SELECT 'by_type' AS family, event_type AS key,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(tick) AS BIGINT) AS sum_ticks
+  FROM e GROUP BY event_type
+  UNION ALL
+  SELECT 'by_day', day, CAST(count(*) AS BIGINT),
+         CAST(sum(tick) AS BIGINT) FROM e GROUP BY day
+  UNION ALL
+  SELECT 'by_user_decile', dec, CAST(count(*) AS BIGINT),
+         CAST(sum(tick) AS BIGINT) FROM e GROUP BY dec
+  UNION ALL
+  SELECT 'global', '_', CAST(count(*) AS BIGINT),
+         CAST(sum(tick) AS BIGINT) FROM e
+) ORDER BY family, key
 """,
         "k_anonymity_generalize": """
 WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d FROM events),

@@ -2327,6 +2327,48 @@ def bm25_score_docs(
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
+def multi_agg_shared_scan(sf_dir: str) -> pa.Table:
+    """Shared-scan multi-aggregate (the multi-query-optimization pattern
+    that matters at 100 TB: N dashboard aggregates must not mean N table
+    scans): ONE pass emits tagged partials for four aggregate families —
+    by type, by day, by user-decile, global — and one tiny grouped reduce
+    finishes all of them. Integer ticks keep the sums exact; the wire
+    carries ≤ (|types| + span + 10 + 1) rows per batch."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        tick = np.floor(b["value"].to_numpy() * 10000.0).astype(np.int64)
+        day = b["ts"].to_numpy().astype("datetime64[D]").astype(str)
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        dec = (b["user_id"].to_numpy() % 10).astype(np.int64)
+        frames = [
+            pd.DataFrame({"family": "by_type", "key": et, "tick": tick}),
+            pd.DataFrame({"family": "by_day", "key": day, "tick": tick}),
+            pd.DataFrame(
+                {"family": "by_user_decile", "key": dec.astype(str), "tick": tick}
+            ),
+            pd.DataFrame({"family": "global", "key": "_", "tick": tick}),
+        ]
+        agg = (
+            pd.concat(frames, ignore_index=True)
+            .groupby(["family", "key"], as_index=False)
+            .agg(n=("tick", "size"), sum_ticks=("tick", "sum"))
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    out = (
+        _events(sf_dir, columns=["event_type", "ts", "user_id", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["family", "key"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_ticks", alias_name="sum_ticks"))
+        .to_pandas()
+        .sort_values(["family", "key"])
+        .reset_index(drop=True)
+    )
+    for c in ("n", "sum_ticks"):
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def text_compression_ratio(sf_dir: str) -> pa.Table:
     """Per-source zlib compression-ratio profile — the classic
     low-information/gibberish detector of web-corpus quality filtering
