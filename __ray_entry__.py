@@ -367,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity_generalize": q.k_anonymity_generalize,
         "text_compression_ratio": q.text_compression_ratio,
         "multi_agg_shared_scan": q.multi_agg_shared_scan,
+        "dau_wau_mau_stickiness": q.dau_wau_mau_stickiness,
     }
 
 
@@ -3081,6 +3082,27 @@ SELECT * FROM (
 SELECT role, CAST(count(*) AS BIGINT) AS n
 FROM last WHERE rn = 1 AND op <> 'delete'
 GROUP BY role ORDER BY role
+""",
+        "dau_wau_mau_stickiness": """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+         (year(ts) - 1970) * 12 + month(ts) - 1 AS m
+  FROM events
+),
+c AS (
+  SELECT 'day' AS kind, d AS period, count(DISTINCT user_id) AS n
+  FROM e GROUP BY d
+  UNION ALL
+  SELECT 'week', d // 7, count(DISTINCT user_id) FROM e GROUP BY d // 7
+  UNION ALL
+  SELECT 'month', m, count(DISTINCT user_id) FROM e GROUP BY m
+)
+SELECT kind, CAST(count(*) AS BIGINT) AS n_periods,
+       round(sum(n) * 1.0 / count(*), 6) AS avg_active,
+       round((SELECT sum(n) * 1.0 / count(*) FROM c WHERE kind = 'day')
+             / (SELECT sum(n) * 1.0 / count(*) FROM c WHERE kind = 'month'),
+             6) AS stickiness
+FROM c GROUP BY kind ORDER BY kind
 """,
         "multi_agg_shared_scan": """
 WITH e AS (

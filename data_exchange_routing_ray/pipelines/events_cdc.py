@@ -2327,6 +2327,62 @@ def bm25_score_docs(
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
+def dau_wau_mau_stickiness(sf_dir: str) -> pa.Table:
+    """DAU/WAU/MAU + stickiness (the product-analytics staple): exact
+    distinct users per day/week/month via ONE scan emitting per-batch-
+    deduped (period-kind, period, user) keys into a user-hash bucket
+    exchange (wire ≤ distinct set, the established exact-distinct shape);
+    averages fold from the ≤span-periods census. Weeks use the integer
+    day//7 epoch (SQL-mirrorable, no locale weekday rules). Stickiness =
+    avg_dau / avg_mau rounded to 6 dp on both sides."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+        uid = b["user_id"].to_numpy()
+        frames = []
+        for kind, per in (("day", d), ("week", d // 7), ("month", None)):
+            if per is None:
+                per = (
+                    b["ts"].to_numpy().astype("datetime64[M]").astype(np.int64)
+                )
+            df = pd.DataFrame({"kind": kind, "period": per, "user_id": uid})
+            frames.append(df.drop_duplicates())
+        out = pd.concat(frames, ignore_index=True)
+        out["bkt"] = (out["user_id"].to_numpy(np.int64) % 64).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["kind", "period", "user_id"])
+        return d.groupby(["kind", "period"], as_index=False).agg(
+            n=("user_id", "nunique")
+        )
+
+    census = (
+        _events(sf_dir, columns=["ts", "user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+        .groupby(["kind", "period"], as_index=False)
+        .agg(n=("n", "sum"))
+    )
+    rows = []
+    means = {}
+    for kind in ("day", "week", "month"):
+        g = census[census["kind"] == kind]
+        means[kind] = g["n"].sum() / len(g)
+        rows.append(
+            {
+                "kind": kind,
+                "n_periods": np.int64(len(g)),
+                "avg_active": round(float(means[kind]), 6),
+            }
+        )
+    out = pd.DataFrame(rows)
+    out["stickiness"] = np.round(means["day"] / means["month"], 6)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def multi_agg_shared_scan(sf_dir: str) -> pa.Table:
     """Shared-scan multi-aggregate (the multi-query-optimization pattern
     that matters at 100 TB: N dashboard aggregates must not mean N table
