@@ -209,6 +209,29 @@ def cmd_rollback(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_diff(args: argparse.Namespace) -> int:
+    """Changefeed envelopes between two committed epochs (row-level diff)."""
+    if not os.path.isdir(args.lake):
+        print(f"error: no lake at {args.lake}", file=sys.stderr)
+        return 2
+    _ensure_ray(args.num_cpus)
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    lake = CDCLake(args.lake, branch=args.branch)
+    try:
+        feed = lake.changefeed_between(args.from_epoch, args.to_epoch)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 3
+    rows = feed.to_pandas().sort_values(["conv_id", "turn_idx"])
+    for r in rows.itertuples(index=False):
+        print(json.dumps({
+            "op": r.op, "conv_id": r.conv_id, "turn_idx": int(r.turn_idx),
+            "before_text": r.before_text, "after_text": r.after_text,
+        }, default=str))
+    return 0
+
+
 def cmd_card(args: argparse.Namespace) -> int:
     """Dataset-card metrics of an existing lake (datasheet for a release)."""
     if not os.path.isdir(args.lake):
@@ -381,6 +404,14 @@ def main(argv: list[str] | None = None) -> int:
     mg.add_argument("--delete-col", default="del_flag")
     mg.add_argument("--num-cpus", type=int, default=None)
     mg.set_defaults(fn=cmd_merge)
+
+    df = sub.add_parser("diff", help="changefeed envelopes between two epochs")
+    df.add_argument("--lake", required=True)
+    df.add_argument("--from-epoch", type=int, required=True)
+    df.add_argument("--to-epoch", type=int, required=True)
+    df.add_argument("--branch", default="main")
+    df.add_argument("--num-cpus", type=int, default=None)
+    df.set_defaults(fn=cmd_diff)
 
     cd = sub.add_parser("card", help="dataset-card metrics of the lake")
     cd.add_argument("--lake", required=True)

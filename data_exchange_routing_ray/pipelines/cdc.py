@@ -191,6 +191,86 @@ class CDCLake:
         self.store.publish(head, expect_epoch=cur.epoch)
         return head.epoch
 
+    def changefeed_between(self, from_epoch: int, to_epoch: int) -> ray.data.Dataset:
+        """Row-level changefeed between two committed epochs as
+        Debezium-style envelopes (op, key, before_text, after_text) — a
+        DISTRIBUTED per-partition diff of the two archived manifests
+        (co-partitioned file pairs; unchanged keys never leave the diff
+        task). The downstream-consumer surface of the lake's history."""
+        old_man = self.store.load_epoch(from_epoch)
+        new_man = self.store.load_epoch(to_epoch)
+        if old_man is None or new_man is None:
+            raise ValueError(
+                f"missing archived manifest for epoch {from_epoch} or {to_epoch}"
+            )
+        lake_dir = self.lake_dir
+        old_files = {p: e.file for p, e in old_man.partitions.items()}
+        new_files = {p: e.file for p, e in new_man.partitions.items()}
+        pids = sorted(set(old_files) | set(new_files))
+
+        def diff_pid(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            outs = []
+            for pid in batch["pid"].to_pylist():
+                of, nf = old_files.get(pid), new_files.get(pid)
+                old = (
+                    pq.read_table(os.path.join(lake_dir, of)).to_pandas()
+                    if of
+                    else None
+                )
+                new = (
+                    pq.read_table(os.path.join(lake_dir, nf)).to_pandas()
+                    if nf
+                    else None
+                )
+                if old is None and new is None:
+                    continue
+                if old is None:
+                    old = new.iloc[0:0]
+                if new is None:
+                    new = old.iloc[0:0]
+                m = old.merge(
+                    new, on=["conv_id", "turn_idx"], how="outer",
+                    suffixes=("_b", "_a"), indicator=True,
+                )
+                ins = m["_merge"].eq("right_only")
+                dele = m["_merge"].eq("left_only")
+                upd = m["_merge"].eq("both") & (
+                    m["text_b"].fillna("\x00") != m["text_a"].fillna("\x00")
+                )
+                keep = m[ins | dele | upd]
+                op = np.where(
+                    keep["_merge"].eq("right_only"),
+                    "insert",
+                    np.where(keep["_merge"].eq("left_only"), "delete", "update"),
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "op": op,
+                            "conv_id": keep["conv_id"],
+                            "turn_idx": keep["turn_idx"].astype("int32"),
+                            "before_text": keep["text_b"],
+                            "after_text": keep["text_a"],
+                        }
+                    )
+                )
+            if not outs:
+                return pa.Table.from_pandas(
+                    pd.DataFrame(
+                        columns=["op", "conv_id", "turn_idx", "before_text", "after_text"]
+                    ),
+                    preserve_index=False,
+                )
+            return pa.Table.from_pandas(
+                pd.concat(outs, ignore_index=True), preserve_index=False
+            )
+
+        return ray.data.from_items([{"pid": p} for p in pids]).map_batches(
+            diff_pid, batch_format="pyarrow", batch_size=1
+        )
+
     def rollback_to(self, epoch: int) -> int:
         """Savepoint restore (disaster recovery; the reference's replay
         posture — queue visibility timeout + redelivery, host.json:26 —

@@ -397,12 +397,9 @@ def lake_dataset_card(sf_dir: str) -> pa.Table:
 def cdc_changefeed_envelopes(sf_dir: str) -> pa.Table:
     """Downstream changefeed export (Debezium-style envelopes with BEFORE
     and AFTER images — what a consumer of the reference's report stream
-    would subscribe to): the net row-level change between two committed
-    epochs, computed as a DISTRIBUTED per-partition diff of the archived
-    epoch-0 manifest vs the epoch-1 manifest (co-partitioned file pairs —
-    the rebase_from machinery as a read-only feed). Emits
-    insert/update/delete envelopes; unchanged keys never leave the diff
-    task."""
+    would subscribe to): ``CDCLake.changefeed_between`` diffs the two
+    archived manifests as co-partitioned file pairs (the rebase machinery
+    as a read-only feed); unchanged keys never leave the diff task."""
     hi = int(_events(sf_dir, columns=["event_id"]).max("event_id"))
     n = hi + 1
     cut = n // 2
@@ -418,75 +415,8 @@ def cdc_changefeed_envelopes(sf_dir: str) -> pa.Table:
         lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
         lake.apply_changes(stream(0, cut), quarantine=False)
         lake.apply_changes(stream(cut, n), quarantine=False)
-        old_man = lake.store.load_epoch(0)
-        new_man = lake.store.load_epoch(1)
-        lake_dir = lake.lake_dir
-        old_files = {p: e.file for p, e in old_man.partitions.items()}
-        new_files = {p: e.file for p, e in new_man.partitions.items()}
-        pids = sorted(set(old_files) | set(new_files))
-
-        def diff_pid(batch: pa.Table) -> pa.Table:
-            import pyarrow.parquet as _pq
-
-            outs = []
-            for pid in batch["pid"].to_pylist():
-                of, nf = old_files.get(pid), new_files.get(pid)
-                old = (
-                    _pq.read_table(os.path.join(lake_dir, of)).to_pandas()
-                    if of
-                    else None
-                )
-                new = (
-                    _pq.read_table(os.path.join(lake_dir, nf)).to_pandas()
-                    if nf
-                    else None
-                )
-                if old is None and new is None:
-                    continue
-                if old is None:
-                    old = new.iloc[0:0]
-                if new is None:
-                    new = old.iloc[0:0]
-                m = old.merge(
-                    new, on=["conv_id", "turn_idx"], how="outer",
-                    suffixes=("_b", "_a"), indicator=True,
-                )
-                ins = m["_merge"].eq("right_only")
-                dele = m["_merge"].eq("left_only")
-                upd = m["_merge"].eq("both") & (
-                    m["text_b"].fillna("\x00") != m["text_a"].fillna("\x00")
-                )
-                keep = m[ins | dele | upd]
-                op = np.where(
-                    keep["_merge"].eq("right_only"),
-                    "insert",
-                    np.where(keep["_merge"].eq("left_only"), "delete", "update"),
-                )
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "op": op,
-                            "conv_id": keep["conv_id"],
-                            "turn_idx": keep["turn_idx"].astype("int32"),
-                            "before_text": keep["text_b"],
-                            "after_text": keep["text_a"],
-                        }
-                    )
-                )
-            if not outs:
-                return pa.Table.from_pandas(
-                    pd.DataFrame(
-                        columns=["op", "conv_id", "turn_idx", "before_text", "after_text"]
-                    ),
-                    preserve_index=False,
-                )
-            return pa.Table.from_pandas(
-                pd.concat(outs, ignore_index=True), preserve_index=False
-            )
-
         out = (
-            ray.data.from_items([{"pid": p} for p in pids])
-            .map_batches(diff_pid, batch_format="pyarrow", batch_size=1)
+            lake.changefeed_between(0, 1)
             .to_pandas()
             .sort_values(["conv_id", "turn_idx"])
             .reset_index(drop=True)

@@ -204,3 +204,32 @@ def test_cli_card(ray_session, tmp_path):
     assert card["n_rows"] == len(final)
     assert card["n_conversations"] == final["conv_id"].nunique()
     assert card["n_user_rows"] + card["n_assistant_rows"] <= card["n_rows"]
+
+
+def test_cli_diff(ray_session, tmp_path):
+    from data_exchange_routing_ray.synth import make_change_stream, write_change_stream
+
+    ch = make_change_stream(num_convs=12, max_turns=3, seed=8)
+    write_change_stream(ch, str(tmp_path / "stream"), num_files=2)
+    lake = str(tmp_path / "lake")
+    _run(
+        "replay", "--lake", lake, "--stream", str(tmp_path / "stream"),
+        "--files-per-epoch", "1", "--num-partitions", "4", "--num-cpus", "2",
+    )
+    out = _run("diff", "--lake", lake, "--from-epoch", "0", "--to-epoch", "1",
+               "--num-cpus", "2")
+    lines = [json.loads(x) for x in out.stdout.strip().splitlines()
+             if x.startswith("{")]
+    assert lines, "second epoch must produce envelopes"
+    assert {r["op"] for r in lines} <= {"insert", "update", "delete"}
+    # envelope count equals the row-level diff of the two committed states
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    lk = CDCLake(lake)
+    old = lk.final_table(epoch=0).to_pandas().set_index(["conv_id", "turn_idx"])["text"]
+    new = lk.final_table(epoch=1).to_pandas().set_index(["conv_id", "turn_idx"])["text"]
+    n_ins = len(new.index.difference(old.index))
+    n_del = len(old.index.difference(new.index))
+    common = old.index.intersection(new.index)
+    n_upd = int((old.loc[common] != new.loc[common]).sum())
+    assert len(lines) == n_ins + n_del + n_upd
