@@ -366,6 +366,12 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.replay_once:
+        if args.lake is None:
+            # default to a tempdir so ad-hoc runs never dump lake output
+            # (None-r0/ ...) into the cwd / repo root
+            args.lake = os.path.join(
+                tempfile.mkdtemp(prefix="bench-replay-"), "lake"
+            )
         # fair accounting: Arrow's global pool defaults to ALL host cores,
         # letting a low-num_cpus session exceed its budget through reader/
         # sort/compression threads; cap it to the 1-CPU-per-task grant
