@@ -3165,14 +3165,14 @@ FROM lv ORDER BY level
         "cdc_changefeed_envelopes": _CH + """
 , lim AS (SELECT max(event_id) + 1 AS n FROM events),
 oldw AS (
-  SELECT conv_id, turn_idx, text FROM (
+  SELECT conv_id, turn_idx, role, text, tool, ts FROM (
     SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
                                  ORDER BY seq DESC) AS rn
     FROM ch WHERE seq < (SELECT n // 2 FROM lim)
   ) WHERE rn = 1 AND op <> 'delete'
 ),
 neww AS (
-  SELECT conv_id, turn_idx, text FROM (
+  SELECT conv_id, turn_idx, role, text, tool, ts FROM (
     SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
                                  ORDER BY seq DESC) AS rn
     FROM ch
@@ -3187,7 +3187,11 @@ SELECT CASE WHEN o.conv_id IS NULL THEN 'insert'
        w.text AS after_text
 FROM oldw o FULL OUTER JOIN neww w
   ON o.conv_id = w.conv_id AND o.turn_idx = w.turn_idx
-WHERE o.conv_id IS NULL OR w.conv_id IS NULL OR o.text <> w.text
+WHERE o.conv_id IS NULL OR w.conv_id IS NULL
+   OR o.text IS DISTINCT FROM w.text
+   OR o.role IS DISTINCT FROM w.role
+   OR o.tool IS DISTINCT FROM w.tool
+   OR o.ts IS DISTINCT FROM w.ts
 ORDER BY conv_id, turn_idx
 """,
         "windowed_emit_on_watermark": """

@@ -53,6 +53,52 @@ from data_exchange_routing_ray.state.manifest import (
 )
 
 
+def _partition_specs(man: Manifest) -> dict[int, tuple[str, list[str]]]:
+    """Manifest → {pid: (base file, [delta files])} — the slim spec shipped
+    into distributed diff tasks (changefeed / rebase). Including the delta
+    stack makes those diffs exact under ``merge_policy="delta"`` instead of
+    silently ignoring rows living in unfolded deltas (round-2 ADVICE)."""
+    return {
+        p: (e.file, [d["file"] for d in e.deltas])
+        for p, e in man.partitions.items()
+    }
+
+
+def _read_folded_df(
+    lake_dir: str, spec: tuple[str, list[str]] | None
+) -> pd.DataFrame | None:
+    """Read one partition's merge-on-read view (base + folded delta stack)
+    as pandas; None when the partition does not exist on this side."""
+    if spec is None:
+        return None
+    base_rel, delta_rels = spec
+    base = (
+        pq.read_table(os.path.join(lake_dir, base_rel)) if base_rel else None
+    )
+    if delta_rels:
+        from data_exchange_routing_ray.stages.upsert import fold_deltas
+
+        base = fold_deltas(
+            base,
+            [pq.read_table(os.path.join(lake_dir, r)) for r in delta_rels],
+        )
+    return base.to_pandas() if base is not None else None
+
+
+def _payload_changed(
+    m: pd.DataFrame, payload: list[str], left_suffix: str, right_suffix: str
+) -> pd.Series:
+    """Null-aware any-column inequality over merged payload columns:
+    value≠value, value↔null are changes; null==null is not. (A sentinel
+    ``fillna('\\x00')`` would alias genuine '\\x00' text to NULL and only
+    ever looked at one column — round-2 ADVICE.)"""
+    changed = pd.Series(False, index=m.index)
+    for c in payload:
+        a, b = m[f"{c}{left_suffix}"], m[f"{c}{right_suffix}"]
+        changed |= a.ne(b) & ~(a.isna() & b.isna())
+    return changed
+
+
 @dataclass
 class EpochResult:
     epoch: int
@@ -196,7 +242,10 @@ class CDCLake:
         Debezium-style envelopes (op, key, before_text, after_text) — a
         DISTRIBUTED per-partition diff of the two archived manifests
         (co-partitioned file pairs; unchanged keys never leave the diff
-        task). The downstream-consumer surface of the lake's history."""
+        task). The downstream-consumer surface of the lake's history.
+        Each side folds its delta stack (merge-on-read), so the diff is
+        exact under ``merge_policy="delta"``; updates are detected over
+        ALL payload columns null-aware, not just ``text``."""
         old_man = self.store.load_epoch(from_epoch)
         new_man = self.store.load_epoch(to_epoch)
         if old_man is None or new_man is None:
@@ -204,40 +253,38 @@ class CDCLake:
                 f"missing archived manifest for epoch {from_epoch} or {to_epoch}"
             )
         lake_dir = self.lake_dir
-        old_files = {p: e.file for p, e in old_man.partitions.items()}
-        new_files = {p: e.file for p, e in new_man.partitions.items()}
-        pids = sorted(set(old_files) | set(new_files))
+        old_specs = _partition_specs(old_man)
+        new_specs = _partition_specs(new_man)
+        pids = sorted(set(old_specs) | set(new_specs))
 
         def diff_pid(batch: pa.Table) -> pa.Table:
             import numpy as np
 
             outs = []
             for pid in batch["pid"].to_pylist():
-                of, nf = old_files.get(pid), new_files.get(pid)
-                old = (
-                    pq.read_table(os.path.join(lake_dir, of)).to_pandas()
-                    if of
-                    else None
-                )
-                new = (
-                    pq.read_table(os.path.join(lake_dir, nf)).to_pandas()
-                    if nf
-                    else None
-                )
+                old = _read_folded_df(lake_dir, old_specs.get(pid))
+                new = _read_folded_df(lake_dir, new_specs.get(pid))
                 if old is None and new is None:
                     continue
                 if old is None:
                     old = new.iloc[0:0]
                 if new is None:
                     new = old.iloc[0:0]
+                payload = sorted(
+                    (set(old.columns) | set(new.columns))
+                    - {"conv_id", "turn_idx", "seq"}
+                )
+                cols = ["conv_id", "turn_idx", *payload]
+                old = old.reindex(columns=cols)
+                new = new.reindex(columns=cols)
                 m = old.merge(
                     new, on=["conv_id", "turn_idx"], how="outer",
                     suffixes=("_b", "_a"), indicator=True,
                 )
                 ins = m["_merge"].eq("right_only")
                 dele = m["_merge"].eq("left_only")
-                upd = m["_merge"].eq("both") & (
-                    m["text_b"].fillna("\x00") != m["text_a"].fillna("\x00")
+                upd = m["_merge"].eq("both") & _payload_changed(
+                    m, payload, "_b", "_a"
                 )
                 keep = m[ins | dele | upd]
                 op = np.where(
@@ -329,60 +376,91 @@ class CDCLake:
         key_cols = ["conv_id", "turn_idx"]
 
         pids = sorted(set(head_man.partitions) | set(fork_man.partitions))
-        head_files = {p: e.file for p, e in head_man.partitions.items()}
-        fork_files = {p: e.file for p, e in fork_man.partitions.items()}
+        head_specs = _partition_specs(head_man)
+        fork_specs = _partition_specs(fork_man)
 
         def diff_pid(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
             outs = []
             for pid in batch["pid"].to_pylist():
-                hf, ff = head_files.get(pid), fork_files.get(pid)
-                head = (
-                    pq.read_table(os.path.join(lake_dir, hf)).to_pandas()
-                    if hf
-                    else None
-                )
-                forkt = (
-                    pq.read_table(os.path.join(lake_dir, ff)).to_pandas()
-                    if ff
-                    else None
-                )
+                head = _read_folded_df(lake_dir, head_specs.get(pid))
+                forkt = _read_folded_df(lake_dir, fork_specs.get(pid))
                 if head is None and forkt is None:
                     continue
                 if head is None:
                     head = forkt.iloc[0:0]
                 if forkt is None:
                     forkt = head.iloc[0:0]
+                # canonical payload first so every pid block (and the empty
+                # case) shares a schema; evolved columns follow sorted
+                extra = sorted(
+                    (set(head.columns) | set(forkt.columns))
+                    - {*key_cols, "seq", "role", "text", "tool", "ts"}
+                )
+                payload = ["role", "text", "tool", "ts", *extra]
+                cols = [*key_cols, *payload]
+                head = head.reindex(columns=cols)
+                forkt = forkt.reindex(columns=cols)
                 m = head.merge(
                     forkt, on=key_cols, how="outer", suffixes=("", "_f"),
                     indicator=True,
                 )
-                changed = m["_merge"].eq("both") & (
-                    m["text"].fillna("\x00") != m["text_f"].fillna("\x00")
+                # updates over ALL payload columns null-aware — a branch
+                # edit that changes role/tool/ts but not text must survive
+                # the rebase
+                changed = m["_merge"].eq("both") & _payload_changed(
+                    m, payload, "", "_f"
                 )
                 ups = m[m["_merge"].eq("left_only") | changed]
                 dels = m[m["_merge"].eq("right_only")]
                 rows = pd.DataFrame(
                     {
-                        "op": ["update"] * len(ups) + ["delete"] * len(dels),
+                        "op": np.concatenate(
+                            [np.repeat("update", len(ups)),
+                             np.repeat("delete", len(dels))]
+                        ),
                         "conv_id": pd.concat(
                             [ups["conv_id"], dels["conv_id"]], ignore_index=True
                         ),
                         "turn_idx": pd.concat(
                             [ups["turn_idx"], dels["turn_idx"]], ignore_index=True
                         ).astype("int32"),
-                        "role": list(ups["role"]) + [None] * len(dels),
-                        "text": list(ups["text"]) + [None] * len(dels),
-                        "tool": list(ups["tool"]) + [None] * len(dels),
-                        "ts": pd.concat(
-                            [ups["ts"], dels["ts_f"]], ignore_index=True
-                        ),
+                        **{
+                            # deletes carry the fork-side ts (tombstone
+                            # event time) and null payload otherwise
+                            c: pd.concat(
+                                [
+                                    ups[c],
+                                    dels[f"{c}_f"] if c == "ts"
+                                    else pd.Series(
+                                        [None] * len(dels),
+                                        index=dels.index,
+                                        dtype=object,
+                                    ),
+                                ],
+                                ignore_index=True,
+                            )
+                            for c in payload
+                        },
                     }
+                )
+                # fresh seqs ABOVE the fence, compact: seq_base + row index
+                # within this partition's diff. Seqs may repeat ACROSS
+                # partitions (different keys — LWW compares seqs only within
+                # a key, so that is harmless), which keeps the committed
+                # watermark advance bounded by the largest per-partition
+                # diff instead of a hash-range jump that would fence out all
+                # subsequent normal stream seqs (round-2 ADVICE fix).
+                rows.insert(
+                    0, "seq", seq_base + np.arange(len(rows), dtype=np.int64)
                 )
                 outs.append(rows)
             if not outs:
                 return pa.Table.from_pandas(
                     pd.DataFrame(
-                        columns=["op", "conv_id", "turn_idx", "role", "text", "tool", "ts"]
+                        columns=["seq", "op", "conv_id", "turn_idx",
+                                 "role", "text", "tool", "ts"]
                     ),
                     preserve_index=False,
                 )
@@ -390,22 +468,8 @@ class CDCLake:
                 pd.concat(outs, ignore_index=True), preserve_index=False
             )
 
-        def add_seq(b: pa.Table) -> pa.Table:
-            # fresh seqs above this branch's watermark; uniqueness per key
-            # is guaranteed (one diff row per key), ordering irrelevant
-            import numpy as _np
-
-            h = pd.util.hash_pandas_object(
-                b.select(["conv_id", "turn_idx"]).to_pandas(), index=False
-            ).to_numpy() % (1 << 40)
-            return b.append_column(
-                "seq", pa.array((seq_base + h).astype(_np.int64))
-            )
-
-        ops = (
-            ray.data.from_items([{"pid": p} for p in pids])
-            .map_batches(diff_pid, batch_format="pyarrow", batch_size=1)
-            .map_batches(add_seq, batch_format="pyarrow")
+        ops = ray.data.from_items([{"pid": p} for p in pids]).map_batches(
+            diff_pid, batch_format="pyarrow", batch_size=1
         )
         return self.apply_changes(ops, quarantine=False)
 

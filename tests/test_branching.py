@@ -283,3 +283,101 @@ def test_rebase_delete_only_branch(ray_session, tmp_path):
     assert res.changes_applied == 1  # just the delete
     got = set(lake.final_table().to_pandas()["conv_id"])
     assert got == {"conv-b", "conv-c"}
+
+def test_stream_replay_after_rebase_not_fenced(ray_session, tmp_path):
+    """Round-2 ADVICE: rebase must assign COMPACT seqs. Hash-derived seqs
+    advanced the watermark by up to ~2^40, silently fencing out every
+    subsequent normal monotone stream seq. After a rebase, new stream
+    epochs with ordinary seqs must still apply."""
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=2)
+    lake.apply_changes(
+        _changes([("conv-a", 0, "base-a"), ("conv-b", 0, "base-b")]),
+        quarantine=False,
+    )
+    br = lake.create_branch("rb2")
+    br.apply_changes(
+        _changes([("conv-a", 0, "branch-a"), ("conv-c", 0, "branch-c")], seq0=10),
+        quarantine=False,
+    )
+    res = lake.rebase_from(br)
+    assert res.changes_applied == 2
+    # watermark advance is compact: bounded by the largest per-partition
+    # diff, not a hash-range jump
+    assert lake.applied_offset <= 10 + 2
+    # normal monotone stream seqs continue to apply after the rebase
+    r2 = lake.apply_changes(
+        _changes([("conv-d", 0, "post-rebase"),
+                  ("conv-b", 0, "post-rebase-b")],
+                 seq0=lake.applied_offset + 1),
+        quarantine=False,
+    )
+    assert r2.changes_applied == 2
+    assert r2.changes_fenced == 0
+    got = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in lake.final_table().to_pandas().itertuples(index=False)
+    }
+    assert got == {
+        ("conv-a", 0): "branch-a",
+        ("conv-b", 0): "post-rebase-b",
+        ("conv-c", 0): "branch-c",
+        ("conv-d", 0): "post-rebase",
+    }
+
+
+def test_rebase_detects_non_text_update(ray_session, tmp_path):
+    """Round-2 ADVICE: update detection must compare ALL payload columns
+    null-aware — a branch edit changing only `role` (text identical) must
+    survive the rebase."""
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=2)
+    lake.apply_changes(_changes([("conv-a", 0, "same-text")]), quarantine=False)
+    br = lake.create_branch("roleonly")
+    edit = pd.DataFrame(
+        [{"seq": 30, "op": "update", "conv_id": "conv-a", "turn_idx": 0,
+          "role": "assistant", "text": "same-text", "tool": "x",
+          "ts": pd.Timestamp("2024-01-01")}]
+    )
+    edit["turn_idx"] = edit["turn_idx"].astype("int32")
+    br.apply_changes(
+        ray.data.from_arrow(pa.Table.from_pandas(edit, preserve_index=False)),
+        quarantine=False,
+    )
+    res = lake.rebase_from(br)
+    assert res.changes_applied == 1  # the role-only edit IS a change
+    row = lake.final_table().to_pandas().iloc[0]
+    assert row["role"] == "assistant"
+    assert row["text"] == "same-text"
+
+
+def test_changefeed_and_rebase_fold_delta_stacks(ray_session, tmp_path):
+    """Round-2 ADVICE: under merge_policy='delta' the diff paths must fold
+    each partition's delta stack, not read only the base file."""
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=2,
+                   merge_policy="delta")
+    lake.apply_changes(
+        _changes([("conv-a", 0, "v1"), ("conv-b", 0, "b1")]), quarantine=False
+    )  # epoch 0: fresh bases
+    lake.delta_ratio = 1e9  # force the next epochs onto the delta path
+    lake.apply_changes(
+        _changes([("conv-a", 0, "v2")], seq0=10), quarantine=False
+    )  # epoch 1: delta file only
+    assert any(e.deltas for e in lake.manifest.partitions.values())
+
+    feed = lake.changefeed_between(0, 1).to_pandas()
+    assert len(feed) == 1
+    assert feed.iloc[0]["op"] == "update"
+    assert feed.iloc[0]["before_text"] == "v1"
+    assert feed.iloc[0]["after_text"] == "v2"
+
+    # rebase from a branch whose head carries an unfolded delta
+    br = lake.create_branch("dstack")
+    br.delta_ratio = 1e9
+    br.apply_changes(
+        _changes([("conv-b", 0, "b2-branch")], seq0=20), quarantine=False
+    )
+    assert any(e.deltas for e in br.manifest.partitions.values())
+    res = lake.rebase_from(br)
+    assert res.changes_applied == 1  # the delta-resident edit is seen
+    got = {r.conv_id: r.text
+           for r in lake.final_table().to_pandas().itertuples(index=False)}
+    assert got == {"conv-a": "v2", "conv-b": "b2-branch"}
