@@ -37,21 +37,33 @@ def guarded_udf_batch(
     except Exception:
         pass  # poison batch: isolate per row below
     rows, errs = [], []
+    out_keys: list[str] | None = (
+        list(getattr(row_fn, "output_keys"))
+        if getattr(row_fn, "output_keys", None)
+        else None
+    )
     for row in batch.to_pylist():
         try:
-            rows.append(row_fn(row))
+            ok = row_fn(row)
+            if out_keys is None:
+                # learn the OUTPUT schema from the first success and
+                # retrofit earlier failure placeholders — input-keyed
+                # nulls would union into a mixed schema when row_fn's
+                # output columns differ from its input's
+                out_keys = list(ok.keys())
+                rows = [
+                    r if r is not None else {k: None for k in out_keys}
+                    for r in rows
+                ]
+            rows.append(ok)
             errs.append(None)
         except Exception as e:  # noqa: BLE001 — the whole point is isolation
-            rows.append({k: None for k in row_fn_keys(row_fn, row)})
+            rows.append(
+                None if out_keys is None else {k: None for k in out_keys}
+            )
             errs.append(f"{type(e).__name__}: {e}")
+    if out_keys is None:  # every row failed and no declared output_keys:
+        out_keys = list(batch.column_names)  # input keys are all we have
+    rows = [r if r is not None else {k: None for k in out_keys} for r in rows]
     out = pa.Table.from_pylist(rows)
     return out.append_column(error_column, pa.array(errs, pa.string()))
-
-
-def row_fn_keys(row_fn: Callable[[dict], dict], row: dict) -> list[str]:
-    """Output keys of ``row_fn`` for building the null row of a failure —
-    derived from a success row when possible, else from the input keys."""
-    keys = getattr(row_fn, "output_keys", None)
-    if keys:
-        return list(keys)
-    return list(row.keys())
