@@ -10876,6 +10876,7 @@ def pagerank_parts(
     iters: int = 3,
     damping: float = 0.85,
     num_buckets: int = 32,
+    actor_edge_threshold: int = 2_000_000,
 ) -> pa.Table:
     """Damped PageRank (K fixed BSP rounds) over the undirected co-purchase
     part graph — the iterative-algorithm representative (alongside the
@@ -10894,13 +10895,19 @@ def pagerank_parts(
          the SAME bucket layout.
 
     On a symmetric graph every node has an in-neighbor, so no
-    dangling-mass term is needed and Σr = |nodes| is invariant. On a real
-    cluster the static edge buckets would be pinned in per-bucket actors to
-    avoid re-shipping per round; the union re-ship is the cost of staying
-    in checkpoint-free Dataset algebra (Spark's uncached PageRank pays the
-    same). Ranks are normalized to mean 1 (r0 = 1) and rounded to 6 dp on
-    both sides of the oracle, so cross-engine float-sum ordering (~1e-13)
-    cannot flip the comparison."""
+    dangling-mass term is needed and Σr = |nodes| is invariant. Ranks are
+    normalized to mean 1 (r0 = 1) and rounded to 6 dp on both sides of the
+    oracle, so cross-engine float-sum ordering (~1e-13) cannot flip the
+    comparison.
+
+    The dataset-algebra plan re-ships the static edge list in every BSP
+    round (``edges.union(ranks)``) — fine at small |E|, dominant at 100×.
+    Above ``actor_edge_threshold`` directed edge rows this function
+    auto-promotes to the edges-stay-put plan (``pagerank_parts_actors``:
+    edges staged once into per-bucket shards, bucket-pinned actors, only
+    contribution refs move per round). Both plans are pair-asserted
+    identical by ``test_pagerank_actor_mode_matches_dataset_mode`` and
+    share one SQL oracle."""
     iters = max(1, iters)
     MIX = np.uint64(0x9E3779B97F4A7C15)
     B = np.uint64(num_buckets)
@@ -10933,6 +10940,10 @@ def pagerank_parts(
         .map_batches(to_edges, batch_format="pyarrow")
         .materialize()
     )
+    if actor_edge_threshold and edges.count() > actor_edge_threshold:
+        # edge set too large to re-ship per round — switch to the
+        # bucket-pinned actor plan (edges cross the wire exactly once)
+        return pagerank_parts_actors(sf_dir, iters=iters, damping=damping)
 
     def contribs(g: pd.DataFrame) -> pd.DataFrame:
         st = g[g["side"] == 1]
@@ -11016,7 +11027,9 @@ def pagerank_parts(
     return pa.Table.from_pandas(res.reset_index(drop=True), preserve_index=False)
 
 
-def pagerank_parts_actors(sf_dir: str, iters: int = 3) -> pa.Table:
+def pagerank_parts_actors(
+    sf_dir: str, iters: int = 3, damping: float = 0.85
+) -> pa.Table:
     """PageRank via BUCKET-PINNED ACTORS (the other point in the design
     space vs the pure-Dataset ``pagerank_parts``): edges stage once into
     per-bucket parquet shards, B actors pin their bucket + rank state,
@@ -11030,7 +11043,7 @@ def pagerank_parts_actors(sf_dir: str, iters: int = 3) -> pa.Table:
 
     with tempfile.TemporaryDirectory(prefix="prstage-") as d:
         return pagerank_actor_mode(
-            _part_pair_counts_ds(sf_dir), d, iters=iters
+            _part_pair_counts_ds(sf_dir), d, iters=iters, damping=damping
         )
 
 
@@ -11343,10 +11356,17 @@ def rfm_segments(sf_dir: str, tiles: int = 5) -> pa.Table:
     )
 
     def fold_segments(g: pd.DataFrame) -> pd.DataFrame:
-        seg = g.groupby("o_custkey").apply(
-            lambda x: int((x["q"] * x["which"]).sum()), include_groups=False
+        # segment code = Σ q·which per customer — a vectorized groupby-sum
+        # (which ∈ {100, 10, 1} place-encodes the three quintile digits)
+        qw = g["q"].to_numpy(np.int64) * g["which"].to_numpy(np.int64)
+        seg = (
+            pd.DataFrame({"o_custkey": g["o_custkey"].to_numpy(np.int64), "qw": qw})
+            .groupby("o_custkey", as_index=False)["qw"]
+            .sum()
         )
-        out = seg.value_counts().rename_axis("segment").reset_index(name="n_customers")
+        out = (
+            seg["qw"].value_counts().rename_axis("segment").reset_index(name="n_customers")
+        )
         return out.astype(np.int64)
 
     out = (

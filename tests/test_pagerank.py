@@ -54,3 +54,13 @@ def test_pagerank_actor_mode_matches_dataset_mode(ray_session):
     m = a.merge(b, on="part_id", suffixes=("_ds", "_ac"))
     assert len(m) == len(a) == len(b)
     assert np.allclose(m["pr_ds"], m["pr_ac"], atol=2e-6)
+
+
+def test_pagerank_auto_promotes_to_actor_plan_above_edge_threshold(ray_session):
+    # threshold 1 forces the edges-stay-put actor plan; result must be
+    # bit-identical to the dataset-algebra plan at the default threshold
+    a = q.pagerank_parts(SF, iters=2).to_pandas()
+    b = q.pagerank_parts(SF, iters=2, actor_edge_threshold=1).to_pandas()
+    m = a.merge(b, on="part_id", suffixes=("_ds", "_ac"))
+    assert len(m) == len(a) == len(b)
+    assert np.allclose(m["pr_ds"], m["pr_ac"], atol=2e-6)
