@@ -209,73 +209,139 @@ def make_router(
         if name and name not in credentials
     }
 
+    # ---- build-time flattening for the Arrow-native 1→N expansion ----
+    # Routes sorted by (stream_id, route, route_id) so each (sid, rt) match
+    # group is a CONTIGUOUS run ordered by route_id (the old within-row
+    # tie-break). Per batch the expansion is then index_in → np.repeat →
+    # take: zero pandas, zero per-row Python. Keys are length-prefixed
+    # (len(sid), sid, rt joined by \x1f) so (sid, rt) pairs can't collide.
+    rs = routes.sort_values(
+        [STREAM_ID_COLUMN, STREAM_ROUTE_COLUMN, "route_id"], kind="stable"
+    ).reset_index(drop=True)
+    _bsid = rs[STREAM_ID_COLUMN].fillna("").astype(str).to_numpy(dtype=object)
+    _brt = rs[STREAM_ROUTE_COLUMN].fillna("").astype(str).to_numpy(dtype=object)
+    _kb = np.array(
+        [f"{len(s)}\x1f{s}\x1f{r}" for s, r in zip(_bsid, _brt)], dtype=object
+    )
+    if len(_kb):
+        _change = np.flatnonzero(np.r_[True, _kb[1:] != _kb[:-1]])
+        group_starts = _change.astype(np.int64)
+        group_counts = np.diff(np.r_[_change, len(_kb)]).astype(np.int64)
+        key_set = pa.array(_kb[group_starts].tolist(), pa.string())
+    else:
+        group_starts = np.array([], np.int64)
+        group_counts = np.array([], np.int64)
+        key_set = pa.array([], pa.string())
+    _rids = rs["route_id"].tolist()
+    flat_vals: dict[str, list] = {
+        "route_id": _rids,
+        "destination": rs["destination"].tolist(),
+        "partition_folder": rs["partition_folder"].tolist(),
+        "error": [
+            ERR_NO_CREDENTIAL + unresolved[rid] if rid in unresolved else None
+            for rid in _rids
+        ],
+        "credential_ref": [
+            None if rid in unresolved else (cred_of_route.get(rid) or None)
+            for rid in _rids
+        ],
+    }
+    if expand_metadata:
+        for k in all_meta_keys:
+            flat_vals[k] = [meta_cols.get(rid, {}).get(k) for rid in _rids]
+    flat_pa: dict[str, pa.Array] = {}
+    for c, vals in flat_vals.items():
+        arr = pa.array(vals)
+        if pa.types.is_null(arr.type):
+            arr = arr.cast(pa.string())
+        flat_pa[c] = arr
+    miss_vals: dict[str, object] = {}
+    if default_route is not None:
+        cred = default_route.get("credential", "")
+        bad_cred = bool(cred) and cred not in credentials
+        miss_vals = {
+            "route_id": default_route.get("id", "default"),
+            "destination": default_route["destination"],
+            "partition_folder": default_route.get("partition_folder", ""),
+            "error": ERR_NO_CREDENTIAL + cred if bad_cred else None,
+            "credential_ref": None if bad_cred else (cred or None),
+        }
+        if expand_metadata:
+            for k in all_meta_keys:
+                miss_vals[k] = default_route.get("metadata", {}).get(k)
+
     def route_batch(batch: pa.Table) -> pa.Table:
         batch = resolve_stream_columns(batch)
-        df = batch.to_pandas()
-        n = len(df)
-        if STREAM_ID_COLUMN not in df.columns:
-            df[STREAM_ID_COLUMN] = ""
-        if STREAM_ROUTE_COLUMN not in df.columns:
-            df[STREAM_ROUTE_COLUMN] = ""
-        df["_row"] = np.arange(n)
-        merged = df.merge(
-            routes, on=[STREAM_ID_COLUMN, STREAM_ROUTE_COLUMN], how="left"
+        n = batch.num_rows
+        for c in (STREAM_ID_COLUMN, STREAM_ROUTE_COLUMN):
+            if c not in batch.column_names:
+                batch = batch.append_column(c, pa.array([""] * n, pa.string()))
+        sid = pc.cast(batch[STREAM_ID_COLUMN], pa.string())
+        rt = pc.cast(batch[STREAM_ROUTE_COLUMN], pa.string())
+        # null sid/rt → null key → miss (the old pandas merge also missed)
+        key = pc.binary_join_element_wise(
+            pc.cast(pc.utf8_length(sid), pa.string()), sid, rt, "\x1f"
         )
-        matched = merged[merged["route_id"].notna()].copy()
-        missed = merged[merged["route_id"].isna()].drop_duplicates("_row").copy()
-
-        out_parts = []
-        if len(matched):
-            matched["error"] = None
-            matched["credential_ref"] = matched["route_id"].map(
-                lambda rid: cred_of_route.get(rid) or None
+        if len(key_set):
+            g = (
+                pc.index_in(key, value_set=key_set)
+                .combine_chunks()
+                .fill_null(-1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
             )
-            if unresolved:
-                bad = matched["route_id"].isin(unresolved)
-                if bad.any():
-                    matched.loc[bad, "error"] = ERR_NO_CREDENTIAL + matched.loc[
-                        bad, "route_id"
-                    ].map(unresolved)
-                    matched.loc[bad, "credential_ref"] = None
-            if expand_metadata:
-                for k in all_meta_keys:
-                    matched[k] = matched["route_id"].map(
-                        lambda rid, k=k: meta_cols.get(rid, {}).get(k)
+        else:
+            g = np.full(n, -1, np.int64)
+        miss = g < 0
+        gc = np.where(miss, 0, g)
+        counts = (
+            np.where(miss, 1, group_counts[gc])
+            if len(group_counts)
+            else np.ones(n, np.int64)
+        )
+        row_rep = np.repeat(np.arange(n, dtype=np.int64), counts)
+        total = int(counts.sum())
+        starts_pr = (
+            np.where(miss, np.int64(-1), group_starts[gc])
+            if len(group_starts)
+            else np.full(n, -1, np.int64)
+        )
+        rep_starts = np.repeat(starts_pr, counts)
+        first_out = np.cumsum(counts) - counts
+        within = np.arange(total, dtype=np.int64) - np.repeat(first_out, counts)
+        take_idx = rep_starts + within
+        miss_exp = rep_starts < 0
+        result = batch.take(pa.array(row_rep))
+        idx_pa = pa.array(np.where(miss_exp, 0, take_idx), pa.int64(), mask=miss_exp)
+        any_miss = bool(miss_exp.any())
+        miss_pa = pa.array(miss_exp) if any_miss else None
+        if any_miss and default_route is None:
+            err_row = pc.binary_join_element_wise(
+                pa.array([ERR_NO_ROUTE] * n),
+                sid.combine_chunks().fill_null(""),
+                pc.binary_join_element_wise(
+                    pa.array(["-"] * n), rt.combine_chunks().fill_null(""), ""
+                ),
+                "",
+            )
+            err_exp = pc.take(err_row, pa.array(row_rep))
+        route_side_cols = ["route_id", "destination", "partition_folder", "error", "credential_ref"]
+        if expand_metadata:
+            route_side_cols += all_meta_keys
+        for c in route_side_cols:
+            col = pc.take(flat_pa[c], idx_pa)  # null at missed positions
+            if any_miss:
+                if default_route is not None:
+                    col = pc.if_else(
+                        miss_pa, pa.scalar(miss_vals[c], flat_pa[c].type), col
                     )
-            out_parts.append(matched)
-        if len(missed) and default_route is not None:
-            missed["error"] = None
-            missed["route_id"] = default_route.get("id", "default")
-            missed["destination"] = default_route["destination"]
-            missed["partition_folder"] = default_route.get("partition_folder", "")
-            cred = default_route.get("credential", "")
-            if cred and cred not in credentials:
-                missed["error"] = ERR_NO_CREDENTIAL + cred
-                missed["credential_ref"] = None
+                elif c == "error":
+                    col = pc.if_else(miss_pa, err_exp, col)
+            if c in result.column_names:
+                i = result.schema.get_field_index(c)
+                result = result.set_column(i, pa.field(c, col.type), col)
             else:
-                missed["credential_ref"] = cred or None
-            if expand_metadata:
-                for k in all_meta_keys:
-                    missed[k] = default_route.get("metadata", {}).get(k)
-            out_parts.append(missed)
-            missed = missed.iloc[0:0]
-        if len(missed):
-            missed["credential_ref"] = None
-            missed["error"] = (
-                ERR_NO_ROUTE
-                + missed[STREAM_ID_COLUMN].fillna("").astype(str)
-                + "-"
-                + missed[STREAM_ROUTE_COLUMN].fillna("").astype(str)
-            )
-            for k in (["destination", "partition_folder"] + all_meta_keys if expand_metadata else ["destination", "partition_folder"]):
-                if k not in missed.columns:
-                    missed[k] = None
-            out_parts.append(missed)
-        out = pd.concat(out_parts, ignore_index=True).sort_values(
-            ["_row", "route_id"], kind="stable", na_position="last"
-        )
-        out = out.drop(columns=["_row", "route_metadata", "credential"], errors="ignore")
-        result = pa.Table.from_pandas(out, preserve_index=False)
+                result = result.append_column(c, col)
 
         if enrich:
             result = result.append_column(
