@@ -161,7 +161,7 @@ _DRIVER_CERTIFIED_FIRST = [
     "cdc_quarantine_replay",
     "cdc_wap_audit",
     "udf_failures_quarantined",
-    "triangle_count_parts",
+    "cdc_report_envelopes",
     "dq_expectations",
     "cdc_inflight_repair",
 ]
@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_conv_watermarks": q.cdc_conv_watermarks,
         "cdc_schema_evolution": q.cdc_schema_evolution,
         "cdc_lineage_epochs": q.cdc_lineage_epochs,
+        "cdc_report_envelopes": q.cdc_report_envelopes,
         "cdc_bootstrap_then_changes": q.cdc_bootstrap_then_changes,
         # ---- config-driven orchestration (§2.9, OrchestratorDtos) ----
         "orchestrate_config_pipeline": q.orchestrate_config_pipeline,
@@ -484,9 +485,37 @@ bounds AS (SELECT i, (i * hi) // 4 AS lo, ((i + 1) * hi) // 4 AS up
 SELECT CAST(b.i AS BIGINT) AS epoch,
        CAST(count(DISTINCT conv_id || '#' || CAST(turn_idx AS VARCHAR)) AS BIGINT)
          AS n_applied,
-       CAST(max(seq) AS BIGINT) AS watermark
+       CAST(max(seq) AS BIGINT) AS watermark,
+       '1.0.0' AS report_schema_version,
+       'Routing' AS service,
+       'dex-routing' AS stage
 FROM ch JOIN bounds b ON ch.seq >= b.lo AND ch.seq < b.up
 GROUP BY b.i
+""",
+        "cdc_report_envelopes": _CORRUPT_CH
+        + """
+, errs AS (
+  SELECT CASE
+    WHEN op NOT IN ('insert','update','delete')
+      THEN 'Unsupported op; expected insert|update|delete'
+    WHEN conv_id IS NULL OR conv_id = '' THEN 'Missing conv_id in event'
+    WHEN turn_idx IS NULL THEN 'Missing turn_idx in event'
+    WHEN ts IS NULL THEN 'Missing or unparseable ts'
+    WHEN op = 'insert' AND role IS NULL AND text IS NULL
+      THEN 'Payload metadata is missing or empty for insert'
+    ELSE NULL END AS message
+  FROM ch
+), q AS (SELECT message FROM errs WHERE message IS NOT NULL)
+SELECT '1.0.0' AS report_schema_version,
+       'lake-partition-commit' AS content_schema_name,
+       '1.0.0' AS content_schema_version,
+       'Routing' AS service,
+       'dex-routing' AS stage,
+       'QUARANTINED' AS status,
+       'ERROR' AS level,
+       message,
+       (SELECT count(*) FROM q) AS n_quarantined
+FROM q GROUP BY message
 """,
         "cdc_bootstrap_then_changes": _CH
         + """

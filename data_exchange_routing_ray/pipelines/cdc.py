@@ -779,12 +779,22 @@ class CDCLake:
             raise
 
         # ---- post-publish effects (safe: the epoch is durably committed) ---
+        q_issues: list[dict] = []
         if qfile is not None:
             qdir = os.path.join(self.lake_dir, "quarantine", f"epoch={epoch:012d}")
             if os.path.exists(qdir):
                 shutil.rmtree(qdir)  # crashed attempt; dead-letter is epoch-keyed
             os.makedirs(qdir, exist_ok=True)
-            os.replace(qfile, os.path.join(qdir, "deadletter.parquet"))
+            qpath = os.path.join(qdir, "deadletter.parquet")
+            os.replace(qfile, qpath)
+            # one structured Issue per DISTINCT dead-letter error (column-
+            # pruned read of one epoch's dead-letter file; Issue{level,
+            # message}, PSReportEnvelope.kt:49-54)
+            qerrs = pq.read_table(qpath, columns=["error"])["error"].to_pylist()
+            q_issues = [
+                {"level": "ERROR", "message": m}
+                for m in sorted({e for e in qerrs if e})
+            ]
 
         lineage_extra = []
         if rows_quarantined:
@@ -798,15 +808,21 @@ class CDCLake:
                     "changes_applied": 0,
                     "changes_fenced": 0,
                     "status": "QUARANTINED",
+                    "issues": q_issues,
                 }
             )
         if len(stats) or lineage_extra:
             t1 = time.time()
             cols = [
                 "partition", "epoch", "applied_offset", "row_count",
-                "changes_applied", "changes_fenced", "status",
+                "changes_applied", "changes_fenced", "status", "issues",
             ]
-            base_rows = stats.assign(status="SUCCESS")[cols] if len(stats) else None
+            base_rows = (
+                stats.assign(status="SUCCESS")
+                .assign(issues=lambda d: [[] for _ in range(len(d))])[cols]
+                if len(stats)
+                else None
+            )
             extra_rows = pd.DataFrame(lineage_extra, columns=cols) if lineage_extra else None
             lineage_rows = pd.concat(
                 [df for df in (base_rows, extra_rows) if df is not None],

@@ -2039,7 +2039,9 @@ def cdc_explode_archive(sf_dir: str) -> pa.Table:
 
 def cdc_lineage_epochs(sf_dir: str, epochs: int = 4) -> pa.Table:
     """Per-epoch lineage rollup after a seq-sliced multi-epoch replay: the
-    processing-status report stream (S9/S12) aggregated per commit epoch.
+    processing-status report stream (S9/S12) aggregated per commit epoch,
+    carrying the versioned-envelope fields (report_schema_version, stage
+    info; PSReportEnvelope.kt:4-58) read back from the report rows.
     Integer epoch bounds: epoch i covers [i*hi//E, (i+1)*hi//E)."""
     stream = derived_change_stream(sf_dir)
     hi = int(_events(sf_dir, columns=["event_id"]).max("event_id")) + 1
@@ -2056,9 +2058,47 @@ def cdc_lineage_epochs(sf_dir: str, epochs: int = 4) -> pa.Table:
         .agg(
             n_applied=("changes_applied", "sum"),
             watermark=("applied_offset", "max"),
+            report_schema_version=("report_schema_version", "max"),
+            service=("service", "max"),
+            stage=("stage", "max"),
         )
         .astype({"epoch": "int64", "n_applied": "int64", "watermark": "int64"})
     )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def cdc_report_envelopes(sf_dir: str) -> pa.Table:
+    """Versioned processing-status report envelopes, full S9/S12 shape
+    parity (PSReportEnvelope.kt:4-58): one quarantine-on epoch over the
+    corrupted stream, then the report stream is read back and the
+    QUARANTINED row's structured issues list (Issue{level, message},
+    PSReportEnvelope.kt:49-54) is exploded — one row per distinct
+    dead-letter error — alongside the envelope version / stage-info
+    fields. The ≤5-row explode happens on the driver; the lineage table
+    is at most P+1 rows per epoch by construction."""
+    stream = derived_change_stream(sf_dir, corrupt=True)
+    with tempfile.TemporaryDirectory(prefix="cdcenv-") as d:
+        lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
+        lake.apply_changes(stream)
+        lin = lake.lineage.read_all().to_pandas()
+    qrows = lin[lin["status"] == "QUARANTINED"]
+    rows = []
+    for _, r in qrows.iterrows():
+        for iss in r["issues"]:
+            rows.append(
+                {
+                    "report_schema_version": r["report_schema_version"],
+                    "content_schema_name": r["content_schema_name"],
+                    "content_schema_version": r["content_schema_version"],
+                    "service": r["service"],
+                    "stage": r["stage"],
+                    "status": r["status"],
+                    "level": iss["level"],
+                    "message": iss["message"],
+                    "n_quarantined": int(r["row_count"]),
+                }
+            )
+    out = pd.DataFrame(rows).sort_values("message").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 
 

@@ -46,6 +46,10 @@ LAKE_EXTRA_COLUMNS = ("seq",)
 
 # Per-(partition, epoch) lineage rows — analog of PSReportEnvelope/StageInfo
 # (fns-routing/.../PSReportEnvelope.kt:7-58).
+# Structured per-report issue, PSReportEnvelope.kt:49-54 (Issue{level,message},
+# IssueLevel WARNING|ERROR).
+ISSUE_TYPE = pa.struct([("level", pa.string()), ("message", pa.string())])
+
 LINEAGE_SCHEMA = pa.schema(
     [
         ("partition", pa.int32()),
@@ -54,9 +58,17 @@ LINEAGE_SCHEMA = pa.schema(
         ("row_count", pa.int64()),
         ("changes_applied", pa.int64()),
         ("changes_fenced", pa.int64()),
-        ("status", pa.string()),  # SUCCESS | FAILURE
+        ("status", pa.string()),  # SUCCESS | QUARANTINED (ref: SUCCESS|FAILURE)
         ("start_ts", pa.timestamp("us")),
         ("end_ts", pa.timestamp("us")),
+        # --- versioned-envelope parity, PSReportEnvelope.kt:4-58 ---
+        ("report_schema_version", pa.string()),  # SCHEMA_VERSION = "1.0.0"
+        ("content_schema_name", pa.string()),  # ref: "blob-file-copy"; ours: per-partition commit
+        ("content_schema_version", pa.string()),
+        ("service", pa.string()),  # StageInfo.service
+        ("stage", pa.string()),  # StageInfo.stage
+        ("version", pa.string()),  # StageInfo.version
+        ("issues", pa.list_(ISSUE_TYPE)),  # StageInfo.issues
     ]
 )
 

@@ -1,10 +1,13 @@
 """Per-epoch lineage / processing-status reports.
 
 Analog of the reference's ``PSReportEnvelope``/``StageInfo`` report stream
-(``fns-routing/.../PSReportEnvelope.kt:7-58``, published per processed file,
+(``fns-routing/.../PSReportEnvelope.kt:4-58``, published per processed file,
 ``RouteIngestedFile.kt:409-428``): one row per (partition, epoch) with the
-applied-offset watermark, row counts and status. Written by the driver at
-commit time (small — at most P rows per epoch).
+applied-offset watermark, row counts, status, the versioned-envelope fields
+(``report_schema_version``, ``content_schema_name``/``_version``, stage info
+``service``/``stage``/``version``) and a structured ``issues`` list
+(``Issue{level, message}``, ``PSReportEnvelope.kt:49-54``). Written by the
+driver at commit time (small — at most P rows per epoch).
 """
 
 from __future__ import annotations
@@ -16,7 +19,26 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from data_exchange_routing_ray.schemas import LINEAGE_SCHEMA
+from data_exchange_routing_ray.schemas import ISSUE_TYPE, LINEAGE_SCHEMA
+
+# Envelope constants (PSReportEnvelope.kt:4-5, :37-46). service/stage match
+# the reference's StageInfo defaults; the content schema names OUR report
+# payload (a lake-partition commit, the analog of the per-file blob copy).
+REPORT_SCHEMA_VERSION = "1.0.0"
+CONTENT_SCHEMA_NAME = "lake-partition-commit"
+CONTENT_SCHEMA_VERSION = "1.0.0"
+SERVICE = "Routing"
+STAGE = "dex-routing"
+APP_VERSION = "1.0.0"
+
+ENVELOPE_CONSTANTS = {
+    "report_schema_version": REPORT_SCHEMA_VERSION,
+    "content_schema_name": CONTENT_SCHEMA_NAME,
+    "content_schema_version": CONTENT_SCHEMA_VERSION,
+    "service": SERVICE,
+    "stage": STAGE,
+    "version": APP_VERSION,
+}
 
 
 class LineageLog:
@@ -26,8 +48,25 @@ class LineageLog:
         os.makedirs(self.dir, exist_ok=True)
 
     def append_epoch(self, epoch: int, rows: pd.DataFrame) -> str:
-        """Write one lineage file per epoch (deterministic name, idempotent)."""
-        table = pa.Table.from_pandas(rows, preserve_index=False)
+        """Write one lineage file per epoch (deterministic name, idempotent).
+
+        ``rows`` may carry an ``issues`` column of ``[{level, message}, ...]``
+        lists (quarantine rows carry their exact errors); absent or null
+        entries become empty lists. Envelope-constant columns are filled in
+        here so callers only supply the per-commit facts.
+        """
+        rows = rows.copy()
+        for name, value in ENVELOPE_CONSTANTS.items():
+            if name not in rows.columns:
+                rows[name] = value
+        issues = (
+            [v if isinstance(v, list) else [] for v in rows["issues"]]
+            if "issues" in rows.columns
+            else [[] for _ in range(len(rows))]
+        )
+        scalar = rows.drop(columns=["issues"], errors="ignore")
+        table = pa.Table.from_pandas(scalar, preserve_index=False)
+        table = table.append_column("issues", pa.array(issues, type=pa.list_(ISSUE_TYPE)))
         table = table.select([f.name for f in LINEAGE_SCHEMA]).cast(LINEAGE_SCHEMA)
         path = os.path.join(self.dir, f"epoch-{epoch:012d}.parquet")
         tmp = path + ".tmp"

@@ -282,3 +282,36 @@ def test_schema_evolution_widened_types(ray_session, tmp_path):
     got = final.to_pandas()
     assert len(got) == len(exp)
     assert list(got["text"]) == list(exp["text"])
+
+
+def test_report_envelopes_carry_quarantine_issues(ray_session, tmp_path):
+    """S9/S12 versioned-envelope parity (PSReportEnvelope.kt:4-58): the
+    QUARANTINED lineage row carries each distinct dead-letter error as a
+    structured Issue{level=ERROR, message}, SUCCESS rows carry an empty
+    issues list, and every row carries the envelope constants."""
+    import ray.data
+
+    changes = make_change_stream(num_convs=20, max_turns=4, seed=47).to_pandas()
+    changes.loc[changes.index[:3], "op"] = "upsert"  # invalid op -> quarantine
+    changes.loc[changes.index[3:5], "conv_id"] = ""  # missing conv_id
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply_changes(
+        ray.data.from_arrow(pa.Table.from_pandas(changes, preserve_index=False))
+    )
+    lin = lake.lineage.read_all().to_pandas()
+    assert set(lin["report_schema_version"]) == {"1.0.0"}
+    assert set(lin["service"]) == {"Routing"}
+    assert set(lin["stage"]) == {"dex-routing"}
+    assert set(lin["content_schema_name"]) == {"lake-partition-commit"}
+    qrow = lin[lin["status"] == "QUARANTINED"]
+    assert len(qrow) == 1
+    issues = list(qrow.iloc[0]["issues"])
+    msgs = {i["message"] for i in issues}
+    assert msgs == {
+        "Unsupported op; expected insert|update|delete",
+        "Missing conv_id in event",
+    }
+    assert all(i["level"] == "ERROR" for i in issues)
+    ok = lin[lin["status"] == "SUCCESS"]
+    assert len(ok) > 0
+    assert all(len(v) == 0 for v in ok["issues"])
