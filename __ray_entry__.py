@@ -154,7 +154,7 @@ _DRIVER_CERTIFIED_FIRST = [
     "conv_context_windows",
     "group_aware_split",
     "multi_agg_shared_scan",
-    "dau_wau_mau_stickiness",
+    "multimodal_decode",
     "dedup_edit_distance",
     "lake_predicate_delete",
     "pit_feature_join",
@@ -882,6 +882,30 @@ SELECT vec_id,
              (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)),
              6) AS cosine
 FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10
+""",
+        "multimodal_decode": """
+WITH px AS (
+  SELECT d.doc_id, t.x
+  FROM documents d, range(65) t(x)
+  WHERE t.x < 16 + d.doc_id % 49
+),
+rowsum AS (
+  SELECT doc_id, SUM((doc_id + x) % 256) AS rs FROM px GROUP BY doc_id
+),
+dims AS (
+  SELECT doc_id,
+         16 + doc_id % 49 AS w,
+         16 + doc_id % 33 AS h,
+         CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS c
+  FROM documents
+)
+SELECT m.doc_id AS media_id,
+       CAST(m.w AS INTEGER) AS width,
+       CAST(m.h AS INTEGER) AS height,
+       CAST(m.c AS INTEGER) AS channels,
+       CAST(r.rs * m.h * m.c AS BIGINT) AS pixel_sum,
+       CAST(m.w * m.h * m.c AS BIGINT) AS decoded_bytes
+FROM dims m JOIN rowsum r ON r.doc_id = m.doc_id
 """,
         "multimodal_resize_framesample": """
 SELECT doc_id AS media_id,
@@ -3380,6 +3404,8 @@ FROM cnt GROUP BY len ORDER BY len
         # lake_write_amplification (engine-internal commit stats; in-query
         # delta<=rewrite assertion + tests/test_delta_policy.py),
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,
-        # dedup_ngram_jaccard, emb_neardup_lsh, ann_ivf_topk, multimodal_decode,
+        # dedup_ngram_jaccard, emb_neardup_lsh, ann_ivf_topk,
         # ann_quantized_topk (in-query recall gate vs exact top-k)
+        # (multimodal_decode gained a full value oracle in round 3: real
+        # PNG decode with closed-form width/height/channels/pixel_sum)
     }

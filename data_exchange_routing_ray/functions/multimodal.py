@@ -5,17 +5,21 @@ The reference treats every payload as an opaque blob with a metadata map
 ``payload: binary`` + typed metadata — and run decode / feature-extract /
 frame-sample as actor-pool ``map_batches`` stages.
 
-Image/audio libraries are NOT in this container, so the codec boundary is
-STUBBED: ``decode=\"fake\"`` (default) runs a deterministic header-parse
-fake so the Ray-side plumbing (schema, batch size, actor signature, output
-layout) is real and tested; ``decode=\"real\"`` raises ``NotImplementedError``
-with the dependency it would use.
+Codec boundary: ``decode="fake"`` (default) runs a deterministic
+header-parse fake; ``decode="real"`` decodes genuine PNG bytes — via
+Pillow when importable (loaded once per actor in ``__init__``), else the
+pure-Python/numpy PNG codec in ``functions/png.py`` (stdlib zlib; real
+chunks, CRCs, filters). JPEG/audio/video codecs are not in this container
+and remain behind the same boundary: a non-PNG payload in real mode
+dead-letters with an exact error instead of crashing the stage.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+from data_exchange_routing_ray.functions.png import decode_png, encode_png
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -54,26 +58,96 @@ def synthesize_media_batch(batch: pa.Table, payload_from: str = "text") -> pa.Ta
     )
 
 
-class DecodeMedia:
-    """Actor-pool decode stage. ``__init__`` loads the (stubbed) codec once
-    per actor; ``__call__`` decodes per batch.
+def synthesize_png_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic REAL-PNG media rows from an id column: image i is a
+    (16 + i%33) × (16 + i%49) raster, channels cycling gray/RGB/RGBA by
+    i%3, every channel the row-constant gradient ``(i + x) % 256`` — so an
+    oracle can compute width/height/channels/pixel_sum in closed form while
+    the payload is genuine PNG bytes (zlib, CRC'd chunks, filters)."""
+    ids = batch[id_col].to_numpy().astype(np.int64)
+    payloads = []
+    for i in ids:
+        w = 16 + int(i) % 49
+        h = 16 + int(i) % 33
+        ch = (1, 3, 4)[int(i) % 3]
+        row = ((int(i) + np.arange(w)) % 256).astype(np.uint8)
+        img = np.broadcast_to(row, (h, w))
+        if ch > 1:
+            img = np.repeat(img[:, :, None], ch, axis=2)
+        payloads.append(encode_png(img, filter_type=int(i) % 5))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(["image"] * len(ids), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
 
-    Output layout: input columns + ``decoded_bytes`` (payload size) +
-    ``checksum`` (deterministic content hash) — the shape a real decoder
-    would extend with pixel/sample tensors.
+
+class DecodeMedia:
+    """Actor-pool decode stage. ``__init__`` loads the codec once per actor
+    (Pillow when importable, else the pure PNG codec); ``__call__`` decodes
+    per batch.
+
+    ``decode="fake"``: input columns + ``decoded_bytes`` (payload size) +
+    ``checksum`` (deterministic content hash) — plumbing only.
+
+    ``decode="real"``: decodes each payload as PNG and appends ``width``,
+    ``height``, ``channels``, ``pixel_sum`` (Σ of all decoded samples),
+    ``decoded_bytes`` (decoded raster size) and ``error`` (null on
+    success; the exact codec error for undecodable payloads — the
+    dead-letter shape, never a stage crash).
     """
 
     def __init__(self, decode: str = "fake"):
-        if decode == "real":
-            raise NotImplementedError(
-                "real media decode requires Pillow/torchaudio/PyAV, which are "
-                "not available in this environment; use decode='fake' for the "
-                "deterministic plumbing path"
-            )
+        if decode not in ("fake", "real"):
+            raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
         self.decode = decode
+        self._pil = None
+        if decode == "real":
+            try:  # optional fast path, loaded once per actor
+                from PIL import Image
+
+                self._pil = Image
+            except ImportError:
+                self._pil = None
+
+    def _decode_one(self, p: bytes):
+        if self._pil is not None:
+            import io
+
+            with self._pil.open(io.BytesIO(p)) as im:
+                arr = np.asarray(im)
+            return arr
+        arr, _meta = decode_png(p)
+        return arr
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
+        if self.decode == "real":
+            n = len(payloads)
+            widths = np.zeros(n, np.int32)
+            heights = np.zeros(n, np.int32)
+            chans = np.zeros(n, np.int32)
+            sums = np.zeros(n, np.int64)
+            nbytes = np.zeros(n, np.int64)
+            errs: list[str | None] = [None] * n
+            for i, p in enumerate(payloads):
+                try:
+                    arr = self._decode_one(p or b"")
+                except (ValueError, NotImplementedError, OSError) as e:
+                    errs[i] = f"decode failed: {e}"
+                    continue
+                heights[i], widths[i] = arr.shape[0], arr.shape[1]
+                chans[i] = arr.shape[2] if arr.ndim == 3 else 1
+                sums[i] = int(arr.astype(np.int64).sum())
+                nbytes[i] = arr.size
+            batch = batch.append_column("width", pa.array(widths, pa.int32()))
+            batch = batch.append_column("height", pa.array(heights, pa.int32()))
+            batch = batch.append_column("channels", pa.array(chans, pa.int32()))
+            batch = batch.append_column("pixel_sum", pa.array(sums, pa.int64()))
+            batch = batch.append_column("decoded_bytes", pa.array(nbytes, pa.int64()))
+            return batch.append_column("error", pa.array(errs, pa.string()))
         sizes = np.array([len(p or b"") for p in payloads], dtype=np.int64)
         checks = np.array(
             [

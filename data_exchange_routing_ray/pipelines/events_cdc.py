@@ -3009,21 +3009,34 @@ def training_data_prep(sf_dir: str) -> pa.Table:
 
 
 def multimodal_decode(sf_dir: str) -> pa.Table:
+    """REAL image decode as an actor-pool stage: per doc a genuine PNG
+    payload (zlib-compressed CRC'd chunks, filter type cycling 0-4;
+    ``functions/png.py``) is synthesized, then ``DecodeMedia(decode="real")``
+    decodes it — Pillow if importable, else the pure-numpy codec — and the
+    width/height/channels/pixel_sum columns are value-checked against the
+    SQL oracle's closed form. Feature extraction (actor-pool batched
+    'inference' over the decoded payloads) rides the same chain."""
     from data_exchange_routing_ray.functions.multimodal import (
         DecodeMedia,
         ExtractMediaFeatures,
-        synthesize_media_batch,
+        synthesize_png_batch,
     )
 
     ds = (
-        _documents(sf_dir, columns=["doc_id", "text"])
-        .map_batches(synthesize_media_batch, batch_format="pyarrow")
-        .map_batches(DecodeMedia, batch_format="pyarrow", concurrency=2)
+        _documents(sf_dir, columns=["doc_id"])
+        .map_batches(synthesize_png_batch, batch_format="pyarrow")
+        .map_batches(
+            DecodeMedia,
+            fn_constructor_kwargs={"decode": "real"},
+            batch_format="pyarrow",
+            concurrency=2,
+        )
         .map_batches(ExtractMediaFeatures, batch_format="pyarrow", concurrency=2)
     )
     out = ds.to_pandas()
+    assert out["error"].isna().all(), "real PNG decode produced errors"
     return pa.Table.from_pandas(
-        out[["media_id", "media_type", "decoded_bytes", "checksum"]],
+        out[["media_id", "width", "height", "channels", "pixel_sum", "decoded_bytes"]],
         preserve_index=False,
     )
 

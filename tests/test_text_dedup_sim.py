@@ -235,5 +235,49 @@ def test_multimodal_plumbing(ray_session):
     frames = sample_frames(media, frame_size=8, every_nth=2)
     assert frames.num_rows > 0
     assert set(frames.column_names) == {"media_id", "frame_idx", "frame"}
-    with pytest.raises(NotImplementedError):
-        DecodeMedia(decode="real")
+
+
+def test_multimodal_real_png_decode(ray_session):
+    """decode='real' decodes genuine PNG bytes (pure-python codec,
+    functions/png.py): dims/channels/pixel sums value-checked against the
+    synthesizer's closed form; a corrupt payload dead-letters with an
+    exact error instead of crashing the stage."""
+    import ray.data
+
+    from data_exchange_routing_ray.functions.multimodal import (
+        synthesize_png_batch,
+    )
+
+    ids = pa.table({"doc_id": pa.array(list(range(12)), pa.int64())})
+    media = synthesize_png_batch(ids)
+    assert all(p[:8] == b"\x89PNG\r\n\x1a\n" for p in media["payload"].to_pylist())
+    df = (
+        ray.data.from_arrow(media)
+        .map_batches(
+            DecodeMedia,
+            fn_constructor_kwargs={"decode": "real"},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    for i in range(12):
+        w, h = 16 + i % 49, 16 + i % 33
+        ch = (1, 3, 4)[i % 3]
+        rowsum = int(((i + np.arange(w)) % 256).sum())
+        assert df.loc[i, "width"] == w and df.loc[i, "height"] == h
+        assert df.loc[i, "channels"] == ch
+        assert df.loc[i, "pixel_sum"] == rowsum * h * ch
+        assert df.loc[i, "decoded_bytes"] == w * h * ch
+        assert df.loc[i, "error"] is None
+    # corrupt payload -> per-row error, stage survives
+    bad = media.set_column(
+        media.schema.get_field_index("payload"),
+        "payload",
+        pa.array([b"not a png"] + media["payload"].to_pylist()[1:], pa.binary()),
+    )
+    dec = DecodeMedia(decode="real")(bad).to_pandas()
+    assert dec.loc[0, "error"] is not None and "decode failed" in dec.loc[0, "error"]
+    assert dec.loc[1:, "error"].isna().all()
