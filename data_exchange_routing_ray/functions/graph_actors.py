@@ -92,6 +92,145 @@ class _BucketActor:
         )
 
 
+@ray.remote
+class _KhopBucketActor:
+    """K-hop BFS counterpart of ``_BucketActor``: pins one edge bucket
+    (src-sorted for vectorized frontier expansion) plus the min-dist state
+    of its owned nodes. Per hop: ``expand(h)`` emits candidate-neighbor
+    shards by destination bucket, ``fold(h, *shards)`` min-reduces them
+    into the dist state. On the symmetric graph every dst also appears as
+    a src in its own bucket (edges are materialized both directions), so
+    ownership is well-defined — the same assumption the pure-Dataset
+    variant's ``init_state`` makes."""
+
+    BIG = np.int64(1 << 40)
+
+    def __init__(self, path: str, num_buckets: int, seed_mod: int = 97):
+        if os.path.exists(path):
+            t = pq.read_table(path, columns=["src", "dst"])
+            src = t["src"].to_numpy()
+            dst = t["dst"].to_numpy()
+        else:
+            src = np.array([], np.int64)
+            dst = np.array([], np.int64)
+        order = np.argsort(src, kind="stable")
+        self.src_sorted = src[order]
+        self.dst_sorted = dst[order]
+        self.nodes = np.unique(src)
+        self.dist = np.where(self.nodes % seed_mod == 0, np.int64(0), self.BIG)
+        self.num_buckets = num_buckets
+
+    def expand(self, hop: int) -> tuple:
+        frontier = self.nodes[self.dist == hop - 1]
+        if not len(frontier):
+            return tuple(
+                np.array([], np.int64) for _ in range(self.num_buckets)
+            )
+        lo = np.searchsorted(self.src_sorted, frontier, "left")
+        hi = np.searchsorted(self.src_sorted, frontier, "right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        first = np.cumsum(cnt) - cnt
+        idx = np.repeat(lo, cnt) + (
+            np.arange(total, dtype=np.int64) - np.repeat(first, cnt)
+        )
+        dst = self.dst_sorted[idx]
+        db = bucket_of(dst, self.num_buckets)
+        return tuple(
+            np.unique(dst[db == b]) for b in range(self.num_buckets)
+        )
+
+    def fold(self, hop: int, *shards) -> int:
+        for cand in shards:
+            if not len(cand):
+                continue
+            pos = np.searchsorted(self.nodes, cand)
+            ok = (pos < len(self.nodes)) & (self.nodes[pos.clip(max=len(self.nodes) - 1)] == cand)
+            pos = pos[ok]
+            self.dist[pos] = np.minimum(self.dist[pos], np.int64(hop))
+        return int((self.dist == hop).sum())
+
+    def census(self, k: int) -> np.ndarray:
+        d = self.dist[self.dist <= k]
+        return np.bincount(d, minlength=k + 1).astype(np.int64)
+
+
+def khop_actor_mode(
+    pairs_ds,
+    stage_dir: str,
+    k: int = 3,
+    num_buckets: int = 16,
+    seed_mod: int = 97,
+) -> pa.Table:
+    """K-hop reachability census with bucket-pinned actors: edges stage
+    once per bucket (the only edge movement), then K hops of ref-only
+    candidate routing; only the ≤(K+1)-row census leaves the actors.
+    Pair-asserted identical to the Dataset-algebra ``khop_reachable_parts``
+    and shares its SQL oracle."""
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        x = t["part_a"].to_numpy()
+        y = t["part_b"].to_numpy()
+        src = np.concatenate([x, y]).astype(np.int64)
+        dst = np.concatenate([y, x]).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(src),
+                "dst": pa.array(dst),
+                "bucket": pa.array(bucket_of(src, num_buckets)),
+            }
+        )
+
+    os.makedirs(stage_dir, exist_ok=True)
+
+    def stage(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["bucket"].iloc[0])
+        path = os.path.join(stage_dir, f"edges-{b:04d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(g[["src", "dst"]], preserve_index=False), path
+        )
+        return pd.DataFrame({"bucket": [b], "n": [len(g)]})
+
+    (
+        pairs_ds.map_batches(to_edges, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(stage, batch_format="pandas")
+        .to_pandas()
+    )
+
+    actors = [
+        _KhopBucketActor.remote(
+            os.path.join(stage_dir, f"edges-{b:04d}.parquet"),
+            num_buckets,
+            seed_mod,
+        )
+        for b in range(num_buckets)
+    ]
+    for hop in range(1, max(1, k) + 1):
+        refs = [
+            a.expand.options(num_returns=num_buckets).remote(hop)
+            for a in actors
+        ]
+        if num_buckets == 1:
+            refs = [[r] for r in refs]
+        ray.get(
+            [
+                a.fold.remote(hop, *[refs[s][b] for s in range(num_buckets)])
+                for b, a in enumerate(actors)
+            ]
+        )
+    counts = ray.get([a.census.remote(k) for a in actors])
+    for a in actors:
+        ray.kill(a)
+    total = np.sum(counts, axis=0)
+    return pa.table(
+        {
+            "dist": pa.array(np.arange(k + 1, dtype=np.int64)),
+            "n_nodes": pa.array(total.astype(np.int64)),
+        }
+    )
+
+
 def pagerank_actor_mode(
     pairs_ds,
     stage_dir: str,

@@ -11100,14 +11100,24 @@ def pagerank_parts_actors(
         )
 
 
-def khop_reachable_parts(sf_dir: str, k: int = 3, num_buckets: int = 32) -> pa.Table:
+def khop_reachable_parts(
+    sf_dir: str,
+    k: int = 3,
+    num_buckets: int = 32,
+    actor_edge_threshold: int = 2_000_000,
+) -> pa.Table:
     """K-hop BFS reachability census from a deterministic seed set
     (``part_id % 97 == 0``) over the co-purchase graph — the frontier-BSP
     companion to ``pagerank_parts``: per hop, the frontier meets its edge
     bucket (src-hash exchange), candidate neighbors fold into the visited
     state with a min-dist reduce (dst-hash exchange). The visited set stays
     a bucketed dataset end-to-end — no driver set, no broadcast; only the
-    ≤(K+1)-row census leaves the cluster."""
+    ≤(K+1)-row census leaves the cluster.
+
+    Like ``pagerank_parts``, the Dataset plan re-ships the static edges
+    every hop; above ``actor_edge_threshold`` directed edge rows it
+    promotes to ``khop_actor_mode`` (edges staged once, bucket-pinned
+    actors, ref-only candidate routing) — pair-asserted identical."""
     BIG = np.int64(1 << 40)
     MIX = np.uint64(0x9E3779B97F4A7C15)
     B = np.uint64(num_buckets)
@@ -11137,6 +11147,13 @@ def khop_reachable_parts(sf_dir: str, k: int = 3, num_buckets: int = 32) -> pa.T
         .map_batches(to_edges, batch_format="pyarrow")
         .materialize()
     )
+    if actor_edge_threshold and edges.count() > actor_edge_threshold:
+        from data_exchange_routing_ray.functions.graph_actors import (
+            khop_actor_mode,
+        )
+
+        with tempfile.TemporaryDirectory(prefix="khopstage-") as d:
+            return khop_actor_mode(_part_pair_counts_ds(sf_dir), d, k=k)
 
     def init_state(g: pd.DataFrame) -> pa.Table:
         nodes = np.unique(g["a"].to_numpy(np.int64))

@@ -56,6 +56,14 @@ def test_pagerank_actor_mode_matches_dataset_mode(ray_session):
     assert np.allclose(m["pr_ds"], m["pr_ac"], atol=2e-6)
 
 
+def test_khop_actor_mode_matches_dataset_mode(ray_session):
+    a = q.khop_reachable_parts(SF, k=3).to_pandas()
+    b = q.khop_reachable_parts(SF, k=3, actor_edge_threshold=1).to_pandas()
+    m = a.merge(b, on="dist", suffixes=("_ds", "_ac"))
+    assert len(m) == len(a) == len(b) == 4
+    assert (m["n_nodes_ds"] == m["n_nodes_ac"]).all()
+
+
 def test_pagerank_auto_promotes_to_actor_plan_above_edge_threshold(ray_session):
     # threshold 1 forces the edges-stay-put actor plan; result must be
     # bit-identical to the dataset-algebra plan at the default threshold
