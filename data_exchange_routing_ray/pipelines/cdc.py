@@ -961,14 +961,19 @@ class CDCLake:
             if hi is not None and hi <= watermark:
                 continue  # fully committed; skip at file granularity
             pending.append(f)
+        ncpu = int(ray.cluster_resources().get("CPU", 0)) or 32
         for i in range(0, len(pending), files_per_epoch):
             chunk = pending[i : i + files_per_epoch]
-            # block count follows shard BYTES (128 MB target): a small
-            # epoch must not fan into the session-default ~2x-CPU block
-            # count — the merge exchange's fixed cost scales with the
-            # number of blocks entering it
+            # Block count follows shard BYTES, clamped to [1, 4×CPU]: a
+            # small epoch must not fan into the session-default ~2×-CPU
+            # block count, and a MANY-SMALL-SHARD epoch must not fan into
+            # one block per file either — the merge exchange's fixed cost
+            # scales with the number of blocks entering it (measured: a
+            # 960-shard 96M-event epoch ran 1.4× faster at 128 coalesced
+            # blocks than at 960 per-file blocks). read_parquet coalesces
+            # multiple files per read task when override < len(files).
             nbytes = sum(os.path.getsize(f) for f in chunk)
-            nblocks = max(len(chunk), nbytes // (128 << 20))
+            nblocks = int(max(1, min(nbytes // (16 << 20), 4 * ncpu)))
             ds = ray.data.read_parquet(
                 chunk, columns=columns, override_num_blocks=nblocks
             )
