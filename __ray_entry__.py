@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": q.ann_ivf_topk,
         # ---- multimodal plumbing ----
         "multimodal_decode": q.multimodal_decode,
+        "multimodal_decode_jpeg": q.multimodal_decode_jpeg,
         "multimodal_resize_framesample": q.multimodal_resize_framesample,
         # ---- composite training-data prep ----
         "training_data_prep": q.training_data_prep,
@@ -906,6 +907,13 @@ SELECT m.doc_id AS media_id,
        CAST(r.rs * m.h * m.c AS BIGINT) AS pixel_sum,
        CAST(m.w * m.h * m.c AS BIGINT) AS decoded_bytes
 FROM dims m JOIN rowsum r ON r.doc_id = m.doc_id
+""",
+        "multimodal_decode_jpeg": """
+SELECT doc_id AS media_id,
+       CAST(16 + doc_id % 49 AS INTEGER) AS width,
+       CAST(16 + doc_id % 33 AS INTEGER) AS height,
+       CAST(CASE doc_id % 2 WHEN 0 THEN 1 ELSE 3 END AS INTEGER) AS channels
+FROM documents
 """,
         "multimodal_resize_framesample": """
 SELECT doc_id AS media_id,

@@ -6,12 +6,13 @@ The reference treats every payload as an opaque blob with a metadata map
 frame-sample as actor-pool ``map_batches`` stages.
 
 Codec boundary: ``decode="fake"`` (default) runs a deterministic
-header-parse fake; ``decode="real"`` decodes genuine PNG bytes — via
-Pillow when importable (loaded once per actor in ``__init__``), else the
-pure-Python/numpy PNG codec in ``functions/png.py`` (stdlib zlib; real
-chunks, CRCs, filters). JPEG/audio/video codecs are not in this container
-and remain behind the same boundary: a non-PNG payload in real mode
-dead-letters with an exact error instead of crashing the stage.
+header-parse fake; ``decode="real"`` decodes genuine PNG and baseline
+JPEG bytes (magic-byte sniff) — via Pillow when importable (loaded once
+per actor in ``__init__``), else the pure-Python/numpy codecs in
+``functions/png.py`` and ``functions/jpeg.py``. Audio/video codecs are
+not in this container and remain behind the same boundary: an
+undecodable payload in real mode dead-letters with an exact error
+instead of crashing the stage.
 """
 
 from __future__ import annotations
@@ -19,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from data_exchange_routing_ray.functions.jpeg import decode_jpeg, encode_jpeg
 from data_exchange_routing_ray.functions.png import decode_png, encode_png
 
 MEDIA_SCHEMA = pa.schema(
@@ -84,6 +86,106 @@ def synthesize_png_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
     )
 
 
+def synthesize_jpeg_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic REAL-JPEG media rows from an id column: same dims
+    formula as ``synthesize_png_batch`` but channels cycle gray/RGB (JPEG
+    has no alpha) and chroma subsampling cycles 4:4:4 / 4:2:2 / 4:2:0 by
+    id. Content is a smooth two-axis gradient so the lossy roundtrip stays
+    within a small per-sample error (asserted by the decode stage's
+    quantitative gate, not by exact sums — JPEG is lossy by construction)."""
+    ids = batch[id_col].to_numpy().astype(np.int64)
+    payloads = []
+    for i in ids:
+        img = _jpeg_source_raster(int(i))
+        sub = ("444", "422", "420")[int(i) % 3]
+        payloads.append(encode_jpeg(img, quality=95, subsample=sub))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(["image"] * len(ids), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+def _jpeg_source_raster(i: int) -> np.ndarray:
+    """The deterministic source image for media id ``i`` (shared between
+    the synthesizer and the decode-check stage). The gradient stays inside
+    [0, 255] WITHOUT modulo wrap-around — a wrap is a hard edge, which
+    JPEG's DCT quantization smears (observed mean err 3.5 at 4:2:0); a
+    smooth plane keeps the lossy roundtrip well inside the gate."""
+    w = 16 + i % 49
+    h = 16 + i % 33
+    ch = (1, 3)[i % 2]
+    y, x = np.mgrid[0:h, 0:w]
+    base = (i % 100) + x + y  # ≤ 99 + 63 + 47 = 209
+    if ch == 1:
+        return base.astype(np.uint8)
+    return np.stack(
+        [base + 15 * c for c in range(ch)], axis=2
+    ).astype(np.uint8)  # ≤ 239
+
+
+class DecodeJpegChecked:
+    """Actor-pool JPEG decode stage with an in-query quantitative gate:
+    decodes each payload with the REAL codec (Pillow if importable, else
+    ``functions/jpeg.py``), re-synthesizes the deterministic source raster
+    from ``media_id`` and asserts mean |decoded − source| ≤ ``tol`` (JPEG
+    is lossy, so content is gated by bounded error while width / height /
+    channels stay exactly oracle-checkable)."""
+
+    def __init__(self, tol: float = 3.0):
+        self.tol = tol
+        self._pil = None
+        try:
+            from PIL import Image
+
+            self._pil = Image
+        except ImportError:
+            pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy().astype(np.int64)
+        payloads = batch["payload"].to_pylist()
+        n = len(ids)
+        widths = np.zeros(n, np.int32)
+        heights = np.zeros(n, np.int32)
+        chans = np.zeros(n, np.int32)
+        errs = np.zeros(n, np.float64)
+        for i, (mid, p) in enumerate(zip(ids, payloads)):
+            if self._pil is not None:
+                import io
+
+                with self._pil.open(io.BytesIO(p)) as im:
+                    arr = np.asarray(im)
+            else:
+                arr, _ = decode_jpeg(p)
+            heights[i], widths[i] = arr.shape[0], arr.shape[1]
+            chans[i] = arr.shape[2] if arr.ndim == 3 else 1
+            src = _jpeg_source_raster(int(mid))
+            if arr.shape != src.shape:
+                raise AssertionError(
+                    f"jpeg decode shape {arr.shape} != source {src.shape}"
+                )
+            err = float(
+                np.abs(arr.astype(np.int64) - src.astype(np.int64)).mean()
+            )
+            errs[i] = err
+            if err > self.tol:
+                raise AssertionError(
+                    f"jpeg decode error {err:.2f} > tol {self.tol} for id {mid}"
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "channels": pa.array(chans, pa.int32()),
+                "mean_abs_err": pa.array(errs, pa.float64()),
+            }
+        )
+
+
 class DecodeMedia:
     """Actor-pool decode stage. ``__init__`` loads the codec once per actor
     (Pillow when importable, else the pure PNG codec); ``__call__`` decodes
@@ -119,7 +221,10 @@ class DecodeMedia:
             with self._pil.open(io.BytesIO(p)) as im:
                 arr = np.asarray(im)
             return arr
-        arr, _meta = decode_png(p)
+        if p[:2] == b"\xff\xd8":  # JPEG SOI
+            arr, _meta = decode_jpeg(p)
+        else:
+            arr, _meta = decode_png(p)
         return arr
 
     def __call__(self, batch: pa.Table) -> pa.Table:

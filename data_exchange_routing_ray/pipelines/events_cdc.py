@@ -3041,6 +3041,30 @@ def multimodal_decode(sf_dir: str) -> pa.Table:
     )
 
 
+def multimodal_decode_jpeg(sf_dir: str) -> pa.Table:
+    """REAL baseline-JPEG decode as an actor-pool stage: per doc a genuine
+    JFIF payload (standard Annex-K Huffman tables, chroma subsampling
+    cycling 4:4:4/4:2:2/4:2:0; ``functions/jpeg.py``) is synthesized and
+    decoded. width/height/channels are value-checked by the SQL oracle;
+    the lossy pixel content is gated IN-QUERY by mean |decoded−source| ≤ 3
+    per image (``DecodeJpegChecked`` raises on violation — JPEG rounding
+    cannot be expressed in SQL)."""
+    from data_exchange_routing_ray.functions.multimodal import (
+        DecodeJpegChecked,
+        synthesize_jpeg_batch,
+    )
+
+    ds = (
+        _documents(sf_dir, columns=["doc_id"])
+        .map_batches(synthesize_jpeg_batch, batch_format="pyarrow")
+        .map_batches(DecodeJpegChecked, batch_format="pyarrow", concurrency=2)
+    )
+    out = ds.to_pandas()
+    return pa.Table.from_pandas(
+        out[["media_id", "width", "height", "channels"]], preserve_index=False
+    )
+
+
 # ----------------------------------------------------- round-1 widening set
 
 
