@@ -11012,15 +11012,18 @@ def pagerank_parts(
             }
         )
 
-    edges = (
-        _part_pair_counts_ds(sf_dir)
-        .map_batches(to_edges, batch_format="pyarrow")
-        .materialize()
-    )
-    if actor_edge_threshold and edges.count() > actor_edge_threshold:
+    pairs = _part_pair_counts_ds(sf_dir).materialize()
+    if actor_edge_threshold and 2 * pairs.count() > actor_edge_threshold:
         # edge set too large to re-ship per round — switch to the
-        # bucket-pinned actor plan (edges cross the wire exactly once)
-        return pagerank_parts_actors(sf_dir, iters=iters, damping=damping)
+        # bucket-pinned actor plan (edges cross the wire exactly once);
+        # the already-materialized pair dataset feeds the staging write
+        from data_exchange_routing_ray.functions.graph_actors import (
+            pagerank_actor_mode,
+        )
+
+        with tempfile.TemporaryDirectory(prefix="prstage-") as d:
+            return pagerank_actor_mode(pairs, d, iters=iters, damping=damping)
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
 
     def contribs(g: pd.DataFrame) -> pd.DataFrame:
         st = g[g["side"] == 1]
@@ -11166,18 +11169,15 @@ def khop_reachable_parts(
             }
         )
 
-    edges = (
-        _part_pair_counts_ds(sf_dir)
-        .map_batches(to_edges, batch_format="pyarrow")
-        .materialize()
-    )
-    if actor_edge_threshold and edges.count() > actor_edge_threshold:
+    pairs = _part_pair_counts_ds(sf_dir).materialize()
+    if actor_edge_threshold and 2 * pairs.count() > actor_edge_threshold:
         from data_exchange_routing_ray.functions.graph_actors import (
             khop_actor_mode,
         )
 
         with tempfile.TemporaryDirectory(prefix="khopstage-") as d:
-            return khop_actor_mode(_part_pair_counts_ds(sf_dir), d, k=k)
+            return khop_actor_mode(pairs, d, k=k)
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
 
     def init_state(g: pd.DataFrame) -> pa.Table:
         nodes = np.unique(g["a"].to_numpy(np.int64))
