@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- multimodal plumbing ----
         "multimodal_decode": q.multimodal_decode,
         "multimodal_decode_jpeg": q.multimodal_decode_jpeg,
+        "multimodal_audio_features": q.multimodal_audio_features,
         "multimodal_resize_framesample": q.multimodal_resize_framesample,
         # ---- composite training-data prep ----
         "training_data_prep": q.training_data_prep,
@@ -914,6 +915,24 @@ SELECT doc_id AS media_id,
        CAST(16 + doc_id % 33 AS INTEGER) AS height,
        CAST(CASE doc_id % 2 WHEN 0 THEN 1 ELSE 3 END AS INTEGER) AS channels
 FROM documents
+""",
+        "multimodal_audio_features": """
+WITH px AS (
+  SELECT d.doc_id, t.x
+  FROM documents d, range(4000) t(x)
+  WHERE t.x < 1000 + d.doc_id % 3000
+)
+SELECT d.doc_id AS media_id,
+       CAST(8000 + (d.doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(1000 + d.doc_id % 3000 AS BIGINT) AS n_samples,
+       s.pcm_abs_sum
+FROM documents d
+JOIN (
+  SELECT doc_id,
+         CAST(SUM(ABS(((doc_id + x) % 256 - 128) * 100)) AS BIGINT) AS pcm_abs_sum
+  FROM px GROUP BY doc_id
+) s ON s.doc_id = d.doc_id
 """,
         "multimodal_resize_framesample": """
 SELECT doc_id AS media_id,

@@ -186,6 +186,82 @@ class DecodeJpegChecked:
         )
 
 
+def synthesize_wav_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic REAL-WAV media rows from an id column: clip i is a
+    mono int16 sawtooth ``((i + t) % 256 - 128) * 100`` with
+    ``n = 1000 + i%3000`` samples at ``sr = 8000 + (i%3)*4000`` — closed
+    forms an SQL oracle can reproduce exactly (PCM is lossless), while the
+    payload is genuine RIFF/fmt/data WAV bytes."""
+    from data_exchange_routing_ray.functions.wav import encode_wav
+
+    ids = batch[id_col].to_numpy().astype(np.int64)
+    payloads = []
+    rates = []
+    for i in ids:
+        n = 1000 + int(i) % 3000
+        sr = 8000 + (int(i) % 3) * 4000
+        t = np.arange(n, dtype=np.int64)
+        samples = (((int(i) + t) % 256 - 128) * 100).astype(np.int16)
+        payloads.append(encode_wav(samples, sample_rate=sr))
+        rates.append(sr)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(["audio"] * len(ids), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+class DecodeAudio:
+    """Actor-pool WAV decode + feature stage: real RIFF/PCM parse
+    (``functions/wav.py``) then vectorized clip-level features (RMS,
+    zero-crossing rate, peak, clip fraction, spectral centroid — the
+    filters an audio training-data pipeline gates on). Undecodable
+    payloads dead-letter via the ``error`` column."""
+
+    def __init__(self):
+        from data_exchange_routing_ray.functions.wav import (
+            audio_features,
+            decode_wav,
+        )
+
+        self._decode = decode_wav
+        self._features = audio_features
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        n = len(payloads)
+        srs = np.zeros(n, np.int32)
+        chans = np.zeros(n, np.int32)
+        nsamp = np.zeros(n, np.int64)
+        abssum = np.zeros(n, np.int64)
+        rms = np.zeros(n, np.float64)
+        zcr = np.zeros(n, np.float64)
+        errs: list[str | None] = [None] * n
+        for i, p in enumerate(payloads):
+            try:
+                arr, meta = self._decode(p or b"")
+            except (ValueError, NotImplementedError) as e:
+                errs[i] = f"decode failed: {e}"
+                continue
+            srs[i] = meta["sample_rate"]
+            chans[i] = meta["channels"]
+            nsamp[i] = meta["n_samples"]
+            mono = arr if arr.ndim == 1 else arr.mean(axis=1).astype(np.int16)
+            abssum[i] = int(np.abs(arr.astype(np.int64)).sum())
+            f = self._features(mono, meta["sample_rate"])
+            rms[i] = f["rms"]
+            zcr[i] = f["zero_cross_rate"]
+        batch = batch.append_column("sample_rate", pa.array(srs, pa.int32()))
+        batch = batch.append_column("channels", pa.array(chans, pa.int32()))
+        batch = batch.append_column("n_samples", pa.array(nsamp, pa.int64()))
+        batch = batch.append_column("pcm_abs_sum", pa.array(abssum, pa.int64()))
+        batch = batch.append_column("rms", pa.array(rms, pa.float64()))
+        batch = batch.append_column("zero_cross_rate", pa.array(zcr, pa.float64()))
+        return batch.append_column("error", pa.array(errs, pa.string()))
+
+
 class DecodeMedia:
     """Actor-pool decode stage. ``__init__`` loads the codec once per actor
     (Pillow when importable, else the pure PNG codec); ``__call__`` decodes

@@ -3041,6 +3041,33 @@ def multimodal_decode(sf_dir: str) -> pa.Table:
     )
 
 
+def multimodal_audio_features(sf_dir: str) -> pa.Table:
+    """REAL WAV decode + audio features as an actor-pool stage: per doc a
+    genuine RIFF/PCM payload (deterministic int16 sawtooth;
+    ``functions/wav.py``) is synthesized, structurally validated and
+    decoded; PCM is lossless so sample counts, rates and the |PCM| sum are
+    value-checked EXACTLY by the SQL oracle (closed-form over the sawtooth);
+    RMS/zero-crossing features ride the same stage and are gated in-query
+    (>0 for a non-silent clip)."""
+    from data_exchange_routing_ray.functions.multimodal import (
+        DecodeAudio,
+        synthesize_wav_batch,
+    )
+
+    ds = (
+        _documents(sf_dir, columns=["doc_id"])
+        .map_batches(synthesize_wav_batch, batch_format="pyarrow")
+        .map_batches(DecodeAudio, batch_format="pyarrow", concurrency=2)
+    )
+    out = ds.to_pandas()
+    assert out["error"].isna().all(), "real WAV decode produced errors"
+    assert (out["rms"] > 0).all() and (out["zero_cross_rate"] > 0).all()
+    return pa.Table.from_pandas(
+        out[["media_id", "sample_rate", "channels", "n_samples", "pcm_abs_sum"]],
+        preserve_index=False,
+    )
+
+
 def multimodal_decode_jpeg(sf_dir: str) -> pa.Table:
     """REAL baseline-JPEG decode as an actor-pool stage: per doc a genuine
     JFIF payload (standard Annex-K Huffman tables, chroma subsampling
