@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_clicks_purchases": q.asof_join_clicks_purchases,
         "range_join_clicks_purchases": q.range_join_clicks_purchases,
         "csv_source_roundtrip": q.csv_source_roundtrip,
+        "jsonl_source_roundtrip": q.jsonl_source_roundtrip,
         # ---- text analysis ----
         "text_stats": q.text_stats,
         "text_quality": q.text_quality,
@@ -842,6 +843,11 @@ GROUP BY l.event_id, l.user_id
 ORDER BY l.event_id
 """,
         "csv_source_roundtrip": """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS sum_ticks
+FROM events GROUP BY event_type
+""",
+        "jsonl_source_roundtrip": """
 SELECT event_type, count(*) AS n,
        CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS sum_ticks
 FROM events GROUP BY event_type

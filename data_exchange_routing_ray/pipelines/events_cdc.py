@@ -2877,6 +2877,36 @@ def csv_source_roundtrip(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def jsonl_source_roundtrip(sf_dir: str) -> pa.Table:
+    """JSON-lines source/sink (the reference's event payloads are JSON,
+    ``RouteIngestedFile.kt:125-133``; this is the file-level analog of
+    S15's delimited-text path): events → write_json (one .json shard per
+    block) → read_json → grouped rollup. Value scaled to integer ticks
+    before the text roundtrip so float formatting cannot drift."""
+
+    def to_json_cols(b: pa.Table) -> pa.Table:
+        v = np.floor(b["value"].to_numpy() * 10000.0).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "value_t": pa.array(v, pa.int64()),
+            }
+        )
+
+    with tempfile.TemporaryDirectory(prefix="jsonrt-") as d:
+        _events(sf_dir, columns=["event_id", "event_type", "value"]).map_batches(
+            to_json_cols, batch_format="pyarrow"
+        ).write_json(d)
+        back = ray.data.read_json(d)
+        out = (
+            back.groupby("event_type")
+            .aggregate(Count(alias_name="n"), Sum("value_t", alias_name="sum_ticks"))
+            .to_pandas()
+        )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def ann_batch_topk(sf_dir: str, k: int = 10, n_queries: int = 8) -> pa.Table:
     """Batched exact top-k: one matmul per block against a broadcast query
     matrix (the batched-inference shape for similarity search)."""
