@@ -378,8 +378,6 @@ def run_sustained(sf_dir: str, multiplier: int, cpus: int) -> dict:
         capture_output=True, text=True, check=True, cwd=REPO,
     )
     res = json.loads(out.stdout.strip().splitlines()[-1])
-    import shutil
-
     shutil.rmtree(keep, ignore_errors=True)
     return {
         "metric": "cdc replay sustained throughput (fresh process)",
@@ -409,18 +407,24 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.replay_once:
+        auto_lake_root = None
         if args.lake is None:
             # default to a tempdir so ad-hoc runs never dump lake output
-            # (None-r0/ ...) into the cwd / repo root
-            args.lake = os.path.join(
-                tempfile.mkdtemp(prefix="bench-replay-"), "lake"
-            )
+            # (None-r0/ ...) into the cwd / repo root; removed after the
+            # run so repeated ad-hoc replays can't fill /tmp with lakes
+            auto_lake_root = tempfile.mkdtemp(prefix="bench-replay-")
+            args.lake = os.path.join(auto_lake_root, "lake")
         # fair accounting: Arrow's global pool defaults to ALL host cores,
         # letting a low-num_cpus session exceed its budget through reader/
         # sort/compression threads; cap it to the 1-CPU-per-task grant
         os.environ.setdefault("ARROW_CPU_COUNT", "1")
         os.environ.setdefault("ARROW_IO_THREADS", "2")
-        res = run_replay_once(args.replay_once, args.cpus, args.lake)
+        try:
+            res = run_replay_once(args.replay_once, args.cpus, args.lake)
+        finally:
+            if auto_lake_root is not None:
+                # the -r{i} replay lakes live under this root too
+                shutil.rmtree(auto_lake_root, ignore_errors=True)
     elif args.scaling:
         res = run_scaling(SF_DIR, args.cpus_lo, args.cpus_hi, args.multiplier)
     elif args.sustained:

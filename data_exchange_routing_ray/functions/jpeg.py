@@ -436,7 +436,8 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
         raise ValueError("not a JPEG (no SOI)")
     try:
         return _decode_jpeg_inner(data)
-    except (IndexError, struct.error) as e:
+    except (IndexError, struct.error, KeyError) as e:
+        # KeyError: SOS/SOF referencing an undeclared quant/Huffman table
         raise ValueError(f"truncated or corrupt JPEG: {e}") from e
 
 
@@ -451,6 +452,9 @@ def _decode_jpeg_inner(data: bytes) -> tuple[np.ndarray, dict]:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad marker alignment")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -501,7 +505,6 @@ def _decode_jpeg_inner(data: bytes) -> tuple[np.ndarray, dict]:
                 cid, tb = body[1 + si * 2 : 3 + si * 2]
                 scan.append({"id": cid, "dc": tb >> 4, "ac": tb & 0xF})
             pos_entropy = pos
-            scan_done = True
             break
     if comps is None or scan is None:
         raise ValueError("missing SOF or SOS")

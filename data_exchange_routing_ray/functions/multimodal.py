@@ -196,14 +196,12 @@ def synthesize_wav_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
 
     ids = batch[id_col].to_numpy().astype(np.int64)
     payloads = []
-    rates = []
     for i in ids:
         n = 1000 + int(i) % 3000
         sr = 8000 + (int(i) % 3) * 4000
         t = np.arange(n, dtype=np.int64)
         samples = (((int(i) + t) % 256 - 128) * 100).astype(np.int16)
         payloads.append(encode_wav(samples, sample_rate=sr))
-        rates.append(sr)
     return pa.table(
         {
             "media_id": pa.array(ids, pa.int64()),

@@ -109,6 +109,15 @@ def decode_png(data: bytes) -> tuple[np.ndarray, dict]:
     """
     if bytes(data[:8]) != _SIG:
         raise ValueError("not a PNG (bad signature)")
+    try:
+        return _decode_png_inner(data)
+    except (zlib.error, struct.error, IndexError) as e:
+        # corrupt streams surface as ONE exception type at the codec
+        # boundary so callers (the dead-letter stage) need a single catch
+        raise ValueError(f"corrupt PNG: {e}") from e
+
+
+def _decode_png_inner(data: bytes) -> tuple[np.ndarray, dict]:
     pos, n = 8, len(data)
     w = h = color = None
     idat: list[bytes] = []

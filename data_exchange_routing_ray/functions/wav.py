@@ -44,6 +44,14 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, dict]:
     data = bytes(data)
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
+    try:
+        return _decode_wav_inner(data)
+    except (struct.error, IndexError) as e:
+        # short fmt chunk etc. surface as ValueError at the codec boundary
+        raise ValueError(f"corrupt WAV: {e}") from e
+
+
+def _decode_wav_inner(data: bytes) -> tuple[np.ndarray, dict]:
     (riff_len,) = struct.unpack("<I", data[4:8])
     if riff_len + 8 > len(data):
         raise ValueError("truncated RIFF payload")

@@ -7028,10 +7028,16 @@ def dedup_edit_distance(
             if npairs == 0:
                 continue
             if npairs <= max_pairs_per_run:
-                ii, jj = np.triu_indices(e - s, 1)
-                # never pair ghost x ghost (covered by the previous band)
-                gg = (ii >= r) & (jj >= r)
-                ii, jj = ii[~gg], jj[~gg]
+                # build exactly the counted pairs: resident×resident triu +
+                # resident×ghost grid. NEVER materialize the full-run triu —
+                # a run with few residents and many ghosts would allocate
+                # the (uncounted) ghost×ghost grid before filtering it.
+                ii, jj = np.triu_indices(r, 1)
+                if gh:
+                    ii = np.concatenate([ii, np.repeat(np.arange(r), gh)])
+                    jj = np.concatenate(
+                        [jj, np.tile(np.arange(r, e - s), r)]
+                    )
             else:
                 # capped fallback: sort the run by length, pair each doc
                 # with its next W nearest-in-length neighbors

@@ -255,11 +255,11 @@ def make_router(
         if pa.types.is_null(arr.type):
             arr = arr.cast(pa.string())
         flat_pa[c] = arr
-    miss_vals: dict[str, object] = {}
+    miss_scalar: dict[str, pa.Scalar] = {}
     if default_route is not None:
         cred = default_route.get("credential", "")
         bad_cred = bool(cred) and cred not in credentials
-        miss_vals = {
+        miss_vals: dict[str, object] = {
             "route_id": default_route.get("id", "default"),
             "destination": default_route["destination"],
             "partition_folder": default_route.get("partition_folder", ""),
@@ -269,6 +269,18 @@ def make_router(
         if expand_metadata:
             for k in all_meta_keys:
                 miss_vals[k] = default_route.get("metadata", {}).get(k)
+        # typed ONCE at build; if the default route's value doesn't fit the
+        # type inferred from the routes side (e.g. int metadata vs string
+        # routes), both sides converge to string instead of a per-batch
+        # ArrowTypeError
+        for c, v in miss_vals.items():
+            try:
+                miss_scalar[c] = pa.scalar(v, flat_pa[c].type)
+            except (pa.ArrowTypeError, pa.ArrowInvalid, OverflowError):
+                flat_pa[c] = pc.cast(flat_pa[c], pa.string())
+                miss_scalar[c] = pa.scalar(
+                    None if v is None else str(v), pa.string()
+                )
 
     def route_batch(batch: pa.Table) -> pa.Table:
         batch = resolve_stream_columns(batch)
@@ -332,9 +344,7 @@ def make_router(
             col = pc.take(flat_pa[c], idx_pa)  # null at missed positions
             if any_miss:
                 if default_route is not None:
-                    col = pc.if_else(
-                        miss_pa, pa.scalar(miss_vals[c], flat_pa[c].type), col
-                    )
+                    col = pc.if_else(miss_pa, miss_scalar[c], col)
                 elif c == "error":
                     col = pc.if_else(miss_pa, err_exp, col)
             if c in result.column_names:

@@ -78,4 +78,18 @@ class LineageLog:
         files = sorted(glob.glob(os.path.join(self.dir, "epoch-*.parquet")))
         if not files:
             return LINEAGE_SCHEMA.empty_table()
-        return pa.concat_tables(pq.read_table(f) for f in files)
+        # conform every epoch file to the CURRENT envelope schema: lakes
+        # written before the round-3 widening lack the versioned-envelope
+        # columns; they backfill as nulls (empty issue lists) instead of
+        # failing the whole report history on a concat schema mismatch
+        tables = []
+        for f in files:
+            t = pq.read_table(f)
+            cols = []
+            for fld in LINEAGE_SCHEMA:
+                if fld.name in t.column_names:
+                    cols.append(t[fld.name].cast(fld.type))
+                else:
+                    cols.append(pa.nulls(t.num_rows, fld.type))
+            tables.append(pa.table(dict(zip(LINEAGE_SCHEMA.names, cols))))
+        return pa.concat_tables(tables).cast(LINEAGE_SCHEMA)

@@ -315,3 +315,41 @@ def test_report_envelopes_carry_quarantine_issues(ray_session, tmp_path):
     ok = lin[lin["status"] == "SUCCESS"]
     assert len(ok) > 0
     assert all(len(v) == 0 for v in ok["issues"])
+
+
+def test_lineage_reads_pre_envelope_epochs(ray_session, tmp_path):
+    """A lake whose lineage was written BEFORE the round-3 envelope
+    widening (no report_schema_version/.../issues columns) must stay
+    readable after the upgrade: old epochs backfill nulls, new epochs
+    carry the envelope — one concat, no schema error."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from data_exchange_routing_ray.schemas import LINEAGE_SCHEMA
+
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply_changes(
+        ray.data.from_arrow(make_change_stream(num_convs=10, max_turns=3, seed=3))
+    )
+    # rewrite epoch 0's lineage file with the PRE-upgrade 9-column schema
+    import glob
+
+    f = sorted(glob.glob(str(tmp_path / "lake" / "lineage" / "epoch-*.parquet")))[0]
+    old = pq.read_table(f).select(
+        [n for n in LINEAGE_SCHEMA.names
+         if n not in ("report_schema_version", "content_schema_name",
+                      "content_schema_version", "service", "stage",
+                      "version", "issues")]
+    )
+    pq.write_table(old, f)
+    # a post-upgrade epoch appends the widened schema
+    lake.apply_changes(
+        ray.data.from_arrow(
+            make_change_stream(num_convs=10, max_turns=3, seq_start=10_000, seed=5)
+        )
+    )
+    lin = lake.lineage.read_all()
+    assert lin.schema.equals(LINEAGE_SCHEMA)
+    df = lin.to_pandas()
+    assert df["report_schema_version"].isna().sum() > 0  # old epoch: nulls
+    assert (df["report_schema_version"] == "1.0.0").sum() > 0  # new epoch

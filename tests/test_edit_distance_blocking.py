@@ -142,3 +142,27 @@ def test_per_run_cap_degrades_to_windowed_pairing(ray_session, tmp_path):
         for r in got.to_pylist()
     }
     assert (dup_a, dup_b, 1) in got_set
+
+
+def test_ghost_heavy_run_stays_bounded(ray_session, tmp_path):
+    """A band whose run is almost all GHOSTS (one resident, thousands of
+    ghost copies from the band below) must materialize only the counted
+    resident pairs — never the full-run triu grid including ghost×ghost
+    (the round-3 review finding: r=1, gh=N passed the cap check with
+    npairs=N while np.triu_indices(N+1) allocated O(N²)). Correctness is
+    still the unblocked reference set."""
+    rng = np.random.default_rng(7)
+    # 600 docs at lengths 45-53 (band 5); their ghosts flood band 6, where
+    # only two residents at length 55 live (45..53//9 == 5, 55//9 == 6)
+    texts = [PREFIX + _rand_text(rng, 45 + i % 9) for i in range(600)]
+    base = PREFIX + _rand_text(rng, 55)
+    texts.append(base)
+    texts.append(base[:-1] + "Q")  # dist-1 twin among the few residents
+    sf = _write_docs(tmp_path, texts)
+    got = dedup_edit_distance(sf, k=8)
+    got_set = {
+        (int(r["doc_a"]), int(r["doc_b"]), int(r["dist"]))
+        for r in got.to_pylist()
+    }
+    assert got_set == _brute_pairs(texts, k=8)
+    assert (600, 601, 1) in got_set

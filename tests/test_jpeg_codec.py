@@ -105,3 +105,20 @@ def test_decode_media_sniffs_png_and_jpeg(ray_session):
     exact = int(img.astype(np.int64).sum())
     assert out.loc[0, "pixel_sum"] == exact
     assert abs(out.loc[1, "pixel_sum"] - exact) <= 20 * 24 * 2
+
+
+def test_missing_table_and_fill_bytes():
+    import struct as _s
+
+    data = encode_jpeg(_grad(8, 8), quality=80)
+    # SOF referencing an undeclared quant table -> ValueError, not KeyError
+    i = data.find(b"\xff\xdb")
+    (ln,) = _s.unpack(">H", data[i + 2 : i + 4])
+    stripped = data[:i] + data[i + 2 + ln :]
+    with pytest.raises(ValueError, match="corrupt"):
+        decode_jpeg(stripped)
+    # T.81 B.1.1.2 fill bytes: 0xFF padding before a marker is legal
+    j = stripped_pos = data.find(b"\xff\xc0")
+    padded = data[:j] + b"\xff\xff\xff" + data[j:]
+    dec, _ = decode_jpeg(padded)
+    assert dec.shape == (8, 8)

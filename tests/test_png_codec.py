@@ -87,3 +87,20 @@ def test_corruption_and_bad_inputs_raise():
         decode_png(b"JFIF not a png at all")
     with pytest.raises(ValueError):
         decode_png(encode_png(np.zeros((4, 4), np.uint8))[:20])  # truncated
+
+
+def test_internal_codec_errors_surface_as_valueerror():
+    # valid CRC but garbage deflate stream -> zlib.error must not escape
+    raw = b"not deflate data"
+    bad = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+        + _chunk(b"IDAT", raw)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="corrupt PNG"):
+        decode_png(bad)
+    # 4-byte IHDR body -> struct.error must not escape
+    bad2 = _SIG + _chunk(b"IHDR", b"\x00\x00\x00\x04") + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(bad2)

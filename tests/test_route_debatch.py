@@ -293,3 +293,52 @@ def test_explode_archive_matrix():
     assert errs == {"empty.zip": ERR_EMPTY_ARCHIVE, "corrupt.zip": ERR_BAD_ARCHIVE}
     got = dict(zip(ok["file_name"].to_pylist(), ok["payload"].to_pylist()))
     assert got["t.zip/deep.zip/inner.csv"] == b"x,y\n7,8"
+
+
+def test_default_route_metadata_type_mismatch_converges_to_string():
+    """An int metadata value on the default route must not crash the
+    Arrow-native expansion when the routes side inferred string — both
+    sides converge to string at stage build."""
+    from data_exchange_routing_ray.stages.route import make_router, split_routed
+
+    cfg = {
+        "routes": [
+            {
+                "id": "r1",
+                "match": {"data_stream_id": "a", "data_stream_route": "m"},
+                "destination": "d1",
+                "metadata": {"mk": "strval"},
+            }
+        ],
+        "default_route": {
+            "id": "misc",
+            "destination": "d-misc",
+            "metadata": {"mk": 7},
+        },
+    }
+    t = pa.table(
+        {
+            "data_stream_id": pa.array(["a", "zzz"]),
+            "data_stream_route": pa.array(["m", "???"]),
+        }
+    )
+    routed = make_router(cfg, enrich=False)(t)
+    ok, bad = split_routed(routed)
+    assert bad.num_rows == 0
+    by_dest = dict(zip(ok["destination"].to_pylist(), ok["mk"].to_pylist()))
+    assert by_dest == {"d1": "strval", "d-misc": "7"}
+
+
+def test_router_handles_empty_batch():
+    from data_exchange_routing_ray.stages.route import make_router
+
+    cfg = {"routes": [{"id": "r1", "match": {"data_stream_id": "a", "data_stream_route": "m"}, "destination": "d1", "metadata": {}}]}
+    t = pa.table(
+        {
+            "data_stream_id": pa.array([], pa.string()),
+            "data_stream_route": pa.array([], pa.string()),
+        }
+    )
+    out = make_router(cfg, enrich=False)(t)
+    assert out.num_rows == 0
+    assert "route_id" in out.column_names and "error" in out.column_names

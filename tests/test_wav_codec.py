@@ -103,3 +103,13 @@ def test_decode_audio_stage(ray_session):
     dec = DecodeAudio()(bad).to_pandas()
     assert "decode failed" in dec.loc[0, "error"]
     assert dec.loc[1:, "error"].isna().all()
+
+
+def test_short_fmt_chunk_is_valueerror():
+    # fmt chunk declaring only 4 bytes -> struct.error must not escape
+    bad = (
+        b"RIFF" + struct.pack("<I", 16) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+    )
+    with pytest.raises(ValueError, match="corrupt WAV"):
+        decode_wav(bad)
