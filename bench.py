@@ -111,6 +111,10 @@ HEADLINE = [
     "lake_branch_isolation",
     "windowed_emit_on_watermark",
     "cdc_changefeed_envelopes",
+    # round-3: real-codec multimodal family + report envelopes
+    "multimodal_decode",
+    "multimodal_audio_features",
+    "cdc_report_envelopes",
 ]
 
 

@@ -76,7 +76,10 @@ def synthesize_png_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
         img = np.broadcast_to(row, (h, w))
         if ch > 1:
             img = np.repeat(img[:, :, None], ch, axis=2)
-        payloads.append(encode_png(img, filter_type=int(i) % 5))
+        # cycle the VECTORIZED-unfilter types (0/1/2) in the bulk pipeline;
+        # Average/Paeth (sequential per-byte unfilter by spec) are covered
+        # by the codec test suite, not paid per-doc at pipeline scale
+        payloads.append(encode_png(img, filter_type=int(i) % 3))
     return pa.table(
         {
             "media_id": pa.array(ids, pa.int64()),

@@ -3054,14 +3054,19 @@ def multimodal_decode(sf_dir: str) -> pa.Table:
 
     ds = (
         _documents(sf_dir, columns=["doc_id"])
-        .map_batches(synthesize_png_batch, batch_format="pyarrow")
+        .map_batches(synthesize_png_batch, batch_format="pyarrow", batch_size=512)
         .map_batches(
             DecodeMedia,
             fn_constructor_kwargs={"decode": "real"},
             batch_format="pyarrow",
-            concurrency=2,
+            batch_size=512,
+            # autoscaling pool: rigid concurrency=N deadlocks when the
+            # session has fewer CPUs than the sum of this chain's pools
+            concurrency=(1, 8),
         )
-        .map_batches(ExtractMediaFeatures, batch_format="pyarrow", concurrency=2)
+        .map_batches(
+            ExtractMediaFeatures, batch_format="pyarrow", concurrency=(1, 4)
+        )
     )
     out = ds.to_pandas()
     assert out["error"].isna().all(), "real PNG decode produced errors"
@@ -3113,8 +3118,13 @@ def multimodal_decode_jpeg(sf_dir: str) -> pa.Table:
 
     ds = (
         _documents(sf_dir, columns=["doc_id"])
-        .map_batches(synthesize_jpeg_batch, batch_format="pyarrow")
-        .map_batches(DecodeJpegChecked, batch_format="pyarrow", concurrency=2)
+        .map_batches(synthesize_jpeg_batch, batch_format="pyarrow", batch_size=256)
+        .map_batches(
+            DecodeJpegChecked,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, 8),
+        )
     )
     out = ds.to_pandas()
     return pa.Table.from_pandas(
