@@ -204,10 +204,10 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         "note": (
             "cdc_events_per_sec at this sf is fixed-overhead-bound "
             f"({n_events} events); sustained rates at scale and scaling "
-            "evidence are in BASELINE.md (round 3: 96M events 16.5s = "
-            "5.80M ev/s, 24M events 2.99s = 8.03M ev/s at 32 cpus after "
+            "evidence are in BASELINE.md (round 3: 96M events 12.2s = "
+            "7.87M ev/s, 24M events 2.73s = 8.78M ev/s at 32 cpus after "
             "the replay block-coalescing fix; pinned paired 8v32 scaling "
-            "median 0.833) via bench.py --sustained / --scaling. Round 3 "
+            "medians 0.833/0.809) via bench.py --sustained / --scaling. Round 3 "
             "also fixed the round-2 96M regression (one block per shard "
             "file entering the merge exchange) previously misattributed "
             "to host noise; see BASELINE.md round-3 headline for the "
