@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode_jpeg": q.multimodal_decode_jpeg,
         "multimodal_audio_features": q.multimodal_audio_features,
         "multimodal_resize_framesample": q.multimodal_resize_framesample,
+        "multimodal_phash_dedup": q.multimodal_phash_dedup,
         # ---- composite training-data prep ----
         "training_data_prep": q.training_data_prep,
         "split_train_val": q.split_train_val,
@@ -945,6 +946,15 @@ SELECT doc_id AS media_id,
        CAST(256 AS BIGINT) AS resized_bytes,
        CAST(((octet_length(CAST(text AS BLOB)) // 32) + 1) // 2 AS BIGINT) AS n_frames
 FROM documents
+""",
+        # planted near-dup groups (doc_id // 5 shares a base raster): the
+        # engine must recover EXACTLY the in-group pairs from pixels alone
+        # (pHash margins: in-group Hamming 0, cross-group >= 18 of 63 bits)
+        "multimodal_phash_dedup": """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM documents a JOIN documents b
+  ON a.doc_id // 5 = b.doc_id // 5 AND a.doc_id < b.doc_id
+ORDER BY 1, 2
 """,
         "training_data_prep": r"""
 WITH s AS (

@@ -987,6 +987,58 @@ def simhash_candidate_pairs(
     return _dedup_pairs(pairs)
 
 
+def phash_candidate_pairs(
+    ds: ray.data.Dataset,
+    hash_col: str = "phash",
+    id_col: str = "media_id",
+    max_hamming: int = 7,
+    num_bands: int = 8,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> ray.data.Dataset:
+    """Perceptual-hash (image) near-dup pairs: the 63-bit pHash is split
+    into 8 bands × 8 bits — two hashes within Hamming ≤ 7 share at least
+    one band by pigeonhole, so banding loses no true pair at the default
+    threshold. Band rows carry only (id, hash, band, key); the in-bucket
+    vectorized Hamming kernel is shared with SimHash. At larger corpus
+    scale raise ``num_bands``' bit width by hashing band bytes into
+    ``band_key`` buckets — the pigeonhole guarantee only needs
+    ``num_bands > max_hamming``."""
+    bits_per = 64 // num_bands
+    mask = np.uint64((1 << bits_per) - 1)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        h = batch[hash_col].to_numpy().astype(np.int64).astype(np.uint64)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        n = len(h)
+        bands = np.repeat(np.arange(num_bands, dtype=np.int64), n)
+        keys = np.concatenate(
+            [
+                ((h >> np.uint64(b * bits_per)) & mask).astype(np.int64)
+                for b in range(num_bands)
+            ]
+        )
+        out = pa.table(
+            {
+                id_col: pa.array(np.tile(ids, num_bands), pa.int64()),
+                "simhash": pa.array(
+                    np.tile(h.astype(np.int64), num_bands), pa.int64()
+                ),
+                "band": pa.array(bands, pa.int64()),
+                "band_key": pa.array(keys, pa.int64()),
+            }
+        )
+        bucket = _mix_to_bucket(
+            [out["band"].to_numpy(), out["band_key"].to_numpy()], num_buckets
+        )
+        return out.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    rows = ds.map_batches(tag, batch_format="pyarrow")
+    pairs = rows.groupby("bucket").map_groups(
+        make_simhash_pair_fn(id_col, max_hamming), batch_format="pandas"
+    )
+    return _dedup_pairs(pairs)
+
+
 # ------------------------------------------------------- embedding near-dup
 
 def embedding_neardup_pairs_blocked(

@@ -189,6 +189,99 @@ class DecodeJpegChecked:
         )
 
 
+def synthesize_neardup_png_batch(
+    batch: pa.Table, id_col: str = "doc_id", group_size: int = 5
+) -> pa.Table:
+    """Deterministic REAL-PNG rows with PLANTED near-duplicate groups:
+    group ``g = doc_id // group_size`` shares a low-frequency base raster
+    (a seeded-random 8×8 grid upsampled ×8 → 64×64 grayscale); members
+    differ by a global brightness shift plus six ±2-pixel touches —
+    byte-distinct payloads that are perceptually identical. A correct
+    perceptual hash must therefore pair EXACTLY the in-group combinations,
+    which the SQL oracle states in closed form (`doc_id // group_size`
+    self-join). Measured margins on this synth: in-group Hamming 0,
+    cross-group minimum 18 of 63 bits."""
+    ids = batch[id_col].to_numpy().astype(np.int64)
+    payloads = []
+    for i in ids:
+        g, m = int(i) // group_size, int(i) % group_size
+        rng = np.random.default_rng(900_000 + g)
+        base = rng.integers(30, 226, size=(8, 8), dtype=np.int64)
+        img = np.kron(base, np.ones((8, 8), dtype=np.int64))
+        img = img + (m - 2)  # global brightness shift — DC-only, AC-invariant
+        prng = np.random.default_rng(700_000 + int(i))
+        yy = prng.integers(0, 64, size=6)
+        xx = prng.integers(0, 64, size=6)
+        img[yy, xx] += prng.integers(-2, 3, size=6)
+        payloads.append(
+            encode_png(np.clip(img, 0, 255).astype(np.uint8), filter_type=int(i) % 3)
+        )
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(["image"] * len(ids), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+class PerceptualHash:
+    """Actor-pool pHash stage: REAL PNG decode → grayscale → 32×32
+    area-mean resize → 2-D DCT-II (basis matrix built ONCE per actor in
+    ``__init__``) → top-left 8×8 coefficient block with DC dropped →
+    median threshold → 63-bit perceptual hash (fits int64).
+
+    A global brightness change only moves the DC coefficient (dropped)
+    and cannot move the median of the remaining 63, so the hash is
+    brightness-invariant by construction; small local edits perturb the
+    low-frequency coefficients far less than the inter-coefficient gaps
+    of any structured image, so near-duplicates land within a few bits.
+    Undecodable payloads dead-letter via the ``error`` column instead of
+    crashing the stage (same boundary as ``DecodeMedia``)."""
+
+    N = 32
+
+    def __init__(self):
+        n = self.N
+        x = np.arange(n)
+        u = np.arange(n)[:, None]
+        self._dct = np.cos(np.pi * (2 * x[None, :] + 1) * u / (2 * n))
+
+    def _hash_one(self, payload: bytes) -> int:
+        img, _ = decode_png(payload)
+        a = img.astype(np.float64)
+        if a.ndim == 3:
+            a = a.mean(axis=2)
+        h, w = a.shape
+        rb = (np.arange(self.N + 1) * h) // self.N
+        cb = (np.arange(self.N + 1) * w) // self.N
+        rows = np.add.reduceat(a, rb[:-1], axis=0) / np.diff(rb)[:, None]
+        small = np.add.reduceat(rows, cb[:-1], axis=1) / np.diff(cb)[None, :]
+        t = self._dct @ small @ self._dct.T
+        block = t[:8, :8].ravel()[1:]  # 63 coefficients, DC dropped
+        bits = (block > np.median(block)).astype(np.uint8)
+        return int.from_bytes(
+            np.packbits(bits, bitorder="little").tobytes(), "little"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = np.zeros(batch.num_rows, dtype=np.int64)
+        errors: list[str | None] = [None] * batch.num_rows
+        payloads = batch["payload"].to_pylist()
+        for i, p in enumerate(payloads):
+            try:
+                hashes[i] = self._hash_one(p)
+            except Exception as exc:  # undecodable payload → dead-letter row
+                errors[i] = f"phash: {type(exc).__name__}: {exc}"
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "phash": pa.array(hashes, pa.int64()),
+                "error": pa.array(errors, pa.string()),
+            }
+        )
+
+
 def synthesize_wav_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
     """Deterministic REAL-WAV media rows from an id column: clip i is a
     mono int16 sawtooth ``((i + t) % 256 - 128) * 100`` with

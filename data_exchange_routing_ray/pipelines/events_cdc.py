@@ -2998,6 +2998,52 @@ def multimodal_resize_framesample(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def multimodal_phash_dedup(sf_dir: str) -> pa.Table:
+    """Perceptual-hash image dedup over REAL PNGs: per doc a genuine PNG
+    payload with PLANTED near-duplicate groups (group = doc_id//5 shares a
+    base raster; members differ by brightness + pixel noise) is
+    synthesized, an actor-pool pHash stage (decode → 32×32 area mean →
+    2-D DCT-II → median-threshold 63-bit hash; basis built once per actor)
+    hashes each image, and banded-Hamming LSH (8×8-bit bands, ≤7 bits)
+    pairs near-duplicates. Measured synth margins (in-group Hamming 0,
+    cross-group ≥18) make the pair set EXACTLY the in-group combinations,
+    so the SQL oracle is the closed-form group self-join — full recall AND
+    zero false positives are value-checked, not sampled."""
+    from data_exchange_routing_ray.functions.dedup import phash_candidate_pairs
+    from data_exchange_routing_ray.functions.multimodal import (
+        PerceptualHash,
+        synthesize_neardup_png_batch,
+    )
+
+    hashed = (
+        _documents(sf_dir, columns=["doc_id"])
+        .map_batches(
+            synthesize_neardup_png_batch, batch_format="pyarrow", batch_size=512
+        )
+        .map_batches(
+            PerceptualHash,
+            batch_format="pyarrow",
+            batch_size=512,
+            concurrency=(1, 8),
+        )
+    ).materialize()  # (media_id, phash, error) — scalars only, reused twice
+    n_err = hashed.map_batches(
+        lambda b: pa.table(
+            {"e": pa.array([b["error"].null_count < len(b["error"])], pa.bool_())}
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    assert not n_err["e"].any(), "pHash stage produced decode errors"
+    pairs = phash_candidate_pairs(hashed.drop_columns(["error"])).to_pandas()
+    pairs = pairs.sort_values(["id_a", "id_b"], ignore_index=True)
+    return pa.table(
+        {
+            "doc_a": pa.array(pairs["id_a"].to_numpy(), pa.int64()),
+            "doc_b": pa.array(pairs["id_b"].to_numpy(), pa.int64()),
+        }
+    )
+
+
 def training_data_prep(sf_dir: str) -> pa.Table:
     """Composite training-data prep pipeline: quality score → language ID →
     quality/lang filter → exact dedup by md5 → per-source doc/token budget.

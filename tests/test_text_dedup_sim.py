@@ -281,3 +281,42 @@ def test_multimodal_real_png_decode(ray_session):
     dec = DecodeMedia(decode="real")(bad).to_pandas()
     assert dec.loc[0, "error"] is not None and "decode failed" in dec.loc[0, "error"]
     assert dec.loc[1:, "error"].isna().all()
+
+
+def test_phash_invariances_and_error_isolation():
+    """pHash is brightness-invariant (DC dropped, median over AC only),
+    near-invariant to small pixel touches, far between distinct rasters,
+    and dead-letters undecodable payloads instead of crashing the stage."""
+    import pyarrow as pa
+
+    from data_exchange_routing_ray.functions.multimodal import (
+        PerceptualHash,
+        synthesize_neardup_png_batch,
+    )
+
+    batch = pa.table({"doc_id": pa.array([0, 1, 2, 3, 4, 50, 51], pa.int64())})
+    media = synthesize_neardup_png_batch(batch)
+    out = PerceptualHash()(media)
+    assert out["error"].null_count == out.num_rows
+    h = out["phash"].to_pylist()
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    # members of group 0 (ids 0-4) within the LSH threshold of each other
+    for i in range(5):
+        for j in range(i + 1, 5):
+            assert ham(h[i], h[j]) <= 7
+    # group 10 members (ids 50, 51) agree with each other, not with group 0
+    assert ham(h[5], h[6]) <= 7
+    assert ham(h[0], h[5]) > 7
+    # corrupt payload -> per-row error, the rest of the batch still hashes
+    bad = media.set_column(
+        media.schema.get_field_index("payload"),
+        "payload",
+        pa.array([b"not a png"] + media["payload"].to_pylist()[1:], pa.binary()),
+    )
+    out2 = PerceptualHash()(bad)
+    errs = out2["error"].to_pylist()
+    assert errs[0] is not None and all(e is None for e in errs[1:])
+    assert out2["phash"].to_pylist()[1:] == h[1:]
