@@ -436,6 +436,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_compression_ratio": q.text_compression_ratio,
         "multi_agg_shared_scan": q.multi_agg_shared_scan,
         "dau_wau_mau_stickiness": q.dau_wau_mau_stickiness,
+        # ---- round-3 widening ----
+        "bpe_tokenize_corpus": q.bpe_tokenize_corpus,
     }
     ordered = {n: base.pop(n) for n in _DRIVER_CERTIFIED_FIRST}
     ordered.update(base)
@@ -3444,6 +3446,8 @@ FROM cnt GROUP BY len ORDER BY len
         # zstd<=snappy<=none ordering assertion),
         # bpe_train_merges (K-round iterative training; serial-reference
         # equivalence in tests/test_batch27_ops.py),
+        # bpe_tokenize_corpus (trained-merge encode; byte-exact serial-
+        # reference digests in tests/test_round3_ops.py),
         # lake_write_amplification (engine-internal commit stats; in-query
         # delta<=rewrite assertion + tests/test_delta_policy.py),
         # text_fingerprint_winnow, dedup_minhash_pairs, dedup_simhash_pairs,

@@ -2550,6 +2550,91 @@ def _word_count_partial(b: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+class _BPETokenizeStage:
+    """Distributed BPE ENCODE (tokenizer application — the counterpart of
+    ``bpe_train_merges``): a stateful actor-pool ``map_batches`` stage.
+
+    Scale shape: the trained merge table is tiny and broadcasts ONCE into
+    each actor's ``__init__`` (where the rank-ordered rule tuple is bound —
+    a real build would load a tokenizer model here); ``__call__`` encodes a
+    batch. Tokenization is embarrassingly parallel — no exchange at any
+    corpus size. Word splitting stays in Arrow (``utf8_lower`` +
+    ``split_pattern_regex`` list kernel); the only Python-level work is
+    merge application over UNIQUE words, behind a per-actor word→tokens
+    cache (bounded) that exploits the Zipfian corpus so cache hits dominate
+    at scale — the standard fast-BPE trick."""
+
+    _CACHE_CAP = 1 << 20  # unique words held per actor; beyond this, recompute
+
+    def __init__(self, merges: tuple[tuple[str, str], ...]):
+        self._merges = tuple((str(l), str(r)) for l, r in merges)
+        self._cache: dict[str, list[str]] = {}
+
+    def _encode_word(self, w: str) -> list[str]:
+        toks = self._cache.get(w)
+        if toks is None:
+            toks = _bpe_apply(list(w) + ["</w>"], self._merges)
+            if len(self._cache) < self._CACHE_CAP:
+                self._cache[w] = toks
+        return toks
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        import hashlib
+
+        words_per_doc = pc.split_pattern_regex(
+            pc.utf8_lower(b["text"]), pattern=r"[^\p{L}\p{N}]+"
+        )
+        doc_ids = b["doc_id"].to_numpy()
+        n_tokens = np.zeros(len(doc_ids), dtype=np.int64)
+        digests: list[str] = []
+        for i, wl in enumerate(words_per_doc.to_pylist()):
+            toks: list[str] = []
+            for w in wl:
+                if w:
+                    toks.extend(self._encode_word(w))
+            n_tokens[i] = len(toks)
+            digests.append(
+                hashlib.md5("\x1f".join(toks).encode()).hexdigest()[:8]
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_tokens": pa.array(n_tokens),
+                "tok_digest": pa.array(digests, pa.string()),
+            }
+        )
+
+
+def bpe_tokenize_corpus(sf_dir: str, num_merges: int = 8) -> pa.Table:
+    """End-to-end BPE tokenization: train merge rules distributed
+    (``bpe_train_merges`` — word-frequency-dict training, pair-hash bucket
+    argmax per round), then ENCODE the whole corpus through the trained
+    tokenizer as a stateful actor-pool stage (``_BPETokenizeStage``). Per
+    doc the stage emits the exact token count and an md5 digest of the
+    token sequence, so the serial-reference pytest
+    (``test_bpe_tokenize_matches_serial_reference``) pins byte-exact
+    segmentation, not just counts. Rows-only driver gate (iterative
+    data-dependent training has no SQL analog)."""
+    merges_tbl = bpe_train_merges(sf_dir, num_merges=num_merges)
+    merges = tuple(
+        zip(merges_tbl["left"].to_pylist(), merges_tbl["right"].to_pylist())
+    )
+    out = (
+        _documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(
+            _BPETokenizeStage,
+            fn_constructor_args=(merges,),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+            batch_size=512,
+        )
+        .to_pandas()
+        .sort_values("doc_id", kind="stable")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 class _KeyedReranker:
     """Deterministic stand-in for a cross-encoder reranker: 'model load'
     happens once per actor in ``__init__`` (here: binding the query key —
