@@ -438,6 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dau_wau_mau_stickiness": q.dau_wau_mau_stickiness,
         # ---- round-3 widening ----
         "bpe_tokenize_corpus": q.bpe_tokenize_corpus,
+        "export_training_shards": q.export_training_shards,
     }
     ordered = {n: base.pop(n) for n in _DRIVER_CERTIFIED_FIRST}
     ordered.update(base)
@@ -797,6 +798,20 @@ SELECT doc_id,
        CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
             AS BIGINT) AS n_bpe_tokens
 FROM documents
+""",
+        "export_training_shards": r"""
+WITH tok AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+              AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       substr(md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)), 1, 8)
+         AS digest
+FROM tok GROUP BY shard ORDER BY shard
 """,
         "window_tumbling_daily": """
 SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,

@@ -31,3 +31,27 @@ def test_bpe_tokenize_matches_serial_reference(ray_session):
         )
     # the trained rules really fired: some words must have merged symbols
     assert len(merges) == 4
+
+
+def test_export_shards_crash_before_commit_recovers(ray_session, tmp_path):
+    """A pass that wrote files but died before the manifest commit must
+    not leave duplicate rows after the retry."""
+    import os
+
+    import ray.data
+
+    d = str(tmp_path / "out")
+    os.makedirs(d)
+    # pass 1: write shard 0 only, then 'crash' before commit (drop manifest)
+    wrote = q._export_shards(SF, d, n_shards=4, allow={0})
+    assert wrote == [0]
+    os.remove(os.path.join(d, "_SHARDS_DONE"))
+    # retry: full export must rewrite shard 0 cleanly, not append beside it
+    wrote = q._export_shards(SF, d, n_shards=4)
+    assert sorted(wrote) == [0, 1, 2, 3]
+    back = ray.data.read_parquet(d).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    assert len(back) == len(docs)
+    assert back["doc_id"].is_unique
+    # idempotent once committed
+    assert q._export_shards(SF, d, n_shards=4) == []
