@@ -439,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- round-3 widening ----
         "bpe_tokenize_corpus": q.bpe_tokenize_corpus,
         "export_training_shards": q.export_training_shards,
+        "timeseries_gapfill_ffill": q.timeseries_gapfill_ffill,
     }
     ordered = {n: base.pop(n) for n in _DRIVER_CERTIFIED_FIRST}
     ordered.update(base)
@@ -812,6 +813,30 @@ SELECT CAST(shard AS BIGINT) AS shard,
        substr(md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)), 1, 8)
          AS digest
 FROM tok GROUP BY shard ORDER BY shard
+""",
+        "timeseries_gapfill_ffill": """
+WITH per AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 4) AS v
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM per GROUP BY 1),
+cal AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+),
+j AS (
+  SELECT c.user_id, c.day, p.v,
+         count(p.v) OVER (PARTITION BY c.user_id ORDER BY c.day) AS grp
+  FROM cal c LEFT JOIN per p ON p.user_id = c.user_id AND p.day = c.day
+),
+f AS (
+  SELECT user_id, v, max(v) OVER (PARTITION BY user_id, grp) AS fv
+  FROM j
+)
+SELECT user_id, count(*) AS n_days,
+       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+       round(sum(fv), 4) AS total_filled
+FROM f GROUP BY user_id ORDER BY user_id
 """,
         "window_tumbling_daily": """
 SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,

@@ -6298,6 +6298,61 @@ os.path.join(sf_dir, "orders.parquet"),
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
+def timeseries_gapfill_ffill(sf_dir: str) -> pa.Table:
+    """Time-series gap fill + forward fill (the resample step of feature
+    engineering): each user's daily value total over their OWN
+    [first, last] active-day span, with missing days forward-filled from
+    the previous observed day.
+
+    Scale shape: per-batch (user, day) partial sums collapse the event
+    stream to ≤ users × active-days rows before the ONE user-hash
+    exchange; the fill itself is a vectorized pandas reindex + ffill
+    inside ``map_groups``, bounded by the user's span in DAYS, never by
+    event count. Daily totals round to 4 dp BEFORE the fill so engine and
+    oracle sum identical quantities."""
+
+    def partials(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(),
+                "day": b["ts"].to_numpy().astype("datetime64[D]").astype(np.int64),
+                "v": b["value"].to_numpy(),
+            }
+        )
+        agg = df.groupby(["user_id", "day"], as_index=False).agg(v=("v", "sum"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        uid = int(g["user_id"].iloc[0])
+        # merge cross-batch partials for the same day, THEN round (the
+        # oracle's round(sum(value), 4) per day)
+        g = g.groupby("day", as_index=False).agg(v=("v", "sum")).sort_values("day")
+        days = np.arange(int(g["day"].iloc[0]), int(g["day"].iloc[-1]) + 1)
+        s = pd.Series(
+            np.round(g["v"].to_numpy(), 4), index=g["day"].to_numpy()
+        ).reindex(days)
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_days": [len(days)],
+                "n_filled": [int(s.isna().sum())],
+                "total_filled": [round(float(s.ffill().sum()), 4)],
+            }
+        )
+
+    out = (
+        _events(sf_dir, columns=["user_id", "ts", "value"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(fill, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id", kind="stable")
+        .reset_index(drop=True)
+        .astype({"user_id": "int64", "n_days": "int64", "n_filled": "int64"})
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def rolling_7d_active_users(sf_dir: str) -> pa.Table:
     """Sliding-window COUNT DISTINCT (7-day active users per day): distinct
     (user, day) combiner → each pair expands to its ≤7 target days (the
