@@ -19,6 +19,7 @@ from collections.abc import Callable
 from typing import Any
 
 from data_exchange_routing_ray.pipelines import events_cdc as q
+from data_exchange_routing_ray.pipelines import widen3 as _widen3
 
 # Shared CTE: the deterministic events → change-stream derivation.
 # MUST stay in sync with pipelines/events_cdc.py::derive_changes_batch.
@@ -440,6 +441,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokenize_corpus": q.bpe_tokenize_corpus,
         "export_training_shards": q.export_training_shards,
         "timeseries_gapfill_ffill": q.timeseries_gapfill_ffill,
+        # ---- round-3 widening, batch B ----
+        "emb_covariance_dims": q.emb_covariance_dims,
+        "emb_pca_project": q.emb_pca_project,
+        "join_salted_hotkey": q.join_salted_hotkey,
+        "stream_click_attribution_ttl": q.stream_click_attribution_ttl,
+        "schema_drift_audit": q.schema_drift_audit,
+        "lake_vacuum_time_travel": q.lake_vacuum_time_travel,
     }
     ordered = {n: base.pop(n) for n in _DRIVER_CERTIFIED_FIRST}
     ordered.update(base)
@@ -3495,4 +3503,33 @@ FROM cnt GROUP BY len ORDER BY len
         # ann_quantized_topk (in-query recall gate vs exact top-k)
         # (multimodal_decode gained a full value oracle in round 3: real
         # PNG decode with closed-form width/height/channels/pixel_sum)
+        # ---- round-3 widening, batch B ----
+        "emb_covariance_dims": _widen3.emb_covariance_dims_sql(),
+        "join_salted_hotkey": _widen3.JOIN_SALTED_HOTKEY_SQL,
+        "stream_click_attribution_ttl": _widen3.STREAM_CLICK_ATTRIBUTION_SQL,
+        "schema_drift_audit": _CORRUPT_CH
+        + """
+, b AS (
+  SELECT *, (seq * 2) // ((SELECT max(seq) FROM ch) + 1) AS period FROM ch
+),
+u AS (
+  SELECT period, 'op' AS "column", count(*) AS n,
+         count(*) - count(op) AS nulls FROM b GROUP BY period
+  UNION ALL SELECT period, 'conv_id', count(*),
+         count(*) - count(conv_id) FROM b GROUP BY period
+  UNION ALL SELECT period, 'turn_idx', count(*),
+         count(*) - count(turn_idx) FROM b GROUP BY period
+  UNION ALL SELECT period, 'role', count(*),
+         count(*) - count(role) FROM b GROUP BY period
+  UNION ALL SELECT period, 'text', count(*),
+         count(*) - count(text) FROM b GROUP BY period
+  UNION ALL SELECT period, 'ts', count(*),
+         count(*) - count(ts) FROM b GROUP BY period
+)
+SELECT period, "column", n, nulls FROM u ORDER BY period, "column"
+""",
+        # emb_pca_project: eigendecomposition has no SQL analog — in-query
+        # orthonormality/ordering gates + serial-numpy equivalence in
+        # tests/test_widen3_ops.py. lake_vacuum_time_travel: engine-internal
+        # file GC semantics — in-query state-identity assertions + pytest.
     }

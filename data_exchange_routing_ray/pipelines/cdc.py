@@ -1190,11 +1190,29 @@ class CDCLake:
             total += t.num_rows
         return total
 
-    def vacuum(self) -> int:
+    def vacuum(self, retain_epochs: int = 0) -> int:
         """Delete partition files not referenced by ANY branch's current
         manifest (a zero-copy branch shares main's base files, so vacuum
         considers every manifests[-<branch>]/ log before declaring a file
-        orphaned)."""
+        orphaned).
+
+        ``retain_epochs > 0`` adds a TIME-TRAVEL RETENTION WINDOW
+        (Delta-VACUUM semantics): files referenced by a branch's archived
+        manifests within the last ``retain_epochs`` epochs are also kept,
+        so ``final_table(epoch=...)`` / ``rollback_to`` keep working
+        inside the window; reads OUTSIDE the window fail loudly on the
+        missing file (the archived manifest metadata itself is never
+        deleted — it is tiny and keeps the lineage auditable)."""
+
+        def _refs(man: Manifest, st: ManifestStore) -> set[str]:
+            out = {os.path.abspath(p) for p in st.data_files(man)}
+            out |= {
+                os.path.abspath(os.path.join(self.lake_dir, d["file"]))
+                for e in man.partitions.values()
+                for d in e.deltas
+            }
+            return out
+
         live: set[str] = set()
         for sub in os.listdir(self.lake_dir):
             if sub != "manifests" and not sub.startswith("manifests-"):
@@ -1204,12 +1222,20 @@ class CDCLake:
             man = st.load_current()
             if man is None:
                 continue
-            live |= {os.path.abspath(p) for p in st.data_files(man)}
-            live |= {
-                os.path.abspath(os.path.join(self.lake_dir, d["file"]))
-                for e in man.partitions.values()
-                for d in e.deltas
-            }
+            live |= _refs(man, st)
+            if retain_epochs > 0:
+                horizon = man.epoch - retain_epochs + 1
+                for name in os.listdir(st.dir):
+                    if not (name.startswith("manifest-") and name.endswith(".json")):
+                        continue
+                    try:
+                        ep = int(name[len("manifest-"):-len(".json")])
+                    except ValueError:
+                        continue
+                    if horizon <= ep < man.epoch:
+                        arch = st.load_epoch(ep)
+                        if arch is not None:
+                            live |= _refs(arch, st)
         pdir = os.path.join(self.lake_dir, "partitions")
         removed = 0
         if os.path.exists(pdir):

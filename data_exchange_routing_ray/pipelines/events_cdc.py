@@ -12946,3 +12946,16 @@ def dq_expectations(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         out.sort_values("expectation").reset_index(drop=True), preserve_index=False
     )
+
+
+# --------------------------------------------------- round-3 widening batch B
+# (defined in pipelines/widen3.py; re-exported here so the driver surface
+# stays a single ``q.<name>`` namespace)
+from data_exchange_routing_ray.pipelines.widen3 import (  # noqa: E402,F401
+    emb_covariance_dims,
+    emb_pca_project,
+    join_salted_hotkey,
+    lake_vacuum_time_travel,
+    schema_drift_audit,
+    stream_click_attribution_ttl,
+)
