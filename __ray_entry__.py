@@ -20,6 +20,7 @@ from typing import Any
 
 from data_exchange_routing_ray.pipelines import events_cdc as q
 from data_exchange_routing_ray.pipelines import widen3 as _widen3
+from data_exchange_routing_ray.pipelines import widen4 as _widen4
 
 # Shared CTE: the deterministic events → change-stream derivation.
 # MUST stay in sync with pipelines/events_cdc.py::derive_changes_batch.
@@ -448,6 +449,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_click_attribution_ttl": q.stream_click_attribution_ttl,
         "schema_drift_audit": q.schema_drift_audit,
         "lake_vacuum_time_travel": q.lake_vacuum_time_travel,
+        # ---- round-3 widening, batch C ----
+        "conv_response_latency": _widen4.conv_response_latency,
+        "conv_tool_paths": _widen4.conv_tool_paths,
+        "doc_quality_model_score": _widen4.doc_quality_model_score,
+        "cms_topk_users": _widen4.cms_topk_users,
     }
     ordered = {n: base.pop(n) for n in _DRIVER_CERTIFIED_FIRST}
     ordered.update(base)
@@ -3532,4 +3538,11 @@ SELECT period, "column", n, nulls FROM u ORDER BY period, "column"
         # orthonormality/ordering gates + serial-numpy equivalence in
         # tests/test_widen3_ops.py. lake_vacuum_time_travel: engine-internal
         # file GC semantics — in-query state-identity assertions + pytest.
+        # ---- round-3 widening, batch C ----
+        "conv_response_latency": _CH + _widen4.CONV_RESPONSE_LATENCY_SQL_TAIL,
+        "conv_tool_paths": _CH + _widen4.CONV_TOOL_PATHS_SQL_TAIL,
+        "doc_quality_model_score": _widen4.DOC_QUALITY_MODEL_SCORE_SQL,
+        # cms_topk_users: sketch estimates are not SQL-expressible — in-query
+        # CMS bound gates (est>=exact, est<=exact+3N/w) + pytest
+        # tests/test_widen4_ops.py.
     }
