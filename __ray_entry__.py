@@ -454,6 +454,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_tool_paths": _widen4.conv_tool_paths,
         "doc_quality_model_score": _widen4.doc_quality_model_score,
         "cms_topk_users": _widen4.cms_topk_users,
+        # ---- round-3 widening, batch D ----
+        "doc_number_redaction": _widen4.doc_number_redaction,
+        "quality_score_calibration": _widen4.quality_score_calibration,
+        "dup_span_excise": _widen4.dup_span_excise,
+        "stream_dedup_lsh_epochs": _widen4.stream_dedup_lsh_epochs,
     }
     ordered = {n: base.pop(n) for n in _DRIVER_CERTIFIED_FIRST}
     ordered.update(base)
@@ -3545,4 +3550,11 @@ SELECT period, "column", n, nulls FROM u ORDER BY period, "column"
         # cms_topk_users: sketch estimates are not SQL-expressible — in-query
         # CMS bound gates (est>=exact, est<=exact+3N/w) + pytest
         # tests/test_widen4_ops.py.
+        # ---- round-3 widening, batch D ----
+        "doc_number_redaction": _widen4.DOC_NUMBER_REDACTION_SQL,
+        "quality_score_calibration": _widen4.QUALITY_SCORE_CALIBRATION_SQL,
+        "dup_span_excise": _widen4.DUP_SPAN_EXCISE_SQL,
+        # stream_dedup_lsh_epochs: minhash band collisions are not
+        # SQL-expressible — independent serial-reference equivalence +
+        # planted cross-epoch near-dup pytest in tests/test_widen4_ops.py.
     }

@@ -213,8 +213,9 @@ class HashedLinearScorer:
     lazy-singleton client pattern (T2, `RouteIngestedFile.kt:47-49` config
     cache) is the same setup-once-per-worker idea."""
 
-    def __init__(self) -> None:
+    def __init__(self, keep_cols: tuple[str, ...] = ()) -> None:
         self._cache: dict[str, float] = {}
+        self._keep = tuple(keep_cols)
 
     def _weights(self, uniq: np.ndarray) -> np.ndarray:
         cache = self._cache
@@ -244,13 +245,15 @@ class HashedLinearScorer:
         nz = n_tok > 0
         score = np.zeros(lens.size, np.float64)
         score[nz] = tot[nz] / n_tok[nz]
-        return pa.table(
-            {
-                "doc_id": b["doc_id"].filter(pa.array(nz)),
-                "n_tokens": pa.array(n_tok[nz]),
-                "score": pa.array(np.round(score[nz], 6)),
-            }
-        )
+        mask = pa.array(nz)
+        cols = {
+            "doc_id": b["doc_id"].filter(mask),
+            "n_tokens": pa.array(n_tok[nz]),
+            "score": pa.array(np.round(score[nz], 6)),
+        }
+        for c in self._keep:
+            cols[c] = b[c].filter(mask)
+        return pa.table(cols)
 
 
 def doc_quality_model_score(sf_dir: str) -> pa.Table:
@@ -423,3 +426,477 @@ def cms_topk_users(sf_dir: str, k: int = 20) -> pa.Table:
         .reset_index(drop=True)
     )
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ------------------------------------------------------ regex redaction
+
+def doc_number_redaction(sf_dir: str) -> pa.Table:
+    """PII-style regex redaction over documents (the reference's redactor,
+    M10 `fn-redactor/Function.kt`, as a REAL vectorized scrub): every digit
+    run becomes '#'; emits per-doc redaction count + md5 digest of the
+    redacted text so the oracle can value-check the rewrite byte-for-byte
+    without the output carrying the corpus.
+
+    100 TB shape: embarrassingly parallel map stage (Arrow RE2 kernels for
+    count+replace, C-speed md5 over the batch), zero exchange."""
+    from data_exchange_routing_ray.pipelines.events_cdc import _documents
+
+    def scrub(b: pa.Table) -> pa.Table:
+        n_red = pc.count_substring_regex(b["text"], pattern="[0-9]+")
+        red = pc.replace_substring_regex(b["text"], pattern="[0-9]+", replacement="#")
+        digests = [
+            hashlib.md5(s.encode("utf-8")).hexdigest() for s in red.to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_redactions": n_red.cast(pa.int64()),
+                "digest": pa.array(digests, pa.string()),
+            }
+        )
+
+    out = (
+        _documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(scrub, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id").reset_index(drop=True), preserve_index=False
+    )
+
+
+DOC_NUMBER_REDACTION_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_redactions,
+       md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS digest
+FROM documents ORDER BY doc_id
+"""
+
+
+# --------------------------------------------- per-source score calibration
+
+def quality_score_calibration(sf_dir: str) -> pa.Table:
+    """Quality-score calibration: each doc's hashed-linear model score is
+    mapped to its exact percent-rank WITHIN its source (histogram
+    equalization across sources — the mixing-stage normalizer that makes
+    per-source quality thresholds comparable).
+
+    100 TB shape: NO global sort. Scores are 6-dp-rounded, so integer
+    ticks (score·10⁶ ∈ [−5·10⁵, 5·10⁵]) give a BOUNDED per-(source, tick)
+    histogram: pass 1 scores + per-batch histogram partials → one small
+    grouped reduce → driver builds the tick→percent-rank map (≤ sources ×
+    10⁶ rows, data-size-independent); pass 2 re-scores (deterministic,
+    cheaper than materializing the scored corpus mid-pipeline) and
+    attaches ranks via a broadcast lookup. percent_rank uses min-rank tie
+    semantics, exactly SQL's."""
+    from ray.data.aggregate import Sum
+
+    from data_exchange_routing_ray.pipelines.events_cdc import _documents
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        ticks = np.rint(b["score"].to_numpy() * 1e6).astype(np.int64)
+        df = (
+            pd.DataFrame({"source": b["source"].to_numpy(zero_copy_only=False), "tick": ticks})
+            .groupby(["source", "tick"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        df["n"] = df["n"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    hist = (
+        _documents(sf_dir, columns=["doc_id", "text", "source"])
+        .map_batches(HashedLinearScorer, fn_constructor_kwargs={"keep_cols": ("source",)},
+                     concurrency=(1, 8), batch_format="pyarrow")
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["source", "tick"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["source", "tick"])
+    )
+    pct_map: dict[tuple[str, int], float] = {}
+    for src, g in hist.groupby("source", sort=False):
+        n = int(g["n"].sum())
+        before = g["n"].cumsum().shift(1, fill_value=0).to_numpy()
+        for tick, rank0 in zip(g["tick"].to_numpy(), before):
+            pct_map[(src, int(tick))] = (
+                round(float(rank0) / (n - 1), 6) if n > 1 else 0.0
+            )
+    pct_ref = ray.put(pct_map)
+
+    def attach(b: pa.Table) -> pa.Table:
+        m = ray.get(pct_ref)
+        src = b["source"].to_numpy(zero_copy_only=False)
+        ticks = np.rint(b["score"].to_numpy() * 1e6).astype(np.int64)
+        pct = np.array([m[(s, int(t))] for s, t in zip(src, ticks)], np.float64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "source": b["source"],
+                "score": b["score"],
+                "pct_rank": pa.array(pct),
+            }
+        )
+
+    out = (
+        _documents(sf_dir, columns=["doc_id", "text", "source"])
+        .map_batches(HashedLinearScorer, fn_constructor_kwargs={"keep_cols": ("source",)},
+                     concurrency=(1, 8), batch_format="pyarrow")
+        .map_batches(attach, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id").reset_index(drop=True), preserve_index=False
+    )
+
+
+QUALITY_SCORE_CALIBRATION_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+')) AS w
+  FROM documents
+), t AS (SELECT doc_id, source, w FROM tok WHERE w <> ''),
+s AS (
+  SELECT doc_id, any_value(source) AS source,
+         round(avg(CAST(concat('0x', substr(md5(w), 1, 8)) AS UBIGINT)
+                   / 4294967296.0 - 0.5), 6) AS score
+  FROM t GROUP BY doc_id
+)
+SELECT doc_id, source, score,
+       round(percent_rank() OVER (PARTITION BY source ORDER BY score), 6)
+         AS pct_rank
+FROM s ORDER BY doc_id
+"""
+
+
+# ------------------------------------------- duplicate-span position census
+
+_G5_MIX = np.uint64(0x100000001B3)
+
+
+def dup_span_excise(sf_dir: str, n_gram: int = 5) -> pa.Table:
+    """Substring-level exact dedup census (the "deduplicating training
+    data" span operator): a token position is DUPLICATED if it lies inside
+    any word 5-gram occurring ≥2 times corpus-wide (all occurrences count,
+    including within one doc). Emits per doc the token count, the count of
+    duplicated positions (what span excision would remove) and the kept
+    fraction.
+
+    100 TB shape: the exchanges carry (hash, doc_id, pos) triples — never
+    text. Per-batch: Arrow tokenize → stable token hashes → vectorized
+    rolling 5-gram hashes (strided numpy over the flat token array, doc
+    boundaries masked via offsets). Exchange 1 groups by gram-hash bucket
+    and marks duplicated starts with a vectorized ``duplicated(keep=False)``;
+    exchange 2 groups by doc bucket and computes interval-union coverage as
+    Σ min(5, Δstart) via a groupby shift — no per-doc Python loop. 64-bit
+    gram hashing stands in for string equality (collision odds documented
+    in FIXTURES.md §hashing; the SQL oracle uses true string grams, so a
+    collision would surface as a value mismatch)."""
+    from data_exchange_routing_ray.hashing import stable_hash_strings
+    from data_exchange_routing_ray.pipelines.events_cdc import _documents
+
+    NB = 64
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(b["text"]), pattern=r"[^\p{L}\p{N}]+"
+        )
+        flat_arr = pc.list_flatten(toks)
+        lens_all = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = flat_arr.to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        doc_of_all = np.repeat(np.arange(lens_all.size), lens_all)[keep]
+        lens = np.bincount(doc_of_all, minlength=lens_all.size).astype(np.int64)
+        flat = flat[keep]
+        th = stable_hash_strings(flat) if flat.size else np.zeros(0, np.uint64)
+        doc_ids = b["doc_id"].to_numpy()
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+
+        n_starts = np.maximum(lens - (n_gram - 1), 0)
+        tot = int(n_starts.sum())
+        if tot:
+            base = np.repeat(offsets[:-1], n_starts)
+            cum = np.concatenate([[0], np.cumsum(n_starts)])[:-1]
+            intra = np.arange(tot) - np.repeat(cum, n_starts)
+            idx0 = base + intra
+            with np.errstate(over="ignore"):
+                gh = th[idx0].copy()
+                for j in range(1, n_gram):
+                    gh = gh * _G5_MIX + th[idx0 + j]
+            gdoc = np.repeat(doc_ids, n_starts)
+            gram_rows = pd.DataFrame(
+                {
+                    "bucket": (gh % np.uint64(NB)).astype(np.int64),
+                    "gh": gh.astype(np.int64),
+                    "doc_id": gdoc,
+                    "pos": intra,
+                    "n_tokens": np.int64(-1),
+                }
+            )
+        else:
+            gram_rows = pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype=np.int64),
+                    "gh": pd.Series([], dtype=np.int64),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "pos": pd.Series([], dtype=np.int64),
+                    "n_tokens": pd.Series([], dtype=np.int64),
+                }
+            )
+        nz = lens > 0
+        meta = pd.DataFrame(
+            {
+                "bucket": NB
+                + (
+                    (doc_ids[nz].astype(np.uint64) * np.uint64(2654435761))
+                    % np.uint64(NB)
+                ).astype(np.int64),
+                "gh": np.int64(0),
+                "doc_id": doc_ids[nz],
+                "pos": np.int64(-1),
+                "n_tokens": lens[nz],
+            }
+        )
+        return pa.Table.from_pandas(
+            pd.concat([gram_rows, meta], ignore_index=True), preserve_index=False
+        )
+
+    def mark_dups(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["bucket"].iloc[0])
+        if b >= NB:  # doc-meta rows pass through to exchange 2 unchanged
+            out = g[["doc_id", "pos", "n_tokens"]].copy()
+            out["bucket2"] = b - NB
+            return out
+        dup = g[g.duplicated("gh", keep=False)]
+        out = dup[["doc_id", "pos"]].copy()
+        out["n_tokens"] = np.int64(-1)
+        out["bucket2"] = (
+            (out["doc_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(NB)
+        ).astype(np.int64)
+        return out
+
+    def coverage(g: pd.DataFrame) -> pd.DataFrame:
+        meta = g[g["pos"] < 0]
+        starts = g[g["pos"] >= 0].sort_values(["doc_id", "pos"])
+        if len(starts):
+            prev = starts.groupby("doc_id")["pos"].shift(1)
+            delta = (starts["pos"] - prev).fillna(n_gram)
+            contrib = np.minimum(n_gram, delta.to_numpy())
+            cov = (
+                pd.DataFrame({"doc_id": starts["doc_id"].to_numpy(), "c": contrib})
+                .groupby("doc_id", as_index=False)["c"]
+                .sum()
+            )
+        else:
+            cov = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64), "c": []})
+        out = meta[["doc_id", "n_tokens"]].merge(cov, on="doc_id", how="left")
+        out["n_dup_span_tokens"] = out["c"].fillna(0).astype(np.int64)
+        out["kept_fraction"] = (
+            (out["n_tokens"] - out["n_dup_span_tokens"]) / out["n_tokens"]
+        ).round(6)
+        return out[["doc_id", "n_tokens", "n_dup_span_tokens", "kept_fraction"]]
+
+    out = (
+        _documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(mark_dups, batch_format="pandas")
+        .groupby("bucket2")
+        .map_groups(coverage, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id").reset_index(drop=True), preserve_index=False
+    )
+
+
+DUP_SPAN_EXCISE_SQL = r"""
+WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                     x -> x <> '') AS arr
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(arr) AS w, unnest(range(len(arr))) AS pos FROM tokarr
+), grams AS (
+  SELECT doc_id, pos,
+         w || ' ' || lead(w, 1) OVER wd || ' ' || lead(w, 2) OVER wd
+           || ' ' || lead(w, 3) OVER wd || ' ' || lead(w, 4) OVER wd AS g5
+  FROM tok WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)
+), g AS (SELECT doc_id, pos, g5 FROM grams WHERE g5 IS NOT NULL),
+dupg AS (SELECT g5 FROM g GROUP BY g5 HAVING count(*) >= 2),
+starts AS (SELECT doc_id, pos FROM g WHERE g5 IN (SELECT g5 FROM dupg)),
+cov AS (
+  SELECT DISTINCT t.doc_id, t.pos
+  FROM starts s JOIN tok t
+    ON t.doc_id = s.doc_id AND t.pos BETWEEN s.pos AND s.pos + 4
+), covn AS (SELECT doc_id, count(*) AS n FROM cov GROUP BY doc_id),
+meta AS (SELECT doc_id, len(arr) AS n_tokens FROM tokarr WHERE len(arr) > 0)
+SELECT m.doc_id, CAST(m.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_dup_span_tokens,
+       round((m.n_tokens - COALESCE(c.n, 0)) * 1.0 / m.n_tokens, 6)
+         AS kept_fraction
+FROM meta m LEFT JOIN covn c USING (doc_id) ORDER BY m.doc_id
+"""
+
+
+# ------------------------------------ cross-epoch streaming LSH dedup index
+
+@ray.remote(num_cpus=0.5)
+class _LSHIndexShard:
+    """One shard of the survivor LSH index: band-key → owner doc_id for the
+    key-hash range assigned to this actor. State is the INDEX OF SURVIVORS
+    only (dup docs are never inserted), sharded across actors by key hash —
+    the bounded, partitioned mutable state the Dataset API can't express
+    (SURVEY §2 custom-operator rule (b))."""
+
+    def __init__(self) -> None:
+        self._owner: dict[int, int] = {}
+
+    def probe(self, keys: np.ndarray) -> np.ndarray:
+        """Pre-epoch owners for each key (-1 if absent)."""
+        own = self._owner
+        return np.array([own.get(int(k), -1) for k in keys], np.int64)
+
+    def insert(self, keys: np.ndarray, docs: np.ndarray) -> int:
+        own = self._owner
+        for k, d in zip(keys.tolist(), docs.tolist()):
+            if k not in own:
+                own[k] = d
+        return len(own)
+
+
+def stream_dedup_lsh_epochs(
+    sf_dir: str, n_epochs: int = 4, n_shards: int = 8,
+    num_perm: int = 64, bands: int = 16,
+) -> pa.Table:
+    """Streaming MinHash-LSH dedup across CDC epochs: documents arrive in
+    ``n_epochs`` doc_id-ordered epochs; each epoch's docs probe a
+    persistent survivor index (band-key → first owner) held on sharded
+    actors, and only NON-duplicate docs are inserted — so a near-dup
+    landing three epochs after its original is still caught (the
+    cross-epoch state is the point; a per-epoch batch dedup would miss
+    it).
+
+    Dup rule (deterministic, serially replicable — the pytest oracle
+    implements it independently): doc D is a duplicate iff any of its band
+    keys (a) already has an owner in the pre-epoch index, or (b) is shared
+    with a smaller doc_id in the same epoch; dup_of = min such owner.
+    Within-epoch chains resolve by doc_id order, exactly like the batch
+    LSH clustering's first-wins survivorship.
+
+    100 TB shape: per epoch, ONE band-key-hash exchange of (key, doc_id)
+    pairs (24 B/row, never text — same wire format as
+    ``make_minhash_band_stage(with_sig=False)``); probe groups are
+    co-sharded with the index actors so each group makes one actor call;
+    the per-doc any-band reduce is a second small exchange of (doc_id,
+    owner) pairs. Index memory = survivors × bands × 16 B sharded over
+    ``n_shards`` actors."""
+    from data_exchange_routing_ray.functions.dedup import (
+        _band_keys,
+        minhash_signatures,
+    )
+    from data_exchange_routing_ray.pipelines.events_cdc import _documents
+
+    hi = int(_documents(sf_dir, columns=["doc_id"]).max("doc_id"))
+    bounds = [((hi + 1) * i) // n_epochs for i in range(n_epochs)] + [hi + 1]
+    # cap the actor pool so it can never starve the map tasks of CPUs
+    # (shard count changes only key placement, never the dup decision)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_shards = max(2, min(n_shards, cpus // 2))
+    shards = [_LSHIndexShard.remote() for _ in range(n_shards)]
+
+    def band_rows(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        sig = minhash_signatures(texts, k=3, num_perm=num_perm)
+        keys = _band_keys(sig, bands)  # (n_docs, bands) int64
+        docs = b["doc_id"].to_numpy()
+        n = docs.size
+        flat_keys = keys.ravel()
+        # band id folded into the key so identical rows in different bands
+        # don't collide across band tables
+        band_ids = np.tile(np.arange(bands, dtype=np.int64), n)
+        with np.errstate(over="ignore"):
+            fk = (
+                flat_keys.astype(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)
+                + band_ids.astype(np.uint64)
+            ).astype(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(
+                    (fk.astype(np.uint64) % np.uint64(n_shards)).astype(np.int64)
+                ),
+                "key": pa.array(fk),
+                "doc_id": pa.array(np.repeat(docs, bands)),
+            }
+        )
+
+    all_dups: list[pd.DataFrame] = []
+    for e in range(n_epochs):
+        lo, up = bounds[e], bounds[e + 1]
+        epoch = (
+            _documents(sf_dir, columns=["doc_id", "text"])
+            .filter(expr=f"doc_id >= {lo} and doc_id < {up}")
+            .map_batches(band_rows, batch_format="pyarrow")
+        )
+
+        def probe_group(g: pd.DataFrame) -> pd.DataFrame:
+            sh = int(g["shard"].iloc[0])
+            keys = g["key"].to_numpy()
+            docs = g["doc_id"].to_numpy()
+            pre = ray.get(shards[sh].probe.remote(keys))
+            # within-epoch: min doc_id per key is the tentative owner
+            df = pd.DataFrame({"key": keys, "doc_id": docs, "pre": pre})
+            kmin = df.groupby("key")["doc_id"].transform("min")
+            owner = np.where(df["pre"] >= 0, df["pre"], kmin)
+            evid = owner < df["doc_id"]
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"][evid],
+                    "owner": owner[evid],
+                    "shard": sh,
+                    "key": df["key"][evid],
+                }
+            )
+
+        hits = (
+            epoch.groupby("shard")
+            .map_groups(probe_group, batch_format="pandas")
+            .to_pandas()
+        )
+        if len(hits):
+            dup = hits.groupby("doc_id", as_index=False)["owner"].min()
+        else:
+            dup = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                "owner": pd.Series([], dtype=np.int64)})
+        dup["epoch"] = e
+        all_dups.append(dup)
+        dup_set = set(dup["doc_id"].tolist())
+        dup_ref = ray.put(np.array(sorted(dup_set), np.int64))
+
+        def insert_group(g: pd.DataFrame) -> pd.DataFrame:
+            sh = int(g["shard"].iloc[0])
+            dups = ray.get(dup_ref)
+            keep = ~np.isin(g["doc_id"].to_numpy(), dups)
+            n = ray.get(
+                shards[sh].insert.remote(
+                    g["key"].to_numpy()[keep], g["doc_id"].to_numpy()[keep]
+                )
+            )
+            return pd.DataFrame({"shard": [sh], "n_keys": [n]})
+
+        # barrier: epoch e fully inserted before epoch e+1 probes
+        epoch.groupby("shard").map_groups(
+            insert_group, batch_format="pandas"
+        ).materialize()
+
+    out = pd.concat(all_dups, ignore_index=True)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["owner"] = out["owner"].astype(np.int64)
+    out["epoch"] = out["epoch"].astype(np.int64)
+    out = out.rename(columns={"owner": "dup_of"})
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id").reset_index(drop=True), preserve_index=False
+    )

@@ -124,3 +124,137 @@ def test_cms_planted_heavy_hitter(ray_session, tmp_path):
     # this too; re-assert here so the test fails loudly if the gate is
     # ever relaxed)
     assert 0 <= int(top["est_count"]) - exact <= 3 * uid.size / 8192 + 1
+
+
+def test_doc_number_redaction_digest(ray_session):
+    got = widen4.doc_number_redaction(SF).to_pandas().set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas().head(20)
+    import re
+
+    for _, d in docs.iterrows():
+        red = re.sub(r"[0-9]+", "#", d["text"])
+        r = got.loc[d["doc_id"]]
+        assert int(r["n_redactions"]) == len(re.findall(r"[0-9]+", d["text"]))
+        assert r["digest"] == hashlib.md5(red.encode()).hexdigest()
+
+
+def test_quality_calibration_is_per_source_percent_rank(ray_session):
+    got = widen4.quality_score_calibration(SF).to_pandas()
+    for src, g in got.groupby("source"):
+        n = len(g)
+        sc = g["score"].to_numpy()
+        pr = g["pct_rank"].to_numpy()
+        for i in range(min(30, n)):
+            rank0 = int((sc < sc[i]).sum())
+            exp = round(rank0 / (n - 1), 6) if n > 1 else 0.0
+            assert abs(pr[i] - exp) < 1e-9
+
+
+def test_dup_span_excise_planted(ray_session, tmp_path):
+    span = "alpha beta gamma delta epsilon zeta"
+    texts = [
+        " ".join(f"u{i}t{j}" for j in range(10)) for i in range(20)
+    ]
+    texts[3] = f"start{3} {span} tail{3} a b"
+    texts[7] = f"start{7} {span} tail{7} c d"
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(20, dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 20),
+            "source": pa.array(["s"] * 20),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    got = widen4.dup_span_excise(str(d)).to_pandas().set_index("doc_id")
+    # the planted 6-token span has two dup 5-gram starts -> 6 covered tokens
+    for did in (3, 7):
+        assert int(got.loc[did, "n_dup_span_tokens"]) == 6
+    clean = got.drop(index=[3, 7])
+    assert (clean["n_dup_span_tokens"] == 0).all()
+    assert (clean["kept_fraction"] == 1.0).all()
+
+
+def _serial_stream_lsh(docs: pd.DataFrame, n_epochs=4, bands=16, num_perm=64):
+    from data_exchange_routing_ray.functions.dedup import (
+        _band_keys,
+        minhash_signatures,
+    )
+
+    hi = int(docs["doc_id"].max())
+    bounds = [((hi + 1) * i) // n_epochs for i in range(n_epochs)] + [hi + 1]
+    index: dict[tuple[int, int], int] = {}
+    out = []
+    for e in range(n_epochs):
+        g = docs[(docs["doc_id"] >= bounds[e]) & (docs["doc_id"] < bounds[e + 1])]
+        g = g.sort_values("doc_id")
+        if g.empty:
+            continue
+        sig = minhash_signatures(g["text"].tolist(), k=3, num_perm=num_perm)
+        keys = _band_keys(sig, bands)
+        ids = g["doc_id"].to_numpy()
+        kmin: dict[tuple[int, int], int] = {}
+        for i, d in enumerate(ids):
+            for b in range(bands):
+                kk = (b, int(keys[i, b]))
+                if kk not in kmin or kmin[kk] > d:
+                    kmin[kk] = int(d)
+        dup_of = {}
+        for i, d in enumerate(ids):
+            owners = []
+            for b in range(bands):
+                kk = (b, int(keys[i, b]))
+                if kk in index:
+                    owners.append(index[kk])
+                elif kmin[kk] < d:
+                    owners.append(kmin[kk])
+            if owners:
+                dup_of[int(d)] = min(owners)
+        for i, d in enumerate(ids):
+            if int(d) in dup_of:
+                out.append((int(d), dup_of[int(d)], e))
+                continue
+            for b in range(bands):
+                kk = (b, int(keys[i, b]))
+                if kk not in index:
+                    index[kk] = int(d)
+    return sorted(out)
+
+
+def test_stream_dedup_lsh_matches_serial_and_crosses_epochs(
+    ray_session, tmp_path
+):
+    rng = np.random.default_rng(11)
+    base = [
+        " ".join(
+            f"w{rng.integers(0, 500)}" for _ in range(30)
+        )
+        for _ in range(40)
+    ]
+    texts = list(base)
+    # plant a near-dup pair far apart in doc_id space -> different epochs
+    texts[38] = texts[1]  # exact dup, 3 epochs later
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(40, dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 40),
+            "source": pa.array(["s"] * 40),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    got = widen4.stream_dedup_lsh_epochs(str(d)).to_pandas()
+    got_t = sorted(
+        (int(r["doc_id"]), int(r["dup_of"]), int(r["epoch"]))
+        for _, r in got.iterrows()
+    )
+    exp = _serial_stream_lsh(t.to_pandas())
+    assert got_t == exp
+    # the planted cross-epoch dup must be caught, attributed to doc 1
+    assert any(d_ == 38 and o == 1 for d_, o, _ in got_t)
