@@ -151,12 +151,14 @@ _DRIVER_CERTIFIED_FIRST = [
     "bm25_score_docs",
     "basket_association_rules",
     "percent_rank_orders",
-    "max_concurrent_intervals",
     "rfm_segments",
     "conv_context_windows",
-    "group_aware_split",
-    "multi_agg_shared_scan",
     "multimodal_decode",
+    # round-3 widening surface (stateful streaming, resumable sink,
+    # substring dedup — certify the newest high-risk families)
+    "export_training_shards",
+    "stream_click_attribution_ttl",
+    "dup_span_excise",
     "dedup_edit_distance",
     "lake_predicate_delete",
     "pit_feature_join",

@@ -115,6 +115,11 @@ HEADLINE = [
     "multimodal_decode",
     "multimodal_audio_features",
     "cdc_report_envelopes",
+    # round-3 widening batches C-D families
+    "conv_response_latency",
+    "doc_quality_model_score",
+    "dup_span_excise",
+    "stream_dedup_lsh_epochs",
 ]
 
 
