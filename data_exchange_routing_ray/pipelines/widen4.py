@@ -836,10 +836,15 @@ def stream_dedup_lsh_epochs(
     all_dups: list[pd.DataFrame] = []
     for e in range(n_epochs):
         lo, up = bounds[e], bounds[e + 1]
+        # materialized: probe AND insert consume these rows, and they are
+        # the already-reduced wire format (24 B/row, one epoch's docs) —
+        # re-deriving signatures for the insert pass would double the
+        # epoch's CPU cost for no memory win
         epoch = (
             _documents(sf_dir, columns=["doc_id", "text"])
             .filter(expr=f"doc_id >= {lo} and doc_id < {up}")
             .map_batches(band_rows, batch_format="pyarrow")
+            .materialize()
         )
 
         def probe_group(g: pd.DataFrame) -> pd.DataFrame:
