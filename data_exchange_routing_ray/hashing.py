@@ -52,3 +52,14 @@ def stable_hash_strings(values) -> np.ndarray:
 def partition_ids(conv_ids, num_partitions: int) -> np.ndarray:
     """Stable partition id in [0, num_partitions) from conv_id strings."""
     return (stable_hash_strings(conv_ids) % np.uint64(num_partitions)).astype(np.int32)
+
+
+def round_half_away(x, ndigits: int = 6):
+    """Round half AWAY from zero, matching DuckDB/SQL ``round()`` —
+    numpy/pandas/Python ``round`` use banker's rounding, which diverges
+    from the SQL oracles on exactly-representable dyadic ties (e.g.
+    121/128 → 0.945312 vs SQL's 0.945313). Use this for any engine-side
+    rounding whose oracle rounds in SQL."""
+    scale = 10.0 ** ndigits
+    x = np.asarray(x, dtype=np.float64)
+    return np.copysign(np.floor(np.abs(x) * scale + 0.5), x) / scale

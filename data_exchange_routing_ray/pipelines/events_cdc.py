@@ -257,6 +257,38 @@ def lake_bitemporal_asof(sf_dir: str) -> pa.Table:
     return t
 
 
+def conv_partial_cols(b: pa.Table, cols: list[str]) -> pd.DataFrame:
+    """Per-batch LWW combiner for the derived change stream: argmax(seq)
+    per (conv_id, turn_idx) inside the batch, keeping ``cols``; adds the
+    conv-hash bucket column (64 buckets) for the single coarse exchange.
+    Shared by every conv-level analytics op (role audit, transcript
+    assembly shape, widen4 latency/tool-path) so the LWW + bucket-hash
+    invariant lives in exactly one place."""
+    df = pd.DataFrame(
+        {
+            "conv_id": b["conv_id"].to_numpy(zero_copy_only=False),
+            "turn_idx": b["turn_idx"].to_numpy().astype(np.int64),
+            "seq": b["seq"].to_numpy(),
+            "op": b["op"].to_numpy(zero_copy_only=False),
+            **{c: b[c].to_numpy(zero_copy_only=False) for c in cols},
+        }
+    )
+    idx = df.groupby(["conv_id", "turn_idx"], sort=False)["seq"].idxmax()
+    w = df.loc[idx].reset_index(drop=True)
+    uid = w["conv_id"].str[5:].astype(np.int64).to_numpy()
+    w["bucket"] = (
+        (uid.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(64)
+    ).astype(np.int64)
+    return w
+
+
+def conv_live(g: pd.DataFrame) -> pd.DataFrame:
+    """In-bucket final LWW + delete-drop, sorted (conv_id, turn_idx)."""
+    idx = g.groupby(["conv_id", "turn_idx"], sort=False)["seq"].idxmax()
+    w = g.loc[idx]
+    return w[w["op"] != "delete"].sort_values(["conv_id", "turn_idx"])
+
+
 def conv_role_alternation_audit(sf_dir: str) -> pa.Table:
     """Transcript-health audit: per conversation, does the final state
     alternate user/assistant strictly by turn order? Reports the census
@@ -267,27 +299,12 @@ def conv_role_alternation_audit(sf_dir: str) -> pa.Table:
     masked, no per-turn loop)."""
 
     def partial(b: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {
-                "conv_id": b["conv_id"].to_numpy(zero_copy_only=False),
-                "turn_idx": b["turn_idx"].to_numpy().astype(np.int64),
-                "seq": b["seq"].to_numpy(),
-                "role": b["role"].to_numpy(zero_copy_only=False),
-                "op": b["op"].to_numpy(zero_copy_only=False),
-            }
+        return pa.Table.from_pandas(
+            conv_partial_cols(b, ["role"]), preserve_index=False
         )
-        idx = df.groupby(["conv_id", "turn_idx"], sort=False)["seq"].idxmax()
-        w = df.loc[idx].reset_index(drop=True)
-        uid = w["conv_id"].str[5:].astype(np.int64).to_numpy()
-        w["bucket"] = (
-            (uid.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(64)
-        ).astype(np.int64)
-        return pa.Table.from_pandas(w, preserve_index=False)
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
-        idx = g.groupby(["conv_id", "turn_idx"], sort=False)["seq"].idxmax()
-        w = g.loc[idx]
-        live = w[w["op"] != "delete"].sort_values(["conv_id", "turn_idx"])
+        live = conv_live(g)
         conv = live["conv_id"].to_numpy()
         role = live["role"].to_numpy()
         same_conv = np.r_[False, conv[1:] == conv[:-1]]

@@ -435,10 +435,10 @@ def stream_click_attribution_ttl(
     bounds = [tmin + ((tmax - tmin + 1) * i) // n_epochs for i in range(n_epochs)]
     bounds.append(tmax + 1)
 
-    # cap the actor pool so it can never starve the map tasks of CPUs
-    # (bucket count changes only state placement, never the match result)
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    n_buckets = max(2, min(n_buckets, cpus // 2))
+    # bucket count changes only state placement, never the match result
+    from data_exchange_routing_ray.runtime import cap_actor_pool
+
+    n_buckets = cap_actor_pool(n_buckets)
     actors = [
         _TTLBucketActor.remote(window_us) for _ in range(n_buckets)
     ]

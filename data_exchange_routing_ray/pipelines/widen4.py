@@ -23,36 +23,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-_N_BUCKETS = 64
+from data_exchange_routing_ray.hashing import round_half_away
+from data_exchange_routing_ray.runtime import cap_actor_pool
 
-
-def _conv_partial_cols(b: pa.Table, cols: list[str]) -> pd.DataFrame:
-    """Per-batch LWW combiner for the derived change stream: argmax(seq)
-    per (conv_id, turn_idx) inside the batch, keeping ``cols``; adds the
-    conv-hash bucket column for the single coarse exchange."""
-    df = pd.DataFrame(
-        {
-            "conv_id": b["conv_id"].to_numpy(zero_copy_only=False),
-            "turn_idx": b["turn_idx"].to_numpy().astype(np.int64),
-            "seq": b["seq"].to_numpy(),
-            "op": b["op"].to_numpy(zero_copy_only=False),
-            **{c: b[c].to_numpy(zero_copy_only=False) for c in cols},
-        }
-    )
-    idx = df.groupby(["conv_id", "turn_idx"], sort=False)["seq"].idxmax()
-    w = df.loc[idx].reset_index(drop=True)
-    uid = w["conv_id"].str[5:].astype(np.int64).to_numpy()
-    w["bucket"] = (
-        (uid.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(_N_BUCKETS)
-    ).astype(np.int64)
-    return w
-
-
-def _conv_live(g: pd.DataFrame) -> pd.DataFrame:
-    """In-bucket final LWW + delete-drop, sorted (conv_id, turn_idx)."""
-    idx = g.groupby(["conv_id", "turn_idx"], sort=False)["seq"].idxmax()
-    w = g.loc[idx]
-    return w[w["op"] != "delete"].sort_values(["conv_id", "turn_idx"])
+# LWW combiner + bucket-hash invariant shared with every conv-level op:
+# defined once in events_cdc (conv_partial_cols / conv_live)
 
 
 def conv_response_latency(sf_dir: str) -> pa.Table:
@@ -67,15 +42,19 @@ def conv_response_latency(sf_dir: str) -> pa.Table:
     in-bucket; the pairing is a vectorized shift over the bucket-sorted
     frame (no per-conversation Python loop). Only (conv_id, n_pairs, mean)
     leaves the bucket."""
-    from data_exchange_routing_ray.pipelines.events_cdc import derived_change_stream
+    from data_exchange_routing_ray.pipelines.events_cdc import (
+        conv_live,
+        conv_partial_cols,
+        derived_change_stream,
+    )
 
     def partial(b: pa.Table) -> pa.Table:
         return pa.Table.from_pandas(
-            _conv_partial_cols(b, ["role", "ts"]), preserve_index=False
+            conv_partial_cols(b, ["role", "ts"]), preserve_index=False
         )
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
-        live = _conv_live(g)
+        live = conv_live(g)
         nxt_conv = live["conv_id"].shift(-1)
         nxt_turn = live["turn_idx"].shift(-1)
         nxt_role = live["role"].shift(-1)
@@ -144,15 +123,19 @@ def conv_tool_paths(sf_dir: str) -> pa.Table:
     and only (conv_id, n_tool_turns, tool_path) leaves the bucket — the
     path string is the op's deliverable, so output size IS the result
     size."""
-    from data_exchange_routing_ray.pipelines.events_cdc import derived_change_stream
+    from data_exchange_routing_ray.pipelines.events_cdc import (
+        conv_live,
+        conv_partial_cols,
+        derived_change_stream,
+    )
 
     def partial(b: pa.Table) -> pa.Table:
         return pa.Table.from_pandas(
-            _conv_partial_cols(b, ["tool"]), preserve_index=False
+            conv_partial_cols(b, ["tool"]), preserve_index=False
         )
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
-        live = _conv_live(g)
+        live = conv_live(g)
         live = live[live["tool"].notna()]
         if live.empty:
             return pd.DataFrame(
@@ -197,6 +180,21 @@ FROM fs GROUP BY conv_id ORDER BY conv_id
 
 # ------------------------------------------------- model-based quality score
 
+def _tokenize_flat(text_col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Shared word tokenizer (the contract the SQL oracles replay with
+    ``regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+')``): returns
+    (flat non-empty tokens, doc index per token, non-empty tokens per
+    doc)."""
+    toks = pc.split_pattern_regex(pc.utf8_lower(text_col), pattern=r"[^\p{L}\p{N}]+")
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    raw_lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    doc_of = np.repeat(np.arange(raw_lens.size), raw_lens)
+    keep = flat != ""
+    flat, doc_of = flat[keep], doc_of[keep]
+    lens = np.bincount(doc_of, minlength=raw_lens.size).astype(np.int64)
+    return flat, doc_of, lens
+
+
 class HashedLinearScorer:
     """Quality-classifier scoring stage (the fasttext-style linear scorer of
     FineWeb/DCLM-like pipelines) as a stateful actor-pool `map_batches`
@@ -213,31 +211,31 @@ class HashedLinearScorer:
     lazy-singleton client pattern (T2, `RouteIngestedFile.kt:47-49` config
     cache) is the same setup-once-per-worker idea."""
 
+    # weight-cache cap: weights are recomputable at md5 cost, so a full
+    # cache is dropped rather than LRU-tracked (web-scale vocab is
+    # unbounded; an uncapped dict would grow until the actor OOMs)
+    _CACHE_CAP = 1 << 20
+
     def __init__(self, keep_cols: tuple[str, ...] = ()) -> None:
         self._cache: dict[str, float] = {}
         self._keep = tuple(keep_cols)
 
     def _weights(self, uniq: np.ndarray) -> np.ndarray:
         cache = self._cache
+        can_grow = len(cache) < self._CACHE_CAP
         out = np.empty(uniq.size, np.float64)
         for i, t in enumerate(uniq):
             w = cache.get(t)
             if w is None:
                 h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
                 w = h / 4294967296.0 - 0.5
-                cache[t] = w
+                if can_grow:
+                    cache[t] = w
             out[i] = w
         return out
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(
-            pc.utf8_lower(b["text"]), pattern=r"[^\p{L}\p{N}]+"
-        )
-        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
-        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
-        doc_of = np.repeat(np.arange(lens.size), lens)
-        keep = flat != ""
-        flat, doc_of = flat[keep], doc_of[keep]
+        flat, doc_of, lens = _tokenize_flat(b["text"])
         uniq, inv = np.unique(flat, return_inverse=True)
         w = self._weights(uniq)[inv]
         n_tok = np.bincount(doc_of, minlength=lens.size).astype(np.int64)
@@ -249,7 +247,7 @@ class HashedLinearScorer:
         cols = {
             "doc_id": b["doc_id"].filter(mask),
             "n_tokens": pa.array(n_tok[nz]),
-            "score": pa.array(np.round(score[nz], 6)),
+            "score": pa.array(round_half_away(score[nz], 6)),
         }
         for c in self._keep:
             cols[c] = b[c].filter(mask)
@@ -329,7 +327,14 @@ def cms_topk_users(sf_dir: str, k: int = 20) -> pa.Table:
         for d in range(_CMS_DEPTH):
             np.add.at(sketch[d], idx[d], counts)
         top = np.argsort(-counts, kind="stable")[:32]
-        rk = int(vals[0] % 32) if vals.size else 0
+        # spread reduce keys by block CONTENT, not min id (min user_id is
+        # ~always 0, which would collapse the 32-way tree-reduce into one
+        # serial task summing every per-block sketch)
+        rk = (
+            int((vals[0] * 31 + vals[-1] * 17 + vals.size) % 32)
+            if vals.size
+            else 0
+        )
         cand = pa.table(
             {
                 "rk": pa.array(np.full(top.size, -1, np.int64)),
@@ -392,8 +397,6 @@ def cms_topk_users(sf_dir: str, k: int = 20) -> pa.Table:
     est = sketch[np.arange(_CMS_DEPTH)[:, None], idx].min(axis=0)
 
     # bounded exact pass over the candidate set only (broadcast filter)
-    cset = set(int(c) for c in cand_ids)
-
     def exact_partial(b: pa.Table) -> pa.Table:
         uid = b["user_id"].to_numpy()
         vals, counts = np.unique(uid, return_counts=True)
@@ -520,7 +523,9 @@ def quality_score_calibration(sf_dir: str) -> pa.Table:
         before = g["n"].cumsum().shift(1, fill_value=0).to_numpy()
         for tick, rank0 in zip(g["tick"].to_numpy(), before):
             pct_map[(src, int(tick))] = (
-                round(float(rank0) / (n - 1), 6) if n > 1 else 0.0
+                float(round_half_away(float(rank0) / (n - 1), 6))
+                if n > 1
+                else 0.0
             )
     pct_ref = ray.put(pct_map)
 
@@ -598,16 +603,7 @@ def dup_span_excise(sf_dir: str, n_gram: int = 5) -> pa.Table:
     NB = 64
 
     def partial(b: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(
-            pc.utf8_lower(b["text"]), pattern=r"[^\p{L}\p{N}]+"
-        )
-        flat_arr = pc.list_flatten(toks)
-        lens_all = pc.list_value_length(toks).to_numpy().astype(np.int64)
-        flat = flat_arr.to_numpy(zero_copy_only=False)
-        keep = flat != ""
-        doc_of_all = np.repeat(np.arange(lens_all.size), lens_all)[keep]
-        lens = np.bincount(doc_of_all, minlength=lens_all.size).astype(np.int64)
-        flat = flat[keep]
+        flat, _doc_of, lens = _tokenize_flat(b["text"])
         th = stable_hash_strings(flat) if flat.size else np.zeros(0, np.uint64)
         doc_ids = b["doc_id"].to_numpy()
         offsets = np.concatenate([[0], np.cumsum(lens)])
@@ -692,9 +688,9 @@ def dup_span_excise(sf_dir: str, n_gram: int = 5) -> pa.Table:
             cov = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64), "c": []})
         out = meta[["doc_id", "n_tokens"]].merge(cov, on="doc_id", how="left")
         out["n_dup_span_tokens"] = out["c"].fillna(0).astype(np.int64)
-        out["kept_fraction"] = (
-            (out["n_tokens"] - out["n_dup_span_tokens"]) / out["n_tokens"]
-        ).round(6)
+        out["kept_fraction"] = round_half_away(
+            (out["n_tokens"] - out["n_dup_span_tokens"]) / out["n_tokens"], 6
+        )
         return out[["doc_id", "n_tokens", "n_dup_span_tokens", "kept_fraction"]]
 
     out = (
@@ -801,10 +797,8 @@ def stream_dedup_lsh_epochs(
 
     hi = int(_documents(sf_dir, columns=["doc_id"]).max("doc_id"))
     bounds = [((hi + 1) * i) // n_epochs for i in range(n_epochs)] + [hi + 1]
-    # cap the actor pool so it can never starve the map tasks of CPUs
-    # (shard count changes only key placement, never the dup decision)
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    n_shards = max(2, min(n_shards, cpus // 2))
+    # shard count changes only key placement, never the dup decision
+    n_shards = cap_actor_pool(n_shards)
     shards = [_LSHIndexShard.remote() for _ in range(n_shards)]
 
     def band_rows(b: pa.Table) -> pa.Table:
