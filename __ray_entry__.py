@@ -461,6 +461,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score_calibration": _widen4.quality_score_calibration,
         "dup_span_excise": _widen4.dup_span_excise,
         "stream_dedup_lsh_epochs": _widen4.stream_dedup_lsh_epochs,
+        # ---- round-3 widening, batch E ----
+        "conv_context_budget_trim": _widen4.conv_context_budget_trim,
+        "conv_event_time_regression": _widen4.conv_event_time_regression,
     }
     ordered = {n: base.pop(n) for n in _DRIVER_CERTIFIED_FIRST}
     ordered.update(base)
@@ -3559,4 +3562,8 @@ SELECT period, "column", n, nulls FROM u ORDER BY period, "column"
         # stream_dedup_lsh_epochs: minhash band collisions are not
         # SQL-expressible — independent serial-reference equivalence +
         # planted cross-epoch near-dup pytest in tests/test_widen4_ops.py.
+        # ---- round-3 widening, batch E ----
+        "conv_context_budget_trim": _CH + _widen4.CONV_CONTEXT_BUDGET_TRIM_SQL_TAIL,
+        "conv_event_time_regression": _CH
+        + _widen4.CONV_EVENT_TIME_REGRESSION_SQL_TAIL,
     }

@@ -899,3 +899,178 @@ def stream_dedup_lsh_epochs(
     return pa.Table.from_pandas(
         out.sort_values("doc_id").reset_index(drop=True), preserve_index=False
     )
+
+
+# --------------------------------------------- context-budget suffix trim
+
+def conv_context_budget_trim(sf_dir: str, budget_chars: int = 48) -> pa.Table:
+    """Context-window truncation (the serving-side sibling of
+    ``conv_context_windows``): for each conversation's FINAL state, keep
+    the longest SUFFIX of turns whose cumulative text length fits the
+    budget — exactly what an agent runtime does before a model call.
+    Emits per conv the turn census and kept char count (exact ints; the
+    oracle is float-free).
+
+    100 TB shape: same LWW combiner → ONE conv-hash exchange as the other
+    conv ops; the suffix scan is a reversed groupby-cumsum over the
+    bucket-sorted frame — no per-conversation loop."""
+    from data_exchange_routing_ray.pipelines.events_cdc import (
+        conv_live,
+        conv_partial_cols,
+        derived_change_stream,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(
+            conv_partial_cols(b, ["text"]), preserve_index=False
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        live = conv_live(g)
+        ln = live["text"].str.len().fillna(0).astype(np.int64)
+        rev = live.iloc[::-1]
+        revcum = (
+            pd.DataFrame(
+                {"conv_id": rev["conv_id"].to_numpy(), "ln": ln.iloc[::-1].to_numpy()}
+            )
+            .groupby("conv_id", sort=False)["ln"]
+            .cumsum()
+            .to_numpy()[::-1]
+        )
+        keep = revcum <= budget_chars
+        df = pd.DataFrame(
+            {
+                "conv_id": live["conv_id"].to_numpy(),
+                "one": np.ones(len(live), np.int64),
+                "k": keep.astype(np.int64),
+                "kc": np.where(keep, ln.to_numpy(), 0),
+            }
+        )
+        out = df.groupby("conv_id", as_index=False).agg(
+            n_turns=("one", "sum"),
+            kept_turns=("k", "sum"),
+            kept_chars=("kc", "sum"),
+        )
+        out["dropped_turns"] = out["n_turns"] - out["kept_turns"]
+        return out[
+            ["conv_id", "n_turns", "kept_turns", "dropped_turns", "kept_chars"]
+        ]
+
+    out = (
+        derived_change_stream(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(
+        out.sort_values("conv_id").reset_index(drop=True), preserve_index=False
+    )
+
+
+CONV_CONTEXT_BUDGET_TRIM_SQL_TAIL = """
+, last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY seq DESC) AS rn
+  FROM ch
+), fs AS (
+  SELECT conv_id, turn_idx, text FROM last WHERE rn = 1 AND op <> 'delete'
+), rc AS (
+  SELECT conv_id,
+         length(text) AS ln,
+         sum(length(text)) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                                 ROWS UNBOUNDED PRECEDING) AS revcum
+  FROM fs
+)
+SELECT conv_id,
+       count(*) AS n_turns,
+       CAST(sum(CASE WHEN revcum <= 48 THEN 1 ELSE 0 END) AS BIGINT)
+         AS kept_turns,
+       CAST(count(*) - sum(CASE WHEN revcum <= 48 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dropped_turns,
+       CAST(sum(CASE WHEN revcum <= 48 THEN ln ELSE 0 END) AS BIGINT)
+         AS kept_chars
+FROM rc GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+# ------------------------------------------ event-time regression audit
+
+def conv_event_time_regression(sf_dir: str) -> pa.Table:
+    """Out-of-order event-time audit per conversation: replaying the
+    change stream in arrival (seq) order, count change events whose event
+    time ``ts`` regresses below the conversation's running maximum — the
+    late-data profile that sizes watermark allowances (§2.8). Emits per
+    conv the event count, late count and max regression in exact µs.
+
+    100 TB shape: ONE conv-hash exchange (the combiner CANNOT pre-reduce
+    here — every change event participates, so the partial only buckets);
+    in-bucket the running max is a per-conv ``cummax`` over the seq-sorted
+    frame — vectorized, no Python loop. Late-only rows never leave the
+    bucket; output is one row per conversation."""
+    from data_exchange_routing_ray.pipelines.events_cdc import derived_change_stream
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "conv_id": b["conv_id"].to_numpy(zero_copy_only=False),
+                "seq": b["seq"].to_numpy(),
+                "ts": b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+            }
+        )
+        uid = df["conv_id"].str[5:].astype(np.int64).to_numpy()
+        df["bucket"] = (
+            (uid.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(64)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "seq"], kind="stable")
+        prevmax = (
+            g.groupby("conv_id", sort=False)["ts"].cummax().shift(1)
+        )
+        first = ~g["conv_id"].duplicated()
+        reg = (prevmax - g["ts"]).fillna(0).astype(np.int64)
+        reg[first | (reg < 0)] = 0
+        df = pd.DataFrame(
+            {
+                "conv_id": g["conv_id"].to_numpy(),
+                "one": np.ones(len(g), np.int64),
+                "late": (reg > 0).astype(np.int64).to_numpy(),
+                "reg": reg.to_numpy(),
+            }
+        )
+        return df.groupby("conv_id", as_index=False).agg(
+            n_events=("one", "sum"),
+            n_late=("late", "sum"),
+            max_regression_us=("reg", "max"),
+        )
+
+    out = (
+        derived_change_stream(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(
+        out.sort_values("conv_id").reset_index(drop=True), preserve_index=False
+    )
+
+
+CONV_EVENT_TIME_REGRESSION_SQL_TAIL = """
+, r AS (
+  SELECT conv_id, ts,
+         max(ts) OVER (PARTITION BY conv_id ORDER BY seq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prevmax
+  FROM ch
+)
+SELECT conv_id, count(*) AS n_events,
+       CAST(sum(CASE WHEN prevmax > ts THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       CAST(COALESCE(max(CASE WHEN prevmax > ts
+                     THEN date_diff('microsecond', ts, prevmax) END), 0)
+            AS BIGINT) AS max_regression_us
+FROM r GROUP BY conv_id ORDER BY conv_id
+"""

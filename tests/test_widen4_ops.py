@@ -258,3 +258,37 @@ def test_stream_dedup_lsh_matches_serial_and_crosses_epochs(
     assert got_t == exp
     # the planted cross-epoch dup must be caught, attributed to doc 1
     assert any(d_ == 38 and o == 1 for d_, o, _ in got_t)
+
+
+def test_context_budget_trim_suffix_property(ray_session):
+    got = widen4.conv_context_budget_trim(SF, budget_chars=48).to_pandas()
+    fs = _serial_final_state()
+    for _, r in got.head(25).iterrows():
+        g = fs[fs["conv_id"] == r["conv_id"]].sort_values("turn_idx")
+        lens = g["text"].str.len().fillna(0).astype(int).tolist()
+        kept = 0
+        tot = 0
+        for ln in reversed(lens):
+            if tot + ln > 48:
+                break
+            tot += ln
+            kept += 1
+        assert int(r["n_turns"]) == len(lens)
+        assert int(r["kept_turns"]) == kept
+        assert int(r["dropped_turns"]) == len(lens) - kept
+        assert int(r["kept_chars"]) == tot
+
+
+def test_event_time_regression_matches_serial(ray_session):
+    got = widen4.conv_event_time_regression(SF).to_pandas()
+    df = derived_change_stream(SF).to_pandas().sort_values("seq")
+    for _, r in got.head(25).iterrows():
+        g = df[df["conv_id"] == r["conv_id"]]
+        ts = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        runmax = np.maximum.accumulate(ts)
+        prevmax = np.r_[np.int64(-(2**62)), runmax[:-1]]
+        late = prevmax > ts
+        assert int(r["n_events"]) == len(g)
+        assert int(r["n_late"]) == int(late.sum())
+        exp_max = int((prevmax - ts)[late].max()) if late.any() else 0
+        assert int(r["max_regression_us"]) == exp_max
