@@ -464,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- round-3 widening, batch E ----
         "conv_context_budget_trim": _widen4.conv_context_budget_trim,
         "conv_event_time_regression": _widen4.conv_event_time_regression,
+        "ann_maxsim_topk": _widen4.ann_maxsim_topk,
     }
     ordered = {n: base.pop(n) for n in _DRIVER_CERTIFIED_FIRST}
     ordered.update(base)
@@ -3566,4 +3567,5 @@ SELECT period, "column", n, nulls FROM u ORDER BY period, "column"
         "conv_context_budget_trim": _CH + _widen4.CONV_CONTEXT_BUDGET_TRIM_SQL_TAIL,
         "conv_event_time_regression": _CH
         + _widen4.CONV_EVENT_TIME_REGRESSION_SQL_TAIL,
+        "ann_maxsim_topk": _widen4.ANN_MAXSIM_TOPK_SQL,
     }

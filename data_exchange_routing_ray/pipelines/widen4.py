@@ -1074,3 +1074,96 @@ SELECT conv_id, count(*) AS n_events,
             AS BIGINT) AS max_regression_us
 FROM r GROUP BY conv_id ORDER BY conv_id
 """
+
+
+# ------------------------------------ quantized late-interaction retrieval
+
+def ann_maxsim_topk(sf_dir: str, k: int = 10, vecs_per_doc: int = 8) -> pa.Table:
+    """Late-interaction retrieval (ColBERT-style MaxSim) over int8-quantized
+    vectors: token-vectors group into docs (``vec_id // vecs_per_doc``),
+    the 4 query token-vectors are rows vec_id ∈ {1,3,5,7} of the same
+    table, and score(doc) = Σ_q max_{v∈doc} ⟨q8, v8⟩ with q8 = round(q·127)
+    — integer dot products, so scores are EXACT int64 and the SQL oracle
+    comparison is float-free (the production int8-quantization trick doing
+    double duty as determinism).
+
+    100 TB shape: queries broadcast once per task closure (4×64 int64);
+    per-batch partial computes one (n,64)@(64,4) integer matmul and
+    reduces to per-(doc, query) maxes BEFORE the wire (docs straddling
+    block boundaries re-max in the fold); ONE doc-hash bucket exchange of
+    4 ints/doc; per-bucket exact top-k partials; driver merges ≤64·k
+    rows."""
+    from data_exchange_routing_ray.pipelines.events_cdc import _read_sized
+    import os as _os
+
+    path = _os.path.join(sf_dir, "embeddings.parquet")
+    import pyarrow.parquet as _pq
+
+    qtab = _pq.read_table(path, columns=["vec_id", "embedding"])
+    qsel = pc.is_in(qtab["vec_id"], value_set=pa.array([1, 3, 5, 7]))
+    qrows = qtab.filter(qsel).sort_by("vec_id")
+    qmat = np.stack(
+        [np.asarray(v, np.float64) for v in qrows["embedding"].to_pylist()]
+    )
+    q8 = round_half_away(qmat * 127.0, 0).astype(np.int64)  # (4, 64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        vid = b["vec_id"].to_numpy()
+        emb = b["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        x = np.stack(
+            [np.asarray(v, np.float64) for v in emb.to_pylist()]
+        )
+        v8 = round_half_away(x * 127.0, 0).astype(np.int64)
+        dots = v8 @ q8.T  # (n, 4) exact int64
+        doc = (vid // vecs_per_doc).astype(np.int64)
+        df = pd.DataFrame(
+            {"doc_id": doc, "m0": dots[:, 0], "m1": dots[:, 1],
+             "m2": dots[:, 2], "m3": dots[:, 3]}
+        ).groupby("doc_id", as_index=False).max()
+        df["bucket"] = (
+            (df["doc_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(64)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("doc_id", as_index=False)[["m0", "m1", "m2", "m3"]].max()
+        m["score"] = m[["m0", "m1", "m2", "m3"]].sum(axis=1).astype(np.int64)
+        m = m.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+        return m[["doc_id", "score"]]
+
+    out = (
+        _read_sized(path, columns=["vec_id", "embedding"], min_blocks=16)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["score"] = out["score"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+ANN_MAXSIM_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid,
+         list_transform(embedding, x -> CAST(round(x * 127) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id IN (1, 3, 5, 7)
+), v AS (
+  SELECT vec_id // 8 AS doc_id,
+         list_transform(embedding, x -> CAST(round(x * 127) AS BIGINT)) AS vv
+  FROM embeddings
+), d AS (
+  SELECT v.doc_id, q.qid,
+         max(CAST(list_dot_product(v.vv, q.qv) AS BIGINT)) AS m
+  FROM v CROSS JOIN q GROUP BY v.doc_id, q.qid
+), s AS (
+  SELECT doc_id, CAST(sum(m) AS BIGINT) AS score FROM d GROUP BY doc_id
+)
+SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 10
+"""

@@ -292,3 +292,29 @@ def test_event_time_regression_matches_serial(ray_session):
         assert int(r["n_late"]) == int(late.sum())
         exp_max = int((prevmax - ts)[late].max()) if late.any() else 0
         assert int(r["max_regression_us"]) == exp_max
+
+
+def test_ann_maxsim_matches_serial(ray_session):
+    got = widen4.ann_maxsim_topk(SF).to_pandas()
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    x = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    v8 = np.copysign(np.floor(np.abs(x * 127.0) + 0.5), x * 127.0).astype(
+        np.int64
+    )
+    qi = emb["vec_id"].isin([1, 3, 5, 7]).to_numpy()
+    q8 = v8[qi]
+    dots = v8 @ q8.T
+    doc = (emb["vec_id"].to_numpy() // 8).astype(np.int64)
+    df = pd.DataFrame({"doc_id": doc})
+    for j in range(4):
+        df[f"m{j}"] = dots[:, j]
+    m = df.groupby("doc_id").max()
+    score = m.sum(axis=1).astype(np.int64)
+    exp = (
+        pd.DataFrame({"doc_id": m.index, "score": score.to_numpy()})
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["score"].tolist() == exp["score"].tolist()
