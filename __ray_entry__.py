@@ -21,6 +21,7 @@ from typing import Any
 from data_exchange_routing_ray.pipelines import events_cdc as q
 from data_exchange_routing_ray.pipelines import widen3 as _widen3
 from data_exchange_routing_ray.pipelines import widen4 as _widen4
+from data_exchange_routing_ray.pipelines import widen5 as _widen5
 
 # Shared CTE: the deterministic events → change-stream derivation.
 # MUST stay in sync with pipelines/events_cdc.py::derive_changes_batch.
@@ -465,6 +466,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_context_budget_trim": _widen4.conv_context_budget_trim,
         "conv_event_time_regression": _widen4.conv_event_time_regression,
         "ann_maxsim_topk": _widen4.ann_maxsim_topk,
+        # ---- round-3 widening, batch F ----
+        "stream_sessionize_watermark": _widen5.stream_sessionize_watermark,
+        "lake_bloom_point_lookup": _widen5.lake_bloom_point_lookup,
+        "lake_stats_count": _widen5.lake_stats_count,
+        "zorder_cluster_scan": _widen5.zorder_cluster_scan,
     }
     ordered = {n: base.pop(n) for n in _DRIVER_CERTIFIED_FIRST}
     ordered.update(base)
@@ -3567,5 +3573,41 @@ SELECT period, "column", n, nulls FROM u ORDER BY period, "column"
         "conv_context_budget_trim": _CH + _widen4.CONV_CONTEXT_BUDGET_TRIM_SQL_TAIL,
         "conv_event_time_regression": _CH
         + _widen4.CONV_EVENT_TIME_REGRESSION_SQL_TAIL,
+        # ---- round-3 widening, batch F ----
+        # streaming sessionization must equal the batch session windows
+        "stream_sessionize_watermark": """
+SELECT user_id, count(*) AS n_events,
+       CAST(1 + sum(CASE WHEN gap > 1800.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM (
+  SELECT user_id,
+         epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+  FROM events
+)
+GROUP BY user_id ORDER BY user_id
+""",
+        "lake_bloom_point_lookup": _CH
+        + """
+, last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM ch
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM last
+WHERE rn = 1 AND op <> 'delete'
+  AND conv_id IN (
+    SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0')
+    FROM (SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 5)
+  )
+ORDER BY conv_id, turn_idx
+""",
+        "lake_stats_count": _CH
+        + """
+, last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM ch
+)
+SELECT count(*) AS n_rows FROM last WHERE rn = 1 AND op <> 'delete'
+""",
+        "zorder_cluster_scan": _widen5.ZORDER_SQL,
         "ann_maxsim_topk": _widen4.ANN_MAXSIM_TOPK_SQL,
     }
