@@ -470,7 +470,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_sessionize_watermark": _widen5.stream_sessionize_watermark,
         "lake_bloom_point_lookup": _widen5.lake_bloom_point_lookup,
         "lake_stats_count": _widen5.lake_stats_count,
-        "zorder_cluster_scan": _widen5.zorder_cluster_scan,
     }
     ordered = {n: base.pop(n) for n in _DRIVER_CERTIFIED_FIRST}
     ordered.update(base)
@@ -3608,6 +3607,5 @@ ORDER BY conv_id, turn_idx
 )
 SELECT count(*) AS n_rows FROM last WHERE rn = 1 AND op <> 'delete'
 """,
-        "zorder_cluster_scan": _widen5.ZORDER_SQL,
         "ann_maxsim_topk": _widen4.ANN_MAXSIM_TOPK_SQL,
     }

@@ -11,9 +11,6 @@ session windows.
   contain a target key (base files and LSM delta files alike).
 - ``lake_stats_count`` — metadata-only aggregation: COUNT(*) answered
   from manifest row-count statistics without opening a single data file.
-- ``zorder_cluster_scan`` — Morton (Z-order) clustering of a two-column
-  key, written range-partitioned so Parquet footer min/max statistics
-  prune a 2-D box query at file granularity before any data is read.
 
 Reference parity: the reference's serving path is a per-upload point
 lookup against the ProcessingStatus store (``PSReportEnvelope.kt``) and
@@ -387,153 +384,3 @@ def lake_stats_count(sf_dir: str) -> pa.Table:
         n = sum(e.rows for e in lake.manifest.partitions.values())
         lake.close()
     return pa.table({"n_rows": pa.array([n], pa.int64())})
-
-
-# ------------------------------------------------- Z-order clustered scan
-
-
-def _morton16(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Interleave two 16-bit codes into a 32-bit Morton key (vectorized)."""
-
-    def spread(x: np.ndarray) -> np.ndarray:
-        x = x.astype(np.uint64)
-        x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF)
-        x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F)
-        x = (x | (x << np.uint64(2))) & np.uint64(0x33333333)
-        x = (x | (x << np.uint64(1))) & np.uint64(0x55555555)
-        return x
-
-    return (spread(a) << np.uint64(1)) | spread(b)
-
-
-def zorder_cluster_scan(sf_dir: str) -> pa.Table:
-    """Z-order (Morton) clustering + footer-statistics pruning: events are
-    rewritten clustered by the bit-interleave of quantized
-    (user_id, event-time), so Parquet footer min/max statistics become
-    tight on BOTH dimensions and a 2-D box query prunes at file
-    granularity before reading any data. Linear single-column clustering
-    can only serve one dimension; Morton order serves both — the standard
-    lakehouse OPTIMIZE ZORDER layout.
-
-    Scale shape: the clustering write is ONE range-partitioned sort (the
-    sort's shuffle is the price of the layout, paid once per OPTIMIZE);
-    statistics collection is a footer-only distributed pass (no data
-    pages); the query reads only surviving files. In-query assert: at
-    least half the files are pruned for the box. Bounds are
-    min/max-derived so the DuckDB oracle names the same box."""
-    from data_exchange_routing_ray.pipelines.events_cdc import _events
-
-    ds = _events(sf_dir, columns=["user_id", "event_type", "ts"])
-    umin, umax = int(ds.min("user_id")), int(ds.max("user_id"))
-    tmin = pd.Timestamp(ds.min("ts")).value // 1000
-    tmax = pd.Timestamp(ds.max("ts")).value // 1000
-    uspan = max(1, umax - umin)
-    tspan = max(1, tmax - tmin)
-
-    def add_z(b: pa.Table) -> pa.Table:
-        u = b["user_id"].to_numpy()
-        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        uq = ((u - umin).astype(np.float64) / uspan * 65535).astype(np.uint64)
-        tq = ((ts - tmin).astype(np.float64) / tspan * 65535).astype(np.uint64)
-        return pa.table(
-            {
-                "z": _morton16(uq, tq).astype(np.int64),
-                "user_id": u,
-                "ts_us": ts,
-                "event_type": b["event_type"],
-            }
-        )
-
-    with tempfile.TemporaryDirectory(prefix="zorder-") as d:
-        out_dir = os.path.join(d, "clustered")
-        # the one-off OPTIMIZE: range-partitioned sort by the Morton key
-        ds.map_batches(add_z, batch_format="pyarrow").sort("z").write_parquet(out_dir)
-        files = sorted(
-            os.path.join(out_dir, f)
-            for f in os.listdir(out_dir)
-            if f.endswith(".parquet")
-        )
-
-        # footer-only statistics pass (distributed; no data pages read)
-        def file_stats(b: pa.Table) -> pa.Table:
-            rows = []
-            for f in b["file"].to_pylist():
-                md = pq.ParquetFile(f).metadata
-                lo_u = lo_t = np.iinfo(np.int64).max
-                hi_u = hi_t = np.iinfo(np.int64).min
-                cols = {
-                    md.schema.column(i).name: i for i in range(md.num_columns)
-                }
-                for rg in range(md.num_row_groups):
-                    su = md.row_group(rg).column(cols["user_id"]).statistics
-                    st = md.row_group(rg).column(cols["ts_us"]).statistics
-                    lo_u, hi_u = min(lo_u, su.min), max(hi_u, su.max)
-                    lo_t, hi_t = min(lo_t, st.min), max(hi_t, st.max)
-                rows.append((f, lo_u, hi_u, lo_t, hi_t))
-            return pa.table(
-                {
-                    "file": pa.array([r[0] for r in rows]),
-                    "umin": pa.array([r[1] for r in rows], pa.int64()),
-                    "umax": pa.array([r[2] for r in rows], pa.int64()),
-                    "tmin": pa.array([r[3] for r in rows], pa.int64()),
-                    "tmax": pa.array([r[4] for r in rows], pa.int64()),
-                }
-            )
-
-        stats = (
-            ray.data.from_items([{"file": f} for f in files])
-            .map_batches(file_stats, batch_format="pyarrow")
-            .to_pandas()
-        )
-
-        # off-center box: 60-70% of each dimension (a centered box straddles
-        # the top Morton quadrant corner — the known Z-order worst case) (SQL-representable)
-        u_lo = umin + (uspan * 60) // 100
-        u_hi = umin + (uspan * 70) // 100
-        t_lo = tmin + (tspan * 60) // 100
-        t_hi = tmin + (tspan * 70) // 100
-        live = stats[
-            (stats["umax"] >= u_lo)
-            & (stats["umin"] <= u_hi)
-            & (stats["tmax"] >= t_lo)
-            & (stats["tmin"] <= t_hi)
-        ]
-        assert len(files) >= 4 and len(live) * 2 <= len(files), (
-            f"z-order pruning too weak: {len(live)}/{len(files)} files survive"
-        )
-
-        result = (
-            ray.data.read_parquet(
-                live["file"].tolist(), columns=["user_id", "ts_us", "event_type"]
-            )
-            .filter(
-                expr=(
-                    f"user_id >= {u_lo} and user_id <= {u_hi} "
-                    f"and ts_us >= {t_lo} and ts_us <= {t_hi}"
-                )
-            )
-            .groupby("event_type")
-            .count()
-            .to_pandas()
-        )
-    result = result.rename(columns={"count()": "n"}).sort_values("event_type")
-    result["n"] = result["n"].astype("int64")
-    return pa.Table.from_pandas(result.reset_index(drop=True), preserve_index=False)
-
-
-ZORDER_SQL = """
-WITH b AS (
-  SELECT min(user_id) AS umin,
-         greatest(max(user_id) - min(user_id), 1) AS uspan,
-         epoch_us(min(ts)) AS tmin,
-         greatest(epoch_us(max(ts)) - epoch_us(min(ts)), 1) AS tspan
-  FROM events
-)
-SELECT event_type, count(*) AS n
-FROM events, b
-WHERE user_id >= b.umin + (b.uspan * 60) // 100
-  AND user_id <= b.umin + (b.uspan * 70) // 100
-  AND epoch_us(ts) >= b.tmin + (b.tspan * 60) // 100
-  AND epoch_us(ts) <= b.tmin + (b.tspan * 70) // 100
-GROUP BY event_type ORDER BY event_type
-"""

@@ -1,6 +1,5 @@
 """Round-3 widening batch F: streaming sessionization placement
-invariance, Bloom sidecar no-false-negative + pruning, Morton interleave
-correctness, and manifest-stats count consistency."""
+invariance, Bloom sidecar no-false-negative + pruning, and manifest-stats count consistency."""
 
 import numpy as np
 import pandas as pd
@@ -45,20 +44,6 @@ def test_bloom_has_no_false_negatives():
 def test_bloom_empty_file_rejects_everything():
     bloom = widen5._bloom_build(np.array([], dtype=object))
     assert not widen5._bloom_may_contain(bloom, "conv-000001")
-
-
-def test_morton16_interleaves_bits():
-    a = np.array([0b1111111111111111], np.uint64)  # all-ones x
-    b = np.array([0], np.uint64)
-    z = widen5._morton16(a, b)[0]
-    assert z == 0b10101010101010101010101010101010
-    # order matters: x occupies the odd (higher) bit lanes
-    z2 = widen5._morton16(b, a)[0]
-    assert z2 == 0b01010101010101010101010101010101
-    # locality: nearby points share high bits
-    za = widen5._morton16(np.array([100], np.uint64), np.array([200], np.uint64))[0]
-    zb = widen5._morton16(np.array([101], np.uint64), np.array([200], np.uint64))[0]
-    assert int(za) >> 16 == int(zb) >> 16
 
 
 def test_lake_stats_count_matches_final_state(ray_session):
