@@ -470,6 +470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_sessionize_watermark": _widen5.stream_sessionize_watermark,
         "lake_bloom_point_lookup": _widen5.lake_bloom_point_lookup,
         "lake_stats_count": _widen5.lake_stats_count,
+        "incr_index_tool_postings": _widen5.incr_index_tool_postings,
     }
     ordered = {n: base.pop(n) for n in _DRIVER_CERTIFIED_FIRST}
     ordered.update(base)
@@ -3606,6 +3607,20 @@ ORDER BY conv_id, turn_idx
   FROM ch
 )
 SELECT count(*) AS n_rows FROM last WHERE rn = 1 AND op <> 'delete'
+""",
+        # the incrementally-maintained index must equal the batch-built
+        # index over the final state, per tool, by count AND ordered digest
+        "incr_index_tool_postings": _CH
+        + """
+, last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM ch
+)
+SELECT tool, count(*) AS n_postings,
+       md5(string_agg(conv_id || ':' || CAST(turn_idx AS VARCHAR), '|'
+                      ORDER BY conv_id, turn_idx)) AS postings_md5
+FROM last WHERE rn = 1 AND op <> 'delete'
+GROUP BY tool ORDER BY tool
 """,
         "ann_maxsim_topk": _widen4.ANN_MAXSIM_TOPK_SQL,
     }

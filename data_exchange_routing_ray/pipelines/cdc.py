@@ -237,15 +237,24 @@ class CDCLake:
         self.store.publish(head, expect_epoch=cur.epoch)
         return head.epoch
 
-    def changefeed_between(self, from_epoch: int, to_epoch: int) -> ray.data.Dataset:
+    def changefeed_between(
+        self,
+        from_epoch: int,
+        to_epoch: int,
+        image_cols: tuple[str, ...] = ("text",),
+    ) -> ray.data.Dataset:
         """Row-level changefeed between two committed epochs as
-        Debezium-style envelopes (op, key, before_text, after_text) — a
+        Debezium-style envelopes (op, key, before_/after_ images) — a
         DISTRIBUTED per-partition diff of the two archived manifests
         (co-partitioned file pairs; unchanged keys never leave the diff
         task). The downstream-consumer surface of the lake's history.
         Each side folds its delta stack (merge-on-read), so the diff is
         exact under ``merge_policy="delta"``; updates are detected over
-        ALL payload columns null-aware, not just ``text``."""
+        ALL payload columns null-aware, not just ``text``.
+        ``image_cols`` selects which payload columns are carried as
+        before_<col>/after_<col> envelope images (change DETECTION always
+        covers every payload column; images are what consumers — e.g. the
+        incremental index maintainer — need shipped)."""
         old_man = self.store.load_epoch(from_epoch)
         new_man = self.store.load_epoch(to_epoch)
         if old_man is None or new_man is None:
@@ -292,21 +301,20 @@ class CDCLake:
                     "insert",
                     np.where(keep["_merge"].eq("left_only"), "delete", "update"),
                 )
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "op": op,
-                            "conv_id": keep["conv_id"],
-                            "turn_idx": keep["turn_idx"].astype("int32"),
-                            "before_text": keep["text_b"],
-                            "after_text": keep["text_a"],
-                        }
-                    )
-                )
+                env = {
+                    "op": op,
+                    "conv_id": keep["conv_id"],
+                    "turn_idx": keep["turn_idx"].astype("int32"),
+                }
+                for c in image_cols:
+                    env[f"before_{c}"] = keep[f"{c}_b"]
+                    env[f"after_{c}"] = keep[f"{c}_a"]
+                outs.append(pd.DataFrame(env))
             if not outs:
                 return pa.Table.from_pandas(
                     pd.DataFrame(
-                        columns=["op", "conv_id", "turn_idx", "before_text", "after_text"]
+                        columns=["op", "conv_id", "turn_idx"]
+                        + [f"{p}_{c}" for c in image_cols for p in ("before", "after")]
                     ),
                     preserve_index=False,
                 )

@@ -364,6 +364,195 @@ def lake_bloom_point_lookup(sf_dir: str, n_convs: int = 5) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def incr_index_tool_postings(sf_dir: str, n_buckets: int = 32) -> pa.Table:
+    """CDC-MAINTAINED SECONDARY INDEX: an inverted index
+    ``tool → [(conv_id, turn_idx), ...]`` bootstrapped from the first
+    epoch's state and then maintained INCREMENTALLY from the lake's
+    changefeed envelopes (before/after ``tool`` images) across three more
+    epochs — never rebuilt from a full scan. Deletes and tool-changing
+    updates retract the old posting (−1 via the before image); inserts
+    and updates add the new one (+1 via the after image); a same-tool
+    update cancels to a no-op before the wire.
+
+    Scale shape: per epoch the maintenance cost is O(changed rows), not
+    O(table) — the whole point of changefeed-driven materialized views;
+    the index lives as key-hash-bucketed parquet versions, folded with
+    ONE bucket exchange per epoch (presence = net +1, asserted per key).
+    The returned per-tool digest (count + md5 of the ordered postings)
+    is a verification artifact, computed per-tool in the buckets.
+
+    Reference parity: the ProcessingStatus report store is exactly such a
+    consumer-maintained secondary view of routing events
+    (``FnStoreReportingEvent.kt:47-85`` upserting per-event documents)."""
+    import hashlib
+
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+    from data_exchange_routing_ray.pipelines.events_cdc import (
+        _events,
+        derive_changes_batch,
+    )
+
+    hi = int(_events(sf_dir, columns=["event_id"]).max("event_id"))
+    n = hi + 1
+    bounds = [(i * n) // 4 for i in range(5)]
+
+    def stream(lo: int, up: int) -> ray.data.Dataset:
+        return (
+            _events(sf_dir, columns=["event_id", "user_id", "event_type", "ts"])
+            .filter(expr=f"event_id >= {lo} and event_id < {up}")
+            .map_batches(derive_changes_batch, batch_format="pyarrow")
+        )
+
+    def key_bucket(tool: np.ndarray, conv: np.ndarray, turn: np.ndarray) -> np.ndarray:
+        # vectorized composite-key hash: no per-row Python string building
+        h = (
+            stable_hash_strings(conv) * np.uint64(0x9E3779B97F4A7C15)
+            + np.asarray(turn).astype(np.uint64)
+        ) * np.uint64(0xC2B2AE3D27D4EB4F) + stable_hash_strings(tool)
+        return (h % np.uint64(n_buckets)).astype(np.int64)
+
+    with tempfile.TemporaryDirectory(prefix="cdcidx-") as d:
+        lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
+        epochs = []
+        for i in range(4):
+            lake.apply_changes(stream(bounds[i], bounds[i + 1]), quarantine=False)
+            epochs.append(lake.manifest.epoch)
+
+        # ---- bootstrap: index of the epoch-0 state (one-off full scan) ----
+        def bootstrap_rows(b: pa.Table) -> pa.Table:
+            tool = b["tool"].to_numpy(zero_copy_only=False)
+            conv = b["conv_id"].to_numpy(zero_copy_only=False)
+            turn = b["turn_idx"].to_numpy().astype(np.int64)
+            return pa.table(
+                {
+                    "bucket": key_bucket(tool, conv, turn),
+                    "tool": pa.array(tool, pa.string()),
+                    "conv_id": pa.array(conv, pa.string()),
+                    "turn_idx": pa.array(turn, pa.int64()),
+                    "delta": pa.array(np.ones(len(turn), np.int64)),
+                }
+            )
+
+        versions = [os.path.join(d, f"idx_v{i}") for i in range(4)]
+
+        def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            s = g.groupby(["tool", "conv_id", "turn_idx"], sort=False, as_index=False)[
+                "delta"
+            ].sum()
+            assert s["delta"].isin((0, 1)).all(), "index presence must net to 0/1"
+            out = s[s["delta"] == 1].drop(columns=["delta"])
+            out.insert(0, "bucket", g["bucket"].iloc[0])
+            return out
+
+        (
+            lake.final_dataset(
+                columns=["conv_id", "turn_idx", "tool"], epoch=epochs[0]
+            )
+            .map_batches(bootstrap_rows, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(fold_bucket, batch_format="pandas")
+            .write_parquet(versions[0])
+        )
+
+        # ---- incremental maintenance: one changefeed per epoch pair ----
+        for i in range(1, 4):
+            feed = lake.changefeed_between(
+                epochs[i - 1], epochs[i], image_cols=("tool",)
+            )
+
+            def to_deltas(b: pa.Table) -> pa.Table:
+                df = b.to_pandas()
+                rem = df[df["op"].isin(("delete", "update")) & df["before_tool"].notna()]
+                add = df[df["op"].isin(("insert", "update")) & df["after_tool"].notna()]
+                out = pd.concat(
+                    [
+                        pd.DataFrame(
+                            {
+                                "tool": rem["before_tool"],
+                                "conv_id": rem["conv_id"],
+                                "turn_idx": rem["turn_idx"].astype(np.int64),
+                                "delta": -1,
+                            }
+                        ),
+                        pd.DataFrame(
+                            {
+                                "tool": add["after_tool"],
+                                "conv_id": add["conv_id"],
+                                "turn_idx": add["turn_idx"].astype(np.int64),
+                                "delta": 1,
+                            }
+                        ),
+                    ],
+                    ignore_index=True,
+                )
+                # same-tool updates cancel before the wire
+                out = out.groupby(
+                    ["tool", "conv_id", "turn_idx"], sort=False, as_index=False
+                )["delta"].sum()
+                out = out[out["delta"] != 0]
+                if not len(out):
+                    return pa.table(
+                        {
+                            "bucket": pa.array([], pa.int64()),
+                            "tool": pa.array([], pa.string()),
+                            "conv_id": pa.array([], pa.string()),
+                            "turn_idx": pa.array([], pa.int64()),
+                            "delta": pa.array([], pa.int64()),
+                        }
+                    )
+                out.insert(
+                    0,
+                    "bucket",
+                    key_bucket(
+                        out["tool"].to_numpy(object),
+                        out["conv_id"].to_numpy(object),
+                        out["turn_idx"].to_numpy(),
+                    ),
+                )
+                return pa.Table.from_pandas(out, preserve_index=False)
+
+            deltas = feed.map_batches(to_deltas, batch_format="pyarrow")
+            prev = ray.data.read_parquet(versions[i - 1]).map_batches(
+                lambda b: b.append_column(
+                    "delta", pa.array(np.ones(b.num_rows, np.int64))
+                ),
+                batch_format="pyarrow",
+            )
+            (
+                prev.union(deltas)
+                .groupby("bucket")
+                .map_groups(fold_bucket, batch_format="pandas")
+                .write_parquet(versions[i])
+            )
+
+        # ---- per-tool digest of the final index version ----
+        def digest(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["conv_id", "turn_idx"], kind="stable")
+            joined = "|".join(
+                f"{c}:{t}" for c, t in zip(g["conv_id"], g["turn_idx"])
+            )
+            return pd.DataFrame(
+                [
+                    {
+                        "tool": g["tool"].iloc[0],
+                        "n_postings": len(g),
+                        "postings_md5": hashlib.md5(joined.encode()).hexdigest(),
+                    }
+                ]
+            )
+
+        out = (
+            ray.data.read_parquet(versions[3])
+            .groupby("tool")
+            .map_groups(digest, batch_format="pandas")
+            .to_pandas()
+        )
+        lake.close()
+    out = out.sort_values("tool").reset_index(drop=True)
+    out["n_postings"] = out["n_postings"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def lake_stats_count(sf_dir: str) -> pa.Table:
     """Metadata-only aggregation: COUNT(*) of the lake's final state
     answered purely from manifest per-partition row-count statistics —

@@ -71,3 +71,20 @@ def test_bloom_lookup_rows_match_serial_oracle(ray_session):
     assert got["conv_id"].tolist() == exp["conv_id"].tolist()
     assert got["turn_idx"].tolist() == exp["turn_idx"].astype("int64").tolist()
     assert got["text"].tolist() == exp["text"].tolist()
+
+def test_incr_index_matches_full_rebuild(ray_session):
+    """The changefeed-maintained index must equal a batch rebuild from the
+    serial final state — per tool, count and ordered-postings digest."""
+    import hashlib
+
+    got = widen5.incr_index_tool_postings(SF).to_pandas()
+    df = events_cdc.derived_change_stream(SF).to_pandas()
+    idx = df.groupby(["conv_id", "turn_idx"], sort=False)["seq"].idxmax()
+    w = df.loc[idx]
+    w = w[w["op"] != "delete"]
+    exp = []
+    for tool, g in w.groupby("tool", sort=True):
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable")
+        joined = "|".join(f"{c}:{t}" for c, t in zip(g["conv_id"], g["turn_idx"]))
+        exp.append((tool, len(g), hashlib.md5(joined.encode()).hexdigest()))
+    assert list(map(tuple, got[["tool", "n_postings", "postings_md5"]].values)) == exp
