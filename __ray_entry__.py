@@ -133,9 +133,14 @@ _DRIVER_CERTIFIED_FIRST = [
     "cdc_debatch",
     "cdc_explode_archive",
     "csv_source_roundtrip",
-    "window_tumbling_daily",
+    # window_tumbling_daily / sort_topk_orders rotated below the fold in
+    # round 3 (their families stay pytest+check_queries-gated; M13/M14 and
+    # §2.6 remain certified via cdc_partition_paths / grouped-topk tests)
+    # to make room for the round-3 stateful-streaming and data-skipping
+    # families in the driver-certified prefix.
+    "stream_sessionize_watermark",
     "split_by_category",
-    "sort_topk_orders",
+    "lake_bloom_point_lookup",
     "asof_join_clicks_purchases",
     "dedup_exact_events_props",
     # round-2 widening surface (driver-certified from round 3 on)
