@@ -381,3 +381,35 @@ def test_changefeed_and_rebase_fold_delta_stacks(ray_session, tmp_path):
     got = {r.conv_id: r.text
            for r in lake.final_table().to_pandas().itertuples(index=False)}
     assert got == {"conv-a": "v2", "conv-b": "b2-branch"}
+
+def test_changefeed_image_cols_selects_envelope_columns(ray_session, tmp_path):
+    """``image_cols`` controls which payload columns ship as before_/after_
+    images; change DETECTION still covers all payload columns (a role-only
+    update appears even when only text images are requested)."""
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=2)
+    lake.apply_changes(_changes([("conv-a", 0, "t0")]), quarantine=False)
+    edit = pd.DataFrame(
+        [{"seq": 30, "op": "update", "conv_id": "conv-a", "turn_idx": 0,
+          "role": "assistant", "text": "t0", "tool": "y",
+          "ts": pd.Timestamp("2024-01-01")}]
+    )
+    edit["turn_idx"] = edit["turn_idx"].astype("int32")
+    lake.apply_changes(
+        ray.data.from_arrow(pa.Table.from_pandas(edit, preserve_index=False)),
+        quarantine=False,
+    )
+
+    # default: text images only (back-compat schema)
+    feed = lake.changefeed_between(0, 1).to_pandas()
+    assert list(feed.columns) == [
+        "op", "conv_id", "turn_idx", "before_text", "after_text"
+    ]
+    assert len(feed) == 1 and feed.iloc[0]["op"] == "update"
+    assert feed.iloc[0]["before_text"] == feed.iloc[0]["after_text"] == "t0"
+
+    # multi-column images carry the actually-changed columns
+    feed2 = lake.changefeed_between(0, 1, image_cols=("text", "role", "tool"))
+    feed2 = feed2.to_pandas()
+    r = feed2.iloc[0]
+    assert (r["before_role"], r["after_role"]) == ("user", "assistant")
+    assert (r["before_tool"], r["after_tool"]) == ("x", "y")
