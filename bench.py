@@ -120,6 +120,9 @@ HEADLINE = [
     "doc_quality_model_score",
     "dup_span_excise",
     "stream_dedup_lsh_epochs",
+    # round-3 widening batch F: stateful streaming + lake data skipping
+    "stream_sessionize_watermark",
+    "lake_bloom_point_lookup",
 ]
 
 
@@ -351,6 +354,16 @@ def run_scaling(sf_dir: str, lo: int, hi: int, multiplier: int) -> dict:
         eff = sorted(per_pair)[len(per_pair) // 2]  # median
         r_lo = min(lo_runs, key=lambda r: r["sec"])
         r_hi = min(hi_runs, key=lambda r: r["sec"])
+        # same-window host-capacity control (tools/host_control.py): the
+        # sandbox host's concurrent throughput drifts 2-3x between windows;
+        # the engine cannot scale past the host's own ceiling, so every
+        # sample carries the ceiling it was measured under.
+        host_control = None
+        if os.environ.get("GRAFT_SCALING_CONTROL", "1") != "0":
+            sys.path.insert(0, os.path.join(REPO, "tools"))
+            from host_control import run_control
+
+            host_control = run_control(lo, hi)
         return {
             "metric": "cdc replay scaling (fresh paired processes, same input)",
             "value": round(eff, 3),
@@ -362,6 +375,7 @@ def run_scaling(sf_dir: str, lo: int, hi: int, multiplier: int) -> dict:
             "hi": r_hi,
             "per_pair_efficiency": per_pair,
             "scaling_efficiency": round(eff, 3),
+            "host_control": host_control,
         }
 
 
