@@ -476,6 +476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_bloom_point_lookup": _widen5.lake_bloom_point_lookup,
         "lake_stats_count": _widen5.lake_stats_count,
         "incr_index_tool_postings": _widen5.incr_index_tool_postings,
+        "cep_pattern_counts": _widen5.cep_pattern_counts,
     }
     ordered = {n: base.pop(n) for n in _DRIVER_CERTIFIED_FIRST}
     ordered.update(base)
@@ -3627,5 +3628,6 @@ SELECT tool, count(*) AS n_postings,
 FROM last WHERE rn = 1 AND op <> 'delete'
 GROUP BY tool ORDER BY tool
 """,
+        "cep_pattern_counts": _widen5.CEP_PATTERN_SQL,
         "ann_maxsim_topk": _widen4.ANN_MAXSIM_TOPK_SQL,
     }

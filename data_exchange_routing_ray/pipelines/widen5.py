@@ -188,6 +188,100 @@ def stream_sessionize_watermark(
     return out
 
 
+# --------------------------------------- CEP pattern matching (per-user)
+
+
+def cep_pattern_counts(sf_dir: str) -> pa.Table:
+    """MATCH_RECOGNIZE-style complex-event-processing: count per-user event
+    sequences matching Kleene patterns (``v c+ p`` — view, 1+ clicks,
+    purchase; ``s v* c`` — signup, any views, first click), in event-time
+    order. The per-user event-type sequence is encoded as a string of
+    unique initials and the pattern is a compiled RE2 regex — identical
+    non-overlapping leftmost-match semantics on both the Arrow engine
+    (``count_substring_regex``) and the DuckDB oracle
+    (``regexp_extract_all``), so the counts are value-exact.
+
+    Scale shape: ONE user-hash bucket exchange of (user, initial, ts)
+    triples; sequence assembly + regex count are vectorized inside the
+    bucket (the per-user Python is one ``''.join`` per user, bounded by
+    users per bucket). Per-user state is that user's sequence — the
+    irreducible CEP state; a production stream would chunk it with
+    carry-over of the longest in-flight partial match (pattern length
+    bounds the carry), exactly the open-window state the streaming
+    sessionizer holds.
+
+    Reference parity: the closest reference analog is the Stream
+    Analytics category routing (``StreamAnalytics Job query.txt``) —
+    per-event predicates; Kleene sequence patterns are its CEP
+    generalization (Event Trend Aggregation, SIGMOD 2019)."""
+    from data_exchange_routing_ray.pipelines.events_cdc import _events
+
+    PATTERNS = ("sv*c", "vc+p")
+
+    def to_initial(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy()
+        return pa.table(
+            {
+                "bucket": (u % 64).astype(np.int64),
+                "user": u,
+                "ch": pc.utf8_slice_codeunits(b["event_type"], 0, 1),
+                "ts": b["ts"],
+                "eid": b["event_id"],
+            }
+        )
+
+    def match_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user", "ts", "eid"], kind="stable")
+        seqs = g.groupby("user", sort=False)["ch"].agg("".join)
+        arr = pa.array(seqs.to_numpy(), pa.string())
+        out = {"user": seqs.index.to_numpy()}
+        for pat in PATTERNS:
+            out[pat] = pc.count_substring_regex(arr, pat).to_numpy()
+        return pd.DataFrame(out)
+
+    per_user = (
+        _events(sf_dir, columns=["user_id", "event_type", "ts", "event_id"])
+        .map_batches(to_initial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(match_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    rows = [
+        {
+            "pattern": pat,
+            "n_matches": int(per_user[pat].sum()),
+            "n_users": int((per_user[pat] > 0).sum()),
+        }
+        for pat in PATTERNS
+    ]
+    rows.sort(key=lambda r: r["pattern"])
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+CEP_PATTERN_SQL = """
+WITH s AS (
+  SELECT user_id,
+         string_agg(CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+                    WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                    ELSE 'v' END, '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT user_id,
+         len(regexp_extract_all(seq, 'sv*c')) AS m1,
+         len(regexp_extract_all(seq, 'vc+p')) AS m2
+  FROM s
+)
+SELECT 'sv*c' AS pattern, CAST(sum(m1) AS BIGINT) AS n_matches,
+       CAST(sum(CASE WHEN m1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users
+FROM m
+UNION ALL
+SELECT 'vc+p', CAST(sum(m2) AS BIGINT),
+       CAST(sum(CASE WHEN m2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM m
+ORDER BY pattern
+"""
+
+
 # ----------------------------------------------- Bloom-sidecar point reads
 
 _BLOOM_BITS = 1 << 13  # 8192 bits / file — tiny sidecar, <0.1% FP at our SFs

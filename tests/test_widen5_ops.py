@@ -88,3 +88,18 @@ def test_incr_index_matches_full_rebuild(ray_session):
         joined = "|".join(f"{c}:{t}" for c, t in zip(g["conv_id"], g["turn_idx"]))
         exp.append((tool, len(g), hashlib.md5(joined.encode()).hexdigest()))
     assert list(map(tuple, got[["tool", "n_postings", "postings_md5"]].values)) == exp
+
+def test_cep_pattern_counts_matches_serial_re(ray_session):
+    """Serial oracle: python re over per-user event-initial sequences."""
+    import re
+
+    got = widen5.cep_pattern_counts(SF).to_pandas().set_index("pattern")
+    ev = pd.read_parquet(
+        SF + "/events.parquet", columns=["user_id", "event_type", "ts", "event_id"]
+    ).sort_values(["user_id", "ts", "event_id"], kind="stable")
+    ev["ch"] = ev["event_type"].str[0]
+    seqs = ev.groupby("user_id", sort=False)["ch"].agg("".join)
+    for pat in ("sv*c", "vc+p"):
+        counts = seqs.map(lambda s: len(re.findall(pat, s)))
+        assert got.loc[pat, "n_matches"] == counts.sum()
+        assert got.loc[pat, "n_users"] == (counts > 0).sum()
