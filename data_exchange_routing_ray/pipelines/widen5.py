@@ -65,6 +65,11 @@ class _SessionBucketActor:
         epochs arrive in global ts order). Vectorized: one lexsort + one
         diff over the epoch frame; the only per-user Python is the state
         dict fold, bounded by distinct users in the epoch bucket."""
+        if table.num_rows == 0:
+            self.last = {
+                u: t for u, t in self.last.items() if t + self.gap_us >= watermark_us
+            }
+            return len(self.last)
         uid = table["user"].to_numpy()
         ts = table["ts_us"].to_numpy()
         eid = table["eid"].to_numpy()
@@ -110,6 +115,36 @@ class _SessionBucketActor:
 
     def stats(self) -> tuple[int, int]:
         return self.max_open, len(self.n_events)
+
+    # -- Flink-style savepoint surface: the WHOLE operator state is these
+    # three keyed maps, so a snapshot is one small table per bucket and
+    # restore is exact (pinned by test_stream_sessionize_savepoint_restore).
+    def snapshot(self) -> pa.Table:
+        users = sorted(set(self.n_events) | set(self.last))
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "n_events": pa.array(
+                    [self.n_events.get(u, 0) for u in users], pa.int64()
+                ),
+                "n_sessions": pa.array(
+                    [self.n_sessions.get(u, 0) for u in users], pa.int64()
+                ),
+                "open_last_ts": pa.array(
+                    [self.last.get(u) for u in users], pa.int64()
+                ),
+            }
+        )
+
+    def restore(self, snap: pa.Table) -> int:
+        users = snap["user_id"].to_pylist()
+        ne = snap["n_events"].to_pylist()
+        ns = snap["n_sessions"].to_pylist()
+        lt = snap["open_last_ts"].to_pylist()
+        self.n_events = {u: int(n) for u, n in zip(users, ne) if n}
+        self.n_sessions = {u: int(n) for u, n in zip(users, ns) if n}
+        self.last = {u: int(t) for u, t in zip(users, lt) if t is not None}
+        return len(self.last)
 
 
 def stream_sessionize_watermark(

@@ -103,3 +103,57 @@ def test_cep_pattern_counts_matches_serial_re(ray_session):
         counts = seqs.map(lambda s: len(re.findall(pat, s)))
         assert got.loc[pat, "n_matches"] == counts.sum()
         assert got.loc[pat, "n_users"] == (counts > 0).sum()
+
+def test_stream_sessionize_savepoint_restore(ray_session):
+    """Flink-style savepoint: snapshot each bucket actor's state after two
+    epochs, KILL the actors, restore fresh ones from the snapshots, finish
+    the stream — identical result to the uninterrupted run."""
+    import ray
+
+    got_oneshot = widen5.stream_sessionize_watermark(
+        SF, n_buckets=4, n_epochs=4
+    ).to_pandas()
+
+    ev = pd.read_parquet(
+        SF + "/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+    ts_us = ev["ts"].astype("datetime64[us]").astype("int64")
+    tmin, tmax = int(ts_us.min()), int(ts_us.max())
+    bounds = [tmin + ((tmax - tmin + 1) * i) // 4 for i in range(4)] + [tmax + 1]
+    gap_us = int(1800.0 * 1e6)
+
+    def feed(actors, e):
+        lo, hi = bounds[e], bounds[e + 1]
+        m = (ts_us >= lo) & (ts_us < hi)
+        part = ev[m.to_numpy()]
+        pus = part["user_id"].to_numpy()
+        for b in range(4):
+            sel = pus % 4 == b
+            t = pa.table(
+                {
+                    "user": pus[sel].astype("int64"),
+                    "ts_us": ts_us.to_numpy()[m.to_numpy()][sel],
+                    "eid": part["event_id"].to_numpy()[sel].astype("int64"),
+                }
+            )
+            ray.get(actors[b].ingest.remote(t, hi))
+
+    actors = [widen5._SessionBucketActor.remote(gap_us) for _ in range(4)]
+    feed(actors, 0)
+    feed(actors, 1)
+    snaps = ray.get([a.snapshot.remote() for a in actors])
+    for a in actors:
+        ray.kill(a)
+
+    actors2 = [widen5._SessionBucketActor.remote(gap_us) for _ in range(4)]
+    ray.get([a.restore.remote(s) for a, s in zip(actors2, snaps)])
+    feed(actors2, 2)
+    feed(actors2, 3)
+    tables = ray.get([a.flush.remote() for a in actors2])
+    got = (
+        pa.concat_tables([t for t in tables if t.num_rows])
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got_oneshot.reset_index(drop=True))
