@@ -311,13 +311,26 @@ class CDCLake:
                     env[f"after_{c}"] = keep[f"{c}_a"]
                 outs.append(pd.DataFrame(env))
             if not outs:
-                return pa.Table.from_pandas(
-                    pd.DataFrame(
-                        columns=["op", "conv_id", "turn_idx"]
-                        + [f"{p}_{c}" for c in image_cols for p in ("before", "after")]
-                    ),
-                    preserve_index=False,
-                )
+                # explicit types: an empty diff block must carry the SAME
+                # schema as non-empty blocks (int32 key, string images), not
+                # pandas' all-object → Arrow null columns
+                def _imgtype(c: str):
+                    names = TRANSCRIPT_SCHEMA.names
+                    return (
+                        TRANSCRIPT_SCHEMA.field(c).type
+                        if c in names
+                        else pa.string()
+                    )
+
+                return pa.schema(
+                    [("op", pa.string()), ("conv_id", pa.string()),
+                     ("turn_idx", pa.int32())]
+                    + [
+                        (f"{p}_{c}", _imgtype(c))
+                        for c in image_cols
+                        for p in ("before", "after")
+                    ]
+                ).empty_table()
             return pa.Table.from_pandas(
                 pd.concat(outs, ignore_index=True), preserve_index=False
             )

@@ -429,9 +429,10 @@ def stream_click_attribution_ttl(
     from data_exchange_routing_ray.pipelines.events_cdc import _events
 
     window_us = window_s * 1_000_000
-    # min/max as µs ints (two metadata-cheap scans on the pruned column)
-    tmin = pd.Timestamp(_events(sf_dir, columns=["ts"]).min("ts")).value // 1000
-    tmax = pd.Timestamp(_events(sf_dir, columns=["ts"]).max("ts")).value // 1000
+    # min/max as µs ints — one pruned scan computing both aggregates
+    from data_exchange_routing_ray.pipelines.widen5 import _ts_bounds_us
+
+    tmin, tmax = _ts_bounds_us(sf_dir)
     bounds = [tmin + ((tmax - tmin + 1) * i) // n_epochs for i in range(n_epochs)]
     bounds.append(tmax + 1)
 

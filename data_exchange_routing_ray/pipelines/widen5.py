@@ -38,6 +38,20 @@ import ray.data
 from data_exchange_routing_ray.hashing import partition_ids, stable_hash_strings
 from data_exchange_routing_ray.runtime import cap_actor_pool
 
+def _ts_bounds_us(sf_dir: str) -> tuple[int, int]:
+    """(min, max) event time as µs ints — ONE column-pruned scan computing
+    both aggregates (not a .min pass plus a .max pass)."""
+    from ray.data.aggregate import Max, Min
+
+    from data_exchange_routing_ray.pipelines.events_cdc import _events
+
+    agg = _events(sf_dir, columns=["ts"]).aggregate(Min("ts"), Max("ts"))
+    return (
+        pd.Timestamp(agg["min(ts)"]).value // 1000,
+        pd.Timestamp(agg["max(ts)"]).value // 1000,
+    )
+
+
 # ------------------------------------------------ streaming sessionization
 
 
@@ -173,8 +187,7 @@ def stream_sessionize_watermark(
     from data_exchange_routing_ray.pipelines.events_cdc import _events
 
     gap_us = int(gap_seconds * 1_000_000)
-    tmin = pd.Timestamp(_events(sf_dir, columns=["ts"]).min("ts")).value // 1000
-    tmax = pd.Timestamp(_events(sf_dir, columns=["ts"]).max("ts")).value // 1000
+    tmin, tmax = _ts_bounds_us(sf_dir)
     bounds = [tmin + ((tmax - tmin + 1) * i) // n_epochs for i in range(n_epochs)]
     bounds.append(tmax + 1)
 
@@ -255,11 +268,19 @@ def cep_pattern_counts(sf_dir: str) -> pa.Table:
 
     def to_initial(b: pa.Table) -> pa.Table:
         u = b["user_id"].to_numpy()
+        # single source of truth for type→symbol: _CEP_INITIALS (the SQL
+        # CASE is generated from the same dict). Unknown types fail loudly
+        # rather than silently aliasing a known symbol.
+        et = b["event_type"].to_pandas()
+        ch = et.map(_CEP_INITIALS)
+        if ch.isna().any():
+            bad = sorted(et[ch.isna()].unique())
+            raise ValueError(f"unmapped event types for CEP encoding: {bad}")
         return pa.table(
             {
                 "bucket": (u % 64).astype(np.int64),
                 "user": u,
-                "ch": pc.utf8_slice_codeunits(b["event_type"], 0, 1),
+                "ch": pa.array(ch.to_numpy(), pa.string()),
                 "ts": b["ts"],
                 "eid": b["event_id"],
             }
@@ -293,12 +314,24 @@ def cep_pattern_counts(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
 
 
-CEP_PATTERN_SQL = """
+# type→symbol mapping shared by the engine and the generated oracle SQL
+_CEP_INITIALS = {
+    "click": "c",
+    "error": "e",
+    "purchase": "p",
+    "signup": "s",
+    "view": "v",
+}
+_CEP_CASE = (
+    "CASE event_type "
+    + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in sorted(_CEP_INITIALS.items()))
+    + " ELSE NULL END"
+)
+
+CEP_PATTERN_SQL = f"""
 WITH s AS (
   SELECT user_id,
-         string_agg(CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
-                    WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
-                    ELSE 'v' END, '' ORDER BY ts, event_id) AS seq
+         string_agg({_CEP_CASE}, '' ORDER BY ts, event_id) AS seq
   FROM events GROUP BY user_id
 ), m AS (
   SELECT user_id,
@@ -344,8 +377,17 @@ def _bloom_build(conv_ids: np.ndarray) -> bytes:
 
 
 def _bloom_may_contain(bloom: bytes, conv_id: str) -> bool:
-    bits = np.unpackbits(np.frombuffer(bloom, np.uint8))
-    return bool(bits[_bloom_positions(np.array([conv_id], object))[0]].all())
+    return _bloom_probe_any(bloom, _bloom_positions(np.array([conv_id], object)))
+
+
+def _bloom_probe_any(bloom: bytes, pos: np.ndarray) -> bool:
+    """True iff ANY of the pre-hashed keys (rows of ``pos``) may be in the
+    filter. Byte-indexed probes — no unpackbits, keys hashed once by the
+    caller, so a partition's probe cost is O(files + keys), not
+    O(files x keys) hashing."""
+    buf = np.frombuffer(bloom, np.uint8)
+    hit = (buf[pos >> 3] & (np.uint8(0x80) >> (pos & 7).astype(np.uint8))) != 0
+    return bool(hit.all(axis=1).any())
 
 
 def lake_bloom_point_lookup(sf_dir: str, n_convs: int = 5) -> pa.Table:
@@ -374,9 +416,16 @@ def lake_bloom_point_lookup(sf_dir: str, n_convs: int = 5) -> pa.Table:
     )
     from data_exchange_routing_ray.stages.upsert import fold_deltas
 
-    # deterministic targets: the n smallest user ids → their conv ids
+    # deterministic targets: the n smallest user ids → their conv ids.
+    # Per-batch distinct+nsmallest partials; only ≤n_convs ids per block
+    # reach the driver (no full-column gather).
+    def smallest_partial(b: pa.Table) -> pa.Table:
+        u = np.unique(b["user_id"].to_numpy())[:n_convs]
+        return pa.table({"user_id": pa.array(u, pa.int64())})
+
     uids = (
         _events(sf_dir, columns=["user_id"])
+        .map_batches(smallest_partial, batch_format="pyarrow")
         .to_pandas()["user_id"]
         .drop_duplicates()
         .nsmallest(n_convs)
@@ -465,10 +514,12 @@ def lake_bloom_point_lookup(sf_dir: str, n_convs: int = 5) -> pa.Table:
             files = [(e.file, "base")] + [(dd["file"], "delta") for dd in e.deltas]
             candidates += len(files)
             key_set = pa.array(keys)
+            # hash the partition's target keys ONCE; probes are byte lookups
+            key_pos = _bloom_positions(np.array(keys, object))
 
             def read_if_match(f: str) -> pa.Table | None:
                 nonlocal opened
-                if not any(_bloom_may_contain(by_file[f], k) for k in keys):
+                if not _bloom_probe_any(by_file[f], key_pos):
                     return None
                 opened += 1
                 t = pq.read_table(os.path.join(lake_dir, f))
@@ -486,6 +537,12 @@ def lake_bloom_point_lookup(sf_dir: str, n_convs: int = 5) -> pa.Table:
     assert opened < candidates, (
         f"bloom skipping must prune at least one file ({opened}/{candidates})"
     )
+    if not pieces:  # every target key deleted: empty, correctly-typed result
+        from data_exchange_routing_ray.schemas import TRANSCRIPT_SCHEMA
+
+        pieces = [TRANSCRIPT_SCHEMA.empty_table().select(
+            ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )]
     out = pa.concat_tables(pieces, promote_options="permissive")
     df = out.to_pandas()
     df["turn_idx"] = df["turn_idx"].astype("int64")

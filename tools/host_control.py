@@ -13,10 +13,14 @@ from __future__ import annotations
 import multiprocessing as mp
 import time
 
+import numpy as np  # imported pre-fork so workers inherit it warm
+
+
+def _warm(_: int) -> int:
+    return 0
+
 
 def _job(seed: int) -> int:
-    import numpy as np
-
     rng = np.random.default_rng(seed)
     a = rng.integers(0, 1 << 60, 3_000_000)
     for _ in range(5):
@@ -32,10 +36,13 @@ def run_control(lo: int = 8, hi: int = 32) -> dict:
     past it in the same window."""
     out = {}
     for procs in (lo, hi):
-        t0 = time.perf_counter()
         with mp.Pool(procs) as p:
+            # warm the pool OUTSIDE the timed window: spawn cost grows with
+            # process count and would bias the hi side low
+            p.map(_warm, range(procs))
+            t0 = time.perf_counter()
             p.map(_job, range(procs))
-        dt = time.perf_counter() - t0
+            dt = time.perf_counter() - t0
         out[procs] = procs / dt
     return {
         "lo_procs": lo,
