@@ -157,3 +157,64 @@ def test_stream_sessionize_savepoint_restore(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, got_oneshot.reset_index(drop=True))
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 10_000),
+    n_users=st.integers(1, 20),
+    n_events=st.integers(1, 400),
+    gap_s=st.sampled_from([60.0, 1800.0]),
+    n_epochs=st.sampled_from([1, 3, 7]),
+    n_buckets=st.sampled_from([1, 3, 5]),
+)
+def test_property_stream_sessionize_matches_serial(
+    ray_session, seed, n_users, n_events, gap_s, n_epochs, n_buckets
+):
+    """Any seeded event set, any epoch/bucket placement: streaming
+    sessionization with watermark eviction equals the serial oracle."""
+    import ray
+
+    rng = np.random.default_rng(seed)
+    users = rng.integers(0, n_users, n_events).astype("int64")
+    ts_us = rng.integers(0, 3 * 86400 * 10**6, n_events).astype("int64")
+    eids = np.arange(n_events, dtype="int64")
+    gap_us = int(gap_s * 1e6)
+
+    # serial oracle
+    df = pd.DataFrame({"u": users, "t": ts_us, "e": eids}).sort_values(
+        ["u", "t", "e"], kind="stable"
+    )
+    exp = {}
+    for u, g in df.groupby("u", sort=True):
+        gaps = np.diff(g["t"].to_numpy())
+        exp[int(u)] = (len(g), 1 + int((gaps > gap_us).sum()))
+
+    tmin, tmax = int(ts_us.min()), int(ts_us.max())
+    bounds = [
+        tmin + ((tmax - tmin + 1) * i) // n_epochs for i in range(n_epochs)
+    ] + [tmax + 1]
+    actors = [
+        widen5._SessionBucketActor.remote(gap_us) for _ in range(n_buckets)
+    ]
+    for e in range(n_epochs):
+        lo, hi = bounds[e], bounds[e + 1]
+        m = (ts_us >= lo) & (ts_us < hi)
+        for b in range(n_buckets):
+            sel = m & (users % n_buckets == b)
+            t = pa.table(
+                {"user": users[sel], "ts_us": ts_us[sel], "eid": eids[sel]}
+            )
+            ray.get(actors[b].ingest.remote(t, hi))
+    got = {}
+    for t in ray.get([a.flush.remote() for a in actors]):
+        for r in t.to_pylist():
+            got[r["user_id"]] = (r["n_events"], r["n_sessions"])
+    assert got == exp
