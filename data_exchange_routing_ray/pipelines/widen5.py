@@ -562,8 +562,11 @@ def incr_index_tool_postings(sf_dir: str, n_buckets: int = 32) -> pa.Table:
 
     Scale shape: per epoch the maintenance cost is O(changed rows), not
     O(table) — the whole point of changefeed-driven materialized views;
-    the index lives as key-hash-bucketed parquet versions, folded with
-    ONE bucket exchange per epoch (presence = net +1, asserted per key).
+    the index lives as one parquet file per key-hash bucket per version:
+    only buckets with deltas are read+folded (ONE bucket exchange over
+    prev-bucket rows + delta rows; presence = net +1, asserted per key),
+    and every untouched bucket file carries over to the new version as a
+    hardlink — the filesystem analog of a manifest pointer copy.
     The returned per-tool digest (count + md5 of the ordered postings)
     is a verification artifact, computed per-tool in the buckets.
 
@@ -620,15 +623,35 @@ def incr_index_tool_postings(sf_dir: str, n_buckets: int = 32) -> pa.Table:
             )
 
         versions = [os.path.join(d, f"idx_v{i}") for i in range(4)]
+        for v in versions:
+            os.makedirs(v, exist_ok=True)
 
-        def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
-            s = g.groupby(["tool", "conv_id", "turn_idx"], sort=False, as_index=False)[
-                "delta"
-            ].sum()
-            assert s["delta"].isin((0, 1)).all(), "index presence must net to 0/1"
-            out = s[s["delta"] == 1].drop(columns=["delta"])
-            out.insert(0, "bucket", g["bucket"].iloc[0])
-            return out
+        def _bucket_file(vdir: str, b: int) -> str:
+            return os.path.join(vdir, f"bucket_{b:04d}.parquet")
+
+        def fold_write(vdir: str):
+            """Fold one bucket's (presence + delta) rows and write the
+            bucket's NEW version file under a deterministic name (staged-
+            file pattern: a retried task overwrites its own output)."""
+
+            def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+                b = int(g["bucket"].iloc[0])
+                s = g.groupby(
+                    ["tool", "conv_id", "turn_idx"], sort=False, as_index=False
+                )["delta"].sum()
+                assert s["delta"].isin((0, 1)).all(), (
+                    "index presence must net to 0/1"
+                )
+                out = s[s["delta"] == 1].drop(columns=["delta"])
+                if len(out):
+                    out.insert(0, "bucket", b)
+                    pq.write_table(
+                        pa.Table.from_pandas(out, preserve_index=False),
+                        _bucket_file(vdir, b),
+                    )
+                return pd.DataFrame([{"bucket": b, "rows": len(out)}])
+
+            return fold_bucket
 
         (
             lake.final_dataset(
@@ -636,8 +659,8 @@ def incr_index_tool_postings(sf_dir: str, n_buckets: int = 32) -> pa.Table:
             )
             .map_batches(bootstrap_rows, batch_format="pyarrow")
             .groupby("bucket")
-            .map_groups(fold_bucket, batch_format="pandas")
-            .write_parquet(versions[0])
+            .map_groups(fold_write(versions[0]), batch_format="pandas")
+            .materialize()
         )
 
         # ---- incremental maintenance: one changefeed per epoch pair ----
@@ -697,19 +720,39 @@ def incr_index_tool_postings(sf_dir: str, n_buckets: int = 32) -> pa.Table:
                 )
                 return pa.Table.from_pandas(out, preserve_index=False)
 
-            deltas = feed.map_batches(to_deltas, batch_format="pyarrow")
-            prev = ray.data.read_parquet(versions[i - 1]).map_batches(
-                lambda b: b.append_column(
-                    "delta", pa.array(np.ones(b.num_rows, np.int64))
-                ),
-                batch_format="pyarrow",
+            deltas = feed.map_batches(to_deltas, batch_format="pyarrow").materialize()
+            # O(changed): only buckets with deltas are read, folded and
+            # rewritten; every untouched bucket file carries over as a
+            # hardlink — the filesystem analog of an object-store manifest
+            # pointer copy (zero data movement).
+            affected = set(int(b) for b in deltas.unique("bucket"))
+            prev_files = [
+                _bucket_file(versions[i - 1], b)
+                for b in affected
+                if os.path.exists(_bucket_file(versions[i - 1], b))
+            ]
+            prev = (
+                ray.data.read_parquet(prev_files).map_batches(
+                    lambda b: b.append_column(
+                        "delta", pa.array(np.ones(b.num_rows, np.int64))
+                    ),
+                    batch_format="pyarrow",
+                )
+                if prev_files
+                else None
             )
+            merged = prev.union(deltas) if prev is not None else deltas
             (
-                prev.union(deltas)
-                .groupby("bucket")
-                .map_groups(fold_bucket, batch_format="pandas")
-                .write_parquet(versions[i])
+                merged.groupby("bucket")
+                .map_groups(fold_write(versions[i]), batch_format="pandas")
+                .materialize()
             )
+            for f in os.listdir(versions[i - 1]):
+                b = int(f[len("bucket_"):-len(".parquet")])
+                if b not in affected:
+                    os.link(
+                        os.path.join(versions[i - 1], f), os.path.join(versions[i], f)
+                    )
 
         # ---- per-tool digest of the final index version ----
         def digest(g: pd.DataFrame) -> pd.DataFrame:
