@@ -152,12 +152,15 @@ _DRIVER_CERTIFIED_FIRST = [
     "cdc_patch_merge",
     "windowed_emit_on_watermark",
     "scd2_turn_history",
+    # khop/rfm rotated below the fold (graph and rank families stay
+    # certified via pagerank_parts / percent_rank_orders) for the round-3
+    # CEP and incremental-index families.
     "pagerank_parts",
-    "khop_reachable_parts",
+    "cep_pattern_counts",
     "bm25_score_docs",
     "basket_association_rules",
     "percent_rank_orders",
-    "rfm_segments",
+    "incr_index_tool_postings",
     "conv_context_windows",
     "multimodal_decode",
     # round-3 widening surface (stateful streaming, resumable sink,
