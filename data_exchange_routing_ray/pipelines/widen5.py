@@ -747,12 +747,10 @@ def incr_index_tool_postings(sf_dir: str, n_buckets: int = 32) -> pa.Table:
                 .map_groups(fold_write(versions[i]), batch_format="pandas")
                 .materialize()
             )
-            for f in os.listdir(versions[i - 1]):
-                b = int(f[len("bucket_"):-len(".parquet")])
-                if b not in affected:
-                    os.link(
-                        os.path.join(versions[i - 1], f), os.path.join(versions[i], f)
-                    )
+            for b in range(n_buckets):
+                src = _bucket_file(versions[i - 1], b)
+                if b not in affected and os.path.exists(src):
+                    os.link(src, _bucket_file(versions[i], b))
 
         # ---- per-tool digest of the final index version ----
         def digest(g: pd.DataFrame) -> pd.DataFrame:
