@@ -402,6 +402,12 @@ def run_sustained(sf_dir: str, multiplier: int, cpus: int) -> dict:
     )
     res = json.loads(out.stdout.strip().splitlines()[-1])
     shutil.rmtree(keep, ignore_errors=True)
+    host_control = None
+    if os.environ.get("GRAFT_SCALING_CONTROL", "1") != "0":
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        from host_control import run_control
+
+        host_control = run_control(8, cpus)
     return {
         "metric": "cdc replay sustained throughput (fresh process)",
         "value": res["events_per_sec"],
@@ -411,6 +417,7 @@ def run_sustained(sf_dir: str, multiplier: int, cpus: int) -> dict:
         "multiplier": multiplier,
         "num_cpus": cpus,
         "run": res,
+        "host_control": host_control,
     }
 
 
