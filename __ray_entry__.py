@@ -22,6 +22,7 @@ from data_exchange_routing_ray.pipelines import events_cdc as q
 from data_exchange_routing_ray.pipelines import widen3 as _widen3
 from data_exchange_routing_ray.pipelines import widen4 as _widen4
 from data_exchange_routing_ray.pipelines import widen5 as _widen5
+from data_exchange_routing_ray.pipelines import widen6 as _widen6
 
 # Shared CTE: the deterministic events → change-stream derivation.
 # MUST stay in sync with pipelines/events_cdc.py::derive_changes_batch.
@@ -480,6 +481,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_stats_count": _widen5.lake_stats_count,
         "incr_index_tool_postings": _widen5.incr_index_tool_postings,
         "cep_pattern_counts": _widen5.cep_pattern_counts,
+        # ---- round-3 widening, batch G ----
+        "dsir_importance_weights": _widen6.dsir_importance_weights,
+        "curriculum_order_bins": _widen6.curriculum_order_bins,
+        "hybrid_rrf_fusion": _widen6.hybrid_rrf_fusion,
     }
     ordered = {n: base.pop(n) for n in _DRIVER_CERTIFIED_FIRST}
     ordered.update(base)
@@ -3633,4 +3638,33 @@ GROUP BY tool ORDER BY tool
 """,
         "cep_pattern_counts": _widen5.CEP_PATTERN_SQL,
         "ann_maxsim_topk": _widen4.ANN_MAXSIM_TOPK_SQL,
+        "dsir_importance_weights": _widen6.DSIR_IMPORTANCE_WEIGHTS_SQL,
+        "curriculum_order_bins": _widen6.CURRICULUM_ORDER_BINS_SQL,
+        # RRF fusion: BM25 ranks (shared CTE) + exact-int dense ranks
+        "hybrid_rrf_fusion": "WITH bm AS ("
+        + _BM25_SQL
+        + """),
+bmr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+  FROM bm QUALIFY r <= 50
+), q AS (
+  SELECT list_transform(embedding, x -> CAST(round(x * 127) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id = 2
+), dn AS (
+  SELECT vec_id AS doc_id,
+         CAST(list_dot_product(
+           list_transform(embedding, x -> CAST(round(x * 127) AS BIGINT)),
+           q.qv) AS BIGINT) AS s
+  FROM embeddings CROSS JOIN q
+), dnr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+  FROM dn QUALIFY r <= 50
+), u AS (
+  SELECT doc_id, 1.0 / (60 + r) AS c FROM bmr
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + r) FROM dnr
+)
+SELECT doc_id, round(sum(c), 6) AS rrf
+FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 20
+""",
     }

@@ -1,0 +1,105 @@
+"""Round-3 widening batch G: DSIR selection, curriculum ordering, RRF."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dsir_weights_match_serial_reference(ray_session):
+    """Distributed DSIR weights equal a serial numpy/pandas reference
+    computed with the same hashed-unigram add-1 LM on the full table."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from data_exchange_routing_ray.pipelines.widen6 import (
+        _DSIR_BUCKETS,
+        dsir_importance_weights,
+    )
+
+    got = dsir_importance_weights(SF).to_pandas()
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    B = _DSIR_BUCKETS
+    tok_re = re.compile(r"[^\w]+", re.UNICODE)
+
+    def buckets(text):
+        toks = [t for t in tok_re.split(text.lower()) if t]
+        return [
+            int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little") % B
+            for t in toks
+        ]
+
+    n_tgt = np.zeros(B, np.int64)
+    n_raw = np.zeros(B, np.int64)
+    doc_buckets = {}
+    for r in docs.itertuples():
+        bs = buckets(r.text)
+        doc_buckets[r.doc_id] = bs
+        tgt = r.lang == "en"
+        for b in bs:
+            (n_tgt if tgt else n_raw)[b] += 1
+    lr = np.log((n_tgt + 1.0) / (n_tgt.sum() + B)) - np.log(
+        (n_raw + 1.0) / (n_raw.sum() + B)
+    )
+    rows = []
+    for r in docs.itertuples():
+        if r.lang == "en":
+            continue
+        bs = doc_buckets[r.doc_id]
+        if bs:
+            rows.append((r.doc_id, len(bs), round(float(lr[bs].sum()), 6)))
+    exp = (
+        pd.DataFrame(rows, columns=["doc_id", "n_tokens", "dsir_weight"])
+        .sort_values(["dsir_weight", "doc_id"], ascending=[False, True])
+        .head(200)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # selection sanity: top docs skew toward the target language's length
+    # profile is not asserted (weights are hash-LM based), but weights must
+    # be finite and strictly ordered within rounding
+    assert np.isfinite(got["dsir_weight"]).all()
+
+
+def test_curriculum_positions_are_a_permutation(ray_session):
+    from data_exchange_routing_ray.pipelines.widen6 import curriculum_order_bins
+
+    out = curriculum_order_bins(SF).to_pandas()
+    n = len(out)
+    assert sorted(out["curriculum_pos"]) == list(range(1, n + 1))
+    # bins are contiguous position ranges: max pos of bin i < min pos of i+1
+    g = out.groupby("bin")["curriculum_pos"].agg(["min", "max"]).sort_index()
+    assert (g["min"].to_numpy()[1:] > g["max"].to_numpy()[:-1]).all()
+    # NTILE sizing: bin sizes differ by at most 1 and are ordered
+    sizes = out.groupby("bin").size()
+    assert sizes.max() - sizes.min() <= 1
+    # within a bin, position order == (md5(doc_id), doc_id) order
+    b0 = out[out["bin"] == 1].sort_values("curriculum_pos")
+    md5s = [hashlib.md5(str(d).encode()).hexdigest() for d in b0["doc_id"]]
+    assert md5s == sorted(md5s)
+
+
+def test_rrf_fusion_blends_both_lists(ray_session):
+    from data_exchange_routing_ray.pipelines.events_cdc import bm25_score_docs
+    from data_exchange_routing_ray.pipelines.widen6 import hybrid_rrf_fusion
+
+    out = hybrid_rrf_fusion(SF).to_pandas()
+    assert len(out) == 20
+    # a doc on BOTH lists outranks a doc on one list at similar ranks:
+    # every fused score must be ≤ 2/(60+1) and > 0
+    assert (out["rrf"] > 0).all()
+    assert (out["rrf"] <= round(2 / 61.0, 6)).all()
+    # the #1 BM25 doc appears in the fused top-k unless it missed the
+    # dense list AND 20 docs made both lists (then it can be displaced)
+    bm = bm25_score_docs(SF).to_pandas()
+    top_bm = (
+        bm.sort_values(["bm25", "doc_id"], ascending=[False, True])["doc_id"].iloc[0]
+    )
+    both = (out["rrf"] > round(1 / 61.0, 6)).sum()
+    assert top_bm in set(out["doc_id"]) or both >= 20
