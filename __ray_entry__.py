@@ -485,6 +485,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_importance_weights": _widen6.dsir_importance_weights,
         "curriculum_order_bins": _widen6.curriculum_order_bins,
         "hybrid_rrf_fusion": _widen6.hybrid_rrf_fusion,
+        # ---- round-3 widening, batch H ----
+        "lake_deletion_vectors": _widen6.lake_deletion_vectors,
+        "lake_partition_evolution": _widen6.lake_partition_evolution,
+        "incr_join_view_maintenance": _widen6.incr_join_view_maintenance,
     }
     ordered = {n: base.pop(n) for n in _DRIVER_CERTIFIED_FIRST}
     ordered.update(base)
@@ -3640,6 +3644,9 @@ GROUP BY tool ORDER BY tool
         "ann_maxsim_topk": _widen4.ANN_MAXSIM_TOPK_SQL,
         "dsir_importance_weights": _widen6.DSIR_IMPORTANCE_WEIGHTS_SQL,
         "curriculum_order_bins": _widen6.CURRICULUM_ORDER_BINS_SQL,
+        "lake_deletion_vectors": _widen6.LAKE_DELETION_VECTORS_SQL,
+        "lake_partition_evolution": _widen6.LAKE_PARTITION_EVOLUTION_SQL,
+        "incr_join_view_maintenance": _widen6.INCR_JOIN_VIEW_MAINTENANCE_SQL,
         # RRF fusion: BM25 ranks (shared CTE) + exact-int dense ranks
         "hybrid_rrf_fusion": "WITH bm AS ("
         + _BM25_SQL

@@ -431,3 +431,529 @@ def hybrid_rrf_fusion(
     )
     out["doc_id"] = out["doc_id"].astype(np.int64)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --------------------------------------------- merge-on-read deletion vectors
+
+
+def lake_deletion_vectors(sf_dir: str, n_files: int = 8) -> pa.Table:
+    """Delta-Lake-style DELETION VECTORS: predicate deletes materialize as
+    per-file row-position bitmaps (sidecars), base parquet stays
+    byte-identical — merge-on-read deletes without rewrite amplification.
+
+    Two delete passes exercise DV creation AND DV update (versioned: v2 =
+    v1 ∪ new positions, written as a NEW sidecar file — old versions stay
+    readable for time travel, exactly the manifest-archive idiom of
+    `state/manifest.py`). Readers apply the latest DV as a vectorized
+    boolean mask at scan. Engine-side asserts: base files byte-identical
+    (size + mtime) through both deletes, DV popcounts equal matched-row
+    counts, v1 sidecars still present after v2.
+
+    100 TB shape: each pass is one distributed task per file (position
+    bitmap = n_rows/8 bytes, ~2 MB for a 128 MB block file); nothing but
+    the per-file census rows reach the driver. Reference parity: the
+    reference's per-object `deleteIfExists` (`RouteIngestedFile.kt`)
+    generalized to columnar files where a row delete must not rewrite the
+    object."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from data_exchange_routing_ray.pipelines.events_cdc import _events
+
+    def write_base(g: pd.DataFrame, d: str) -> pd.DataFrame:
+        g = g.sort_values("event_id", kind="stable")  # stable row positions
+        pfile = int(g["pfile"].iloc[0])
+        path = os.path.join(d, f"part-{pfile:04d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(
+                g.drop(columns=["pfile"]), preserve_index=False
+            ),
+            path,
+        )
+        return pd.DataFrame({"pfile": [pfile], "n_rows": [len(g)]})
+
+    def dv_path(d: str, pfile: int, version: int) -> str:
+        return os.path.join(d, f"part-{pfile:04d}.dv.v{version}")
+
+    def apply_delete(args) -> dict:
+        """One task per file: mask = predicate positions ∪ previous DV;
+        write the next DV version. Base file is never touched."""
+        d, pfile, version, pred_id = args
+        path = os.path.join(d, f"part-{pfile:04d}.parquet")
+        t = pq.read_table(path)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy()
+        uid = t["user_id"].to_numpy()
+        if pred_id == 1:
+            mask = (et == "click") & (val < 50.0)
+        else:
+            mask = uid % 10 == 3
+        new_matches = int(mask.sum())
+        if version > 1:
+            prev = np.unpackbits(
+                np.frombuffer(open(dv_path(d, pfile, version - 1), "rb").read(),
+                              np.uint8)
+            )[: len(mask)].astype(bool)
+            mask = mask | prev
+        with open(dv_path(d, pfile, version), "wb") as f:
+            f.write(np.packbits(mask).tobytes())
+        return {
+            "pfile": pfile,
+            "version": version,
+            "matched": new_matches,
+            "dv_popcount": int(mask.sum()),
+        }
+
+    with tempfile.TemporaryDirectory(prefix="cdcdv-") as d:
+        def tag(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "pfile",
+                pa.array((b["user_id"].to_numpy() % n_files).astype(np.int64)),
+            )
+
+        base = (
+            _events(sf_dir)
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("pfile")
+            .map_groups(lambda g: write_base(g, d), batch_format="pandas")
+            .to_pandas()
+        )
+        files = sorted(base["pfile"].tolist())
+        stat0 = {
+            p: (os.path.getsize(os.path.join(d, f"part-{p:04d}.parquet")),
+                os.path.getmtime(os.path.join(d, f"part-{p:04d}.parquet")))
+            for p in files
+        }
+
+        # two delete passes, each one distributed task per file
+        dv1 = [
+            ray.get(r)
+            for r in [
+                ray.remote(apply_delete).remote((d, p, 1, 1)) for p in files
+            ]
+        ]
+        dv2 = [
+            ray.get(r)
+            for r in [
+                ray.remote(apply_delete).remote((d, p, 2, 2)) for p in files
+            ]
+        ]
+        stat1 = {
+            p: (os.path.getsize(os.path.join(d, f"part-{p:04d}.parquet")),
+                os.path.getmtime(os.path.join(d, f"part-{p:04d}.parquet")))
+            for p in files
+        }
+        assert stat0 == stat1, "deletion vectors must never rewrite base files"
+        for p in files:  # v1 sidecars survive the v2 update (time travel)
+            assert os.path.exists(dv_path(d, p, 1))
+        by_f1 = {r["pfile"]: r for r in dv1}
+        for r in dv2:
+            assert r["dv_popcount"] >= by_f1[r["pfile"]]["dv_popcount"]
+
+        def read_with_dv(pfile: int) -> pa.Table:
+            t = pq.read_table(os.path.join(d, f"part-{pfile:04d}.parquet"),
+                              columns=["event_type", "value"])
+            dv = np.unpackbits(
+                np.frombuffer(open(dv_path(d, pfile, 2), "rb").read(), np.uint8)
+            )[: t.num_rows].astype(bool)
+            t = t.filter(pa.array(~dv))
+            cents = round_half_away(t["value"].to_numpy() * 100.0, 0).astype(
+                np.int64
+            )
+            df = pd.DataFrame(
+                {"event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                 "cents": cents}
+            )
+            return pa.Table.from_pandas(
+                df.groupby("event_type", as_index=False).agg(
+                    n_rows=("cents", "size"), sum_value_cents=("cents", "sum")
+                ),
+                preserve_index=False,
+            )
+
+        parts = ray.get([ray.remote(read_with_dv).remote(p) for p in files])
+        out = (
+            pa.concat_tables(parts)
+            .to_pandas()
+            .groupby("event_type", as_index=False)
+            .sum()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        out["n_rows"] = out["n_rows"].astype(np.int64)
+        out["sum_value_cents"] = out["sum_value_cents"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+
+LAKE_DELETION_VECTORS_SQL = """
+SELECT event_type, count(*) AS n_rows,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM events
+WHERE NOT (event_type = 'click' AND value < 50)
+  AND NOT (user_id % 10 = 3)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ------------------------------------------------ partition-spec evolution
+
+
+def lake_partition_evolution(sf_dir: str, window_days: int = 3) -> pa.Table:
+    """Iceberg-style PARTITION-SPEC EVOLUTION: the stream starts under
+    spec v1 (``day=Y-m-d``), the spec evolves mid-history, and later data
+    lands under spec v2 (``type=T/day=Y-m-d``) — old files are NEVER
+    rewritten; one logical table spans both specs and readers prune each
+    file by ITS OWN spec.
+
+    The probe query (one event type over a day window straddling the
+    evolution point) prunes v2 files on (type, day) but v1 files on day
+    only — the v1 side pays a row-level type filter, exactly Iceberg's
+    documented behavior for pre-evolution files. Engine asserts: no v2
+    file outside the target type/window was opened, pruned-file count <
+    total, and v1 files were pruned by day alone.
+
+    100 TB shape: writes are streamed groupbys (one task per partition
+    dir); the probe opens O(matching dirs) files; the spec registry is a
+    2-row manifest. Reference parity: the date-partition folder template
+    (`Common.kt:231-250`) is spec v1 verbatim; evolution is what a fleet
+    does when the folder scheme must change without a historical
+    rewrite."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from data_exchange_routing_ray.pipelines.events_cdc import _events
+    from data_exchange_routing_ray.pipelines.widen5 import _ts_bounds_us
+
+    lo, hi = _ts_bounds_us(sf_dir)
+    cut_us = (lo + hi) // 2
+    w_lo = cut_us - window_days * 86_400_000_000
+    w_hi = cut_us + window_days * 86_400_000_000
+
+    def day_of(ts_us: np.ndarray) -> np.ndarray:
+        return (
+            ts_us.astype("datetime64[us]")
+            .astype("datetime64[D]")
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+
+    def day_str(day_us: np.ndarray) -> pd.Series:
+        return pd.Series(day_us.astype("datetime64[us]")).dt.strftime("%Y-%m-%d")
+
+    with tempfile.TemporaryDirectory(prefix="cdcspec-") as d:
+        os.makedirs(os.path.join(d, "spec1"))
+        os.makedirs(os.path.join(d, "spec2"))
+
+        def tag(b: pa.Table) -> pa.Table:
+            ts_us = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            day = day_str(day_of(ts_us))
+            spec = np.where(ts_us < cut_us, 1, 2).astype(np.int64)
+            return (
+                b.append_column("day", pa.array(day.to_numpy(), pa.string()))
+                .append_column("spec", pa.array(spec))
+            )
+
+        def write_part(g: pd.DataFrame) -> pd.DataFrame:
+            spec = int(g["spec"].iloc[0])
+            day = g["day"].iloc[0]
+            if spec == 1:
+                path = os.path.join(d, "spec1", f"day={day}")
+            else:
+                et = g["event_type"].iloc[0]
+                path = os.path.join(d, "spec2", f"type={et}", f"day={day}")
+            os.makedirs(path, exist_ok=True)
+            pq.write_table(
+                pa.Table.from_pandas(
+                    g.drop(columns=["spec"]), preserve_index=False
+                ),
+                os.path.join(path, "part-0.parquet"),
+            )
+            return pd.DataFrame({"n": [len(g)]})
+
+        tagged = _events(sf_dir).map_batches(tag, batch_format="pyarrow")
+        # v1 groups by day only; v2 by (type, day) — each file under its spec
+        n1 = (
+            tagged.filter(expr="spec == 1")
+            .groupby("day")
+            .map_groups(write_part, batch_format="pandas")
+            .sum("n")
+        )
+        n2 = (
+            tagged.filter(expr="spec == 2")
+            .groupby(["event_type", "day"])
+            .map_groups(write_part, batch_format="pandas")
+            .sum("n")
+        )
+        assert n1 and n2, "both specs must hold data"
+
+        # ---- probe: event_type='purchase', day window straddling the cut
+        lo_day = day_str(day_of(np.array([w_lo])))[0]
+        hi_day = day_str(day_of(np.array([w_hi])))[0]
+
+        v1_all = sorted(os.listdir(os.path.join(d, "spec1")))
+        v1_open = [
+            os.path.join(d, "spec1", x, "part-0.parquet")
+            for x in v1_all
+            if lo_day <= x.split("=", 1)[1] <= hi_day
+        ]
+        v2_type_dir = os.path.join(d, "spec2", "type=purchase")
+        v2_days = sorted(os.listdir(v2_type_dir)) if os.path.isdir(v2_type_dir) else []
+        v2_open = [
+            os.path.join(v2_type_dir, x, "part-0.parquet")
+            for x in v2_days
+            if lo_day <= x.split("=", 1)[1] <= hi_day
+        ]
+        total_v2 = sum(
+            len(days)
+            for t in os.listdir(os.path.join(d, "spec2"))
+            for days in [os.listdir(os.path.join(d, "spec2", t))]
+        )
+        assert len(v2_open) < total_v2, "v2 spec must prune on (type, day)"
+        assert len(v1_open) < len(v1_all), "v1 spec must prune on day"
+
+        def probe(path_spec) -> pa.Table:
+            path, spec = path_spec
+            t = pq.read_table(path, columns=["event_type", "ts", "value", "day"])
+            ts_us = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            keep = (ts_us >= w_lo) & (ts_us < w_hi)
+            if spec == 1:  # pre-evolution files pay the row-level type filter
+                keep &= (
+                    t["event_type"].to_numpy(zero_copy_only=False) == "purchase"
+                )
+            t = t.filter(pa.array(keep))
+            cents = round_half_away(t["value"].to_numpy() * 100.0, 0).astype(
+                np.int64
+            )
+            df = pd.DataFrame(
+                {"day": t["day"].to_numpy(zero_copy_only=False), "cents": cents}
+            )
+            g = df.groupby("day", as_index=False).agg(
+                n_rows=("cents", "size"), sum_value_cents=("cents", "sum")
+            )
+            # explicit schema: an empty partition must concat cleanly
+            return pa.table(
+                {
+                    "day": pa.array(g["day"].astype(str), pa.string()),
+                    "n_rows": pa.array(g["n_rows"].to_numpy(), pa.int64()),
+                    "sum_value_cents": pa.array(
+                        g["sum_value_cents"].to_numpy(), pa.int64()
+                    ),
+                }
+            )
+
+        tasks = [(p, 1) for p in v1_open] + [(p, 2) for p in v2_open]
+        parts = ray.get([ray.remote(probe).remote(t) for t in tasks])
+        out = (
+            pa.concat_tables(parts)
+            .to_pandas()
+            .groupby("day", as_index=False)
+            .sum()
+            .sort_values("day")
+            .reset_index(drop=True)
+        )
+        out = out[out["n_rows"] > 0]
+        out["n_rows"] = out["n_rows"].astype(np.int64)
+        out["sum_value_cents"] = out["sum_value_cents"].astype(np.int64)
+        return pa.Table.from_pandas(
+            out.reset_index(drop=True), preserve_index=False
+        )
+
+
+LAKE_PARTITION_EVOLUTION_SQL = """
+WITH bounds AS (
+  SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS cut FROM events
+)
+SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_rows,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM events, bounds
+WHERE event_type = 'purchase'
+  AND epoch_us(ts) >= cut - 3 * 86400000000
+  AND epoch_us(ts) <  cut + 3 * 86400000000
+GROUP BY day ORDER BY day
+"""
+
+
+# --------------------------------------- incremental join-view maintenance
+
+
+def incr_join_view_maintenance(sf_dir: str) -> pa.Table:
+    """Incrementally-maintained JOIN VIEW (delta-join maintenance): the
+    materialized view ``revenue per market segment = orders ⋈ customer``
+    is bootstrapped once, then a change batch (deletes of orderkeys
+    divisible by 97, inserts of ×1.1-priced copies of orderkeys divisible
+    by 101) is applied as a DELTA JOIN — only the change rows join the
+    dimension (broadcast ray.put, the J1/J2 shape) and their signed
+    contributions splice onto the cached per-segment aggregates; the base
+    fact table is never rescanned.
+
+    Money is integer cents end-to-end (cents = round-half-away(price·100))
+    so splice == full-recompute is EXACT, asserted in-query — a float
+    view would drift under incremental ± splicing. This is the view-
+    maintenance analog of `incremental_agg_recompute` (changed partitions
+    only) with a JOIN in the view definition.
+
+    100 TB shape: bootstrap = one scan with per-batch partials (segments
+    census only crosses the wire); each maintenance epoch costs O(change
+    batch), zero fact rescan; dim side broadcast once per epoch."""
+    import os
+
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    from data_exchange_routing_ray.pipelines.events_cdc import _read_sized
+
+    cust = pd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    seg_ref = _ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def orders():
+        return _read_sized(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        )
+
+    def agg_partial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("sign", "sum"), revenue_cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def bootstrap(b: pa.Table) -> pa.Table:
+        seg = _ray.get(seg_ref)
+        df = pd.DataFrame(
+            {
+                "c_mktsegment": pd.Series(b["o_custkey"].to_numpy()).map(seg),
+                "cents": round_half_away(
+                    b["o_totalprice"].to_numpy() * 100.0, 0
+                ).astype(np.int64),
+                "sign": np.ones(b.num_rows, np.int64),
+            }
+        )
+        return agg_partial(df)
+
+    def fold(ds) -> pd.DataFrame:
+        return (
+            ds.groupby("c_mktsegment")
+            .aggregate(
+                Sum("n_orders", alias_name="n_orders"),
+                Sum("revenue_cents", alias_name="revenue_cents"),
+            )
+            .to_pandas()
+        )
+
+    view = fold(orders().map_batches(bootstrap, batch_format="pyarrow"))
+
+    def delta(b: pa.Table) -> pa.Table:
+        """change batch → signed delta contributions (the only rows that
+        move): deletes carry −1/−cents, inserts +1/+cents·1.1."""
+        seg = _ray.get(seg_ref)
+        okey = b["o_orderkey"].to_numpy()
+        price = b["o_totalprice"].to_numpy()
+        segs = pd.Series(b["o_custkey"].to_numpy()).map(seg).to_numpy()
+        frames = []
+        del_m = okey % 97 == 0
+        if del_m.any():
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "c_mktsegment": segs[del_m],
+                        "cents": -round_half_away(
+                            price[del_m] * 100.0, 0
+                        ).astype(np.int64),
+                        "sign": np.full(int(del_m.sum()), -1, np.int64),
+                    }
+                )
+            )
+        ins_m = okey % 101 == 0
+        if ins_m.any():
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "c_mktsegment": segs[ins_m],
+                        "cents": round_half_away(
+                            price[ins_m] * 1.1 * 100.0, 0
+                        ).astype(np.int64),
+                        "sign": np.ones(int(ins_m.sum()), np.int64),
+                    }
+                )
+            )
+        if not frames:
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array([], pa.string()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                }
+            )
+        return agg_partial(pd.concat(frames, ignore_index=True))
+
+    deltas = fold(orders().map_batches(delta, batch_format="pyarrow"))
+    spliced = (
+        pd.concat([view, deltas], ignore_index=True)
+        .groupby("c_mktsegment", as_index=False)
+        .sum()
+    )
+
+    # in-query gate: splice == full recompute over the modified table
+    def full_modified(b: pa.Table) -> pa.Table:
+        seg = _ray.get(seg_ref)
+        okey = b["o_orderkey"].to_numpy()
+        price = b["o_totalprice"].to_numpy()
+        segs = pd.Series(b["o_custkey"].to_numpy()).map(seg).to_numpy()
+        keep = okey % 97 != 0
+        ins = okey % 101 == 0
+        df = pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "c_mktsegment": segs[keep],
+                        "cents": round_half_away(
+                            price[keep] * 100.0, 0
+                        ).astype(np.int64),
+                    }
+                ),
+                pd.DataFrame(
+                    {
+                        "c_mktsegment": segs[ins],
+                        "cents": round_half_away(
+                            price[ins] * 1.1 * 100.0, 0
+                        ).astype(np.int64),
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+        df["sign"] = np.ones(len(df), np.int64)
+        return agg_partial(df)
+
+    full = fold(orders().map_batches(full_modified, batch_format="pyarrow"))
+    a = spliced.sort_values("c_mktsegment").reset_index(drop=True)
+    f = full.sort_values("c_mktsegment").reset_index(drop=True)
+    assert a.equals(f), "incremental splice must equal full recompute"
+
+    a["n_orders"] = a["n_orders"].astype(np.int64)
+    a["revenue_cents"] = a["revenue_cents"].astype(np.int64)
+    return pa.Table.from_pandas(a, preserve_index=False)
+
+
+INCR_JOIN_VIEW_MAINTENANCE_SQL = """
+WITH modified AS (
+  SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_custkey, o_totalprice * 1.1 FROM orders WHERE o_orderkey % 101 = 0
+)
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM modified m JOIN customer c ON m.o_custkey = c.c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""

@@ -103,3 +103,82 @@ def test_rrf_fusion_blends_both_lists(ray_session):
     )
     both = (out["rrf"] > round(1 / 61.0, 6)).sum()
     assert top_bm in set(out["doc_id"]) or both >= 20
+
+
+def test_deletion_vectors_match_pandas_and_never_rewrite(ray_session):
+    """The DV read path equals a pandas recompute of the double predicate
+    delete (the in-query asserts already prove base files untouched and
+    versioned sidecars)."""
+    from data_exchange_routing_ray.pipelines.widen6 import lake_deletion_vectors
+
+    got = lake_deletion_vectors(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    keep = ~((ev["event_type"] == "click") & (ev["value"] < 50.0)) & ~(
+        ev["user_id"] % 10 == 3
+    )
+    ev = ev[keep]
+    cents = np.floor(np.abs(ev["value"].to_numpy()) * 100.0 + 0.5).astype(
+        np.int64
+    ) * np.sign(ev["value"].to_numpy()).astype(np.int64)
+    exp = (
+        pd.DataFrame({"event_type": ev["event_type"].to_numpy(), "cents": cents})
+        .groupby("event_type", as_index=False)
+        .agg(n_rows=("cents", "size"), sum_value_cents=("cents", "sum"))
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_partition_evolution_prunes_and_matches(ray_session):
+    from data_exchange_routing_ray.pipelines.widen6 import lake_partition_evolution
+
+    got = lake_partition_evolution(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    us = ev["ts"].astype("datetime64[us]").astype(np.int64)
+    cut = (us.min() + us.max()) // 2
+    w = 3 * 86_400_000_000
+    m = (ev["event_type"] == "purchase") & (us >= cut - w) & (us < cut + w)
+    sel = ev[m]
+    cents = np.floor(sel["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    exp = (
+        pd.DataFrame(
+            {"day": sel["ts"].dt.strftime("%Y-%m-%d").to_numpy(), "cents": cents}
+        )
+        .groupby("day", as_index=False)
+        .agg(n_rows=("cents", "size"), sum_value_cents=("cents", "sum"))
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_incr_join_view_splice_equals_full(ray_session):
+    """The function asserts splice == full recompute internally; here we
+    additionally pin the result against a serial pandas join."""
+    from data_exchange_routing_ray.pipelines.widen6 import (
+        incr_join_view_maintenance,
+    )
+
+    got = incr_join_view_maintenance(SF).to_pandas()
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    kept = orders[orders["o_orderkey"] % 97 != 0].copy()
+    ins = orders[orders["o_orderkey"] % 101 == 0].copy()
+    ins["o_totalprice"] = ins["o_totalprice"] * 1.1
+    mod = pd.concat([kept, ins], ignore_index=True)
+    mod = mod.merge(
+        cust[["c_custkey", "c_mktsegment"]],
+        left_on="o_custkey",
+        right_on="c_custkey",
+    )
+    mod["cents"] = np.floor(mod["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
+        np.int64
+    )
+    exp = (
+        mod.groupby("c_mktsegment", as_index=False)
+        .agg(n_orders=("cents", "size"), revenue_cents=("cents", "sum"))
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
