@@ -123,6 +123,11 @@ HEADLINE = [
     # round-3 widening batch F: stateful streaming + lake data skipping
     "stream_sessionize_watermark",
     "lake_bloom_point_lookup",
+    # round-3 widening batches G-H: curation, fusion, lake evolution
+    "dsir_importance_weights",
+    "hybrid_rrf_fusion",
+    "lake_deletion_vectors",
+    "incr_join_view_maintenance",
 ]
 
 
