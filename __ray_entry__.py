@@ -489,6 +489,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_deletion_vectors": _widen6.lake_deletion_vectors,
         "lake_partition_evolution": _widen6.lake_partition_evolution,
         "incr_join_view_maintenance": _widen6.incr_join_view_maintenance,
+        # ---- round-3 widening, batch I ----
+        "crypto_shred_erasure": _widen6.crypto_shred_erasure,
+        "psi_value_drift": _widen6.psi_value_drift,
+        "semantic_dedup_clusters": _widen6.semantic_dedup_clusters,
     }
     ordered = {n: base.pop(n) for n in _DRIVER_CERTIFIED_FIRST}
     ordered.update(base)
@@ -3647,6 +3651,9 @@ GROUP BY tool ORDER BY tool
         "lake_deletion_vectors": _widen6.LAKE_DELETION_VECTORS_SQL,
         "lake_partition_evolution": _widen6.LAKE_PARTITION_EVOLUTION_SQL,
         "incr_join_view_maintenance": _widen6.INCR_JOIN_VIEW_MAINTENANCE_SQL,
+        "crypto_shred_erasure": _CH + _widen6.CRYPTO_SHRED_ERASURE_SQL_TAIL,
+        "psi_value_drift": _widen6.PSI_VALUE_DRIFT_SQL,
+        # semantic_dedup_clusters: no oracle (iterative k-means); pytest gates
         # RRF fusion: BM25 ranks (shared CTE) + exact-int dense ranks
         "hybrid_rrf_fusion": "WITH bm AS ("
         + _BM25_SQL

@@ -957,3 +957,361 @@ SELECT c_mktsegment, count(*) AS n_orders,
 FROM modified m JOIN customer c ON m.o_custkey = c.c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
+
+
+# --------------------------------------------------- crypto-shred erasure
+
+
+def _conv_key(conv_id: str) -> bytes:
+    """Deterministic per-conversation data key (in production: a KMS-held
+    random key; deterministic here so tests replay — the SHREDDING
+    mechanics are identical either way)."""
+    return hashlib.sha256(b"tenant-key|" + conv_id.encode()).digest()
+
+
+def _keystream_xor(key: bytes, turn_idx: int, data: bytes) -> bytes:
+    """CTR-style keystream: md5(key ‖ turn ‖ counter) blocks XOR data.
+    Per-row C-speed md5 (the add_md5_fingerprint idiom); payloads are
+    turn-sized so blocks-per-row is tiny."""
+    out = bytearray(len(data))
+    blocks = (len(data) + 15) // 16
+    ks = b"".join(
+        hashlib.md5(key + turn_idx.to_bytes(4, "little") + i.to_bytes(4, "little")).digest()
+        for i in range(blocks)
+    )
+    for i, (a, b) in enumerate(zip(data, ks)):
+        out[i] = a ^ b
+    return bytes(out)
+
+
+def crypto_shred_erasure(sf_dir: str, erase_mod: int = 37) -> pa.Table:
+    """GDPR right-to-be-forgotten via CRYPTO-SHREDDING: the lake stores the
+    ``text`` payload ENCRYPTED under per-conversation keys; erasure =
+    deleting the key — the data files (including archived epochs, branch
+    copies, backups) never need rewriting, which is the only erasure that
+    scales when history is immutable (the manifest-archive design of this
+    lake keeps every epoch's files!).
+
+    Flow: final state via the LWW combiner → ONE conv-hash exchange;
+    per-bucket the fold encrypts each turn (keystream XOR under the
+    conv key) and writes the ENCRYPTED bucket file + the plaintext digest
+    census; the key table then drops convs with ``uid % erase_mod == 0``;
+    the read path decrypts only keyed convs and re-derives each digest.
+    Engine asserts: every stored ciphertext differs from its plaintext,
+    erased convs' rows ARE still present in storage (bit-rot-proof but
+    unreadable), and every readable conv's post-decrypt digest equals its
+    pre-encryption digest (round-trip proof).
+
+    100 TB shape: encryption rides the existing merge exchange (zero
+    extra shuffles); the key table is O(convs) — the only thing erasure
+    ever touches. Reference parity: the reference's `deleteIfExists`
+    cleanup generalized to immutable-file lakes."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from data_exchange_routing_ray.pipelines.events_cdc import (
+        conv_live,
+        conv_partial_cols,
+        derived_change_stream,
+    )
+
+    with tempfile.TemporaryDirectory(prefix="cdcshred-") as d:
+
+        def partial(b: pa.Table) -> pa.Table:
+            return pa.Table.from_pandas(
+                conv_partial_cols(b, ["text"]), preserve_index=False
+            )
+
+        def encrypt_fold(g: pd.DataFrame) -> pd.DataFrame:
+            live = conv_live(g).sort_values(
+                ["conv_id", "turn_idx"], kind="stable"
+            )
+            bucket = int(g["bucket"].iloc[0])
+            recs = []
+            digests = []
+            for conv, grp in live.groupby("conv_id", sort=True):
+                key = _conv_key(conv)
+                plain = "\n".join(grp["text"].tolist())
+                digests.append(
+                    (conv, len(grp), hashlib.md5(plain.encode()).hexdigest())
+                )
+                for t, x in zip(grp["turn_idx"], grp["text"]):
+                    ct = _keystream_xor(key, int(t), x.encode())
+                    assert ct != x.encode(), "ciphertext must differ"
+                    recs.append((conv, int(t), ct))
+            enc = pa.table(
+                {
+                    "conv_id": pa.array([r[0] for r in recs], pa.string()),
+                    "turn_idx": pa.array([r[1] for r in recs], pa.int32()),
+                    "ct": pa.array([r[2] for r in recs], pa.binary()),
+                }
+            )
+            pq.write_table(enc, os.path.join(d, f"enc-{bucket:04d}.parquet"))
+            return pd.DataFrame(
+                digests, columns=["conv_id", "n_turns", "plain_md5"]
+            )
+
+        census = (
+            derived_change_stream(sf_dir)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(encrypt_fold, batch_format="pandas")
+            .to_pandas()
+        )
+        plain_of = dict(zip(census["conv_id"], census["plain_md5"]))
+
+        # key table: conv → key; ERASURE deletes rows, nothing else
+        uids = census["conv_id"].str[5:].astype(np.int64)
+        erased = set(census["conv_id"][(uids % erase_mod) == 0])
+        keys = {
+            c: _conv_key(c) for c in census["conv_id"] if c not in erased
+        }
+        assert erased, "the erasure cohort must be non-empty"
+        keys_ref = ray.put(keys)
+
+        def decrypt_read(path: str) -> pd.DataFrame:
+            kmap = ray.get(keys_ref)
+            t = pq.read_table(path)
+            df = t.to_pandas()
+            n_stored_erased = int((~df["conv_id"].isin(kmap)).sum())
+            rows = []
+            for conv, grp in df[df["conv_id"].isin(kmap)].groupby(
+                "conv_id", sort=True
+            ):
+                key = kmap[conv]
+                grp = grp.sort_values("turn_idx")
+                texts = [
+                    _keystream_xor(key, int(t_), bytes(ct)).decode()
+                    for t_, ct in zip(grp["turn_idx"], grp["ct"])
+                ]
+                rows.append(
+                    (
+                        conv,
+                        len(texts),
+                        hashlib.md5("\n".join(texts).encode()).hexdigest(),
+                        n_stored_erased,
+                    )
+                )
+            if not rows:
+                # sentinel row so an all-erased bucket still reports its
+                # stored-but-unreadable count (dropped before output)
+                rows = [(None, 0, None, n_stored_erased)]
+            out = pd.DataFrame(
+                rows, columns=["conv_id", "n_turns", "text_md5", "_stored_erased"]
+            )
+            out["_stored_erased"] = n_stored_erased
+            return out
+
+        files = sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.startswith("enc-")
+        )
+        parts = ray.get(
+            [ray.remote(decrypt_read).remote(p) for p in files]
+        )
+        out = pd.concat(parts, ignore_index=True)
+        # erased convs are still IN storage (shredded, not deleted) ...
+        stored_erased = sum(
+            int(p["_stored_erased"].iloc[0]) if len(p) else 0 for p in parts
+        )
+        assert stored_erased > 0, "erased convs must remain in storage"
+        out = out.dropna(subset=["conv_id"])[
+            ["conv_id", "n_turns", "text_md5"]
+        ]
+        # ... but absent from the readable output
+        assert not set(out["conv_id"]) & erased
+        # round-trip proof: decrypt(encrypt(x)) digests equal plaintext digests
+        for c, m in zip(out["conv_id"], out["text_md5"]):
+            assert plain_of[c] == m, f"round-trip digest mismatch for {c}"
+        out = out.sort_values("conv_id").reset_index(drop=True)
+        out["n_turns"] = out["n_turns"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+
+CRYPTO_SHRED_ERASURE_SQL_TAIL = """
+, last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY seq DESC) AS rn
+  FROM ch
+), fs AS (
+  SELECT conv_id, turn_idx, text FROM last WHERE rn = 1 AND op <> 'delete'
+)
+SELECT conv_id, count(*) AS n_turns,
+       md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS text_md5
+FROM fs
+WHERE CAST(substr(conv_id, 6) AS BIGINT) % 37 <> 0
+GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+# ------------------------------------------------ PSI distribution drift
+
+
+def psi_value_drift(sf_dir: str, n_bins: int = 10) -> pa.Table:
+    """Population-Stability-Index drift monitor between the stream's first
+    and second half (event-time midpoint split) — the standard
+    model/feature monitoring statistic, here over ``events.value`` in
+    fixed width-10 bins. PSI contribution per bin =
+    (p₁−p₂)·ln(p₁/p₂) with +0.5/bin smoothing.
+
+    100 TB shape: ONE scan emitting a ≤2·n_bins-row census per block
+    (bounded regardless of input size) → one tiny grouped reduce; the
+    PSI algebra runs on the driver over n_bins rows. Zero data-sized
+    exchanges — the cheapest possible drift monitor, and the per-epoch
+    hook the CDC lineage log would call between commits."""
+    from ray.data.aggregate import Sum
+
+    from data_exchange_routing_ray.pipelines.events_cdc import _events
+    from data_exchange_routing_ray.pipelines.widen5 import _ts_bounds_us
+
+    lo, hi = _ts_bounds_us(sf_dir)
+    cut = (lo + hi) // 2
+
+    def census(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        half = (ts_us >= cut).astype(np.int64)
+        v = b["value"].to_numpy()
+        bins = np.clip(np.floor(v / 10.0).astype(np.int64), 0, n_bins - 1)
+        key = half * n_bins + bins
+        cnt = np.bincount(key, minlength=2 * n_bins)
+        nz = cnt > 0
+        idx = np.flatnonzero(nz)
+        return pa.table(
+            {
+                "half": pa.array((idx // n_bins).astype(np.int64)),
+                "bin": pa.array((idx % n_bins).astype(np.int64)),
+                "n": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    c = (
+        _events(sf_dir, columns=["ts", "value"])
+        .map_batches(census, batch_format="pyarrow")
+        .groupby(["half", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    n1 = np.zeros(n_bins, np.int64)
+    n2 = np.zeros(n_bins, np.int64)
+    for h, b_, n in zip(c["half"], c["bin"], c["n"]):
+        (n1 if h == 0 else n2)[b_] = n
+    t1, t2 = int(n1.sum()), int(n2.sum())
+    p1 = (n1 + 0.5) / (t1 + 0.5 * n_bins)
+    p2 = (n2 + 0.5) / (t2 + 0.5 * n_bins)
+    contrib = (p1 - p2) * np.log(p1 / p2)
+    present = (n1 + n2) > 0
+    out = pd.DataFrame(
+        {
+            "bin": np.arange(n_bins, dtype=np.int64)[present],
+            "n_first": n1[present],
+            "n_second": n2[present],
+            "psi_contrib": round_half_away(contrib[present], 6),
+        }
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+PSI_VALUE_DRIFT_SQL = """
+WITH bounds AS (
+  SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS cut FROM events
+), b AS (
+  SELECT LEAST(GREATEST(CAST(floor(value / 10) AS BIGINT), 0), 9) AS bin,
+         CASE WHEN epoch_us(ts) < cut THEN 0 ELSE 1 END AS half
+  FROM events, bounds
+), c AS (
+  SELECT bin,
+         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_first,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_second
+  FROM b GROUP BY bin
+), t AS (SELECT sum(n_first) AS t1, sum(n_second) AS t2 FROM c)
+SELECT bin, CAST(n_first AS BIGINT) AS n_first,
+       CAST(n_second AS BIGINT) AS n_second,
+       round(((n_first + 0.5) / (t1 + 5.0) - (n_second + 0.5) / (t2 + 5.0))
+             * ln(((n_first + 0.5) / (t1 + 5.0))
+                  / ((n_second + 0.5) / (t2 + 5.0))), 6) AS psi_contrib
+FROM c CROSS JOIN t ORDER BY bin
+"""
+
+
+# ------------------------------------------------------ semantic dedup
+
+
+def semantic_dedup_clusters(
+    sf_dir: str, n_clusters: int = 16, theta: float = 0.3
+) -> pa.Table:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023): k-means
+    clusters the embedding space, then near-duplicates are searched ONLY
+    within each cluster — pairwise cosine is confined to cluster-local
+    blocks instead of the quadratic corpus. Keep rule: drop vec v iff
+    some kept u < v in the same cluster has cos(u, v) ≥ θ (the
+    keep-lowest-id convention shared with this repo's MinHash family).
+
+    100 TB shape: centroids fit on a bounded sample (seeded Lloyd,
+    broadcast once); assignment is one scan; ONE cluster-key exchange;
+    per-cluster work is |cluster|² bounded by cluster granularity — at
+    scale raise n_clusters so clusters stay block-sized (SemDeDup's own
+    recipe: 50k clusters for 5B embeddings). no-oracle op (iterative
+    k-means is not SQL-expressible); pinned by a serial-reference
+    equality pytest + a planted-duplicate recall pytest."""
+    import os
+
+    from data_exchange_routing_ray.functions.similarity import (
+        IVFIndex,
+        _normalize,
+    )
+    from data_exchange_routing_ray.pipelines.events_cdc import _embeddings
+
+    idx = IVFIndex(num_clusters=n_clusters, iters=8, seed=42).fit(
+        _embeddings(sf_dir)
+    )
+    c_ref = ray.put(idx.centroids)
+
+    def assign(b: pa.Table) -> pa.Table:
+        C = ray.get(c_ref)
+        emb = b["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        M = _normalize(
+            np.stack([np.asarray(v, np.float64) for v in emb.to_pylist()])
+        )
+        cl = np.argmax(M @ C.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "cluster": pa.array(cl),
+                "embedding": emb,
+            }
+        )
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id", kind="stable").reset_index(drop=True)
+        M = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        S = M @ M.T
+        n = len(g)
+        dropped = np.zeros(n, bool)
+        for i in range(n):
+            if dropped[i]:
+                continue
+            # i is kept; drop every later j similar to it
+            dropped[(S[i] >= theta) & (np.arange(n) > i) & ~dropped] = True
+        return pd.DataFrame(
+            {
+                "cluster": [int(g["cluster"].iloc[0])],
+                "n_vecs": [n],
+                "n_dropped": [int(dropped.sum())],
+            }
+        )
+
+    out = (
+        _embeddings(sf_dir)
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(dedup_cluster, batch_format="pandas")
+        .to_pandas()
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
