@@ -493,6 +493,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crypto_shred_erasure": _widen6.crypto_shred_erasure,
         "psi_value_drift": _widen6.psi_value_drift,
         "semantic_dedup_clusters": _widen6.semantic_dedup_clusters,
+        # ---- round-3 widening, batch J ----
+        "lake_active_active_converge": _widen6.lake_active_active_converge,
+        "rls_masked_view": _widen6.rls_masked_view,
     }
     ordered = {n: base.pop(n) for n in _DRIVER_CERTIFIED_FIRST}
     ordered.update(base)
@@ -3654,6 +3657,8 @@ GROUP BY tool ORDER BY tool
         "crypto_shred_erasure": _CH + _widen6.CRYPTO_SHRED_ERASURE_SQL_TAIL,
         "psi_value_drift": _widen6.PSI_VALUE_DRIFT_SQL,
         # semantic_dedup_clusters: no oracle (iterative k-means); pytest gates
+        "lake_active_active_converge": _FINAL_STATE_SQL,
+        "rls_masked_view": _CH + _widen6.RLS_MASKED_VIEW_SQL_TAIL,
         # RRF fusion: BM25 ranks (shared CTE) + exact-int dense ranks
         "hybrid_rrf_fusion": "WITH bm AS ("
         + _BM25_SQL

@@ -29,6 +29,7 @@ from dataclasses import dataclass, field
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
@@ -126,6 +127,7 @@ class CDCLake:
         delta_max_files: int = 4,
         delta_ratio: float = 0.2,
         branch: str = "main",
+        multi_leader: bool = False,
     ):
         # combine_batch_size: rows per fused validate/partition/combine batch.
         # Larger ⇒ better pre-shuffle dedup and fewer shuffle blocks; 256Ki
@@ -150,6 +152,18 @@ class CDCLake:
             )
         if merge_policy == "delta" and merge_mode != "groupby":
             raise ValueError("merge_policy='delta' requires merge_mode='groupby'")
+        # multi_leader: out-of-order-tolerant LWW merges (cross-site WAL
+        # exchange may deliver seqs BELOW the local watermark): winners are
+        # decided base-seq-vs-change-seq and deletes persist as tombstone
+        # rows that readers filter. Requires the stateless rewrite path
+        # (tombstone folding through delta stacks / actor memtables is a
+        # documented non-goal; tombstone GC needs a cross-site watermark,
+        # the Cassandra gc_grace problem).
+        if multi_leader and (merge_policy != "rewrite" or merge_mode != "groupby"):
+            raise ValueError(
+                "multi_leader requires merge_mode='groupby' and merge_policy='rewrite'"
+            )
+        self.multi_leader = multi_leader
         self.merge_policy = merge_policy
         self.delta_max_files = delta_max_files
         self.delta_ratio = delta_ratio
@@ -649,6 +663,7 @@ class CDCLake:
             policy=self.merge_policy,
             delta_max_files=self.delta_max_files,
             delta_ratio=self.delta_ratio,
+            out_of_order=self.multi_leader,
         )
 
         prepared = changes.map_batches(
@@ -1071,6 +1086,24 @@ class CDCLake:
             schema = TRANSCRIPT_SCHEMA
             return ray.data.from_arrow(schema.empty_table())
         if not any(e.deltas for e in man.partitions.values()):
+            if self.multi_leader:
+                # tombstones are storage, not state: read op, filter, drop
+                rcols = (
+                    list(dict.fromkeys([*columns, "op"])) if columns else None
+                )
+
+                def drop_tombstones(b: pa.Table) -> pa.Table:
+                    if "op" in b.column_names:
+                        b = b.filter(
+                            pc.not_equal(b["op"], pa.scalar("delete"))
+                        ).drop_columns(["op"])
+                    if columns:
+                        b = b.select([c for c in columns if c in b.column_names])
+                    return b
+
+                return ray.data.read_parquet(files, columns=rcols).map_batches(
+                    drop_tombstones, batch_format="pyarrow"
+                )
             return ray.data.read_parquet(files, columns=columns)
         # merge-on-read (delta policy): one task per partition folds
         # base+deltas — distributed, never a driver materialization
@@ -1158,6 +1191,10 @@ class CDCLake:
                 )
             tables.append(t)
         out = pa.concat_tables(tables, promote_options="permissive")
+        if "op" in out.column_names:  # multi_leader tombstones
+            out = out.filter(
+                pc.not_equal(out["op"], pa.scalar("delete"))
+            ).drop_columns(["op"])
         out = out.sort_by(
             [("conv_id", "ascending"), ("turn_idx", "ascending"), ("ts", "ascending")]
         )

@@ -1315,3 +1315,152 @@ def semantic_dedup_clusters(
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ------------------------------------------- active-active lake convergence
+
+
+def lake_active_active_converge(sf_dir: str) -> pa.Table:
+    """ACTIVE-ACTIVE multi-leader replication with deterministic conflict
+    resolution: two independent lakes (regional ingest sites) each commit
+    their own half of the change stream (split by ``event_id % 2``), then
+    anti-entropy ships each site's RAW WAL to the other site, applied with
+    the fence DOWN (cross-site seqs are older than the local watermark by
+    construction). Because the merge is last-writer-wins on the GLOBAL
+    ``seq`` — an LWW register per (conv_id, turn_idx) — application order
+    is immaterial: A(evens→odds) and B(odds→evens) must converge
+    bit-for-bit, and both must equal the single-site replay of the full
+    stream. Deletes propagate because the WAL (not the materialized
+    state) is what ships — the classic multi-leader pitfall this op
+    proves out. Both equalities are asserted in-query; the returned table
+    is site A's converged state, value-checked by the plain final-state
+    oracle.
+
+    100 TB shape: two normal epochs per site (the existing one-exchange
+    merge path); anti-entropy cost = shipping the other site's shards,
+    embarrassingly parallel. Reference parity: the reference's
+    service-bus redelivery tolerance (`host.json` dedupe) scaled up to
+    whole-site WAL exchange."""
+    import os
+    import tempfile
+
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+    from data_exchange_routing_ray.pipelines.events_cdc import (
+        derived_change_stream,
+    )
+
+    def half(parity: int) -> ray.data.Dataset:
+        def keep(b: pa.Table) -> pa.Table:
+            return b.filter(
+                pc.equal(pc.bit_wise_and(b["seq"], 1), pa.scalar(parity))
+            )
+
+        return derived_change_stream(sf_dir).map_batches(
+            keep, batch_format="pyarrow"
+        )
+
+    with tempfile.TemporaryDirectory(prefix="cdcaa-") as d:
+        site_a = CDCLake(os.path.join(d, "a"), num_partitions=16, multi_leader=True)
+        site_b = CDCLake(os.path.join(d, "b"), num_partitions=16, multi_leader=True)
+        single = CDCLake(os.path.join(d, "s"), num_partitions=16)
+
+        # local ingest: each site commits only its own half
+        site_a.apply_changes(half(0), quarantine=False)
+        site_b.apply_changes(half(1), quarantine=False)
+        # anti-entropy: ship the OTHER site's WAL; fence down (those seqs
+        # are legitimately below the local watermark — not duplicates)
+        site_a.apply_changes(half(1), quarantine=False, fence=False)
+        site_b.apply_changes(half(0), quarantine=False, fence=False)
+
+        single.apply_changes(derived_change_stream(sf_dir), quarantine=False)
+
+        ta = site_a.final_table()
+        tb = site_b.final_table()
+        ts_ = single.final_table()
+        assert ta.equals(tb), "sites must converge regardless of order"
+        assert ta.equals(ts_), "converged state must equal single-site replay"
+        return ta
+
+
+# ------------------------------------------- row/column security view
+
+
+def rls_masked_view(sf_dir: str, tenant_mod: int = 4, tenant: int = 1) -> pa.Table:
+    """Governed serving view: ROW-LEVEL security (an analyst role sees only
+    its tenant's conversations, ``uid % tenant_mod == tenant``) plus
+    COLUMN masking (the ``text`` payload is replaced by an 8-hex md5
+    digest — referenceable, joinable, unreadable). The view is computed
+    over the committed final state (LWW combiner → one conv-hash
+    exchange), with the predicate pushed INTO the combiner's partial
+    stage so non-tenant rows never cross the wire — predicate-pushdown
+    is what makes RLS cheap at scale, not a post-filter.
+
+    100 TB shape: pushdown cuts the exchange to the tenant's share;
+    masking is a vectorized per-batch md5 map. Reference parity: the
+    reference's redactor stage (M10) + per-destination credential
+    scoping, composed as a governed view."""
+    from data_exchange_routing_ray.pipelines.events_cdc import (
+        conv_live,
+        conv_partial_cols,
+        derived_change_stream,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        # RLS predicate pushdown: filter BEFORE the combiner + exchange
+        uid = (
+            pc.cast(pc.utf8_slice_codeunits(b["conv_id"], 5, 99), pa.int64())
+            .to_numpy()
+        )
+        b = b.filter(pa.array(uid % tenant_mod == tenant))
+        return pa.Table.from_pandas(
+            conv_partial_cols(b, ["role", "text"]), preserve_index=False
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        live = conv_live(g)
+        if live.empty:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series([], object),
+                    "turn_idx": pd.Series([], np.int32),
+                    "role": pd.Series([], object),
+                    "text_mask": pd.Series([], object),
+                }
+            )
+        mask = [
+            hashlib.md5(t.encode()).hexdigest()[:8] for t in live["text"]
+        ]
+        return pd.DataFrame(
+            {
+                "conv_id": live["conv_id"].to_numpy(),
+                "turn_idx": live["turn_idx"].to_numpy(),
+                "role": live["role"].to_numpy(),
+                "text_mask": np.array(mask, object),
+            }
+        )
+
+    out = (
+        derived_change_stream(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    out["turn_idx"] = out["turn_idx"].astype(np.int32)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+RLS_MASKED_VIEW_SQL_TAIL = """
+, last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY seq DESC) AS rn
+  FROM ch
+)
+SELECT conv_id, turn_idx, role, substr(md5(text), 1, 8) AS text_mask
+FROM last
+WHERE rn = 1 AND op <> 'delete'
+  AND CAST(substr(conv_id, 6) AS BIGINT) % 4 = 1
+ORDER BY conv_id, turn_idx
+"""

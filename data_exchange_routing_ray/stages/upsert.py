@@ -310,13 +310,23 @@ def stage_file_path(stage_dir: str, epoch: int, pid: int) -> str:
 
 
 def merge_tables(
-    base: pa.Table | None, changes: pa.Table, fence_below: int
+    base: pa.Table | None, changes: pa.Table, fence_below: int,
+    out_of_order: bool = False,
 ) -> tuple[pa.Table, dict]:
     """Pure merge: (base ∪ changes) → new partition table + stats.
 
     ``changes`` must carry CHANGE columns (op, seq, key, payload); ``base``
     carries lake columns + seq. Returns the new lake table sorted by
     ORDER_COLUMNS.
+
+    ``out_of_order=True`` is the MULTI-LEADER mode: incoming seqs may be
+    LOWER than already-applied ones (cross-site WAL exchange), so the
+    winner per key is decided by comparing the base row's stored seq
+    against the change's seq (true LWW-register semantics) instead of
+    assuming epoch monotonicity, and deletes are RETAINED as tombstone
+    rows (op='delete' kept in the stored table) — without tombstones a
+    stale insert arriving after a newer delete would resurrect the key
+    (the classic multi-leader pitfall). Readers filter tombstones.
     """
     n_in = changes.num_rows
     # fence stale / replayed seqs (exactly-once no-op on redelivery)
@@ -332,19 +342,48 @@ def merge_tables(
     )
 
     if base is not None and base.num_rows and changes.num_rows:
-        # drop base rows whose key is overwritten or deleted: shared-code
-        # anti-join (exact; no Python string objects)
         keys = _key_codes(base, extra=changes)
         base_keys = keys[: base.num_rows]
         change_keys = keys[base.num_rows :]
-        keep = ~np.isin(base_keys, change_keys)
-        if not keep.all():
-            base = base.filter(pa.array(keep))
+        if not out_of_order:
+            # monotone epochs (fenced): any change wins over its base row —
+            # shared-code anti-join (exact; no Python string objects)
+            keep = ~np.isin(base_keys, change_keys)
+            if not keep.all():
+                base = base.filter(pa.array(keep))
+        else:
+            # seq-aware LWW: for matched keys the HIGHER seq wins, whether
+            # it lives in the base or in the change set (vectorized
+            # sorted-probe; changes are already collapsed to 1 row/key)
+            order = np.argsort(change_keys, kind="stable")
+            ck_sorted = change_keys[order]
+            pos = np.searchsorted(ck_sorted, base_keys)
+            pos_cl = np.minimum(pos, len(order) - 1)
+            matched = ck_sorted[pos_cl] == base_keys
+            cseq = changes["seq"].to_numpy()[order][pos_cl]
+            bseq = base["seq"].to_numpy()
+            base_wins = matched & (bseq > cseq)
+            keep_base = ~matched | base_wins
+            if not keep_base.all():
+                base = base.filter(pa.array(keep_base))
+            win_keys = base_keys[base_wins]
+            if win_keys.size:
+                stale = np.isin(change_keys, win_keys)
+                changes = changes.filter(pa.array(~stale))
 
-    surviving = changes.filter(
-        pc.not_equal(changes["op"], pa.scalar("delete"))
-    ) if changes.num_rows else changes
-    drop = [c for c in _PLUMBING if c in surviving.column_names]
+    if not changes.num_rows:
+        surviving = changes
+    elif out_of_order:
+        surviving = changes  # deletes stay as TOMBSTONE rows
+    else:
+        surviving = changes.filter(
+            pc.not_equal(changes["op"], pa.scalar("delete"))
+        )
+    keep_cols = ("op",) if out_of_order else ()
+    drop = [
+        c for c in _PLUMBING
+        if c in surviving.column_names and c not in keep_cols
+    ]
     if drop:
         surviving = surviving.drop_columns(drop)
 
@@ -359,11 +398,21 @@ def merge_tables(
         out = unify_and_concat(parts)
     if out.num_rows:
         out = out.sort_by([(c, "ascending") for c in ORDER_COLUMNS])
+    n_live = int(out.num_rows)
+    if out_of_order and out.num_rows and "op" in out.column_names:
+        # manifest row counts stay LIVE-row counts (the stats-pushdown
+        # contract); tombstones are storage, not state
+        n_live -= int(
+            pc.sum(
+                pc.cast(pc.equal(out["op"], pa.scalar("delete")), pa.int64())
+            ).as_py()
+            or 0
+        )
     stats = {
         "changes_applied": int(changes.num_rows),
         "changes_fenced": int(n_fenced),
         "applied_offset": applied_offset,
-        "row_count": int(out.num_rows),
+        "row_count": n_live,
     }
     return out, stats
 
@@ -394,6 +443,7 @@ def make_merge_fn(
     policy: str = "rewrite",
     delta_max_files: int = 4,
     delta_ratio: float = 0.2,
+    out_of_order: bool = False,
 ):
     """Build the per-group merge callable for groupby(part).map_groups.
 
@@ -508,7 +558,7 @@ def make_merge_fn(
                 base,
                 [pq.read_table(os.path.join(lake_dir, d)) for d in delta_rels],
             )
-        out, stats = merge_tables(base, group, fence_below)
+        out, stats = merge_tables(base, group, fence_below, out_of_order=out_of_order)
         path = stage_file_path(stage_dir, epoch, pid)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".inprogress"

@@ -302,3 +302,60 @@ def test_semantic_dedup_matches_serial_and_finds_planted_dups(
     # every duplicate (cos = 1.0 ≥ θ) must be dropped: 50 drops minimum
     assert out["n_dropped"].sum() >= 50
     assert out["n_vecs"].sum() == 100
+
+
+def test_multi_leader_out_of_order_lww_and_tombstones(ray_session, tmp_path):
+    """Unit-level multi-leader semantics: a stale insert arriving AFTER a
+    newer delete must not resurrect the key; a stale update must lose to
+    the newer base row; fresh updates still win."""
+    import ray.data
+
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+    from data_exchange_routing_ray.schemas import CHANGE_SCHEMA
+
+    def changes(rows):
+        cols = {f.name: [] for f in CHANGE_SCHEMA}
+        for r in rows:
+            for f in CHANGE_SCHEMA:
+                cols[f.name].append(r.get(f.name))
+        return ray.data.from_arrow(
+            pa.table({k: pa.array(v, CHANGE_SCHEMA.field(k).type)
+                      for k, v in cols.items()})
+        )
+
+    def row(seq, op, conv, turn, text=None):
+        return {
+            "seq": seq, "op": op, "conv_id": conv,
+            "turn_idx": turn, "role": "user", "text": text,
+            "tool": None, "ts": 1_700_000_000_000_000 + seq,
+        }
+
+    lake = CDCLake(str(tmp_path / "ml"), num_partitions=4, multi_leader=True)
+    # epoch 1 (site-local): newer writes
+    lake.apply_changes(
+        changes(
+            [
+                row(100, "delete", "conv-a", 0),
+                row(110, "update", "conv-b", 1, "new-b"),
+                row(120, "insert", "conv-c", 2, "c"),
+            ]
+        ),
+        quarantine=False,
+    )
+    # epoch 2 (foreign WAL, OLDER seqs): must all lose; plus one fresh win
+    lake.apply_changes(
+        changes(
+            [
+                row(50, "insert", "conv-a", 0, "stale-resurrect"),
+                row(60, "update", "conv-b", 1, "stale-b"),
+                row(130, "update", "conv-c", 2, "c2"),
+            ]
+        ),
+        quarantine=False,
+        fence=False,
+    )
+    t = lake.final_table().to_pandas()
+    state = dict(zip(zip(t["conv_id"], t["turn_idx"]), t["text"]))
+    assert ("conv-a", 0) not in state, "tombstone must block resurrection"
+    assert state[("conv-b", 1)] == "new-b", "stale update must lose"
+    assert state[("conv-c", 2)] == "c2", "fresh update must win"
