@@ -142,7 +142,10 @@ _DRIVER_CERTIFIED_FIRST = [
     "stream_sessionize_watermark",
     "split_by_category",
     "lake_bloom_point_lookup",
-    "asof_join_clicks_purchases",
+    # asof_join_clicks_purchases rotated below the fold in late round 3
+    # (the point-in-time join family stays certified via pit_feature_join)
+    # to certify the new multi-leader engine mode.
+    "lake_active_active_converge",
     "dedup_exact_events_props",
     # round-2 widening surface (driver-certified from round 3 on)
     "lake_merge_into",
