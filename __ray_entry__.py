@@ -499,6 +499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- round-3 widening, batch J ----
         "lake_active_active_converge": _widen6.lake_active_active_converge,
         "rls_masked_view": _widen6.rls_masked_view,
+        "lake_tombstone_gc": _widen6.lake_tombstone_gc,
     }
     ordered = {n: base.pop(n) for n in _DRIVER_CERTIFIED_FIRST}
     ordered.update(base)
@@ -3661,6 +3662,7 @@ GROUP BY tool ORDER BY tool
         "psi_value_drift": _widen6.PSI_VALUE_DRIFT_SQL,
         # semantic_dedup_clusters: no oracle (iterative k-means); pytest gates
         "lake_active_active_converge": _FINAL_STATE_SQL,
+        "lake_tombstone_gc": _FINAL_STATE_SQL,
         "rls_masked_view": _CH + _widen6.RLS_MASKED_VIEW_SQL_TAIL,
         # RRF fusion: BM25 ranks (shared CTE) + exact-int dense ranks
         "hybrid_rrf_fusion": "WITH bm AS ("

@@ -370,6 +370,9 @@ class CDCLake:
         restored = Manifest(
             epoch=cur.epoch + 1,
             applied_offset=target.applied_offset,
+            # the GC floor never rolls back: compacted tombstones cannot be
+            # restored, so the fence that replaces them must survive restore
+            gc_watermark=max(target.gc_watermark, cur.gc_watermark),
             num_partitions=target.num_partitions,
             schema_names=target.schema_names,
             partitions=dict(target.partitions),
@@ -603,6 +606,7 @@ class CDCLake:
         rebuild: bool = False,
         max_attempts: int | None = 6,
         audit_fn=None,
+        _raise_gc_watermark: int | None = None,
     ) -> EpochResult:
         """Apply one epoch of change events; atomically commit; return stats.
 
@@ -634,13 +638,19 @@ class CDCLake:
                     f"Poison: epoch exceeded maxDequeueCount={max_attempts} "
                     f"({n_attempt - 1} failed processing attempts)"
                 )
-        fence_below = man.applied_offset if fence else -(2**62)
+        # even with fence=False (multi-leader WAL exchange), the GC floor
+        # fence holds: tombstones at/below gc_watermark are gone, so the
+        # fence alone rejects stale writes below it (see gc_tombstones)
+        fence_below = man.applied_offset if fence else (
+            man.gc_watermark if man.gc_watermark >= 0 else -(2**62)
+        )
         P = self.num_partitions
         stage_dir = self._stage_dir()
         if rebuild:
             man = Manifest(
                 epoch=man.epoch,
                 applied_offset=man.applied_offset,
+                gc_watermark=man.gc_watermark,
                 num_partitions=P,
                 schema_names=man.schema_names,
                 partitions={},
@@ -790,6 +800,11 @@ class CDCLake:
             new_man = Manifest(
                 epoch=epoch,
                 applied_offset=applied_offset,
+                gc_watermark=(
+                    man.gc_watermark
+                    if _raise_gc_watermark is None
+                    else max(man.gc_watermark, _raise_gc_watermark)
+                ),
                 num_partitions=P,
                 schema_names=man.schema_names,
                 partitions=new_partitions,
@@ -1077,6 +1092,22 @@ class CDCLake:
             raise ValueError(f"no committed manifest for epoch {epoch}")
         return m
 
+    def final_dataset_raw(self, epoch: int | None = None) -> ray.data.Dataset:
+        """Raw committed STORAGE — tombstones and plumbing columns (op, seq)
+        included. For maintenance epochs (``gc_tombstones``) that operate on
+        storage-level rows, not live state. Requires a compacted lake;
+        ``multi_leader`` lakes are rewrite-policy by construction, so the
+        check never fires on the intended caller."""
+        man = self.manifest if epoch is None else self.manifest_at(epoch)
+        if any(e.deltas for e in man.partitions.values()):
+            raise ValueError(
+                "final_dataset_raw requires a compacted lake (no delta stacks)"
+            )
+        files = self.store.data_files(man)
+        if not files:
+            return ray.data.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
+        return ray.data.read_parquet(files)
+
     def final_dataset(
         self, columns: list[str] | None = None, epoch: int | None = None
     ) -> ray.data.Dataset:
@@ -1350,3 +1381,56 @@ def _seq_range(parquet_file: str) -> tuple[int | None, int | None]:
         return lo, hi
     except Exception:
         return None, None
+
+
+def gc_tombstones(lake: "CDCLake", sites_min_applied_offset: int) -> "EpochResult":
+    """Tombstone GC for a ``multi_leader`` lake (the Cassandra gc_grace
+    problem, solved with offsets instead of wall time): a tombstone exists
+    only to beat a STALE write with a lower seq; once every replication
+    site's applied-offset watermark has passed the tombstone's seq, any
+    future arrival below it is dropped by the normal seq fence — the
+    tombstone is dead weight and can be compacted away.
+
+    ``sites_min_applied_offset`` = min over all sites' committed
+    ``applied_offset`` (the cross-site anti-entropy watermark, gossiped
+    out-of-band at deployment scale). Tombstones with seq <= that value
+    are dropped by a rebuild epoch (normal OCC-fenced commit; old files
+    stay archived for time travel). Returns the rebuild's EpochResult.
+
+    Safety is asserted by ``test_tombstone_gc_safety``: a stale insert
+    replayed AFTER the GC converges identically because the fence —
+    not the tombstone — now rejects it."""
+    if not lake.multi_leader:
+        raise ValueError("gc_tombstones requires a multi_leader lake")
+    watermark = int(sites_min_applied_offset)
+    if watermark > lake.manifest.applied_offset:
+        raise ValueError(
+            "GC watermark cannot exceed this site's own applied offset"
+        )
+
+    current = lake.final_dataset_raw()
+
+    def drop_dead_tombstones(b: pa.Table) -> pa.Table:
+        if "op" not in b.column_names:
+            return b
+        is_del = pc.equal(b["op"], pa.scalar("delete"))
+        dead = pc.and_(is_del, pc.less_equal(b["seq"], pa.scalar(watermark)))
+        b = b.filter(pc.invert(dead))
+        # live rows re-enter as UPDATES (same null-payload reasoning as
+        # repartition_lake: an already-applied update may have legitimately
+        # nulled the payload); surviving tombstones keep op='delete'
+        op = pc.if_else(
+            pc.equal(b["op"], pa.scalar("delete")),
+            pa.scalar("delete"),
+            pa.scalar("update"),
+        )
+        return b.set_column(b.column_names.index("op"), "op", op)
+
+    return lake.apply_changes(
+        current.map_batches(drop_dead_tombstones, batch_format="pyarrow"),
+        quarantine=False,
+        fence=False,
+        rebuild=True,
+        max_attempts=None,
+        _raise_gc_watermark=watermark,
+    )

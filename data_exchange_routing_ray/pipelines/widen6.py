@@ -1464,3 +1464,90 @@ WHERE rn = 1 AND op <> 'delete'
   AND CAST(substr(conv_id, 6) AS BIGINT) % 4 = 1
 ORDER BY conv_id, turn_idx
 """
+
+
+# ------------------------------------------- tombstone GC (gc_grace analog)
+
+
+def lake_tombstone_gc(sf_dir: str) -> pa.Table:
+    """Tombstone garbage collection on a multi-leader lake — the Cassandra
+    ``gc_grace_seconds`` problem solved with offsets instead of wall time.
+
+    A multi-leader lake retains deletes as tombstone rows so a stale
+    cross-site insert cannot resurrect a deleted key. A tombstone's ONLY
+    job is to beat writes with a lower seq; once every site's committed
+    applied-offset has passed the tombstone's seq, no site can ever emit a
+    new change below it, so the tombstone is dead storage. ``gc_tombstones``
+    compacts those away in one OCC-fenced rebuild epoch and PERSISTS the GC
+    watermark in the manifest as a floor fence — future epochs drop
+    seq <= gc_watermark even in fence-free WAL-exchange mode, so the fence
+    (not the tombstone) now rejects the stale write.
+
+    The query certifies the full cycle end-to-end: ingest with deletes →
+    tombstones present in raw storage → GC at the site watermark → raw
+    storage tombstone-free → a stale sub-watermark insert replayed after GC
+    does NOT resurrect → live state bit-identical to the LWW oracle.
+
+    100 TB shape: the GC epoch is a streamed rebuild (read committed
+    parquet → vectorized filter → the normal ONE-exchange merge path);
+    no driver materialization; storage shrinks by the tombstone share.
+    Reference parity: queue redelivery fencing (`host.json:26-27`)
+    generalized to cross-site stale-write fencing."""
+    import os
+    import tempfile
+
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake, gc_tombstones
+    from data_exchange_routing_ray.pipelines.events_cdc import (
+        derived_change_stream,
+    )
+
+    with tempfile.TemporaryDirectory(prefix="cdcgc-") as d:
+        lake = CDCLake(os.path.join(d, "gc"), num_partitions=16,
+                       multi_leader=True)
+        lake.apply_changes(derived_change_stream(sf_dir), quarantine=False)
+
+        def n_tombstones() -> int:
+            n = 0
+            for b in lake.final_dataset_raw().iter_batches(
+                batch_format="pyarrow", batch_size=65536
+            ):
+                if "op" in b.column_names:
+                    n += int(
+                        pc.sum(
+                            pc.cast(
+                                pc.equal(b["op"], pa.scalar("delete")),
+                                pa.int64(),
+                            )
+                        ).as_py()
+                        or 0
+                    )
+            return n
+
+        pre = n_tombstones()
+        assert pre > 0, "change stream must contain deletes"
+        watermark = lake.manifest.applied_offset
+        gc_tombstones(lake, watermark)
+        assert n_tombstones() == 0, "GC at full watermark compacts every tombstone"
+        assert lake.manifest.gc_watermark == watermark
+
+        before = lake.final_table()
+        # stale write below the GC floor, replayed fence-free after GC:
+        # the persisted gc_watermark fence must reject it
+        stale = ray.data.from_arrow(
+            pa.table(
+                {
+                    "seq": pa.array([0], pa.int64()),
+                    "op": pa.array(["insert"], pa.string()),
+                    "conv_id": pa.array(["conv-0"], pa.string()),
+                    "turn_idx": pa.array([0], pa.int32()),
+                    "role": pa.array(["user"], pa.string()),
+                    "text": pa.array(["resurrected?"], pa.string()),
+                    "tool": pa.array([None], pa.string()),
+                    "ts": pa.array([1], pa.timestamp("us")),
+                }
+            )
+        )
+        lake.apply_changes(stale, quarantine=False, fence=False)
+        after = lake.final_table()
+        assert after.equals(before), "stale write must be fenced, not applied"
+        return after

@@ -45,12 +45,18 @@ class Manifest:
     num_partitions: int = 0
     schema_names: list[str] = field(default_factory=list)
     partitions: dict[int, PartitionEntry] = field(default_factory=dict)
+    # floor fence installed by tombstone GC (multi_leader lakes): once set,
+    # EVERY future epoch drops seq <= gc_watermark even with fence=False —
+    # the tombstones at/below it were compacted away, so the fence is the
+    # only thing standing between a late stale write and resurrection.
+    gc_watermark: int = -1
 
     def to_json(self) -> str:
         return json.dumps(
             {
                 "epoch": self.epoch,
                 "applied_offset": self.applied_offset,
+                "gc_watermark": self.gc_watermark,
                 "num_partitions": self.num_partitions,
                 "schema_names": self.schema_names,
                 "partitions": {
@@ -66,6 +72,7 @@ class Manifest:
         return cls(
             epoch=d["epoch"],
             applied_offset=d["applied_offset"],
+            gc_watermark=d.get("gc_watermark", -1),
             num_partitions=d["num_partitions"],
             schema_names=d.get("schema_names", []),
             partitions={

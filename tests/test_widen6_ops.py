@@ -359,3 +359,90 @@ def test_multi_leader_out_of_order_lww_and_tombstones(ray_session, tmp_path):
     assert ("conv-a", 0) not in state, "tombstone must block resurrection"
     assert state[("conv-b", 1)] == "new-b", "stale update must lose"
     assert state[("conv-c", 2)] == "c2", "fresh update must win"
+
+
+def test_tombstone_gc_safety(ray_session, tmp_path):
+    """Tombstone GC (the Cassandra gc_grace problem with offsets): after
+    compacting tombstones at/below the cross-site watermark, a stale insert
+    replayed AFTERWARDS must still be rejected — by the persisted
+    gc_watermark floor fence, not by the (now gone) tombstone."""
+    import ray.data
+
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake, gc_tombstones
+    from data_exchange_routing_ray.schemas import CHANGE_SCHEMA
+
+    def changes(rows):
+        cols = {f.name: [] for f in CHANGE_SCHEMA}
+        for r in rows:
+            for f in CHANGE_SCHEMA:
+                cols[f.name].append(r.get(f.name))
+        return ray.data.from_arrow(
+            pa.table({k: pa.array(v, CHANGE_SCHEMA.field(k).type)
+                      for k, v in cols.items()})
+        )
+
+    def row(seq, op, conv, turn, text=None):
+        return {
+            "seq": seq, "op": op, "conv_id": conv,
+            "turn_idx": turn, "role": "user", "text": text,
+            "tool": None, "ts": 1_700_000_000_000_000 + seq,
+        }
+
+    lake = CDCLake(str(tmp_path / "gc"), num_partitions=4, multi_leader=True)
+    lake.apply_changes(
+        changes([
+            row(100, "insert", "conv-a", 0, "a"),
+            row(110, "delete", "conv-b", 1),     # tombstone, seq <= watermark
+            row(200, "delete", "conv-c", 2),     # tombstone ABOVE watermark
+            row(120, "insert", "conv-d", 3, "d"),
+        ]),
+        quarantine=False,
+    )
+    before = lake.final_table().to_pandas()
+
+    # raw storage has both tombstones before GC
+    raw = pa.concat_tables(
+        [ray.get(r) for r in lake.final_dataset_raw().to_arrow_refs()],
+        promote_options="permissive",
+    ).to_pandas()
+    assert (raw["op"] == "delete").sum() == 2
+
+    # GC at the cross-site min applied offset = 150: only seq-110 tombstone dies
+    res = gc_tombstones(lake, 150)
+    assert res.rows_quarantined == 0
+    raw2 = pa.concat_tables(
+        [ray.get(r) for r in lake.final_dataset_raw().to_arrow_refs()],
+        promote_options="permissive",
+    ).to_pandas()
+    assert (raw2["op"] == "delete").sum() == 1, "only the fenced tombstone is compacted"
+    assert set(raw2.loc[raw2["op"] == "delete", "seq"]) == {200}
+
+    # live state is unchanged by GC
+    after = lake.final_table().to_pandas()
+    pd.testing.assert_frame_equal(
+        before.reset_index(drop=True), after.reset_index(drop=True)
+    )
+
+    # the floor fence persists: reopen the lake, replay a STALE insert for the
+    # GC'd key with fence=False (multi-leader WAL exchange) — no resurrection
+    lake2 = CDCLake(str(tmp_path / "gc"), num_partitions=4, multi_leader=True)
+    assert lake2.manifest.gc_watermark == 150
+    lake2.apply_changes(
+        changes([row(105, "insert", "conv-b", 1, "resurrect?")]),
+        quarantine=False, fence=False,
+    )
+    t = lake2.final_table().to_pandas()
+    state = dict(zip(zip(t["conv_id"], t["turn_idx"]), t["text"]))
+    assert ("conv-b", 1) not in state, "gc_watermark fence must reject stale write"
+    # a genuinely new write above the floor still lands
+    lake2.apply_changes(
+        changes([row(300, "insert", "conv-b", 1, "fresh")]),
+        quarantine=False, fence=False,
+    )
+    t = lake2.final_table().to_pandas()
+    state = dict(zip(zip(t["conv_id"], t["turn_idx"]), t["text"]))
+    assert state[("conv-b", 1)] == "fresh"
+
+    # watermark above the site's own applied offset is a contract violation
+    with pytest.raises(ValueError):
+        gc_tombstones(lake2, lake2.manifest.applied_offset + 1)
