@@ -500,6 +500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_active_active_converge": _widen6.lake_active_active_converge,
         "rls_masked_view": _widen6.rls_masked_view,
         "lake_tombstone_gc": _widen6.lake_tombstone_gc,
+        "lake_online_migration": _widen6.lake_online_migration,
     }
     ordered = {n: base.pop(n) for n in _DRIVER_CERTIFIED_FIRST}
     ordered.update(base)
@@ -3663,6 +3664,15 @@ GROUP BY tool ORDER BY tool
         # semantic_dedup_clusters: no oracle (iterative k-means); pytest gates
         "lake_active_active_converge": _FINAL_STATE_SQL,
         "lake_tombstone_gc": _FINAL_STATE_SQL,
+        # online migration: final state with the migration transform applied
+        "lake_online_migration": _CH + """
+, last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM ch
+)
+SELECT conv_id, turn_idx, role, upper(text) AS text, tool, ts
+FROM last WHERE rn = 1 AND op <> 'delete'
+""",
         "rls_masked_view": _CH + _widen6.RLS_MASKED_VIEW_SQL_TAIL,
         # RRF fusion: BM25 ranks (shared CTE) + exact-int dense ranks
         "hybrid_rrf_fusion": "WITH bm AS ("

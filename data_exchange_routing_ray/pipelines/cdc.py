@@ -251,6 +251,39 @@ class CDCLake:
         self.store.publish(head, expect_epoch=cur.epoch)
         return head.epoch
 
+    def cutover_to(self, branch_lake: "CDCLake", audit_fn=None) -> int:
+        """Online-migration cutover (gh-ost's atomic table rename): adopt
+        the branch's current manifest as this branch's next epoch even
+        though this branch ADVANCED past the fork — the non-fast-forward
+        counterpart of ``fast_forward`` for a shadow branch the migration
+        deliberately kept in sync by dual-applying production changes.
+
+        Because divergence is allowed, the caller MUST prove parity:
+        ``audit_fn(candidate_manifest, lake_dir)`` runs WAP-style before
+        publish — raise and the cutover aborts with no visible effect
+        (readers keep the pre-cutover table). Publish is OCC-fenced at
+        this branch's current epoch, so a concurrent production commit
+        that would invalidate the audited parity aborts the cutover
+        instead of being silently overwritten. Returns the new epoch."""
+        cur = self.manifest
+        head = branch_lake.manifest
+        cand = Manifest(
+            # strictly monotone and collision-free vs BOTH manifest logs:
+            # the adopted manifest is archived under this epoch number
+            epoch=max(cur.epoch, head.epoch) + 1,
+            applied_offset=head.applied_offset,
+            gc_watermark=max(cur.gc_watermark, head.gc_watermark),
+            num_partitions=head.num_partitions,
+            schema_names=head.schema_names,
+            partitions=dict(head.partitions),
+        )
+        if audit_fn is not None:
+            audit_fn(cand, self.lake_dir)
+        self.store.publish(cand, expect_epoch=cur.epoch)
+        if self._pool is not None:
+            self._pool.reset()  # memtables hold pre-cutover partition state
+        return cand.epoch
+
     def changefeed_between(
         self,
         from_epoch: int,

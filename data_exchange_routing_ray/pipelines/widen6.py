@@ -1551,3 +1551,160 @@ def lake_tombstone_gc(sf_dir: str) -> pa.Table:
         after = lake.final_table()
         assert after.equals(before), "stale write must be fenced, not applied"
         return after
+
+
+# --------------------------------------- online schema migration (gh-ost)
+
+
+def lake_online_migration(sf_dir: str) -> pa.Table:
+    """ONLINE schema migration on a live lake — the gh-ost /
+    pt-online-schema-change pattern, lake-native: migrate every row
+    through a transform (here: Unicode-uppercase ``text``, standing in
+    for any column rewrite) WITHOUT stopping ingest and WITHOUT a
+    non-atomic in-place rewrite.
+
+    Phases (seq-ordered thirds of the change stream = the production
+    timeline; seq pushdown at the parquet scan as in
+    ``cdc_final_state_multi_epoch``):
+
+    1. P1 → main: pre-migration production state.
+    2. Backfill: fork a zero-copy shadow branch, rebuild it with the
+       transform applied to every live row — seqs preserved, so later
+       production changes still win LWW (gh-ost's chunked row-copy is
+       the per-partition parallel merge here, one atomic branch epoch).
+    3. P2 → main (production never pauses) and transform(P2) → branch:
+       the binlog-tail dual-apply that keeps the shadow in sync.
+    4. Cutover: DISTRIBUTED per-partition parity audit — both sides
+       share the partition function, so each task diffs exactly two
+       co-partitioned files (transform(main_pid) == branch_pid,
+       including seqs) — then ``cutover_to`` adopts the branch manifest
+       atomically, WAP-gated on that audit and OCC-fenced against racing
+       production commits (gh-ost's atomic rename).
+    5. P3 → main: NEW writers emit already-transformed rows.
+
+    Final state must equal the LWW oracle with ``upper(text)``
+    everywhere — the migration is exact, not just convergent.
+
+    100 TB shape: backfill and audit are per-partition parallel with no
+    driver materialization; the cutover itself moves zero data (manifest
+    adopt of shared files). Reference parity: the reference's TST/PRD
+    environment split (CHANGELOG.md:56-57) upgraded to an audited,
+    atomic production cutover."""
+    import os
+    import tempfile
+
+    from data_exchange_routing_ray.pipelines.cdc import (
+        CDCLake,
+        _partition_specs,
+        _read_folded_df,
+    )
+    from data_exchange_routing_ray.pipelines.events_cdc import (
+        _events,
+        derive_changes_batch,
+    )
+
+    def phase(lo: int, hi: int) -> ray.data.Dataset:
+        return _events(
+            sf_dir, columns=["event_id", "user_id", "event_type", "ts"]
+        ).filter(expr=f"event_id >= {lo} and event_id < {hi}").map_batches(
+            derive_changes_batch, batch_format="pyarrow"
+        )
+
+    def xform(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.column_names.index("text"), "text", pc.utf8_upper(b["text"])
+        )
+
+    hi = _events(sf_dir, columns=["event_id"]).max("event_id")
+    b1, b2 = (hi + 1) // 3, (2 * (hi + 1)) // 3
+
+    with tempfile.TemporaryDirectory(prefix="cdcmig-") as d:
+        main = CDCLake(os.path.join(d, "lake"), num_partitions=16)
+        # P1: pre-migration production
+        main.apply_changes(phase(0, b1), quarantine=False)
+
+        # backfill the shadow branch: transform every live row, keep seqs
+        mig = main.create_branch("mig")
+
+        def backfill(b: pa.Table) -> pa.Table:
+            b = xform(b)
+            if "op" not in b.column_names:
+                b = b.append_column(
+                    "op", pa.array(["update"] * b.num_rows, pa.string())
+                )
+            return b
+
+        mig.apply_changes(
+            mig.final_dataset().map_batches(backfill, batch_format="pyarrow"),
+            quarantine=False, fence=False, rebuild=True, max_attempts=None,
+        )
+
+        # P2: production continues on main; the migration dual-applies the
+        # same changes, transformed, to the shadow (the binlog tail)
+        main.apply_changes(phase(b1, b2), quarantine=False)
+        mig.apply_changes(
+            phase(b1, b2).map_batches(xform, batch_format="pyarrow"),
+            quarantine=False,
+        )
+
+        lake_dir = main.lake_dir
+
+        def parity_audit(cand, _lake_dir) -> None:
+            cur_specs = _partition_specs(main.manifest)
+            cand_specs = _partition_specs(cand)
+            key = ["conv_id", "turn_idx"]
+
+            def check(batch: pa.Table) -> pa.Table:
+                rows = []
+                for pid in batch["pid"].to_pylist():
+                    a = _read_folded_df(lake_dir, cur_specs.get(pid))
+                    bdf = _read_folded_df(lake_dir, cand_specs.get(pid))
+                    if a is None and bdf is None:
+                        continue
+                    if a is None or bdf is None:
+                        rows.append({"pid": pid, "match": False})
+                        continue
+                    a = a.copy()
+                    a["text"] = a["text"].str.upper()
+                    cols = sorted(set(a.columns) | set(bdf.columns))
+                    a = (
+                        a.reindex(columns=cols)
+                        .sort_values(key, kind="stable")
+                        .reset_index(drop=True)
+                    )
+                    bdf = (
+                        bdf.reindex(columns=cols)
+                        .sort_values(key, kind="stable")
+                        .reset_index(drop=True)
+                    )
+                    rows.append({"pid": pid, "match": bool(a.equals(bdf))})
+                if not rows:
+                    return pa.table(
+                        {"pid": pa.array([], pa.int64()),
+                         "match": pa.array([], pa.bool_())}
+                    )
+                return pa.table(
+                    {"pid": pa.array([r["pid"] for r in rows], pa.int64()),
+                     "match": pa.array([r["match"] for r in rows], pa.bool_())}
+                )
+
+            pids = sorted(set(cur_specs) | set(cand_specs))
+            res = (
+                ray.data.from_items([{"pid": p} for p in pids])
+                .map_batches(check, batch_size=1, batch_format="pyarrow")
+                .to_pandas()
+            )
+            bad = res.loc[~res["match"], "pid"].tolist()
+            if bad:
+                raise ValueError(
+                    f"cutover parity audit failed for partitions {bad}"
+                )
+
+        main.cutover_to(mig, audit_fn=parity_audit)
+
+        # P3: post-cutover production — NEW writers emit transformed rows
+        main.apply_changes(
+            phase(b2, hi + 1).map_batches(xform, batch_format="pyarrow"),
+            quarantine=False,
+        )
+        return main.final_table()

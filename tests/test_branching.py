@@ -6,6 +6,7 @@ import os
 
 import pandas as pd
 import pyarrow as pa
+import pytest
 import ray.data
 
 from data_exchange_routing_ray.pipelines.cdc import CDCLake
@@ -413,3 +414,69 @@ def test_changefeed_image_cols_selects_envelope_columns(ray_session, tmp_path):
     r = feed2.iloc[0]
     assert (r["before_role"], r["after_role"]) == ("user", "assistant")
     assert (r["before_tool"], r["after_tool"]) == ("x", "y")
+
+
+def test_cutover_refuses_on_divergence(ray_session, tmp_path):
+    """Online-migration cutover is WAP-gated: if the shadow branch missed a
+    production change (the dual-apply lagged), the parity audit must abort
+    the cutover with NO visible effect; after the shadow catches up the
+    same cutover succeeds."""
+    import ray.data
+
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+    from data_exchange_routing_ray.schemas import CHANGE_SCHEMA
+
+    def changes(rows):
+        cols = {f.name: [] for f in CHANGE_SCHEMA}
+        for r in rows:
+            for f in CHANGE_SCHEMA:
+                cols[f.name].append(r.get(f.name))
+        return ray.data.from_arrow(
+            pa.table({k: pa.array(v, CHANGE_SCHEMA.field(k).type)
+                      for k, v in cols.items()})
+        )
+
+    def row(seq, conv, turn, text):
+        return {
+            "seq": seq, "op": "insert", "conv_id": conv, "turn_idx": turn,
+            "role": "user", "text": text, "tool": None,
+            "ts": 1_700_000_000_000_000 + seq,
+        }
+
+    main = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    main.apply_changes(changes([row(1, "conv-1", 0, "a")]), quarantine=False)
+    mig = main.create_branch("mig")
+
+    # production advances on main only — the shadow is now behind
+    main.apply_changes(changes([row(2, "conv-2", 0, "b")]), quarantine=False)
+
+    calls = {"n": 0}
+
+    def audit(cand, lake_dir):
+        calls["n"] += 1
+        # branch is missing conv-2: refuse
+        have = {
+            (r["conv_id"], r["turn_idx"])
+            for r in mig.final_table().to_pylist()
+        }
+        want = {
+            (r["conv_id"], r["turn_idx"])
+            for r in main.final_table().to_pylist()
+        }
+        if have != want:
+            raise ValueError("shadow branch diverged from production")
+
+    epoch_before = main.manifest.epoch
+    with pytest.raises(ValueError, match="diverged"):
+        main.cutover_to(mig, audit_fn=audit)
+    assert calls["n"] == 1
+    assert main.manifest.epoch == epoch_before, "aborted cutover must be invisible"
+    assert len(main.final_table()) == 2
+
+    # catch the shadow up (dual-apply the missed change), retry: succeeds
+    mig.apply_changes(changes([row(2, "conv-2", 0, "b")]), quarantine=False)
+    new_epoch = main.cutover_to(mig, audit_fn=audit)
+    assert new_epoch > epoch_before
+    assert len(main.final_table()) == 2
+    # the adopted head is the branch's state, served from main's manifest log
+    assert main.manifest.applied_offset == mig.manifest.applied_offset
