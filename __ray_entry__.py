@@ -128,7 +128,11 @@ _DRIVER_CERTIFIED_FIRST = [
     "cdc_route_expansion",
     "cdc_route_default_fallback",
     "cdc_route_credentials",
-    "cdc_unroutable_count",
+    # cdc_unroutable_count rotated below the fold in late round 3 (the
+    # anti-join-spill family stays certified via cdc_route_expansion /
+    # cdc_route_default_fallback / cdc_route_credentials) to certify the
+    # tombstone-GC engine mode.
+    "lake_tombstone_gc",
     "cdc_parse_urls",
     "cdc_partition_paths",
     "cdc_debatch",
@@ -140,7 +144,10 @@ _DRIVER_CERTIFIED_FIRST = [
     # to make room for the round-3 stateful-streaming and data-skipping
     # families in the driver-certified prefix.
     "stream_sessionize_watermark",
-    "split_by_category",
+    # split_by_category rotated below the fold in late round 3 (the A5
+    # stream-split family stays certified via distinct_event_types and the
+    # orchestrator gate) to certify the online-migration cutover.
+    "lake_online_migration",
     "lake_bloom_point_lookup",
     # asof_join_clicks_purchases rotated below the fold in late round 3
     # (the point-in-time join family stays certified via pit_feature_join)

@@ -128,6 +128,9 @@ HEADLINE = [
     "hybrid_rrf_fusion",
     "lake_deletion_vectors",
     "incr_join_view_maintenance",
+    # round-3 widening batch J: multi-leader maintenance + online migration
+    "lake_tombstone_gc",
+    "lake_online_migration",
 ]
 
 

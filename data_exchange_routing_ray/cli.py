@@ -11,10 +11,21 @@ ONLY library-side owner of a Ray session, and only when none exists (the
 driver/test harness owns it otherwise).
 
 Subcommands:
-  replay   tail a directory of seq-ordered change shards into the lake
-           (resumes from the committed watermark; crash-safe)
-  status   print the lake's manifest summary + lineage tail as JSON
-  vacuum   delete partition files unreferenced by the current manifest
+  replay       tail a directory of seq-ordered change shards into the lake
+               (resumes from the committed watermark; crash-safe)
+  tail         continuously poll a change-shard dir (long-running ingest)
+  status       print the lake's manifest summary + lineage tail as JSON
+  vacuum       delete partition files unreferenced by the current manifest
+  gc           compact multi-leader tombstones at/below the cross-site
+               watermark (persists the floor fence)
+  repartition  rewrite the lake into a new partition count (one epoch)
+  export       incremental export of partitions changed since an epoch
+  merge        MERGE INTO from a staging parquet
+  diff         changefeed envelopes between two epochs
+  card         dataset-card metrics
+  rollback     restore the table to an archived epoch
+  branch       zero-copy branch create/list/ff
+  compact      fold open delta files into fresh bases
 """
 
 from __future__ import annotations
@@ -140,6 +151,31 @@ def cmd_vacuum(args: argparse.Namespace) -> int:
 
     removed = CDCLake(args.lake).vacuum()
     print(json.dumps({"removed_files": removed}))
+    return 0
+
+
+def cmd_gc(args: argparse.Namespace) -> int:
+    """Compact multi-leader tombstones at/below the cross-site watermark
+    (min applied_offset over all replication sites) and persist that
+    watermark as the floor fence future epochs enforce."""
+    if not os.path.isdir(args.lake):
+        print(f"error: no lake at {args.lake}", file=sys.stderr)
+        return 2
+    _ensure_ray(args.num_cpus)
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake, gc_tombstones
+
+    lake = CDCLake(args.lake, multi_leader=True)
+    r = gc_tombstones(lake, args.watermark)
+    print(
+        json.dumps(
+            {
+                "epoch": r.epoch,
+                "gc_watermark": args.watermark,
+                "total_rows": r.total_rows,
+                "applied_offset": r.applied_offset,
+            }
+        )
+    )
     return 0
 
 
@@ -381,6 +417,18 @@ def main(argv: list[str] | None = None) -> int:
     vp = sub.add_parser("vacuum", help="remove unreferenced partition files")
     vp.add_argument("--lake", required=True)
     vp.set_defaults(fn=cmd_vacuum)
+
+    gp = sub.add_parser(
+        "gc",
+        help="compact multi-leader tombstones at/below the cross-site watermark",
+    )
+    gp.add_argument("--lake", required=True)
+    gp.add_argument(
+        "--watermark", type=int, required=True,
+        help="min applied_offset across all replication sites",
+    )
+    gp.add_argument("--num-cpus", type=int, default=None)
+    gp.set_defaults(fn=cmd_gc)
 
     rpp = sub.add_parser("repartition", help="rewrite the lake into a new partition count")
     rpp.add_argument("--lake", required=True)

@@ -233,3 +233,38 @@ def test_cli_diff(ray_session, tmp_path):
     common = old.index.intersection(new.index)
     n_upd = int((old.loc[common] != new.loc[common]).sum())
     assert len(lines) == n_ins + n_del + n_upd
+
+
+def test_cli_gc(ray_session, tmp_path):
+    """gc subcommand: compacts multi-leader tombstones at/below the given
+    cross-site watermark and persists it as the manifest floor fence."""
+    import pyarrow as pa
+    import ray.data
+
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+    from data_exchange_routing_ray.schemas import CHANGE_SCHEMA
+
+    rows = [
+        {"seq": 1, "op": "insert", "conv_id": "conv-1", "turn_idx": 0,
+         "role": "user", "text": "a", "tool": None, "ts": 1_000_000},
+        {"seq": 2, "op": "delete", "conv_id": "conv-2", "turn_idx": 0,
+         "role": "user", "text": None, "tool": None, "ts": 2_000_000},
+    ]
+    cols = {
+        f.name: pa.array([r[f.name] for r in rows], f.type)
+        for f in CHANGE_SCHEMA
+    }
+    lake_dir = str(tmp_path / "ml")
+    lake = CDCLake(lake_dir, num_partitions=4, multi_leader=True)
+    lake.apply_changes(ray.data.from_arrow(pa.table(cols)), quarantine=False)
+
+    out = _run("gc", "--lake", lake_dir, "--watermark", "2", "--num-cpus", "4")
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["gc_watermark"] == 2 and res["total_rows"] == 1
+
+    reopened = CDCLake(lake_dir, multi_leader=True)
+    assert reopened.manifest.gc_watermark == 2
+
+    # watermark ahead of the site's own applied offset must fail loudly
+    bad = _run("gc", "--lake", lake_dir, "--watermark", "999", check=False)
+    assert bad.returncode != 0
