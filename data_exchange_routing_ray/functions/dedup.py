@@ -81,6 +81,21 @@ def _cache_put(key, val, max_entries: int = 4) -> None:
     _BROADCAST_CACHE[key] = val
 
 
+def _pack_rows(M: np.ndarray) -> pa.Array:
+    """(n, k) numpy matrix → pa.binary() array of one fixed-width value per
+    row, built from the contiguous buffer with vectorized offsets — no
+    per-row ``tobytes()`` Python loop. Inverse of ``_sig_matrix``."""
+    n = len(M)
+    width = M.shape[1] * M.itemsize
+    if n * width >= (1 << 31):  # int32 offsets — callers are per-batch
+        return pa.array([M[i].tobytes() for i in range(n)], pa.binary())
+    data = np.ascontiguousarray(M).view(np.uint8).reshape(-1)
+    offs = np.arange(0, (n + 1) * width, width, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(offs), pa.py_buffer(data)]
+    )
+
+
 def _mix_to_bucket(cols: list[np.ndarray], num_buckets: int) -> np.ndarray:
     acc = np.zeros(len(cols[0]), dtype=np.uint64)
     for c in cols:
@@ -410,10 +425,7 @@ def make_minhash_band_stage(
             id_col: pa.array(doc_rep),
         }
         if with_sig:
-            sig_bytes = [sig[i].tobytes() for i in range(n)]
-            cols["sig"] = pa.array(
-                [sig_bytes[i] for i in range(n) for _ in range(bands)], pa.binary()
-            )
+            cols["sig"] = _pack_rows(np.repeat(sig, bands, axis=0))
         return pa.table(cols)
 
     return stage
@@ -434,7 +446,7 @@ def make_signature_stage(
         return pa.table(
             {
                 id_col: batch[id_col],
-                "sig": pa.array([sig[i].tobytes() for i in range(len(texts))], pa.binary()),
+                "sig": _pack_rows(sig),
             }
         )
 
@@ -1112,7 +1124,7 @@ def lsh_neardup_pairs(
         return pa.table(
             {
                 id_col: b[id_col].cast(pa.int64()),
-                "vec": pa.array([M[i].tobytes() for i in range(len(M))], pa.binary()),
+                "vec": _pack_rows(M),
             }
         )
 

@@ -320,3 +320,29 @@ def test_phash_invariances_and_error_isolation():
     errs = out2["error"].to_pylist()
     assert errs[0] is not None and all(e is None for e in errs[1:])
     assert out2["phash"].to_pylist()[1:] == h[1:]
+
+
+def test_pack_rows_matches_per_row_tobytes():
+    """_pack_rows (vectorized offsets over the contiguous buffer) must be
+    byte-identical to the per-row tobytes() loop it replaced, and round-trip
+    through _sig_matrix, for both signature (uint64) and embedding (float64)
+    layouts — including non-contiguous input."""
+    import numpy as np
+    import pyarrow as pa
+
+    from data_exchange_routing_ray.functions.dedup import _pack_rows, _sig_matrix
+
+    rng = np.random.default_rng(7)
+    cases = [
+        rng.integers(0, 1 << 60, (137, 64)).astype(np.uint64),
+        rng.standard_normal((211, 64)),
+        rng.standard_normal((50, 128))[:, ::2],  # non-contiguous view
+        np.empty((0, 64), np.float64),
+    ]
+    for M in cases:
+        arr = _pack_rows(M)
+        ref = pa.array([M[i].tobytes() for i in range(len(M))], pa.binary())
+        assert arr.equals(ref)
+        if len(M):
+            back = _sig_matrix(pa.chunked_array([arr]), M.shape[1], M.dtype)
+            assert (back == M).all()
