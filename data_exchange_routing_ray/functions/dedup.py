@@ -1120,7 +1120,9 @@ def lsh_neardup_pairs(
     # embeddings packed to fixed-width float64 bytes: one materialized pass
     # feeds both banding and verification (the minhash single-scan lesson)
     def pack(b: pa.Table) -> pa.Table:
-        M = np.stack(b[vec_col].to_pandas().to_numpy()).astype(np.float64)
+        from data_exchange_routing_ray.functions.similarity import list_col_matrix
+
+        M = list_col_matrix(b[vec_col])
         return pa.table(
             {
                 id_col: b[id_col].cast(pa.int64()),

@@ -28,6 +28,28 @@ def _normalize(M: np.ndarray) -> np.ndarray:
     return M / norms[:, None]
 
 
+def list_col_matrix(col, dtype=np.float64) -> np.ndarray:
+    """Arrow ``list<number>`` column → ``(n, dim)`` numpy matrix through the
+    flattened values buffer — no per-row Python objects (``np.stack`` over
+    ``to_pandas()``/``to_pylist()`` walks one object per row; this is the
+    per-batch hot path of every embedding stage). Requires uniform list
+    lengths and no nulls; raises on ragged input rather than misaligning."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype)
+    if col.null_count:
+        raise ValueError("list_col_matrix: null rows in embedding column")
+    offs = col.offsets.to_numpy()
+    widths = np.diff(offs)
+    dim = int(widths[0])
+    if not (widths == dim).all():
+        raise ValueError("list_col_matrix: ragged list lengths")
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(n, dim).astype(dtype, copy=False)
+
+
 def topk_cosine(
     ds: ray.data.Dataset,
     query: np.ndarray,
@@ -239,9 +261,7 @@ def distributed_kmeans(
 
         def partial(batch: pa.Table) -> pa.Table:
             Cv = ray.get(c_ref)
-            M = _normalize(
-                np.stack(batch[vec_col].to_pandas().to_numpy()).astype(np.float64)
-            )
+            M = _normalize(list_col_matrix(batch[vec_col]))
             assign = np.argmax(M @ Cv.T, axis=1)
             sums = np.zeros((kk, dim), dtype=np.float64)
             np.add.at(sums, assign, M)
@@ -285,9 +305,7 @@ def kmeans_cluster_stats(
 
     def partial(batch: pa.Table) -> pa.Table:
         Cv = ray.get(c_ref)
-        M = _normalize(
-            np.stack(batch[vec_col].to_pandas().to_numpy()).astype(np.float64)
-        )
+        M = _normalize(list_col_matrix(batch[vec_col]))
         S = M @ Cv.T
         assign = np.argmax(S, axis=1)
         best = S[np.arange(len(M)), assign]

@@ -670,10 +670,12 @@ def emb_kcenter_coreset(sf_dir: str, k: int = 8) -> pa.Table:
         cref = _ray.put(np.stack(centers))
 
         def far_partial(b: pa.Table) -> pa.Table:
-            C = _ray.get(cref)
-            M = np.stack(b["embedding"].to_pandas().to_numpy()).astype(
-                np.float64
+            from data_exchange_routing_ray.functions.similarity import (
+                list_col_matrix,
             )
+
+            C = _ray.get(cref)
+            M = list_col_matrix(b["embedding"])
             # unit vectors: squared L2 = 2 - 2·cos; min over centers
             d = (2.0 - 2.0 * (M @ C.T)).min(axis=1)
             ids = b["vec_id"].to_numpy()
@@ -7449,8 +7451,10 @@ def label_centroids(sf_dir: str) -> pa.Table:
     sum_tick / n_vecs). Zero shuffle of vectors."""
 
     def partial(b: pa.Table) -> pa.Table:
-        vecs = np.stack(b["embedding"].to_numpy(zero_copy_only=False))
-        ticks = np.floor(vecs.astype(np.float64) * 10000.0).astype(np.int64)
+        from data_exchange_routing_ray.functions.similarity import list_col_matrix
+
+        vecs = list_col_matrix(b["embedding"])
+        ticks = np.floor(vecs * 10000.0).astype(np.int64)
         labels = b["label"].to_numpy().astype(np.int64)
         order = np.argsort(labels, kind="stable")
         lab_sorted = labels[order]
@@ -12069,7 +12073,9 @@ def ann_quantized_topk(sf_dir: str, k: int = 10, min_recall: float = 0.8) -> pa.
     ds = _embeddings(sf_dir, min_blocks=8)
 
     def minmax(b: pa.Table) -> pa.Table:
-        M = np.stack(b["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        from data_exchange_routing_ray.functions.similarity import list_col_matrix
+
+        M = list_col_matrix(b["embedding"])
         return pa.table(
             {
                 "kind": pa.array(["min", "max"]),
@@ -12084,13 +12090,16 @@ def ann_quantized_topk(sf_dir: str, k: int = 10, min_recall: float = 0.8) -> pa.
     pref = _ray.put((lo, scale))
 
     def quantize(b: pa.Table) -> pa.Table:
+        from data_exchange_routing_ray.functions.dedup import _pack_rows
+        from data_exchange_routing_ray.functions.similarity import list_col_matrix
+
         lo_, sc_ = _ray.get(pref)
-        M = np.stack(b["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        M = list_col_matrix(b["embedding"])
         Q = np.clip(np.round((M - lo_) / sc_), 0, 255).astype(np.uint8)
         return pa.table(
             {
                 "vec_id": b["vec_id"].cast(pa.int64()),
-                "qvec": pa.array([Q[i].tobytes() for i in range(len(Q))], pa.binary()),
+                "qvec": _pack_rows(Q),
             }
         )
 

@@ -390,10 +390,9 @@ def hybrid_rrf_fusion(
     ).astype(np.int64)
 
     def dense_partial(b: pa.Table) -> pa.Table:
-        emb = b["embedding"]
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
-        x = np.stack([np.asarray(v, np.float64) for v in emb.to_pylist()])
+        from data_exchange_routing_ray.functions.similarity import list_col_matrix
+
+        x = list_col_matrix(b["embedding"])
         v8 = round_half_away(x * 127.0, 0).astype(np.int64)
         s = v8 @ q8
         df = pd.DataFrame({"doc_id": b["vec_id"].to_numpy(), "s": s})
@@ -1269,18 +1268,18 @@ def semantic_dedup_clusters(
 
     def assign(b: pa.Table) -> pa.Table:
         C = ray.get(c_ref)
-        emb = b["embedding"]
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
-        M = _normalize(
-            np.stack([np.asarray(v, np.float64) for v in emb.to_pylist()])
+        from data_exchange_routing_ray.functions.similarity import (
+            _normalize,
+            list_col_matrix,
         )
+
+        M = _normalize(list_col_matrix(b["embedding"]))
         cl = np.argmax(M @ C.T, axis=1).astype(np.int64)
         return pa.table(
             {
                 "vec_id": b["vec_id"],
                 "cluster": pa.array(cl),
-                "embedding": emb,
+                "embedding": b["embedding"],
             }
         )
 

@@ -346,3 +346,31 @@ def test_pack_rows_matches_per_row_tobytes():
         if len(M):
             back = _sig_matrix(pa.chunked_array([arr]), M.shape[1], M.dtype)
             assert (back == M).all()
+
+
+def test_list_col_matrix_matches_np_stack():
+    """list_col_matrix (flatten + reshape over the Arrow values buffer) must
+    equal the np.stack-over-objects path it replaced, handle chunked and
+    sliced input, and refuse ragged/null columns."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from data_exchange_routing_ray.functions.similarity import list_col_matrix
+
+    rng = np.random.default_rng(11)
+    M = rng.standard_normal((23, 16)).astype(np.float32)
+    col = pa.array(list(M), pa.list_(pa.float32()))
+    out = list_col_matrix(col)
+    assert out.dtype == np.float64
+    assert np.array_equal(out, np.stack([np.asarray(v, np.float64) for v in col.to_pylist()]))
+
+    chunked = pa.chunked_array([col[:7], col[7:]])
+    assert np.array_equal(list_col_matrix(chunked), out)
+    assert np.array_equal(list_col_matrix(col.slice(5, 9)), out[5:14])
+    assert list_col_matrix(pa.array([], pa.list_(pa.float32()))).shape == (0, 0)
+
+    with pytest.raises(ValueError):
+        list_col_matrix(pa.array([[1.0, 2.0], [3.0]], pa.list_(pa.float64())))
+    with pytest.raises(ValueError):
+        list_col_matrix(pa.array([[1.0, 2.0], None], pa.list_(pa.float64())))
