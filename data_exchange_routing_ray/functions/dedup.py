@@ -657,12 +657,7 @@ def minhash_candidate_pairs(
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         n = len(ids)
         if n:
-            sig = np.stack(
-                [
-                    np.frombuffer(s, dtype=np.uint64)
-                    for s in batch["sig"].to_numpy(zero_copy_only=False)
-                ]
-            )
+            sig = _sig_matrix(batch["sig"], num_perm, np.uint64)
         else:
             sig = np.empty((0, num_perm), dtype=np.uint64)
         keys = _band_keys(sig, bands)
@@ -1063,9 +1058,11 @@ def embedding_neardup_pairs_blocked(
     """Cosine near-dup pairs within blocking groups (exact within block —
     SQL-verifiable). For unblocked scale use `lsh_neardup_pairs`."""
 
-    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy()
-        M = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+    def block_pairs(g: pa.Table) -> pa.Table:
+        from data_exchange_routing_ray.functions.similarity import list_col_matrix
+
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        M = list_col_matrix(g[vec_col])
         norms = np.linalg.norm(M, axis=1)
         norms[norms == 0] = 1.0
         # dot / (|a||b|) — matches SQL list_cosine_similarity bit-for-bit
@@ -1076,15 +1073,15 @@ def embedding_neardup_pairs_blocked(
         # canonical id order (id_a < id_b)
         a, b = ids[ia][keep], ids[ib][keep]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "id_a": lo.astype(np.int64),
-                "id_b": hi.astype(np.int64),
-                "cosine": np.round(s[keep], 6),
+                "id_a": pa.array(lo.astype(np.int64)),
+                "id_b": pa.array(hi.astype(np.int64)),
+                "cosine": pa.array(np.round(s[keep], 6), pa.float64()),
             }
         )
 
-    return ds.groupby(block_col).map_groups(block_pairs, batch_format="pandas")
+    return ds.groupby(block_col).map_groups(block_pairs, batch_format="pyarrow")
 
 
 def lsh_neardup_pairs(
