@@ -1108,13 +1108,10 @@ def ann_maxsim_topk(sf_dir: str, k: int = 10, vecs_per_doc: int = 8) -> pa.Table
     q8 = round_half_away(qmat * 127.0, 0).astype(np.int64)  # (4, 64)
 
     def partial(b: pa.Table) -> pa.Table:
+        from data_exchange_routing_ray.functions.similarity import list_col_matrix
+
         vid = b["vec_id"].to_numpy()
-        emb = b["embedding"]
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
-        x = np.stack(
-            [np.asarray(v, np.float64) for v in emb.to_pylist()]
-        )
+        x = list_col_matrix(b["embedding"])
         v8 = round_half_away(x * 127.0, 0).astype(np.int64)
         dots = v8 @ q8.T  # (n, 4) exact int64
         doc = (vid // vecs_per_doc).astype(np.int64)
