@@ -711,7 +711,8 @@ class CDCLake:
 
         prepared = changes.map_batches(
             lambda b: prepare_batch(
-                b, P, keep_quarantine=quarantine, poison_error=poison_error
+                b, P, keep_quarantine=quarantine, poison_error=poison_error,
+                content_tiebreak=self.multi_leader,
             ),
             batch_format="pyarrow",
             batch_size=self.combine_batch_size,
@@ -746,12 +747,16 @@ class CDCLake:
                 # event storm is LWW-collapsed across S parallel groups before
                 # the final per-partition merge (associative reduce, §4)
                 S = self.num_salts
+                _ml = self.multi_leader
                 prepared = (
                     prepared.map_batches(
                         lambda b: add_salt_column(b, S), batch_format="pyarrow"
                     )
                     .groupby([PART_COLUMN, SALT_COLUMN])
-                    .map_groups(partial_reduce_group, batch_format="pyarrow")
+                    .map_groups(
+                        lambda g: partial_reduce_group(g, content_tiebreak=_ml),
+                        batch_format="pyarrow",
+                    )
                 )
             stats_ds = prepared.groupby(PART_COLUMN).map_groups(
                 merge_fn, batch_format="pyarrow"

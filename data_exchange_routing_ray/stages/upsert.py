@@ -84,14 +84,16 @@ def add_salt_column(batch: pa.Table, num_salts: int) -> pa.Table:
     return batch.append_column(SALT_COLUMN, pa.array(salt, pa.int32()))
 
 
-def partial_reduce_group(group: pa.Table) -> pa.Table:
+def partial_reduce_group(
+    group: pa.Table, content_tiebreak: bool = False
+) -> pa.Table:
     """Per-(part, salt) combiner stage: LWW-reduce before the final merge.
     Quarantine groups pass through untouched."""
     if group.num_rows == 0:
         return group
     if int(group[PART_COLUMN][0].as_py()) == QUARANTINE_PARTITION:
         return group
-    idx = _last_per_key_indices(group)
+    idx = _last_per_key_indices(group, content_tiebreak)
     if len(idx) == group.num_rows:
         return group
     return group.take(pa.array(idx))
@@ -102,6 +104,7 @@ def prepare_batch(
     num_partitions: int,
     keep_quarantine: bool = True,
     poison_error: str | None = None,
+    content_tiebreak: bool = False,
 ) -> pa.Table:
     """The fused hot-path stage: validate → partition → within-batch combine.
 
@@ -160,7 +163,8 @@ def prepare_batch(
         turn = _np_int64(valid["turn_idx"].to_numpy(zero_copy_only=False), -1)
         key = _pack_keys(codes, turn)
         seq = _np_int64(valid["seq"].to_numpy(zero_copy_only=False), -(2**62))
-        idx = _winners_from_keys(key, seq)
+        tb = _content_digest(valid) if content_tiebreak else None
+        idx = _winners_from_keys(key, seq, tb)
         if PART_COLUMN in valid.column_names:
             valid = valid.drop_columns([PART_COLUMN])
         valid = valid.append_column(PART_COLUMN, pa.array(pid, pa.int32()))
@@ -225,32 +229,85 @@ def _pack_keys(codes: np.ndarray, turn: np.ndarray) -> np.ndarray:
     return (codes << np.int64(32)) | turn
 
 
-def _winners_from_keys(key: np.ndarray, seq: np.ndarray) -> np.ndarray:
-    """Indices of the winning (max-seq, first-delivery) row per key."""
-    order = np.lexsort((seq, key))  # by key, then seq; stable → delivery order
-    k, s = key[order], seq[order]
-    # duplicate redelivery: same (key, seq) re-emitted → keep first delivery
-    keep = np.r_[True, (k[1:] != k[:-1]) | (s[1:] != s[:-1])]
-    o2, k2 = order[keep], k[keep]
-    # winner per key = last (max-seq) row of each key run
+def _winners_from_keys(
+    key: np.ndarray, seq: np.ndarray, tiebreak: np.ndarray | None = None
+) -> np.ndarray:
+    """Indices of the winning row per key: max seq, then (multi-leader
+    mode) max content-digest ``tiebreak``, then first delivery.
+
+    Without ``tiebreak`` (single-leader), a duplicate (key, seq) can only
+    be a redelivery of the same event, so first-delivery suffices. WITH
+    ``tiebreak``, two sites that (illegally or via a producer bug) assign
+    the same seq to CONFLICTING writes still converge: every site picks
+    the same winner because the arbiter is a function of the row content,
+    not of arrival order (Cassandra's value comparison on timestamp tie)."""
+    if tiebreak is None:
+        order = np.lexsort((seq, key))  # by key, then seq; stable → delivery
+        k, s = key[order], seq[order]
+        # duplicate redelivery: same (key, seq) re-emitted → keep first
+        keep = np.r_[True, (k[1:] != k[:-1]) | (s[1:] != s[:-1])]
+        o2, k2 = order[keep], k[keep]
+    else:
+        order = np.lexsort((tiebreak, seq, key))
+        k, s, t = key[order], seq[order], tiebreak[order]
+        keep = np.r_[
+            True,
+            (k[1:] != k[:-1]) | (s[1:] != s[:-1]) | (t[1:] != t[:-1]),
+        ]
+        o2, k2 = order[keep], k[keep]
+    # winner per key = last (max-sort-order) row of each key run
     last = np.nonzero(np.r_[k2[1:] != k2[:-1], True])[0]
     return np.sort(o2[last])
 
 
-def _last_per_key_indices(table: pa.Table) -> np.ndarray:
-    """Row indices of the winning (max-seq, first-delivery) event per
-    (conv_id, turn_idx) key — pure numpy over batch-local dictionary codes
-    (no per-row Python objects; this is the combiner's hot loop)."""
+#: payload columns the multi-leader seq-tie arbiter hashes, in fixed order
+_DIGEST_COLUMNS = ("op", "role", "text", "tool")
+
+
+def _content_digest(table: pa.Table) -> np.ndarray:
+    """Deterministic per-row uint64 digest of the payload columns — the
+    LWW seq-tie arbiter for multi-leader merges. Defined over column
+    CONTENT only (never arrival order or storage layout), so every site
+    computes the same digest for the same logical write."""
+    from data_exchange_routing_ray.hashing import stable_hash_strings
+
+    n = table.num_rows
+    acc = np.zeros(n, dtype=np.uint64)
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    for col in _DIGEST_COLUMNS:
+        if col in table.column_names:
+            h = stable_hash_strings(table[col])
+        else:
+            h = np.zeros(n, dtype=np.uint64)
+        acc = (acc ^ h) * mult
+    if "ts" in table.column_names:
+        ts = table["ts"].to_numpy(zero_copy_only=False)
+        if np.issubdtype(ts.dtype, np.datetime64):
+            tsv = ts.astype("datetime64[us]").astype(np.int64)
+        else:
+            tsv = _np_int64(ts, -(2**62))
+        acc = (acc ^ tsv.view(np.uint64)) * mult
+    return acc
+
+
+def _last_per_key_indices(
+    table: pa.Table, content_tiebreak: bool = False
+) -> np.ndarray:
+    """Row indices of the winning event per (conv_id, turn_idx) key — pure
+    numpy over batch-local dictionary codes (no per-row Python objects;
+    this is the combiner's hot loop). ``content_tiebreak`` adds the
+    multi-leader digest arbiter for seq ties."""
     key = _key_codes(table)
     seq = _np_int64(table["seq"].to_numpy(zero_copy_only=False), -(2**62))
-    return _winners_from_keys(key, seq)
+    tb = _content_digest(table) if content_tiebreak else None
+    return _winners_from_keys(key, seq, tb)
 
 
-def combine_batch(batch: pa.Table) -> pa.Table:
+def combine_batch(batch: pa.Table, content_tiebreak: bool = False) -> pa.Table:
     """Within-batch partial reduce: last event per key, dup seqs dropped."""
     if batch.num_rows == 0:
         return batch
-    idx = _last_per_key_indices(batch)
+    idx = _last_per_key_indices(batch, content_tiebreak)
     if len(idx) == batch.num_rows:
         return batch
     return batch.take(pa.array(idx))
@@ -327,6 +384,12 @@ def merge_tables(
     rows (op='delete' kept in the stored table) — without tombstones a
     stale insert arriving after a newer delete would resurrect the key
     (the classic multi-leader pitfall). Readers filter tombstones.
+
+    Seq TIES (two sites stamping the same seq on conflicting writes —
+    a producer-contract violation the engine still must not diverge on)
+    are arbitrated by a deterministic content digest (``_content_digest``;
+    Cassandra's value comparison on timestamp tie): max digest wins, equal
+    digest means the same write redelivered and is a no-op.
     """
     n_in = changes.num_rows
     # fence stale / replayed seqs (exactly-once no-op on redelivery)
@@ -334,7 +397,7 @@ def merge_tables(
     n_fenced = n_in - changes.num_rows
 
     if changes.num_rows:
-        idx = _last_per_key_indices(changes)
+        idx = _last_per_key_indices(changes, content_tiebreak=out_of_order)
         changes = changes.take(pa.array(idx))
 
     applied_offset = (
@@ -363,6 +426,15 @@ def merge_tables(
             cseq = changes["seq"].to_numpy()[order][pos_cl]
             bseq = base["seq"].to_numpy()
             base_wins = matched & (bseq > cseq)
+            tied = matched & (bseq == cseq)
+            if tied.any():
+                # seq collision (two sites stamped the same seq): arbitrate
+                # by content digest so every site picks the same winner
+                # regardless of WAL arrival order. Equal digest = the same
+                # write redelivered — keeping the base row is a no-op.
+                bdig = _content_digest(base)
+                cdig = _content_digest(changes)[order][pos_cl]
+                base_wins = base_wins | (tied & (bdig >= cdig))
             keep_base = ~matched | base_wins
             if not keep_base.all():
                 base = base.filter(pa.array(keep_base))

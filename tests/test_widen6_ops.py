@@ -361,6 +361,71 @@ def test_multi_leader_out_of_order_lww_and_tombstones(ray_session, tmp_path):
     assert state[("conv-c", 2)] == "c2", "fresh update must win"
 
 
+def test_multi_leader_seq_collision_converges(ray_session, tmp_path):
+    """Seq-tie determinism: two sites that stamp the SAME seq on
+    conflicting writes (producer-contract violation) must still converge
+    — the winner is arbitrated by content digest, not by WAL arrival
+    order. Covers all three tie surfaces: base-vs-change (across epochs),
+    within one batch (combiner), and identical-content redelivery."""
+    import ray.data
+
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+    from data_exchange_routing_ray.schemas import CHANGE_SCHEMA
+
+    def changes(rows):
+        cols = {f.name: [] for f in CHANGE_SCHEMA}
+        for r in rows:
+            for f in CHANGE_SCHEMA:
+                cols[f.name].append(r.get(f.name))
+        return ray.data.from_arrow(
+            pa.table({k: pa.array(v, CHANGE_SCHEMA.field(k).type)
+                      for k, v in cols.items()})
+        )
+
+    def row(seq, op, conv, turn, text=None, ts_off=0):
+        return {
+            "seq": seq, "op": op, "conv_id": conv,
+            "turn_idx": turn, "role": "user", "text": text,
+            "tool": None, "ts": 1_700_000_000_000_000 + seq + ts_off,
+        }
+
+    # conflicting writes with identical seq AND identical ts from two sites
+    wal_a = [row(10, "insert", "conv-x", 0, "from-site-A")]
+    wal_b = [row(10, "insert", "conv-x", 0, "from-site-B")]
+
+    # cross-epoch tie: apply in opposite orders on two lakes
+    lake1 = CDCLake(str(tmp_path / "l1"), num_partitions=4, multi_leader=True)
+    lake1.apply_changes(changes(wal_a), quarantine=False)
+    lake1.apply_changes(changes(wal_b), quarantine=False, fence=False)
+    lake2 = CDCLake(str(tmp_path / "l2"), num_partitions=4, multi_leader=True)
+    lake2.apply_changes(changes(wal_b), quarantine=False)
+    lake2.apply_changes(changes(wal_a), quarantine=False, fence=False)
+    t1 = lake1.final_table().to_pandas()
+    t2 = lake2.final_table().to_pandas()
+    assert t1.equals(t2), "sites must converge on seq collision"
+    winner_across = t1["text"].iloc[0]
+
+    # within-batch tie (combiner path): both rows in ONE epoch, both orders
+    lake3 = CDCLake(str(tmp_path / "l3"), num_partitions=4, multi_leader=True)
+    lake3.apply_changes(changes(wal_a + wal_b), quarantine=False)
+    lake4 = CDCLake(str(tmp_path / "l4"), num_partitions=4, multi_leader=True)
+    lake4.apply_changes(changes(wal_b + wal_a), quarantine=False)
+    t3 = lake3.final_table().to_pandas()
+    t4 = lake4.final_table().to_pandas()
+    assert t3.equals(t4), "combiner must pick an order-independent winner"
+    assert t3["text"].iloc[0] == winner_across, (
+        "combiner and cross-epoch arbitration must agree"
+    )
+
+    # identical-content redelivery on the same seq stays a no-op
+    lake5 = CDCLake(str(tmp_path / "l5"), num_partitions=4, multi_leader=True)
+    lake5.apply_changes(changes(wal_a), quarantine=False)
+    r = lake5.apply_changes(changes(list(wal_a)), quarantine=False, fence=False)
+    t5 = lake5.final_table().to_pandas()
+    assert len(t5) == 1 and t5["text"].iloc[0] == "from-site-A"
+    assert r.total_rows == 1
+
+
 def test_tombstone_gc_safety(ray_session, tmp_path):
     """Tombstone GC (the Cassandra gc_grace problem with offsets): after
     compacting tombstones at/below the cross-site watermark, a stale insert
