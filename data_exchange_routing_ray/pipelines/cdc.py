@@ -69,7 +69,13 @@ def _read_folded_df(
     lake_dir: str, spec: tuple[str, list[str]] | None
 ) -> pd.DataFrame | None:
     """Read one partition's merge-on-read view (base + folded delta stack)
-    as pandas; None when the partition does not exist on this side."""
+    as pandas; None when the partition does not exist on this side.
+
+    Multi-leader lakes store deletes as TOMBSTONE rows (op='delete' kept
+    in the table); those are storage, not state — filter them here so
+    diff consumers (changefeed_between, rebase_from) see a deleted key as
+    ABSENT (a 'delete' envelope) rather than as a live row whose 'op'
+    payload changed."""
     if spec is None:
         return None
     base_rel, delta_rels = spec
@@ -83,6 +89,10 @@ def _read_folded_df(
             base,
             [pq.read_table(os.path.join(lake_dir, r)) for r in delta_rels],
         )
+    if base is not None and "op" in base.column_names:
+        base = base.filter(
+            pc.not_equal(pc.fill_null(base["op"], ""), pa.scalar("delete"))
+        ).drop_columns(["op"])
     return base.to_pandas() if base is not None else None
 
 

@@ -511,3 +511,50 @@ def test_tombstone_gc_safety(ray_session, tmp_path):
     # watermark above the site's own applied offset is a contract violation
     with pytest.raises(ValueError):
         gc_tombstones(lake2, lake2.manifest.applied_offset + 1)
+
+
+def test_multi_leader_changefeed_tombstones_as_deletes(ray_session, tmp_path):
+    """Changefeed over a multi-leader lake: a tombstoned key must surface
+    as a 'delete' envelope (the row is ABSENT from the new side), never as
+    an 'update' whose stored 'op' payload column flipped — tombstones are
+    storage, not state, on every read surface including the diff."""
+    import ray.data
+
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+    from data_exchange_routing_ray.schemas import CHANGE_SCHEMA
+
+    def changes(rows):
+        cols = {f.name: [] for f in CHANGE_SCHEMA}
+        for r in rows:
+            for f in CHANGE_SCHEMA:
+                cols[f.name].append(r.get(f.name))
+        return ray.data.from_arrow(
+            pa.table({k: pa.array(v, CHANGE_SCHEMA.field(k).type)
+                      for k, v in cols.items()})
+        )
+
+    def row(seq, op, conv, turn, text=None):
+        return {
+            "seq": seq, "op": op, "conv_id": conv,
+            "turn_idx": turn, "role": "user", "text": text,
+            "tool": None, "ts": 1_700_000_000_000_000 + seq,
+        }
+
+    lake = CDCLake(str(tmp_path / "ml"), num_partitions=4, multi_leader=True)
+    r1 = lake.apply_changes(
+        changes([row(1, "insert", "conv-a", 0, "a"),
+                 row(2, "insert", "conv-b", 0, "b")]),
+        quarantine=False,
+    )
+    r2 = lake.apply_changes(
+        changes([row(3, "delete", "conv-a", 0),
+                 row(4, "update", "conv-b", 0, "b2")]),
+        quarantine=False,
+    )
+    feed = lake.changefeed_between(r1.epoch, r2.epoch).to_pandas()
+    by_key = {
+        (r["conv_id"], r["turn_idx"]): r["op"] for _, r in feed.iterrows()
+    }
+    assert by_key == {("conv-a", 0): "delete", ("conv-b", 0): "update"}
+    upd = feed[feed["op"] == "update"].iloc[0]
+    assert upd["before_text"] == "b" and upd["after_text"] == "b2"
