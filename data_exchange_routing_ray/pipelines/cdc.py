@@ -1223,8 +1223,18 @@ class CDCLake:
         partition count as one epoch (manifest swap is the atomic commit;
         old files become vacuumable). Needed when key cardinality outgrows
         the original P. Rows re-enter as inserts carrying their seq, so
-        LWW state is preserved exactly."""
-        current = self.final_dataset()  # includes seq column
+        LWW state is preserved exactly.
+
+        Multi-leader lakes repartition the raw STORAGE, not the live view:
+        tombstones re-enter as op='delete' rows (with their seqs) so they
+        survive the rewrite — dropping them would let a stale cross-site
+        insert below a dropped tombstone's seq resurrect the key, with no
+        gc_watermark floor to catch it (that floor only rises via
+        ``gc_tombstones``)."""
+        if self.multi_leader:
+            current = self.final_dataset_raw()  # op + seq: tombstones ride
+        else:
+            current = self.final_dataset()  # includes seq column
         old_p = self.num_partitions
         self.num_partitions = new_num_partitions
         if self._pool is not None:

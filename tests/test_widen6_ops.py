@@ -558,3 +558,54 @@ def test_multi_leader_changefeed_tombstones_as_deletes(ray_session, tmp_path):
     assert by_key == {("conv-a", 0): "delete", ("conv-b", 0): "update"}
     upd = feed[feed["op"] == "update"].iloc[0]
     assert upd["before_text"] == "b" and upd["after_text"] == "b2"
+
+
+def test_multi_leader_repartition_preserves_tombstones(ray_session, tmp_path):
+    """Repartitioning a multi-leader lake must carry tombstones through the
+    rewrite: a stale cross-site insert arriving AFTER the repartition (below
+    the dropped delete's seq, fence down) must still be rejected by the
+    tombstone — there is no gc_watermark floor to catch it."""
+    import ray.data
+
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+    from data_exchange_routing_ray.schemas import CHANGE_SCHEMA
+
+    def changes(rows):
+        cols = {f.name: [] for f in CHANGE_SCHEMA}
+        for r in rows:
+            for f in CHANGE_SCHEMA:
+                cols[f.name].append(r.get(f.name))
+        return ray.data.from_arrow(
+            pa.table({k: pa.array(v, CHANGE_SCHEMA.field(k).type)
+                      for k, v in cols.items()})
+        )
+
+    def row(seq, op, conv, turn, text=None):
+        return {
+            "seq": seq, "op": op, "conv_id": conv,
+            "turn_idx": turn, "role": "user", "text": text,
+            "tool": None, "ts": 1_700_000_000_000_000 + seq,
+        }
+
+    lake = CDCLake(str(tmp_path / "ml"), num_partitions=4, multi_leader=True)
+    lake.apply_changes(
+        changes([row(1, "insert", "conv-a", 0, "a"),
+                 row(2, "insert", "conv-b", 0, "b"),
+                 row(9, "delete", "conv-a", 0)]),
+        quarantine=False,
+    )
+    lake.repartition_lake(8)
+    t = lake.final_table().to_pandas()
+    assert list(zip(t["conv_id"], t["turn_idx"])) == [("conv-b", 0)]
+
+    # stale resurrection attempt below the (repartitioned) tombstone's seq
+    lake.apply_changes(
+        changes([row(5, "insert", "conv-a", 0, "resurrect")]),
+        quarantine=False,
+        fence=False,
+    )
+    t2 = lake.final_table().to_pandas()
+    assert ("conv-a", 0) not in set(zip(t2["conv_id"], t2["turn_idx"])), (
+        "tombstone must survive repartition and block stale resurrection"
+    )
+    assert t2["text"].tolist() == ["b"]
