@@ -232,6 +232,20 @@ class CDCLake:
                 json.dump({"fork_epoch": cur.epoch, "from": self.branch}, f)
         return br
 
+    def _check_mode_match(self, other: "CDCLake") -> None:
+        """Manifest adoption (fast_forward / cutover_to) requires matching
+        engine modes: a single-leader lake adopting multi-leader files
+        would surface tombstone rows as live state on streaming reads
+        (final_dataset only filters op='delete' in multi-leader mode),
+        and the reverse silently strips tombstone protection."""
+        if self.multi_leader != other.multi_leader:
+            raise ValueError(
+                "engine-mode mismatch: cannot adopt a "
+                f"{'multi' if other.multi_leader else 'single'}-leader "
+                f"branch into a "
+                f"{'multi' if self.multi_leader else 'single'}-leader lake"
+            )
+
     def fast_forward(self, branch_lake: "CDCLake") -> int:
         """FF-ONLY branch merge (git semantics): adopt the branch's current
         manifest as this branch's new head — allowed only when this branch
@@ -242,6 +256,7 @@ class CDCLake:
         Returns the new epoch."""
         import json
 
+        self._check_mode_match(branch_lake)
         fork_path = os.path.join(branch_lake.store.dir, "fork.json")
         if not os.path.exists(fork_path):
             raise ValueError("branch has no recorded fork point")
@@ -275,6 +290,7 @@ class CDCLake:
         this branch's current epoch, so a concurrent production commit
         that would invalidate the audited parity aborts the cutover
         instead of being silently overwritten. Returns the new epoch."""
+        self._check_mode_match(branch_lake)
         cur = self.manifest
         head = branch_lake.manifest
         cand = Manifest(

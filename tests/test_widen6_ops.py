@@ -609,3 +609,19 @@ def test_multi_leader_repartition_preserves_tombstones(ray_session, tmp_path):
         "tombstone must survive repartition and block stale resurrection"
     )
     assert t2["text"].tolist() == ["b"]
+
+
+def test_branch_adoption_requires_matching_engine_mode(ray_session, tmp_path):
+    """fast_forward / cutover_to refuse a mode-mismatched branch: adopting
+    multi-leader files into a single-leader lake would surface tombstones
+    as live rows on streaming reads, and the reverse strips protection."""
+    import pytest as _pytest
+
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    single = CDCLake(str(tmp_path / "s"), num_partitions=4)
+    multi = CDCLake(str(tmp_path / "m"), num_partitions=4, multi_leader=True)
+    with _pytest.raises(ValueError, match="engine-mode mismatch"):
+        single.fast_forward(multi)
+    with _pytest.raises(ValueError, match="engine-mode mismatch"):
+        multi.cutover_to(single)
