@@ -268,7 +268,13 @@ def _content_digest(table: pa.Table) -> np.ndarray:
     """Deterministic per-row uint64 digest of the payload columns — the
     LWW seq-tie arbiter for multi-leader merges. Defined over column
     CONTENT only (never arrival order or storage layout), so every site
-    computes the same digest for the same logical write."""
+    computes the same digest for the same logical write.
+
+    Scope: the CORE payload (_DIGEST_COLUMNS + ts) only, never evolved
+    columns — the fixed column set guarantees a base row written before a
+    schema evolution and the identical write shipped after it digest the
+    same; two writes that tie on seq AND the whole core payload are
+    treated as the same write (base kept)."""
     from data_exchange_routing_ray.hashing import stable_hash_strings
 
     n = table.num_rows
