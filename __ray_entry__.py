@@ -508,6 +508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rls_masked_view": _widen6.rls_masked_view,
         "lake_tombstone_gc": _widen6.lake_tombstone_gc,
         "lake_online_migration": _widen6.lake_online_migration,
+        "lake_timestamp_asof": _widen6.lake_timestamp_asof,
     }
     ordered = {n: base.pop(n) for n in _DRIVER_CERTIFIED_FIRST}
     ordered.update(base)
@@ -3678,6 +3679,31 @@ GROUP BY tool ORDER BY tool
   FROM ch
 )
 SELECT conv_id, turn_idx, role, upper(text) AS text, tool, ts
+FROM last WHERE rn = 1 AND op <> 'delete'
+""",
+        "lake_timestamp_asof": """
+WITH bounded AS (
+  SELECT * FROM events
+  WHERE event_id < ((SELECT (MAX(event_id) + 1) * 2 FROM events) // 3)
+), ch AS (
+  SELECT event_id AS seq,
+         CASE WHEN event_id % 10 < 7 THEN 'insert'
+              WHEN event_id % 10 < 9 THEN 'update'
+              ELSE 'delete' END AS op,
+         'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+         CAST(event_id % 25 AS INTEGER) AS turn_idx,
+         CASE WHEN event_id % 10 >= 9 THEN NULL
+              WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN event_id % 10 >= 9 THEN NULL
+              ELSE 'e-' || CAST(event_id AS VARCHAR) END AS text,
+         CASE WHEN event_id % 10 >= 9 THEN NULL ELSE event_type END AS tool,
+         ts
+  FROM bounded
+), last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM ch
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
 FROM last WHERE rn = 1 AND op <> 'delete'
 """,
         "rls_masked_view": _CH + _widen6.RLS_MASKED_VIEW_SQL_TAIL,

@@ -1156,6 +1156,42 @@ class CDCLake:
             raise ValueError(f"no committed manifest for epoch {epoch}")
         return m
 
+    def epoch_as_of(self, ts_us: int) -> int:
+        """TIMESTAMP AS OF resolution (Delta Lake's wall-clock time
+        travel): the highest committed epoch whose commit time — the max
+        lineage ``end_ts`` over that epoch's per-partition report rows —
+        is at or before ``ts_us`` (µs since the Unix epoch). The resolved
+        epoch feeds ``manifest_at`` / ``final_table`` / ``final_dataset``
+        / ``changefeed_between`` directly. Lineage is written at commit
+        time only after a successful publish, so an aborted epoch can
+        never resolve."""
+        lin = self.lineage.read_all()
+        if lin.num_rows == 0:
+            raise ValueError("no committed epochs with lineage to resolve")
+        import numpy as np
+
+        ep = lin["epoch"].to_numpy(zero_copy_only=False).astype(np.int64)
+        end = (
+            lin["end_ts"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        # commit time of an epoch = the last partition report it wrote;
+        # accumulate-max over epoch order guards against clock skew making
+        # a later epoch look earlier than its predecessor
+        uniq, inv = np.unique(ep, return_inverse=True)
+        mx = np.full(len(uniq), -(2**62), np.int64)
+        np.maximum.at(mx, inv, end)
+        commit_us = np.maximum.accumulate(mx)
+        ok = uniq[commit_us <= ts_us]
+        if ok.size == 0:
+            raise ValueError(
+                f"no epoch committed at or before ts={ts_us}µs "
+                f"(earliest commit {int(commit_us[0])}µs)"
+            )
+        return int(ok.max())
+
     def final_dataset_raw(self, epoch: int | None = None) -> ray.data.Dataset:
         """Raw committed STORAGE — tombstones and plumbing columns (op, seq)
         included. For maintenance epochs (``gc_tombstones``) that operate on

@@ -1707,3 +1707,72 @@ def lake_online_migration(sf_dir: str) -> pa.Table:
             quarantine=False,
         )
         return main.final_table()
+
+
+# --------------------------------------------- TIMESTAMP AS OF time travel
+
+
+def lake_timestamp_asof(sf_dir: str) -> pa.Table:
+    """Delta-style ``TIMESTAMP AS OF`` time travel: three seq-ordered
+    epochs commit with their lineage wall-clock ``end_ts``; a timestamp
+    strictly between epoch 2's and epoch 3's commit times must resolve
+    (``CDCLake.epoch_as_of``) to epoch 2, and the table read AS OF that
+    timestamp must equal epoch 2's archived state — i.e. the LWW final
+    state of the first two-thirds of the change stream, which is what the
+    oracle recomputes. Resolution at/after the last commit must return
+    the current epoch; both are asserted in-query.
+
+    100 TB shape: resolution reads ONLY the lineage log (≤ P rows per
+    epoch, no data files); the as-of read then streams the archived
+    manifest's files like any epoch read — time travel costs metadata,
+    not data. Reference parity: the reference's ProcessingStatus reports
+    carry per-stage timestamps (``PSReportEnvelope.kt:44-46``); this op
+    turns that report stream into a queryable commit clock."""
+    import os
+    import tempfile
+
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+    from data_exchange_routing_ray.pipelines.events_cdc import (
+        _events,
+        derive_changes_batch,
+    )
+
+    hi = int(_events(sf_dir, columns=["event_id"]).max("event_id"))
+    bounds = [(i * (hi + 1)) // 3 for i in range(4)]
+
+    def stream(lo: int, up: int) -> ray.data.Dataset:
+        return (
+            _events(sf_dir, columns=["event_id", "user_id", "event_type", "ts"])
+            .filter(expr=f"event_id >= {lo} and event_id < {up}")
+            .map_batches(derive_changes_batch, batch_format="pyarrow")
+        )
+
+    with tempfile.TemporaryDirectory(prefix="cdcasof-") as d:
+        lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
+        epochs = []
+        for i in range(3):
+            lake.apply_changes(stream(bounds[i], bounds[i + 1]), quarantine=False)
+            epochs.append(lake.manifest.epoch)
+
+        lin = lake.lineage.read_all()
+        end_us = (
+            lin["end_ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        ep = lin["epoch"].to_numpy(zero_copy_only=False).astype(np.int64)
+        commit = {int(e): int(end_us[ep == e].max()) for e in epochs}
+        assert commit[epochs[2]] > commit[epochs[1]], (
+            "distinct commits must carry distinct wall-clock µs"
+        )
+        ts_between = commit[epochs[2]] - 1  # after epoch 2, before epoch 3
+
+        resolved = lake.epoch_as_of(ts_between)
+        assert resolved == epochs[1], (
+            f"AS OF between commits resolved {resolved}, want {epochs[1]}"
+        )
+        # at/after the last commit → the current epoch
+        assert lake.epoch_as_of(commit[epochs[2]]) == epochs[2]
+
+        asof = lake.final_table(epoch=resolved)
+        assert asof.equals(lake.final_table(epoch=epochs[1]))
+        return asof

@@ -625,3 +625,45 @@ def test_branch_adoption_requires_matching_engine_mode(ray_session, tmp_path):
         single.fast_forward(multi)
     with _pytest.raises(ValueError, match="engine-mode mismatch"):
         multi.cutover_to(single)
+
+
+def test_epoch_as_of_resolution(ray_session, tmp_path):
+    """TIMESTAMP AS OF edges: before the first commit raises; an exact
+    commit timestamp resolves to that epoch; between commits resolves to
+    the earlier one; far future resolves to the head."""
+    import numpy as np
+    import pytest as _pytest
+    import ray.data
+
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+    from data_exchange_routing_ray.schemas import CHANGE_SCHEMA
+
+    def changes(seq, text):
+        rows = {"seq": [seq], "op": ["insert"], "conv_id": ["conv-1"],
+                "turn_idx": [seq], "role": ["user"], "text": [text],
+                "tool": [None], "ts": [1_700_000_000_000_000 + seq]}
+        return ray.data.from_arrow(
+            pa.table({f.name: pa.array(rows[f.name], f.type)
+                      for f in CHANGE_SCHEMA})
+        )
+
+    lake = CDCLake(str(tmp_path / "tt"), num_partitions=2)
+    e1 = lake.apply_changes(changes(1, "a"), quarantine=False).epoch
+    e2 = lake.apply_changes(changes(2, "b"), quarantine=False).epoch
+
+    lin = lake.lineage.read_all()
+    end = (lin["end_ts"].to_numpy(zero_copy_only=False)
+           .astype("datetime64[us]").astype(np.int64))
+    ep = lin["epoch"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c1 = int(end[ep == e1].max())
+    c2 = int(end[ep == e2].max())
+    assert c2 > c1
+
+    with _pytest.raises(ValueError, match="no epoch committed"):
+        lake.epoch_as_of(c1 - 1)
+    assert lake.epoch_as_of(c1) == e1
+    assert lake.epoch_as_of(c2 - 1) == e1
+    assert lake.epoch_as_of(c2) == e2
+    assert lake.epoch_as_of(c2 + 10**9) == e2
+    # the resolved epoch feeds the archived read path
+    assert len(lake.final_table(epoch=lake.epoch_as_of(c1))) == 1
