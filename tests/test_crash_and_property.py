@@ -206,3 +206,67 @@ def test_property_replay_matches_oracle(
     got = _final(lake)
     exp = oracle_apply(changes)[TRANSCRIPT_COLS].reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 10_000),
+    num_convs=st.integers(2, 40),
+    max_turns=st.integers(1, 10),
+    redelivery=st.sampled_from([0.0, 0.15]),
+    n_sites=st.sampled_from([2, 3]),
+    parts=st.sampled_from([1, 4]),
+)
+def test_property_multi_leader_converges(
+    ray_session, tmp_path_factory, seed, num_convs, max_turns, redelivery,
+    n_sites, parts,
+):
+    """Active-active property: split any seeded change stream across N
+    sites by seq hash; each site applies its own slice first, then every
+    other site's WAL with the fence down — in a site-specific order AND
+    with each foreign WAL's rows shuffled (out-of-order delivery). All
+    sites must converge bit-for-bit with each other and with the serial
+    oracle over the full stream."""
+    import ray.data
+
+    from data_exchange_routing_ray.synth import make_change_stream, oracle_apply
+
+    changes = make_change_stream(
+        num_convs=num_convs, max_turns=max_turns,
+        redelivery_frac=redelivery, seed=seed,
+    )
+    df = changes.to_pandas()
+    site_of = pd.util.hash_array(df["seq"].to_numpy()) % n_sites
+    rng = np.random.default_rng(seed)
+    tmp = tmp_path_factory.mktemp(f"ml-prop-{seed}")
+
+    finals = []
+    for s in range(n_sites):
+        lake = CDCLake(
+            str(tmp / f"site{s}"), num_partitions=parts, multi_leader=True
+        )
+        own = df[site_of == s]
+        lake.apply_changes(
+            ray.data.from_arrow(pa.Table.from_pandas(own, preserve_index=False)),
+            quarantine=False,
+        )
+        others = [o for o in range(n_sites) if o != s]
+        rng.shuffle(others)
+        for o in others:
+            wal = df[site_of == o].sample(frac=1.0, random_state=seed + s + o)
+            lake.apply_changes(
+                ray.data.from_arrow(
+                    pa.Table.from_pandas(wal, preserve_index=False)
+                ),
+                quarantine=False,
+                fence=False,
+            )
+        finals.append(_final(lake))
+
+    exp = oracle_apply(changes)[TRANSCRIPT_COLS].reset_index(drop=True)
+    for s, got in enumerate(finals):
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
