@@ -127,6 +127,15 @@ def cmd_status(args: argparse.Namespace) -> int:
         return 2
     lake = CDCLake(args.lake)
     man = lake.manifest
+    if getattr(args, "as_of", None) is not None:
+        # TIMESTAMP AS OF: resolve the wall-clock µs against the lineage
+        # commit log and report THAT epoch's manifest
+        try:
+            epoch = lake.epoch_as_of(args.as_of)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        man = lake.manifest_at(epoch)
     out = {
         "lake": args.lake,
         "epoch": man.epoch,
@@ -412,6 +421,11 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("status", help="manifest + lineage summary")
     sp.add_argument("--lake", required=True)
     sp.add_argument("--lineage-tail", type=int, default=8)
+    sp.add_argument(
+        "--as-of", type=int, default=None, metavar="TS_US",
+        help="TIMESTAMP AS OF (µs since Unix epoch): report the manifest "
+        "of the highest epoch committed at or before this wall-clock time",
+    )
     sp.set_defaults(fn=cmd_status)
 
     vp = sub.add_parser("vacuum", help="remove unreferenced partition files")

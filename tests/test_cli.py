@@ -268,3 +268,44 @@ def test_cli_gc(ray_session, tmp_path):
     # watermark ahead of the site's own applied offset must fail loudly
     bad = _run("gc", "--lake", lake_dir, "--watermark", "999", check=False)
     assert bad.returncode != 0
+
+
+def test_cli_status_as_of(ray_session, tmp_path):
+    """status --as-of resolves a wall-clock µs timestamp to the committed
+    epoch via the lineage commit log and reports THAT manifest."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+    from data_exchange_routing_ray.schemas import CHANGE_SCHEMA
+
+    def changes(seq, text):
+        rows = {"seq": [seq], "op": ["insert"], "conv_id": ["conv-1"],
+                "turn_idx": [seq], "role": ["user"], "text": [text],
+                "tool": [None], "ts": [1_700_000_000_000_000 + seq]}
+        return ray.data.from_arrow(
+            pa.table({f.name: pa.array(rows[f.name], f.type)
+                      for f in CHANGE_SCHEMA})
+        )
+
+    lake_dir = str(tmp_path / "tt")
+    lake = CDCLake(lake_dir, num_partitions=2)
+    e1 = lake.apply_changes(changes(1, "a"), quarantine=False).epoch
+    e2 = lake.apply_changes(changes(2, "b"), quarantine=False).epoch
+
+    lin = lake.lineage.read_all()
+    end = (lin["end_ts"].to_numpy(zero_copy_only=False)
+           .astype("datetime64[us]").astype(np.int64))
+    ep = lin["epoch"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c2 = int(end[ep == e2].max())
+
+    out = _run("status", "--lake", lake_dir, "--as-of", str(c2 - 1))
+    res = json.loads(out.stdout)
+    assert res["epoch"] == e1 and res["total_rows"] == 1
+
+    out2 = _run("status", "--lake", lake_dir, "--as-of", str(c2))
+    assert json.loads(out2.stdout)["epoch"] == e2
+
+    bad = _run("status", "--lake", lake_dir, "--as-of", "1", check=False)
+    assert bad.returncode != 0
