@@ -509,6 +509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_tombstone_gc": _widen6.lake_tombstone_gc,
         "lake_online_migration": _widen6.lake_online_migration,
         "lake_timestamp_asof": _widen6.lake_timestamp_asof,
+        "cdc_debezium_roundtrip": _widen6.cdc_debezium_roundtrip,
     }
     ordered = {n: base.pop(n) for n in _DRIVER_CERTIFIED_FIRST}
     ordered.update(base)
@@ -3671,6 +3672,7 @@ GROUP BY tool ORDER BY tool
         "psi_value_drift": _widen6.PSI_VALUE_DRIFT_SQL,
         # semantic_dedup_clusters: no oracle (iterative k-means); pytest gates
         "lake_active_active_converge": _FINAL_STATE_SQL,
+        "cdc_debezium_roundtrip": _FINAL_STATE_SQL,
         "lake_tombstone_gc": _FINAL_STATE_SQL,
         # online migration: final state with the migration transform applied
         "lake_online_migration": _CH + """

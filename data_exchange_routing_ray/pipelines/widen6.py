@@ -1776,3 +1776,96 @@ def lake_timestamp_asof(sf_dir: str) -> pa.Table:
         asof = lake.final_table(epoch=resolved)
         assert asof.equals(lake.final_table(epoch=epochs[1]))
         return asof
+
+
+# ------------------------------------------ Debezium envelope source
+
+
+def cdc_debezium_roundtrip(sf_dir: str) -> pa.Table:
+    """Debezium-envelope interop, end-to-end: the derived change stream is
+    serialized to Debezium JSONL shards (op codes c/u/d, before/after
+    images, source.sequence — the de-facto binlog-to-JSON contract), read
+    back through ``sources.read_debezium_jsonl``, and applied to a lake;
+    the final state must equal applying the native stream (the plain
+    final-state oracle). Two planted poison lines — broken JSON and an
+    unknown op code — must land in quarantine carrying the PARSER's error
+    (the fail-stop chain across stages: the source adapter's root cause
+    outranks the validator's knock-on null-field rules).
+
+    100 TB shape: shard-parallel text read → per-batch JSON decode (the
+    unavoidable cost of the source boundary, after which everything is
+    Arrow) → the normal one-exchange epoch. Reference parity: the
+    reference's queue trigger consumes exactly such per-message JSON
+    change documents (``fns-routing`` service-bus entry point)."""
+    import hashlib
+    import json as _json
+    import os
+    import tempfile
+
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+    from data_exchange_routing_ray.pipelines.events_cdc import (
+        derived_change_stream,
+    )
+    from data_exchange_routing_ray.sources import (
+        read_debezium_jsonl,
+        to_debezium_envelope,
+    )
+
+    with tempfile.TemporaryDirectory(prefix="cdcdbz-") as d:
+        shard_dir = os.path.join(d, "wal")
+        os.makedirs(shard_dir, exist_ok=True)
+
+        def write_shard(b: pa.Table) -> pa.Table:
+            ts_us = pc.cast(b["ts"], pa.int64()).to_pylist()
+            seqs = b["seq"].to_pylist()
+            ops = b["op"].to_pylist()
+            fields = {
+                k: b[k].to_pylist() for k in ("conv_id", "turn_idx", "role", "text", "tool")
+            }
+            lines = []
+            for i in range(b.num_rows):
+                row = {k: v[i] for k, v in fields.items()}
+                row["ts"] = ts_us[i]
+                lines.append(
+                    _json.dumps(to_debezium_envelope(row, ops[i], seqs[i]))
+                )
+            blob = "\n".join(lines) + "\n"
+            name = hashlib.md5(blob.encode()).hexdigest()[:16]
+            path = os.path.join(shard_dir, f"shard-{name}.jsonl")
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(blob)
+            os.replace(tmp, path)
+            return pa.table({"n": pa.array([b.num_rows], pa.int64())})
+
+        n_written = sum(
+            r["n"]
+            for r in derived_change_stream(sf_dir)
+            .map_batches(write_shard, batch_format="pyarrow")
+            .take_all()
+        )
+        # poison shard: broken JSON + an unknown op code
+        with open(os.path.join(shard_dir, "shard-poison.jsonl"), "w") as f:
+            f.write('{"payload": {"op": "c", "after"\n')
+            f.write(
+                _json.dumps(
+                    {"payload": {"op": "x", "after": {"conv_id": "conv-1"},
+                                 "source": {"sequence": 10**12}}}
+                )
+                + "\n"
+            )
+
+        files = sorted(
+            os.path.join(shard_dir, f) for f in os.listdir(shard_dir)
+        )
+        lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
+        res = lake.apply_changes(read_debezium_jsonl(files))
+        assert res.rows_quarantined == 2, (
+            f"want 2 poison rows, got {res.rows_quarantined}"
+        )
+        qt = lake.quarantine_table()
+        qerrs = qt["error"].to_pylist()
+        assert all(e.startswith("debezium: ") for e in qerrs), qerrs
+        t = lake.final_table()
+        assert n_written > 0
+        return t

@@ -58,7 +58,17 @@ def validate_batch(batch: pa.Table) -> pa.Table:
         if name not in batch.column_names:
             batch = batch.append_column(name, pa.nulls(batch.num_rows, typ))
     n = batch.num_rows
-    err = pa.nulls(n, pa.string())
+    if ERROR_COLUMN in batch.column_names:
+        # fail-stop chain across STAGES: an upstream source adapter's
+        # error (e.g. a malformed Debezium envelope) outranks the row
+        # rules, so the dead-letter row carries the root cause instead of
+        # the knock-on null-field message. Replayers re-enqueue repaired
+        # rows with the column dropped (cdc_quarantine_replay).
+        err = batch[ERROR_COLUMN].cast(pa.string())
+        if isinstance(err, pa.ChunkedArray):
+            err = err.combine_chunks()
+    else:
+        err = pa.nulls(n, pa.string())
 
     def apply_rule(err, mask, msg):
         # first failing rule wins (fail-stop order)

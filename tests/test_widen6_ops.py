@@ -667,3 +667,53 @@ def test_epoch_as_of_resolution(ray_session, tmp_path):
     assert lake.epoch_as_of(c2 + 10**9) == e2
     # the resolved epoch feeds the archived read path
     assert len(lake.final_table(epoch=lake.epoch_as_of(c1))) == 1
+
+
+def test_debezium_parser_unit():
+    """parse_debezium_lines: op-code mapping (c/r→insert, u→update,
+    d→delete with the BEFORE image), unwrapped payloads tolerated, and
+    every malformed shape (broken JSON, unknown op, missing image, missing
+    sequence) flagged on the error column with the root cause."""
+    import json
+
+    from data_exchange_routing_ray.sources import (
+        parse_debezium_lines,
+        to_debezium_envelope,
+    )
+
+    img = {"conv_id": "conv-1", "turn_idx": 3, "role": "user",
+           "text": "hi", "tool": None, "ts": 1_700_000_000_000_000}
+
+    def env(op, image, seq=5, wrap=True, omit_seq=False):
+        side = "before" if op == "d" else "after"
+        p = {"op": op, side: image,
+             "source": ({} if omit_seq else {"sequence": seq})}
+        return json.dumps({"payload": p} if wrap else p)
+
+    lines = [
+        env("c", img, seq=1),
+        env("r", img, seq=2),
+        env("u", img, seq=3),
+        env("d", img, seq=4),
+        env("u", img, seq=6, wrap=False),   # unwrapped payload
+        '{"payload": {"op": "c"',            # broken JSON
+        env("x", img, seq=7),                # unknown op
+        env("c", None, seq=8),               # missing image
+        env("c", img, omit_seq=True),        # missing sequence
+    ]
+    out = parse_debezium_lines(pa.table({"text": pa.array(lines)}))
+    ops = out["op"].to_pylist()
+    errs = out["error"].to_pylist()
+    assert ops[:5] == ["insert", "insert", "update", "delete", "update"]
+    assert errs[:5] == [None] * 5
+    # delete takes the BEFORE image and nulls the payload
+    assert out["conv_id"].to_pylist()[3] == "conv-1"
+    assert out["text"].to_pylist()[3] is None
+    assert out["seq"].to_pylist()[:5] == [1, 2, 3, 4, 6]
+    assert all(e is not None and e.startswith("debezium: ") for e in errs[5:])
+    # round-trip: writer → parser reproduces the row
+    line = json.dumps(to_debezium_envelope(dict(img), "update", 42))
+    rt = parse_debezium_lines(pa.table({"text": pa.array([line])}))
+    assert rt["error"].to_pylist() == [None]
+    assert rt["seq"].to_pylist() == [42]
+    assert rt["text"].to_pylist() == ["hi"]
