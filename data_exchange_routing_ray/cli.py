@@ -269,6 +269,22 @@ def cmd_diff(args: argparse.Namespace) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 3
     rows = feed.to_pandas().sort_values(["conv_id", "turn_idx"])
+    if getattr(args, "format", "plain") == "debezium":
+        # emit standard Debezium envelopes so any Debezium-speaking
+        # consumer can tail the lake's changefeed; source.sequence is the
+        # target epoch (the commit that produced the change)
+        from data_exchange_routing_ray.sources import to_debezium_envelope
+
+        for r in rows.itertuples(index=False):
+            row = {
+                "conv_id": r.conv_id, "turn_idx": int(r.turn_idx),
+                "role": None, "tool": None, "ts": None,
+                "text": r.before_text if r.op == "delete" else r.after_text,
+            }
+            print(json.dumps(
+                to_debezium_envelope(row, r.op, args.to_epoch), default=str
+            ))
+        return 0
     for r in rows.itertuples(index=False):
         print(json.dumps({
             "op": r.op, "conv_id": r.conv_id, "turn_idx": int(r.turn_idx),
@@ -472,6 +488,10 @@ def main(argv: list[str] | None = None) -> int:
     df.add_argument("--from-epoch", type=int, required=True)
     df.add_argument("--to-epoch", type=int, required=True)
     df.add_argument("--branch", default="main")
+    df.add_argument(
+        "--format", choices=("plain", "debezium"), default="plain",
+        help="debezium: emit standard Debezium change envelopes",
+    )
     df.add_argument("--num-cpus", type=int, default=None)
     df.set_defaults(fn=cmd_diff)
 

@@ -309,3 +309,47 @@ def test_cli_status_as_of(ray_session, tmp_path):
 
     bad = _run("status", "--lake", lake_dir, "--as-of", "1", check=False)
     assert bad.returncode != 0
+
+
+def test_cli_diff_debezium_format(ray_session, tmp_path):
+    """diff --format debezium emits parseable Debezium envelopes that the
+    engine's own reader accepts back (CLI → sources round trip)."""
+    import pyarrow as pa
+    import ray.data
+
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+    from data_exchange_routing_ray.schemas import CHANGE_SCHEMA
+    from data_exchange_routing_ray.sources import parse_debezium_lines
+
+    def changes(rows):
+        cols = {f.name: [] for f in CHANGE_SCHEMA}
+        for r in rows:
+            for f in CHANGE_SCHEMA:
+                cols[f.name].append(r.get(f.name))
+        return ray.data.from_arrow(
+            pa.table({k: pa.array(v, CHANGE_SCHEMA.field(k).type)
+                      for k, v in cols.items()})
+        )
+
+    def row(seq, op, conv, turn, text=None):
+        return {"seq": seq, "op": op, "conv_id": conv, "turn_idx": turn,
+                "role": "user", "text": text, "tool": None,
+                "ts": 1_700_000_000_000_000 + seq}
+
+    lake_dir = str(tmp_path / "dbz")
+    lake = CDCLake(lake_dir, num_partitions=4)
+    r1 = lake.apply_changes(
+        changes([row(1, "insert", "conv-a", 0, "a"),
+                 row(2, "insert", "conv-b", 0, "b")]), quarantine=False)
+    r2 = lake.apply_changes(
+        changes([row(3, "delete", "conv-a", 0),
+                 row(4, "update", "conv-b", 0, "b2")]), quarantine=False)
+
+    out = _run("diff", "--lake", lake_dir, "--from-epoch", str(r1.epoch),
+               "--to-epoch", str(r2.epoch), "--format", "debezium")
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    assert len(lines) == 2
+    parsed = parse_debezium_lines(pa.table({"text": pa.array(lines)}))
+    assert parsed["error"].null_count == 2
+    got = dict(zip(parsed["conv_id"].to_pylist(), parsed["op"].to_pylist()))
+    assert got == {"conv-a": "delete", "conv-b": "update"}
