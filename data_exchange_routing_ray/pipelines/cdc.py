@@ -138,6 +138,7 @@ class CDCLake:
         delta_ratio: float = 0.2,
         branch: str = "main",
         multi_leader: bool = False,
+        schema_policy: str = "evolve",
     ):
         # combine_batch_size: rows per fused validate/partition/combine batch.
         # Larger ⇒ better pre-shuffle dedup and fewer shuffle blocks; 256Ki
@@ -169,6 +170,17 @@ class CDCLake:
         # (tombstone folding through delta stacks / actor memtables is a
         # documented non-goal; tombstone GC needs a cross-site watermark,
         # the Cassandra gc_grace problem).
+        # schema_policy: "evolve" (default) = Arrow schema unification with
+        # backfill-null semantics, newly observed payload columns REGISTER
+        # in the manifest (schema_names) at commit; "strict" = change
+        # batches carrying columns outside CHANGE_SCHEMA + the committed
+        # registry dead-letter with the exact violation (schema-registry
+        # compatibility enforcement) instead of silently unifying.
+        if schema_policy not in ("evolve", "strict"):
+            raise ValueError(
+                f"schema_policy must be evolve|strict, got {schema_policy!r}"
+            )
+        self.schema_policy = schema_policy
         if multi_leader and (merge_policy != "rewrite" or merge_mode != "groupby"):
             raise ValueError(
                 "multi_leader requires merge_mode='groupby' and merge_policy='rewrite'"
@@ -735,10 +747,12 @@ class CDCLake:
             out_of_order=self.multi_leader,
         )
 
+        _allowed = frozenset(man.schema_names)
         prepared = changes.map_batches(
             lambda b: prepare_batch(
                 b, P, keep_quarantine=quarantine, poison_error=poison_error,
                 content_tiebreak=self.multi_leader,
+                schema_policy=self.schema_policy, allowed_extras=_allowed,
             ),
             batch_format="pyarrow",
             batch_size=self.combine_batch_size,
@@ -861,6 +875,20 @@ class CDCLake:
                     )
                 applied_offset = max(applied_offset, int(stats["applied_offset"].max()))
 
+            # schema REGISTRY maintenance: union the evolved payload
+            # columns the merge observed into the manifest, so a later
+            # schema_policy='strict' lake admits exactly the committed
+            # schema (groupby mode reports them via the stats frame;
+            # actors/exchange modes keep the registry unchanged)
+            schema_names = list(man.schema_names)
+            if stats is not None and "extra_cols" in getattr(stats, "columns", ()):
+                observed = {
+                    c
+                    for cell in stats["extra_cols"].fillna("")
+                    for c in str(cell).split(",")
+                    if c
+                }
+                schema_names = sorted(set(schema_names) | observed)
             new_man = Manifest(
                 epoch=epoch,
                 applied_offset=applied_offset,
@@ -870,7 +898,7 @@ class CDCLake:
                     else max(man.gc_watermark, _raise_gc_watermark)
                 ),
                 num_partitions=P,
-                schema_names=man.schema_names,
+                schema_names=schema_names,
                 partitions=new_partitions,
             )
             # WRITE-AUDIT-PUBLISH: the audit sees the staged candidate state

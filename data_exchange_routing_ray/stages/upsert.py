@@ -60,6 +60,12 @@ def _limit_arrow_threads() -> None:
 # Columns that are CDC-plumbing, never persisted to the lake file.
 _PLUMBING = (PART_COLUMN, SALT_COLUMN, "op", "error")
 
+# every column a lake partition file may carry WITHOUT being a schema
+# evolution: the transcript payload + LWW seq + the multi-leader op marker
+_BASE_LAKE_COLUMNS = frozenset(
+    ("conv_id", "turn_idx", "role", "text", "tool", "ts", "seq", "op")
+)
+
 
 def add_partition_column(batch: pa.Table, num_partitions: int) -> pa.Table:
     pid = partition_ids(batch["conv_id"], num_partitions)
@@ -105,6 +111,8 @@ def prepare_batch(
     keep_quarantine: bool = True,
     poison_error: str | None = None,
     content_tiebreak: bool = False,
+    schema_policy: str = "evolve",
+    allowed_extras: frozenset = frozenset(),
 ) -> pa.Table:
     """The fused hot-path stage: validate → partition → within-batch combine.
 
@@ -144,6 +152,29 @@ def prepare_batch(
                 pa.int32(),
             ),
         )
+    if schema_policy == "strict":
+        # schema-registry enforcement, batch-local (mixed-schema epochs are
+        # per-shard, so a driver-side schema() peek would miss late blocks):
+        # columns outside CHANGE_SCHEMA + the COMMITTED registry dead-letter
+        # the batch with the exact violation instead of silently unifying.
+        extras = sorted(
+            set(batch.column_names)
+            - _BASE_LAKE_COLUMNS
+            - set(_PLUMBING)
+            - allowed_extras
+        )
+        if extras:
+            msg = (
+                "Schema violation: unregistered column(s) "
+                f"{','.join(extras)} under schema_policy='strict'"
+            )
+            from data_exchange_routing_ray.stages.validate import ERROR_COLUMN as _EC
+
+            if _EC in batch.column_names:
+                batch = batch.drop_columns([_EC])
+            batch = batch.append_column(
+                _EC, pa.array([msg] * batch.num_rows, pa.string())
+            )
     batch = validate_batch(batch)
     err_null = pc.is_null(batch[ERROR_COLUMN])
     valid = batch.filter(err_null)
@@ -491,6 +522,11 @@ def merge_tables(
         "changes_fenced": int(n_fenced),
         "applied_offset": applied_offset,
         "row_count": n_live,
+        # evolved columns this partition now stores (the driver unions
+        # these into the manifest's schema registry at commit)
+        "extra_cols": ",".join(
+            sorted(set(out.column_names) - _BASE_LAKE_COLUMNS)
+        ),
     }
     return out, stats
 
@@ -575,6 +611,7 @@ def make_merge_fn(
                         ),
                         "row_count": int(out.num_rows),
                         "is_delta": 0,
+                        "extra_cols": "",
                     }
                 ]
             )
@@ -625,6 +662,9 @@ def make_merge_fn(
                         "applied_offset": applied,
                         "row_count": int(changes.num_rows),
                         "is_delta": 1,
+                        "extra_cols": ",".join(
+                            sorted(set(changes.column_names) - _BASE_LAKE_COLUMNS)
+                        ),
                     }
                 ]
             )

@@ -717,3 +717,76 @@ def test_debezium_parser_unit():
     assert rt["error"].to_pylist() == [None]
     assert rt["seq"].to_pylist() == [42]
     assert rt["text"].to_pylist() == ["hi"]
+
+
+def test_schema_policy_strict_and_registry(ray_session, tmp_path):
+    """Schema-registry enforcement: under schema_policy='strict' a change
+    batch carrying an unregistered column dead-letters with the exact
+    violation; under 'evolve' the column commits AND registers in the
+    manifest, after which a strict lake over the same store admits it but
+    still refuses the next unknown column."""
+    import ray.data
+
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+    from data_exchange_routing_ray.schemas import CHANGE_SCHEMA
+
+    def changes(rows, extra=None):
+        cols = {f.name: [] for f in CHANGE_SCHEMA}
+        for r in rows:
+            for f in CHANGE_SCHEMA:
+                cols[f.name].append(r.get(f.name))
+        t = pa.table({k: pa.array(v, CHANGE_SCHEMA.field(k).type)
+                      for k, v in cols.items()})
+        if extra:
+            for name, vals in extra.items():
+                t = t.append_column(name, pa.array(vals, pa.string()))
+        return ray.data.from_arrow(t)
+
+    def row(seq, conv, text):
+        return {"seq": seq, "op": "insert", "conv_id": conv, "turn_idx": 0,
+                "role": "user", "text": text, "tool": None,
+                "ts": 1_700_000_000_000_000 + seq}
+
+    lake_dir = str(tmp_path / "reg")
+
+    # strict from the start: unknown column dead-letters, registry stays []
+    strict = CDCLake(lake_dir, num_partitions=4, schema_policy="strict")
+    r = strict.apply_changes(
+        changes([row(1, "conv-a", "a")], extra={"lang": ["en"]})
+    )
+    assert r.rows_quarantined == 1 and r.changes_applied == 0
+    qt = strict.quarantine_table()
+    assert qt["error"].to_pylist() == [
+        "Schema violation: unregistered column(s) lang under "
+        "schema_policy='strict'"
+    ]
+    assert strict.manifest.schema_names == []
+
+    # evolve: the same batch commits and REGISTERS 'lang'
+    evolve = CDCLake(lake_dir, num_partitions=4)  # default policy
+    r2 = evolve.apply_changes(
+        changes([row(2, "conv-b", "b")], extra={"lang": ["fr"]}),
+        quarantine=False,
+    )
+    assert r2.changes_applied == 1
+    assert evolve.manifest.schema_names == ["lang"]
+
+    # strict now admits the registered column...
+    strict2 = CDCLake(lake_dir, num_partitions=4, schema_policy="strict")
+    r3 = strict2.apply_changes(
+        changes([row(3, "conv-c", "c")], extra={"lang": ["de"]}),
+        quarantine=False,
+    )
+    assert r3.changes_applied == 1
+    # ...but still refuses the next unknown one
+    r4 = strict2.apply_changes(
+        changes([row(4, "conv-d", "d")],
+                extra={"lang": ["en"], "score": ["9"]})
+    )
+    assert r4.rows_quarantined == 1 and r4.changes_applied == 0
+    q2 = strict2.quarantine_table()
+    assert any("unregistered column(s) score" in e
+               for e in q2["error"].to_pylist())
+
+    t = strict2.final_table().to_pandas()
+    assert sorted(t["conv_id"]) == ["conv-b", "conv-c"]
