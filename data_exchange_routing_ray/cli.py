@@ -143,6 +143,7 @@ def cmd_status(args: argparse.Namespace) -> int:
         "num_partitions": man.num_partitions,
         "partitions_committed": len(man.partitions),
         "total_rows": sum(e.rows for e in man.partitions.values()),
+        "schema_registry": list(man.schema_names),
     }
     lin = lake.lineage.read_all()
     if lin.num_rows:
