@@ -131,6 +131,9 @@ HEADLINE = [
     # round-3 widening batch J: multi-leader maintenance + online migration
     "lake_tombstone_gc",
     "lake_online_migration",
+    # round-3 widening batch K: interop + wall-clock time travel
+    "cdc_debezium_roundtrip",
+    "lake_timestamp_asof",
 ]
 
 

@@ -199,6 +199,9 @@ class CDCLake:
         os.makedirs(lake_dir, exist_ok=True)
         self.store = ManifestStore(lake_dir, branch=branch)
         self.lineage = LineageLog(lake_dir, branch=branch)
+        from data_exchange_routing_ray.state.consumers import ConsumerOffsets
+
+        self.consumers = ConsumerOffsets(lake_dir, branch=branch)
         current = self.store.load_current()
         # resuming a lake keeps its partition count (files are keyed by it)
         self.num_partitions = (
@@ -321,6 +324,49 @@ class CDCLake:
         if self._pool is not None:
             self._pool.reset()  # memtables hold pre-cutover partition state
         return cand.epoch
+
+    def poll_changefeed(
+        self, group: str, image_cols: tuple[str, ...] = ("text",)
+    ) -> tuple[int | None, int, ray.data.Dataset | None]:
+        """Consumer-group tail of the changefeed (Kafka-offset semantics):
+        returns ``(expect, head_epoch, feed)``. ``feed`` is None when the
+        group is already at the head; a group that never committed
+        BOOTSTRAPS — the full current state streamed as 'insert' envelopes
+        (before images null). The caller processes the feed and then calls
+        ``lake.consumers.commit(group, head_epoch, expect=expect)`` —
+        compare-and-set, so a crashed consumer resumes from its last
+        committed epoch and a concurrent duplicate of the group loses the
+        CAS instead of double-applying."""
+        expect = self.consumers.get(group)
+        head = self.manifest.epoch
+        if expect is not None and head <= expect:
+            return expect, head, None
+        if expect is not None:
+            return expect, head, self.changefeed_between(
+                expect, head, image_cols
+            )
+        cols = list(image_cols)
+
+        def to_envelopes(b: pa.Table) -> pa.Table:
+            out: dict = {
+                "op": pa.array(["insert"] * b.num_rows, pa.string()),
+                "conv_id": b["conv_id"],
+                "turn_idx": b["turn_idx"].cast(pa.int32()),
+            }
+            for c in cols:
+                if c in b.column_names:
+                    typ = b.schema.field(c).type
+                    out[f"before_{c}"] = pa.nulls(b.num_rows, typ)
+                    out[f"after_{c}"] = b[c]
+                else:
+                    out[f"before_{c}"] = pa.nulls(b.num_rows, pa.string())
+                    out[f"after_{c}"] = pa.nulls(b.num_rows, pa.string())
+            return pa.table(out)
+
+        feed = self.final_dataset(
+            columns=["conv_id", "turn_idx", *cols]
+        ).map_batches(to_envelopes, batch_format="pyarrow")
+        return None, head, feed
 
     def changefeed_between(
         self,

@@ -790,3 +790,69 @@ def test_schema_policy_strict_and_registry(ray_session, tmp_path):
 
     t = strict2.final_table().to_pandas()
     assert sorted(t["conv_id"]) == ["conv-b", "conv-c"]
+
+
+def test_consumer_group_offsets(ray_session, tmp_path):
+    """Kafka-style consumer offsets over the epoch log: first poll
+    bootstraps the full state as insert envelopes; after commit the group
+    sees only new epochs' deltas; a stale CAS loses loudly; offsets never
+    move backwards."""
+    import pytest as _pytest
+    import ray.data
+
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+    from data_exchange_routing_ray.schemas import CHANGE_SCHEMA
+    from data_exchange_routing_ray.state.consumers import (
+        StaleConsumerOffsetError,
+    )
+
+    def changes(rows):
+        cols = {f.name: [] for f in CHANGE_SCHEMA}
+        for r in rows:
+            for f in CHANGE_SCHEMA:
+                cols[f.name].append(r.get(f.name))
+        return ray.data.from_arrow(
+            pa.table({k: pa.array(v, CHANGE_SCHEMA.field(k).type)
+                      for k, v in cols.items()})
+        )
+
+    def row(seq, op, conv, turn, text=None):
+        return {"seq": seq, "op": op, "conv_id": conv, "turn_idx": turn,
+                "role": "user", "text": text, "tool": None,
+                "ts": 1_700_000_000_000_000 + seq}
+
+    lake = CDCLake(str(tmp_path / "cg"), num_partitions=4)
+    lake.apply_changes(
+        changes([row(1, "insert", "conv-a", 0, "a"),
+                 row(2, "insert", "conv-b", 0, "b")]), quarantine=False)
+
+    # bootstrap: full state as insert envelopes
+    expect, head, feed = lake.poll_changefeed("idx")
+    assert expect is None and feed is not None
+    df = feed.to_pandas()
+    assert sorted(df["conv_id"]) == ["conv-a", "conv-b"]
+    assert set(df["op"]) == {"insert"} and df["before_text"].isna().all()
+    lake.consumers.commit("idx", head, expect=expect)
+
+    # caught up: nothing new
+    expect2, head2, feed2 = lake.poll_changefeed("idx")
+    assert feed2 is None and expect2 == head
+
+    # one more epoch: only the delta ships
+    lake.apply_changes(
+        changes([row(3, "delete", "conv-a", 0),
+                 row(4, "update", "conv-b", 0, "b2")]), quarantine=False)
+    expect3, head3, feed3 = lake.poll_changefeed("idx")
+    d3 = feed3.to_pandas()
+    assert dict(zip(d3["conv_id"], d3["op"])) == {
+        "conv-a": "delete", "conv-b": "update"
+    }
+    # a stale duplicate of the group loses the CAS
+    with _pytest.raises(StaleConsumerOffsetError):
+        lake.consumers.commit("idx", head3, expect=None)
+    lake.consumers.commit("idx", head3, expect=expect3)
+    with _pytest.raises(ValueError, match="backwards"):
+        lake.consumers.commit("idx", head3 - 1, expect=head3)
+    # independent groups track independently
+    assert lake.consumers.get("other") is None
+    assert lake.consumers.groups() == {"idx": head3}
