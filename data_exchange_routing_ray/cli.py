@@ -60,6 +60,7 @@ def cmd_replay(args: argparse.Namespace) -> int:
         num_partitions=args.num_partitions,
         num_salts=args.num_salts,
         merge_mode=args.merge_mode,
+        schema_policy=getattr(args, "schema_policy", "evolve"),
     )
     try:
         results = lake.replay_files(
@@ -153,6 +154,26 @@ def cmd_status(args: argparse.Namespace) -> int:
             for r in tail
         ]
     print(json.dumps(out, indent=1, default=str))
+    return 0
+
+
+def cmd_offsets(args: argparse.Namespace) -> int:
+    """Committed consumer-group offsets plus each group's lag (epochs
+    behind the lake head) — the monitoring surface of poll_changefeed."""
+    if not os.path.isdir(args.lake):
+        print(f"error: no lake at {args.lake}", file=sys.stderr)
+        return 2
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    lake = CDCLake(args.lake)
+    head = lake.manifest.epoch
+    groups = lake.consumers.groups()
+    print(json.dumps({
+        "head_epoch": head,
+        "groups": {
+            g: {"epoch": e, "lag": head - e} for g, e in groups.items()
+        },
+    }))
     return 0
 
 
@@ -420,6 +441,10 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--num-salts", type=int, default=1)
     rp.add_argument("--merge-mode", choices=["groupby", "exchange", "actors"], default="groupby")
     rp.add_argument("--no-quarantine", action="store_true")
+    rp.add_argument(
+        "--schema-policy", choices=["evolve", "strict"], default="evolve",
+        help="strict: dead-letter batches carrying unregistered columns",
+    )
     rp.add_argument("--num-cpus", type=int, default=None)
     rp.set_defaults(fn=cmd_replay)
 
@@ -444,6 +469,10 @@ def main(argv: list[str] | None = None) -> int:
         "of the highest epoch committed at or before this wall-clock time",
     )
     sp.set_defaults(fn=cmd_status)
+
+    op = sub.add_parser("offsets", help="committed consumer-group offsets")
+    op.add_argument("--lake", required=True)
+    op.set_defaults(fn=cmd_offsets)
 
     vp = sub.add_parser("vacuum", help="remove unreferenced partition files")
     vp.add_argument("--lake", required=True)

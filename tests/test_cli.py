@@ -353,3 +353,28 @@ def test_cli_diff_debezium_format(ray_session, tmp_path):
     assert parsed["error"].null_count == 2
     got = dict(zip(parsed["conv_id"].to_pylist(), parsed["op"].to_pylist()))
     assert got == {"conv-a": "delete", "conv-b": "update"}
+
+
+def test_cli_offsets(ray_session, tmp_path):
+    """offsets subcommand reports each consumer group's committed epoch
+    and its lag behind the lake head."""
+    import pyarrow as pa
+    import ray.data
+
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+    from data_exchange_routing_ray.schemas import CHANGE_SCHEMA
+
+    rows = [{"seq": 1, "op": "insert", "conv_id": "conv-1", "turn_idx": 0,
+             "role": "user", "text": "a", "tool": None, "ts": 1_000_000}]
+    cols = {f.name: pa.array([r[f.name] for r in rows], f.type)
+            for f in CHANGE_SCHEMA}
+    lake_dir = str(tmp_path / "off")
+    lake = CDCLake(lake_dir, num_partitions=2)
+    lake.apply_changes(ray.data.from_arrow(pa.table(cols)), quarantine=False)
+    _, head, _ = lake.poll_changefeed("viewer")
+    lake.consumers.commit("viewer", head, expect=None)
+
+    out = _run("offsets", "--lake", lake_dir)
+    res = json.loads(out.stdout)
+    assert res["head_epoch"] == head
+    assert res["groups"] == {"viewer": {"epoch": head, "lag": 0}}
