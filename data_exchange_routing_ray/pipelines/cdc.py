@@ -172,7 +172,10 @@ class CDCLake:
         # the Cassandra gc_grace problem).
         # schema_policy: "evolve" (default) = Arrow schema unification with
         # backfill-null semantics, newly observed payload columns REGISTER
-        # in the manifest (schema_names) at commit; "strict" = change
+        # in the manifest (schema_names) at commit (groupby merge mode;
+        # actors/exchange modes enforce but do not extend the registry —
+        # commit evolved columns through a groupby epoch first); "strict"
+        # = change
         # batches carrying columns outside CHANGE_SCHEMA + the committed
         # registry dead-letter with the exact violation (schema-registry
         # compatibility enforcement) instead of silently unifying.
