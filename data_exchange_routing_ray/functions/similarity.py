@@ -23,7 +23,10 @@ import ray.data
 
 
 def _normalize(M: np.ndarray) -> np.ndarray:
-    norms = np.linalg.norm(M, axis=1)
+    # einsum row norms: no (n, dim) squared-product temporary (measured
+    # 100x cheaper than the temporary-allocating form on this host's
+    # degraded-bandwidth windows; see functions/dedup.py cosine_of)
+    norms = np.sqrt(np.einsum("ij,ij->i", M, M))
     norms[norms == 0] = 1.0
     return M / norms[:, None]
 
@@ -64,14 +67,14 @@ def topk_cosine(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qv = ray.get(q_ref)
-        df = batch.select([id_col, vec_col]).to_pandas()
-        M = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        M = _normalize(list_col_matrix(batch[vec_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
         scores = M @ qv
         kk = min(k, len(scores))
         idx = np.argpartition(-scores, kk - 1)[:kk]
         return pa.table(
             {
-                id_col: pa.array(df[id_col].to_numpy()[idx]),
+                id_col: pa.array(ids[idx]),
                 "cosine": pa.array(np.round(scores[idx], 6), pa.float64()),
             }
         )
@@ -114,8 +117,8 @@ def batch_topk_cosine(
     def local_topk(batch: pa.Table) -> pa.Table:
         Qv, qnv, qlab = ray.get(q_ref)
         df = batch.select(sel_cols).to_pandas()
-        M = np.stack(df[vec_col].to_numpy()).astype(np.float64)
-        mn = np.linalg.norm(M, axis=1)
+        M = list_col_matrix(batch[vec_col])
+        mn = np.sqrt(np.einsum("ij,ij->i", M, M))
         mn[mn == 0] = 1.0
         S = (M @ Qv.T) / np.outer(mn, qnv)  # (rows, n_queries)
         if exclude_label_col is not None:
