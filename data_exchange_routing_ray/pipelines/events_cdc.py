@@ -12114,11 +12114,11 @@ def ann_quantized_topk(sf_dir: str, k: int = 10, min_recall: float = 0.8) -> pa.
     def search(b: pa.Table) -> pa.Table:
         lo_, sc_ = _ray.get(pref)
         qv = _ray.get(qref)
-        Q = np.frombuffer(b"".join(b["qvec"].to_pylist()), dtype=np.uint8).reshape(
-            b.num_rows, -1
-        )
+        from data_exchange_routing_ray.functions.dedup import _sig_matrix
+
+        Q = _sig_matrix(b["qvec"], int(lo_.shape[0]), np.uint8)
         M = Q.astype(np.float64) * sc_ + lo_
-        nrm = np.linalg.norm(M, axis=1)
+        nrm = np.sqrt(np.einsum("ij,ij->i", M, M))
         nrm[nrm == 0] = 1.0
         s = (M @ qv) / nrm
         kk = min(k, len(s))
