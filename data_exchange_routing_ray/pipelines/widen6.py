@@ -1869,3 +1869,87 @@ def cdc_debezium_roundtrip(sf_dir: str) -> pa.Table:
         t = lake.final_table()
         assert n_written > 0
         return t
+
+
+# ---------------------------------- consumer-offset-driven view maintenance
+
+
+def view_roles_via_consumer(sf_dir: str) -> pa.Table:
+    """A per-role live-turn count view maintained PURELY from changefeed
+    envelopes under consumer-group offsets: three seq-ordered epochs
+    commit; after each, the 'role-view' group polls (`poll_changefeed`),
+    applies signed role deltas (+after, −before; bootstrap = inserts) and
+    commits its offset CAS-style. The view never reads the lake's state —
+    only envelopes — yet must equal the plain per-role census of the final
+    table, which is what the oracle recomputes. A replayed poll after the
+    final commit must return no feed (exactly-once at epoch granularity),
+    asserted in-query.
+
+    100 TB shape: per epoch the consumer moves O(changed keys) envelope
+    rows + a one-file offset CAS — the downstream-materialized-view cost
+    model consumer offsets exist for. Mechanically distinct from
+    `incr_view_roles` (dirty-partition re-aggregation): this is the
+    delta-apply consumer, that is the storage-diff maintainer."""
+    import os
+    import tempfile
+
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+    from data_exchange_routing_ray.pipelines.events_cdc import (
+        _events,
+        derive_changes_batch,
+    )
+
+    hi = int(_events(sf_dir, columns=["event_id"]).max("event_id"))
+    bounds = [(i * (hi + 1)) // 3 for i in range(4)]
+
+    def stream(lo: int, up: int) -> ray.data.Dataset:
+        return (
+            _events(sf_dir, columns=["event_id", "user_id", "event_type", "ts"])
+            .filter(expr=f"event_id >= {lo} and event_id < {up}")
+            .map_batches(derive_changes_batch, batch_format="pyarrow")
+        )
+
+    counts: dict[str, int] = {}
+
+    def fold(feed: ray.data.Dataset) -> None:
+        # vectorized per-batch signed fold; only the ≤|roles| partial
+        # reaches the driver
+        def partial(b: pa.Table) -> pa.Table:
+            df = b.to_pandas()
+            plus = df.loc[df["op"] != "delete", "after_role"].value_counts()
+            minus = df.loc[df["op"] != "insert", "before_role"].value_counts()
+            s = plus.sub(minus, fill_value=0)
+            return pa.table(
+                {
+                    "role": pa.array(s.index.astype(str)),
+                    "delta": pa.array(s.to_numpy().astype(np.int64)),
+                }
+            )
+
+        for part in feed.map_batches(partial, batch_format="pyarrow").to_pandas().itertuples():
+            counts[part.role] = counts.get(part.role, 0) + int(part.delta)
+
+    with tempfile.TemporaryDirectory(prefix="cdcview-") as d:
+        lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
+        for i in range(3):
+            lake.apply_changes(stream(bounds[i], bounds[i + 1]), quarantine=False)
+            expect, head, feed = lake.poll_changefeed(
+                "role-view", image_cols=("role",)
+            )
+            assert feed is not None
+            fold(feed)
+            lake.consumers.commit("role-view", head, expect=expect)
+
+        # exactly-once at epoch granularity: a replayed poll is empty
+        _, _, feed2 = lake.poll_changefeed("role-view", image_cols=("role",))
+        assert feed2 is None, "caught-up consumer must see no feed"
+
+        roles = sorted(r for r, c in counts.items() if c)
+        return pa.table(
+            {
+                "role": pa.array(roles, pa.string()),
+                "n_turns": pa.array(
+                    [counts[r] for r in roles], pa.int64()
+                ),
+            }
+        )
