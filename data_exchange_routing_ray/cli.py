@@ -195,8 +195,15 @@ def cmd_gc(args: argparse.Namespace) -> int:
     _ensure_ray(args.num_cpus)
     from data_exchange_routing_ray.pipelines.cdc import CDCLake, gc_tombstones
 
-    lake = CDCLake(args.lake, multi_leader=True)
-    r = gc_tombstones(lake, args.watermark)
+    # engine mode is persisted in the lake's config and adopted on reopen:
+    # gc on a single-leader lake is refused by gc_tombstones' mode check
+    # instead of silently rebuilding an empty table
+    lake = CDCLake(args.lake)
+    try:
+        r = gc_tombstones(lake, args.watermark)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 3
     print(
         json.dumps(
             {

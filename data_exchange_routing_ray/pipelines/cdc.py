@@ -184,6 +184,30 @@ class CDCLake:
                 f"schema_policy must be evolve|strict, got {schema_policy!r}"
             )
         self.schema_policy = schema_policy
+        # the engine MODE is a property of the on-disk lake, not of one
+        # process's constructor args: multi-leader storage carries an 'op'
+        # column and tombstone rows that single-leader reads would surface
+        # as live state, and a single-leader lake run through gc_tombstones
+        # would fail every re-injected row's op validation. Persist the
+        # mode at creation and ADOPT it on reopen (same precedent as
+        # num_partitions below) — so `cli gc` on a single-leader lake is
+        # refused by gc_tombstones' mode check instead of committing an
+        # empty table.
+        os.makedirs(lake_dir, exist_ok=True)
+        cfg_path = os.path.join(lake_dir, "lake-config.json")
+        if os.path.exists(cfg_path):
+            import json as _json
+
+            with open(cfg_path) as f:
+                _cfg = _json.load(f)
+            multi_leader = bool(_cfg.get("multi_leader", multi_leader))
+        else:
+            import json as _json
+
+            tmp = cfg_path + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump({"multi_leader": bool(multi_leader)}, f)
+            os.replace(tmp, cfg_path)
         if multi_leader and (merge_policy != "rewrite" or merge_mode != "groupby"):
             raise ValueError(
                 "multi_leader requires merge_mode='groupby' and merge_policy='rewrite'"
@@ -315,7 +339,10 @@ class CDCLake:
             # strictly monotone and collision-free vs BOTH manifest logs:
             # the adopted manifest is archived under this epoch number
             epoch=max(cur.epoch, head.epoch) + 1,
-            applied_offset=head.applied_offset,
+            # never regress the global replay fence: a shadow branch whose
+            # offset trails main's (parity audit checks data, not offsets)
+            # must not reopen the seq gap to pre-migration replays
+            applied_offset=max(cur.applied_offset, head.applied_offset),
             gc_watermark=max(cur.gc_watermark, head.gc_watermark),
             num_partitions=head.num_partitions,
             schema_names=head.schema_names,
@@ -366,8 +393,14 @@ class CDCLake:
                     out[f"after_{c}"] = pa.nulls(b.num_rows, pa.string())
             return pa.table(out)
 
+        # pin the bootstrap read to the captured head epoch: a concurrent
+        # writer commit between reading `head` and building the feed must
+        # not leak epoch head+1 state into a feed committed as offset head
+        # (the next poll would re-deliver changefeed(head, head+1) and the
+        # consumer's view would double-apply those changes)
         feed = self.final_dataset(
-            columns=["conv_id", "turn_idx", *cols]
+            columns=["conv_id", "turn_idx", *cols],
+            epoch=head if head >= 0 else None,  # -1 = never committed: empty
         ).map_batches(to_envelopes, batch_format="pyarrow")
         return None, head, feed
 
@@ -760,10 +793,17 @@ class CDCLake:
                 )
         # even with fence=False (multi-leader WAL exchange), the GC floor
         # fence holds: tombstones at/below gc_watermark are gone, so the
-        # fence alone rejects stale writes below it (see gc_tombstones)
-        fence_below = man.applied_offset if fence else (
-            man.gc_watermark if man.gc_watermark >= 0 else -(2**62)
-        )
+        # fence alone rejects stale writes below it (see gc_tombstones).
+        # Self-rebuilds (repartition/compaction/GC) bypass BOTH fences:
+        # they re-inject the lake's own committed rows, whose seqs may
+        # legitimately sit at/below the watermark — fencing them would
+        # silently destroy every live row not updated since the floor rose.
+        if rebuild:
+            fence_below = -(2**62)
+        else:
+            fence_below = man.applied_offset if fence else (
+                man.gc_watermark if man.gc_watermark >= 0 else -(2**62)
+            )
         P = self.num_partitions
         stage_dir = self._stage_dir()
         if rebuild:
@@ -1596,6 +1636,14 @@ def gc_tombstones(lake: "CDCLake", sites_min_applied_offset: int) -> "EpochResul
         )
 
     current = lake.final_dataset_raw()
+    # defense in depth (lake-config.json lost / hand-edited): multi-leader
+    # storage ALWAYS carries 'op'; raw rows without it would fail
+    # ERR_BAD_OP validation in the rebuild and be silently dropped
+    if lake.manifest.partitions and "op" not in current.schema().names:
+        raise ValueError(
+            "gc_tombstones: raw storage carries no 'op' column — this lake "
+            "was not written in multi-leader mode; refusing to rebuild"
+        )
 
     def drop_dead_tombstones(b: pa.Table) -> pa.Table:
         if "op" not in b.column_names:

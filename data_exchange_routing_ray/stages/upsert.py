@@ -313,7 +313,19 @@ def _content_digest(table: pa.Table) -> np.ndarray:
     mult = np.uint64(0x9E3779B97F4A7C15)
     for col in _DIGEST_COLUMNS:
         if col in table.column_names:
-            h = stable_hash_strings(table[col])
+            arr = table[col]
+            if col == "op":
+                # maintenance rewrites (gc_tombstones / repartition_lake)
+                # rewrite surviving live rows' op to 'update'; normalize
+                # insert/update to one token so a site that ran GC and one
+                # that didn't digest the same logical write identically —
+                # only the live-vs-tombstone distinction may arbitrate
+                arr = pc.if_else(
+                    pc.equal(arr, pa.scalar("delete")),
+                    pa.scalar("delete"),
+                    pa.scalar("write"),
+                )
+            h = stable_hash_strings(arr)
         else:
             h = np.zeros(n, dtype=np.uint64)
         acc = (acc ^ h) * mult
