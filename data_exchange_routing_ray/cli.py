@@ -297,28 +297,42 @@ def cmd_diff(args: argparse.Namespace) -> int:
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 3
-    rows = feed.to_pandas().sort_values(["conv_id", "turn_idx"])
-    if getattr(args, "format", "plain") == "debezium":
-        # emit standard Debezium envelopes so any Debezium-speaking
-        # consumer can tail the lake's changefeed; source.sequence is the
-        # target epoch (the commit that produced the change)
+    # STREAM the feed: a production-size epoch diff must never materialize
+    # in driver memory. The distributed sort orders blocks globally, and
+    # iter_batches then yields them in order — the driver holds one batch
+    # at a time (bounded RSS) while emitting the same sorted output.
+    feed = feed.sort(["conv_id", "turn_idx"])
+    debezium = getattr(args, "format", "plain") == "debezium"
+    if debezium:
+        # standard Debezium envelopes so any Debezium-speaking consumer can
+        # tail the lake's changefeed; source.sequence is the target epoch
+        # (the commit that produced the change)
         from data_exchange_routing_ray.sources import to_debezium_envelope
 
-        for r in rows.itertuples(index=False):
-            row = {
-                "conv_id": r.conv_id, "turn_idx": int(r.turn_idx),
-                "role": None, "tool": None, "ts": None,
-                "text": r.before_text if r.op == "delete" else r.after_text,
-            }
-            print(json.dumps(
-                to_debezium_envelope(row, r.op, args.to_epoch), default=str
-            ))
-        return 0
-    for r in rows.itertuples(index=False):
-        print(json.dumps({
-            "op": r.op, "conv_id": r.conv_id, "turn_idx": int(r.turn_idx),
-            "before_text": r.before_text, "after_text": r.after_text,
-        }, default=str))
+    for batch in feed.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        ops = batch["op"].to_pylist()
+        convs = batch["conv_id"].to_pylist()
+        turns = batch["turn_idx"].to_pylist()
+        before = batch["before_text"].to_pylist()
+        after = batch["after_text"].to_pylist()
+        out = []
+        for op, conv, turn, b, a in zip(ops, convs, turns, before, after):
+            if debezium:
+                row = {
+                    "conv_id": conv, "turn_idx": int(turn),
+                    "role": None, "tool": None, "ts": None,
+                    "text": b if op == "delete" else a,
+                }
+                out.append(json.dumps(
+                    to_debezium_envelope(row, op, args.to_epoch), default=str
+                ))
+            else:
+                out.append(json.dumps({
+                    "op": op, "conv_id": conv, "turn_idx": int(turn),
+                    "before_text": b, "after_text": a,
+                }, default=str))
+        if out:
+            print("\n".join(out))
     return 0
 
 

@@ -1379,16 +1379,29 @@ def join_broadcast_segments(sf_dir: str) -> pa.Table:
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_mktsegment"],
     )
-    seg_ref = _ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    # broadcast parallel (keys, values) Arrow arrays, not a Python dict:
+    # the per-batch lookup is then index_in + take (C kernels), never
+    # pd.Series.map's per-row Python-object hashing
+    seg_ref = _ray.put((
+        pa.array(cust["c_custkey"].to_numpy(), pa.int64()),
+        pa.array(cust["c_mktsegment"].astype(str), pa.string()),
+    ))
 
     def partial(batch: pa.Table) -> pa.Table:
-        seg_map = _ray.get(seg_ref)
-        df = batch.select(["o_custkey", "o_totalprice"]).to_pandas()
-        df["c_mktsegment"] = df["o_custkey"].map(seg_map)
-        g = df.groupby("c_mktsegment", as_index=False).agg(
-            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        keys, vals = _ray.get(seg_ref)
+        idx = pc.index_in(batch["o_custkey"], value_set=keys)
+        tb = pa.table({
+            "c_mktsegment": pc.take(vals, idx),
+            "o_totalprice": batch["o_totalprice"],
+        })
+        g = tb.group_by("c_mktsegment").aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.table({
+            "c_mktsegment": g["c_mktsegment"],
+            "revenue": g["o_totalprice_sum"],
+            "n_orders": g["o_totalprice_count"].cast(pa.int64()),
+        })
 
     ds = _read_sized(
 os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
@@ -1421,21 +1434,33 @@ def join_multiway_region_revenue(sf_dir: str) -> pa.Table:
     )
     nat2reg = dict(zip(nat["n_nationkey"], nat["n_regionkey"]))
     reg2name = dict(zip(reg["r_regionkey"], reg["r_name"]))
-    cust2region = {
-        ck: reg2name[nat2reg[nk]] for ck, nk in zip(cust["c_custkey"], cust["c_nationkey"])
-    }
+    region_names = [
+        reg2name[nat2reg[nk]] for nk in cust["c_nationkey"]
+    ]
     import ray as _ray
 
-    ref = _ray.put(cust2region)
+    # composed dimension chain broadcast as parallel Arrow arrays; per
+    # batch the 3-way join is ONE index_in + take gather (C kernels)
+    ref = _ray.put((
+        pa.array(cust["c_custkey"].to_numpy(), pa.int64()),
+        pa.array(region_names, pa.string()),
+    ))
 
     def partial(b: pa.Table) -> pa.Table:
-        m = _ray.get(ref)
-        df = b.select(["o_custkey", "o_totalprice"]).to_pandas()
-        df["r_name"] = df["o_custkey"].map(m)
-        g = df.groupby("r_name", as_index=False).agg(
-            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        keys, vals = _ray.get(ref)
+        idx = pc.index_in(b["o_custkey"], value_set=keys)
+        tb = pa.table({
+            "r_name": pc.take(vals, idx),
+            "o_totalprice": b["o_totalprice"],
+        })
+        g = tb.group_by("r_name").aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.table({
+            "r_name": g["r_name"],
+            "revenue": g["o_totalprice_sum"],
+            "n_orders": g["o_totalprice_count"].cast(pa.int64()),
+        })
 
     out = (
         _read_sized(
@@ -3469,26 +3494,36 @@ def rollup_region_nation_revenue(sf_dir: str) -> pa.Table:
             nat["n_regionkey"].map(dict(zip(reg["r_regionkey"], reg["r_name"]))),
         )
     }
-    cust2rn = {ck: nat_info[nk] for ck, nk in zip(cust["c_custkey"], cust["c_nationkey"])}
-    ref = _ray.put(cust2rn)
+    # composed dimension chain broadcast as parallel Arrow arrays (keys +
+    # one values array per output column): the per-batch 3-way join is
+    # index_in + two takes — no pandas-dict per-row Python hashing
+    ref = _ray.put((
+        pa.array(cust["c_custkey"].to_numpy(), pa.int64()),
+        pa.array(
+            [nat_info[nk][0] for nk in cust["c_nationkey"]], pa.string()
+        ),
+        pa.array(
+            [nat_info[nk][1] for nk in cust["c_nationkey"]], pa.string()
+        ),
+    ))
 
     def partial(b: pa.Table) -> pa.Table:
-        m = _ray.get(ref)
-        df = b.select(["o_custkey", "o_totalprice"]).to_pandas()
-        rn = df["o_custkey"].map(m)
-        df["r_name"] = rn.str[0]
-        df["n_name"] = rn.str[1]
-        g = df.groupby(["r_name", "n_name"], as_index=False).agg(
-            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        keys, rvals, nvals = _ray.get(ref)
+        idx = pc.index_in(b["o_custkey"], value_set=keys)
+        tb = pa.table({
+            "r_name": pc.take(rvals, idx),
+            "n_name": pc.take(nvals, idx),
+            "o_totalprice": b["o_totalprice"],
+        })
+        g = tb.group_by(["r_name", "n_name"]).aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")]
         )
-        return pa.table(
-            {
-                "r_name": pa.array(g["r_name"], pa.string()),
-                "n_name": pa.array(g["n_name"], pa.string()),
-                "revenue": pa.array(g["revenue"], pa.float64()),
-                "n_orders": pa.array(g["n_orders"], pa.int64()),
-            }
-        )
+        return pa.table({
+            "r_name": g["r_name"],
+            "n_name": g["n_name"],
+            "revenue": g["o_totalprice_sum"],
+            "n_orders": g["o_totalprice_count"].cast(pa.int64()),
+        })
 
     fine = (
         _read_sized(
@@ -8696,24 +8731,28 @@ def revenue_share_within_region(sf_dir: str) -> pa.Table:
     )
     import ray as _ray
 
-    cust2nat = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
-    ref = _ray.put(cust2nat)
+    # broadcast parallel Arrow arrays; per-batch lookup = index_in + take
+    ref = _ray.put((
+        pa.array(cust["c_custkey"].to_numpy(), pa.int64()),
+        pa.array(cust["c_nationkey"].to_numpy(), pa.int64()),
+    ))
 
     def partial(b: pa.Table) -> pa.Table:
-        m = _ray.get(ref)
-        df = pd.DataFrame(
-            {
-                "o_custkey": b["o_custkey"].to_numpy(),
-                "tick": np.floor(
-                    b["o_totalprice"].to_numpy() * 100.0
-                ).astype(np.int64),
-            }
+        keys, vals = _ray.get(ref)
+        idx = pc.index_in(b["o_custkey"], value_set=keys)
+        tick = np.floor(b["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        tb = pa.table({
+            "nationkey": pc.take(vals, idx),
+            "tick": pa.array(tick, pa.int64()),
+        })
+        g = tb.group_by("nationkey").aggregate(
+            [("tick", "sum"), ("tick", "count")]
         )
-        df["nationkey"] = df["o_custkey"].map(m)
-        g = df.groupby("nationkey", as_index=False).agg(
-            revenue_ticks=("tick", "sum"), n_orders=("tick", "size")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.table({
+            "nationkey": g["nationkey"],
+            "revenue_ticks": g["tick_sum"],
+            "n_orders": g["tick_count"].cast(pa.int64()),
+        })
 
     per_nat = (
         _read_sized(

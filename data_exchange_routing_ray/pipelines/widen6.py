@@ -968,19 +968,47 @@ def _conv_key(conv_id: str) -> bytes:
     return hashlib.sha256(b"tenant-key|" + conv_id.encode()).digest()
 
 
-def _keystream_xor(key: bytes, turn_idx: int, data: bytes) -> bytes:
-    """CTR-style keystream: md5(key ‖ turn ‖ counter) blocks XOR data.
-    Per-row C-speed md5 (the add_md5_fingerprint idiom); payloads are
-    turn-sized so blocks-per-row is tiny."""
-    out = bytearray(len(data))
-    blocks = (len(data) + 15) // 16
-    ks = b"".join(
-        hashlib.md5(key + turn_idx.to_bytes(4, "little") + i.to_bytes(4, "little")).digest()
+def _keystream(key: bytes, turn_idx: int, nbytes: int) -> bytes:
+    """CTR-style keystream: md5(key ‖ turn ‖ counter) blocks, truncated to
+    the payload length. md5 is C-speed (the add_md5_fingerprint idiom);
+    payloads are turn-sized so blocks-per-row is tiny."""
+    blocks = (nbytes + 15) // 16
+    return b"".join(
+        hashlib.md5(
+            key + turn_idx.to_bytes(4, "little") + i.to_bytes(4, "little")
+        ).digest()
         for i in range(blocks)
+    )[:nbytes]
+
+
+def _keystream_xor(key: bytes, turn_idx: int, data: bytes) -> bytes:
+    """Single-row keystream XOR (numpy over the byte buffer, never a
+    per-byte Python loop)."""
+    ks = _keystream(key, turn_idx, len(data))
+    return (
+        np.frombuffer(data, np.uint8) ^ np.frombuffer(ks, np.uint8)
+    ).tobytes()
+
+
+def _xor_rows(keys: list, turns, payloads: list) -> list:
+    """Vectorized many-row keystream XOR: generate every row's keystream
+    (per-block C-speed md5 — the irreducible part), then ONE numpy XOR
+    over the concatenated buffer and split at the row offsets. No per-row
+    (let alone per-byte) Python XOR loop."""
+    if not payloads:
+        return []
+    lens = np.fromiter((len(p) for p in payloads), np.int64, len(payloads))
+    buf = np.frombuffer(b"".join(payloads), np.uint8)
+    ks = np.frombuffer(
+        b"".join(
+            _keystream(k, int(t), int(n))
+            for k, t, n in zip(keys, turns, lens)
+        ),
+        np.uint8,
     )
-    for i, (a, b) in enumerate(zip(data, ks)):
-        out[i] = a ^ b
-    return bytes(out)
+    out = (buf ^ ks).tobytes()
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    return [out[offs[i]: offs[i + 1]] for i in range(len(payloads))]
 
 
 def crypto_shred_erasure(sf_dir: str, erase_mod: int = 37) -> pa.Table:
@@ -1028,23 +1056,30 @@ def crypto_shred_erasure(sf_dir: str, erase_mod: int = 37) -> pa.Table:
                 ["conv_id", "turn_idx"], kind="stable"
             )
             bucket = int(g["bucket"].iloc[0])
-            recs = []
-            digests = []
-            for conv, grp in live.groupby("conv_id", sort=True):
-                key = _conv_key(conv)
-                plain = "\n".join(grp["text"].tolist())
-                digests.append(
-                    (conv, len(grp), hashlib.md5(plain.encode()).hexdigest())
-                )
-                for t, x in zip(grp["turn_idx"], grp["text"]):
-                    ct = _keystream_xor(key, int(t), x.encode())
-                    assert ct != x.encode(), "ciphertext must differ"
-                    recs.append((conv, int(t), ct))
+            digests = [
+                (conv, len(grp),
+                 hashlib.md5("\n".join(grp["text"].tolist()).encode()).hexdigest())
+                for conv, grp in live.groupby("conv_id", sort=True)
+            ]
+            # vectorized encrypt: one key derivation per conv, one batched
+            # keystream XOR over the whole bucket (no per-turn Python XOR)
+            kcache = {c: _conv_key(c) for c in live["conv_id"].unique()}
+            payloads = [x.encode() for x in live["text"]]
+            cts = _xor_rows(
+                [kcache[c] for c in live["conv_id"]],
+                live["turn_idx"].to_numpy(),
+                payloads,
+            )
+            assert all(ct != p for ct, p in zip(cts, payloads)), (
+                "ciphertext must differ"
+            )
             enc = pa.table(
                 {
-                    "conv_id": pa.array([r[0] for r in recs], pa.string()),
-                    "turn_idx": pa.array([r[1] for r in recs], pa.int32()),
-                    "ct": pa.array([r[2] for r in recs], pa.binary()),
+                    "conv_id": pa.array(live["conv_id"].tolist(), pa.string()),
+                    "turn_idx": pa.array(
+                        [int(t) for t in live["turn_idx"]], pa.int32()
+                    ),
+                    "ct": pa.array(cts, pa.binary()),
                 }
             )
             pq.write_table(enc, os.path.join(d, f"enc-{bucket:04d}.parquet"))
@@ -1074,25 +1109,32 @@ def crypto_shred_erasure(sf_dir: str, erase_mod: int = 37) -> pa.Table:
             kmap = ray.get(keys_ref)
             t = pq.read_table(path)
             df = t.to_pandas()
-            n_stored_erased = int((~df["conv_id"].isin(kmap)).sum())
+            keyed = df["conv_id"].isin(kmap)
+            n_stored_erased = int((~keyed).sum())
+            df = df[keyed].sort_values(
+                ["conv_id", "turn_idx"], kind="stable"
+            )
             rows = []
-            for conv, grp in df[df["conv_id"].isin(kmap)].groupby(
-                "conv_id", sort=True
-            ):
-                key = kmap[conv]
-                grp = grp.sort_values("turn_idx")
-                texts = [
-                    _keystream_xor(key, int(t_), bytes(ct)).decode()
-                    for t_, ct in zip(grp["turn_idx"], grp["ct"])
-                ]
-                rows.append(
-                    (
-                        conv,
-                        len(texts),
-                        hashlib.md5("\n".join(texts).encode()).hexdigest(),
-                        n_stored_erased,
-                    )
+            if len(df):
+                # vectorized decrypt: ONE batched keystream XOR over the
+                # whole file's keyed rows, then per-conv digests over the
+                # already-ordered plaintexts (no per-turn Python XOR loop)
+                plains = _xor_rows(
+                    [kmap[c] for c in df["conv_id"]],
+                    df["turn_idx"].to_numpy(),
+                    [bytes(ct) for ct in df["ct"]],
                 )
+                df = df.assign(_plain=plains)
+                for conv, grp in df.groupby("conv_id", sort=True):
+                    texts = [p.decode() for p in grp["_plain"]]
+                    rows.append(
+                        (
+                            conv,
+                            len(texts),
+                            hashlib.md5("\n".join(texts).encode()).hexdigest(),
+                            n_stored_erased,
+                        )
+                    )
             if not rows:
                 # sentinel row so an all-erased bucket still reports its
                 # stored-but-unreadable count (dropped before output)
