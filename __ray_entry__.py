@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_schema_evolution": q.cdc_schema_evolution,
         "cdc_lineage_epochs": q.cdc_lineage_epochs,
         "cdc_report_envelopes": q.cdc_report_envelopes,
+        "cdc_trace_chain": q.cdc_trace_chain,
         "cdc_bootstrap_then_changes": q.cdc_bootstrap_then_changes,
         # ---- config-driven orchestration (§2.9, OrchestratorDtos) ----
         "orchestrate_config_pipeline": q.orchestrate_config_pipeline,
@@ -598,8 +599,40 @@ SELECT '1.0.0' AS report_schema_version,
        'QUARANTINED' AS status,
        'ERROR' AS level,
        message,
-       (SELECT count(*) FROM q) AS n_quarantined
+       (SELECT count(*) FROM q) AS n_quarantined,
+       't-req-0001' AS trace_id,
+       '' AS parent_span_id,
+       substr(sha256('t-req-0001||main|0|dex-routing'), 1, 16) AS span_id
 FROM q GROUP BY message
+""",
+        "cdc_trace_chain": _CH
+        + """
+, m AS (SELECT max(seq) + 1 AS hi FROM ch),
+bounds AS (SELECT i, (i * hi) // 2 AS lo, ((i + 1) * hi) // 2 AS up
+           FROM range(2) t(i), m),
+counts AS (
+  SELECT b.i AS epoch,
+         count(DISTINCT conv_id || '#' || CAST(turn_idx AS VARCHAR)) AS n_applied
+  FROM ch JOIN bounds b ON ch.seq >= b.lo AND ch.seq < b.up
+  GROUP BY b.i
+),
+spans AS (
+  SELECT 0 AS epoch, '' AS parent_span_id,
+         substr(sha256('t-req-0001||main|0|dex-routing'), 1, 16) AS span_id,
+         substr(sha256('{"rev":0,"routes":[]}'), 1, 12) AS config_version
+  UNION ALL
+  SELECT 1,
+         substr(sha256('t-req-0001||main|0|dex-routing'), 1, 16),
+         substr(sha256('t-req-0001|'
+                || substr(sha256('t-req-0001||main|0|dex-routing'), 1, 16)
+                || '|main|1|dex-routing'), 1, 16),
+         substr(sha256('{"rev":1,"routes":[]}'), 1, 12)
+)
+SELECT CAST(c.epoch AS BIGINT) AS epoch,
+       CAST(c.n_applied AS BIGINT) AS n_applied,
+       't-req-0001' AS trace_id,
+       s.parent_span_id, s.span_id, s.config_version
+FROM counts c JOIN spans s ON c.epoch = s.epoch
 """,
         "cdc_bootstrap_then_changes": _CH
         + """

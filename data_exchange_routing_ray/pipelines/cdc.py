@@ -22,6 +22,7 @@ No function here calls ``ray.init``; the caller owns the session.
 
 from __future__ import annotations
 
+import hashlib as _hashlib
 import os
 import shutil
 import time
@@ -119,6 +120,10 @@ class EpochResult:
     changes_fenced: int
     rows_quarantined: int
     total_rows: int
+    # this epoch's child span (trace-context parity, RouteIngestedFile.kt
+    # :203): callers chain the NEXT stage with parent_span_id=span_id
+    span_id: str = ""
+    config_version: str | None = None
     stats: pd.DataFrame = field(repr=False, default=None)
 
 
@@ -223,6 +228,10 @@ class CDCLake:
         self._pool = None
         self.lake_dir = lake_dir
         self.branch = branch
+        # declared content-hash of the ACTIVE route config (S14 audit):
+        # set via set_config_version / the config_version arg of
+        # apply_changes; stamped into every commit's manifest+lineage
+        self.config_version: str | None = None
         os.makedirs(lake_dir, exist_ok=True)
         self.store = ManifestStore(lake_dir, branch=branch)
         self.lineage = LineageLog(lake_dir, branch=branch)
@@ -344,6 +353,7 @@ class CDCLake:
             # must not reopen the seq gap to pre-migration replays
             applied_offset=max(cur.applied_offset, head.applied_offset),
             gc_watermark=max(cur.gc_watermark, head.gc_watermark),
+            config_version=head.config_version or cur.config_version,
             num_partitions=head.num_partitions,
             schema_names=head.schema_names,
             partitions=dict(head.partitions),
@@ -759,6 +769,9 @@ class CDCLake:
         rebuild: bool = False,
         max_attempts: int | None = 6,
         audit_fn=None,
+        trace_id: str | None = None,
+        parent_span_id: str | None = None,
+        config_version: str | None = None,
         _raise_gc_watermark: int | None = None,
     ) -> EpochResult:
         """Apply one epoch of change events; atomically commit; return stats.
@@ -783,6 +796,24 @@ class CDCLake:
         t0 = time.time()
         man = self.manifest
         epoch = man.epoch + 1
+        # trace-context (RouteIngestedFile.kt:138-140, :203): incoming
+        # trace_id/parent_span_id default "" like the reference's
+        # getOrDefault; this epoch opens ONE child span (deterministic so
+        # crash-retries of the same epoch report the same span) and every
+        # lineage row of the epoch carries it — downstream consumers chain
+        # with parent_span_id=<this span_id>.
+        _trace = trace_id if trace_id is not None else ""
+        _pspan = parent_span_id if parent_span_id is not None else ""
+        span_id = _hashlib.sha256(
+            f"{_trace}|{_pspan}|{self.branch}|{epoch}|dex-routing".encode()
+        ).hexdigest()[:16]
+        # config audit (S14): explicit arg > the lake's declared active
+        # config > carry the previous epoch's forward (unchanged config)
+        cfg_version = (
+            config_version
+            if config_version is not None
+            else (self.config_version or man.config_version)
+        )
         poison_error = None
         if max_attempts is not None and quarantine:
             n_attempt = self._record_attempt(epoch)
@@ -986,6 +1017,7 @@ class CDCLake:
                     if _raise_gc_watermark is None
                     else max(man.gc_watermark, _raise_gc_watermark)
                 ),
+                config_version=cfg_version,
                 num_partitions=P,
                 schema_names=schema_names,
                 partitions=new_partitions,
@@ -1062,6 +1094,10 @@ class CDCLake:
             ).assign(
                 start_ts=pd.Timestamp(int(t0 * 1e6), unit="us"),
                 end_ts=pd.Timestamp(int(t1 * 1e6), unit="us"),
+                trace_id=_trace,
+                parent_span_id=_pspan,
+                span_id=span_id,
+                config_version=cfg_version,
             )
             self.lineage.append_epoch(epoch, lineage_rows)
 
@@ -1075,6 +1111,8 @@ class CDCLake:
             changes_fenced=int(stats["changes_fenced"].sum()) if len(stats) else 0,
             rows_quarantined=rows_quarantined,
             total_rows=sum(e.rows for e in new_partitions.values()),
+            span_id=span_id,
+            config_version=cfg_version,
             stats=stats,
         )
 
@@ -1171,6 +1209,14 @@ class CDCLake:
         )
         return self.apply_changes(ops, quarantine=quarantine)
 
+    def set_config_version(self, version: str | None) -> None:
+        """Declare the content-hash of the ACTIVE route config (S14 config
+        hot-reload audit, reference FnCacheUpdater.kt:22-52): every epoch
+        committed from now on stamps it into the manifest and its lineage
+        rows, so "which config routed epoch N" is answerable after the
+        fact. Use ``stages.route.config_fingerprint(cfg)`` to derive it."""
+        self.config_version = version
+
     def replay_files(
         self,
         files: list[str],
@@ -1183,6 +1229,11 @@ class CDCLake:
         Resume: shards whose max(seq) ≤ the committed watermark are skipped
         without reading data (parquet column statistics only) — crash-resume
         from checkpoint per the north rule.
+
+        Trace context: if a shard's parquet key-value metadata carries
+        ``trace_id`` / ``parent_span_id`` (the analog of the reference's
+        blob sourceMetadata, RouteIngestedFile.kt:138-140), the epoch's
+        lineage rows propagate them; the first shard of each epoch wins.
         """
         files_per_epoch = max(1, files_per_epoch)
         results = []
@@ -1214,7 +1265,17 @@ class CDCLake:
             ds = ray.data.read_parquet(
                 chunk, columns=columns, override_num_blocks=nblocks
             )
-            results.append(self.apply_changes(ds, quarantine=quarantine))
+            # shard-level trace context (one footer read of the first
+            # shard — no data pages): RouteIngestedFile.kt:138-140
+            kv = pq.read_schema(chunk[0]).metadata or {}
+            results.append(self.apply_changes(
+                ds,
+                quarantine=quarantine,
+                trace_id=(kv.get(b"trace_id") or b"").decode() or None,
+                parent_span_id=(
+                    kv.get(b"parent_span_id") or b""
+                ).decode() or None,
+            ))
         return results
 
     def tail(

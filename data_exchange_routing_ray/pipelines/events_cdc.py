@@ -2119,11 +2119,15 @@ def cdc_report_envelopes(sf_dir: str) -> pa.Table:
     PSReportEnvelope.kt:49-54) is exploded — one row per distinct
     dead-letter error — alongside the envelope version / stage-info
     fields. The ≤5-row explode happens on the driver; the lineage table
-    is at most P+1 rows per epoch by construction."""
+    is at most P+1 rows per epoch by construction.
+
+    Trace-context parity (RouteIngestedFile.kt:138-140): the epoch is
+    applied under an incoming trace_id; every report row must carry it
+    plus this stage's deterministic child span."""
     stream = derived_change_stream(sf_dir, corrupt=True)
     with tempfile.TemporaryDirectory(prefix="cdcenv-") as d:
         lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
-        lake.apply_changes(stream)
+        lake.apply_changes(stream, trace_id="t-req-0001")
         lin = lake.lineage.read_all().to_pandas()
     qrows = lin[lin["status"] == "QUARANTINED"]
     rows = []
@@ -2140,9 +2144,65 @@ def cdc_report_envelopes(sf_dir: str) -> pa.Table:
                     "level": iss["level"],
                     "message": iss["message"],
                     "n_quarantined": int(r["row_count"]),
+                    "trace_id": r["trace_id"],
+                    "parent_span_id": r["parent_span_id"],
+                    "span_id": r["span_id"],
                 }
             )
     out = pd.DataFrame(rows).sort_values("message").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def cdc_trace_chain(sf_dir: str, epochs: int = 2) -> pa.Table:
+    """Trace-context propagation across chained epochs + config-version
+    audit (reference: RouteIngestedFile.kt:138-140 reads trace_id/
+    parent_span_id from source metadata; :203 sets the OUTGOING
+    parent_span_id to this stage's child span; FnCacheUpdater.kt:22-52
+    makes config changes observable events).
+
+    Two seq-sliced epochs run under one trace: epoch 0 with the incoming
+    parent, epoch 1 chained under epoch 0's span (EpochResult.span_id).
+    Between the epochs the route config HOT-RELOADS — each epoch's
+    lineage rows and manifest stamp the content-hash of the config that
+    routed it, so "which config routed epoch N" stays answerable.
+    Engine asserts: all of an epoch's report rows share ONE span."""
+    from data_exchange_routing_ray.stages.route import config_fingerprint
+
+    stream = derived_change_stream(sf_dir)
+    hi = int(_events(sf_dir, columns=["event_id"]).max("event_id")) + 1
+    with tempfile.TemporaryDirectory(prefix="cdctrace-") as d:
+        lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
+        parent = ""
+        for i in range(epochs):
+            lo, up = i * hi // epochs, (i + 1) * hi // epochs
+            # config hot-reload between epochs, stamped per commit
+            lake.set_config_version(
+                config_fingerprint({"rev": i, "routes": []})
+            )
+            res = lake.apply_changes(
+                stream.filter(expr=f"seq >= {lo} and seq < {up}"),
+                quarantine=False,
+                trace_id="t-req-0001",
+                parent_span_id=parent,
+            )
+            assert lake.manifest.config_version == res.config_version
+            parent = res.span_id  # child span becomes the next parent
+        lin = lake.lineage.read_all().to_pandas()
+    spans_per_epoch = lin.groupby("epoch")["span_id"].nunique()
+    assert (spans_per_epoch == 1).all(), (
+        "an epoch's report rows must share one child span"
+    )
+    out = (
+        lin.groupby("epoch", as_index=False)
+        .agg(
+            n_applied=("changes_applied", "sum"),
+            trace_id=("trace_id", "max"),
+            parent_span_id=("parent_span_id", "max"),
+            span_id=("span_id", "max"),
+            config_version=("config_version", "max"),
+        )
+        .astype({"epoch": "int64", "n_applied": "int64"})
+    )
     return pa.Table.from_pandas(out, preserve_index=False)
 
 

@@ -69,6 +69,18 @@ LINEAGE_SCHEMA = pa.schema(
         ("stage", pa.string()),  # StageInfo.stage
         ("version", pa.string()),  # StageInfo.version
         ("issues", pa.list_(ISSUE_TYPE)),  # StageInfo.issues
+        # --- trace-context parity, RouteIngestedFile.kt:138-140, :203 ---
+        # trace_id / parent_span_id arrive with the change stream's source
+        # metadata (default "" like the reference's getOrDefault); span_id
+        # is THIS stage's child span — downstream stages chain under it
+        # (the reference's sourceMetadata["parent_span_id"] = childSpanId)
+        ("trace_id", pa.string()),
+        ("parent_span_id", pa.string()),
+        ("span_id", pa.string()),
+        # config audit (S14, FnCacheUpdater.kt:22-52): content-hash of the
+        # route config active when this epoch committed — answers "which
+        # config routed epoch N" after a hot reload
+        ("config_version", pa.string()),
     ]
 )
 

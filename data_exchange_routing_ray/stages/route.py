@@ -43,6 +43,21 @@ LEGACY_ALIASES = {
 }
 
 
+def config_fingerprint(config: dict | str) -> str:
+    """Deterministic content-hash of a route-config document (the S14
+    config-version stamp, reference FnCacheUpdater.kt:22-52): same config
+    content → same version string on every site, independent of key order.
+    Pass the result to ``CDCLake.set_config_version`` so each epoch's
+    manifest + lineage record which config routed it."""
+    import hashlib
+
+    if isinstance(config, str):
+        with open(config) as f:
+            config = json.load(f)
+    canon = json.dumps(config, sort_keys=True, separators=(",", ":"))
+    return hashlib.sha256(canon.encode()).hexdigest()[:12]
+
+
 def load_route_config(config: dict | str) -> pd.DataFrame:
     """Normalize a route-config document into a flat lookup DataFrame.
 

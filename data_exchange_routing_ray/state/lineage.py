@@ -59,6 +59,13 @@ class LineageLog:
         for name, value in ENVELOPE_CONSTANTS.items():
             if name not in rows.columns:
                 rows[name] = value
+        # trace-context defaults mirror the reference's getOrDefault("", …);
+        # config_version stays null when the committer declared none
+        for name in ("trace_id", "parent_span_id", "span_id"):
+            if name not in rows.columns:
+                rows[name] = ""
+        if "config_version" not in rows.columns:
+            rows["config_version"] = None
         issues = (
             [v if isinstance(v, list) else [] for v in rows["issues"]]
             if "issues" in rows.columns

@@ -50,6 +50,9 @@ class Manifest:
     # the tombstones at/below it were compacted away, so the fence is the
     # only thing standing between a late stale write and resurrection.
     gc_watermark: int = -1
+    # content-hash of the route config active when this epoch committed
+    # (S14 audit, FnCacheUpdater.kt:22-52) — null when none was declared
+    config_version: str | None = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -57,6 +60,7 @@ class Manifest:
                 "epoch": self.epoch,
                 "applied_offset": self.applied_offset,
                 "gc_watermark": self.gc_watermark,
+                "config_version": self.config_version,
                 "num_partitions": self.num_partitions,
                 "schema_names": self.schema_names,
                 "partitions": {
@@ -73,6 +77,7 @@ class Manifest:
             epoch=d["epoch"],
             applied_offset=d["applied_offset"],
             gc_watermark=d.get("gc_watermark", -1),
+            config_version=d.get("config_version"),
             num_partitions=d["num_partitions"],
             schema_names=d.get("schema_names", []),
             partitions={
