@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_route_expansion": q.cdc_route_expansion,
         "cdc_route_default_fallback": q.cdc_route_default_fallback,
         "cdc_route_credentials": q.cdc_route_credentials,
+        "config_threeway_join": q.config_threeway_join,
         "cdc_unroutable_count": q.cdc_unroutable_count,
         "cdc_parse_urls": q.cdc_parse_urls,
         "cdc_partition_paths": q.cdc_partition_paths,
@@ -705,6 +706,47 @@ routes(dsid, route, route_id, credential_ref, error) AS (
 SELECT route_id, credential_ref, error, count(*) AS n
 FROM ev JOIN routes USING (dsid, route)
 GROUP BY route_id, credential_ref, error
+""",
+        "config_threeway_join": """
+WITH trig AS (
+  SELECT CAST(r_regionkey AS BIGINT) + 1 AS trigger_id,
+         'trg-' || r_name AS trigger_name FROM region
+),
+src AS (
+  SELECT CAST(n_nationkey AS BIGINT) + 1 AS source_id,
+         'src-' || n_name AS source_name, 'blob' AS source_type,
+         'scfg-' || CAST(n_nationkey AS VARCHAR) AS source_config,
+         CAST(n_regionkey AS BIGINT) + 1 AS trigger_id
+  FROM nation
+),
+tgt AS (
+  SELECT 'tgt-' || n_name AS target_name, 'sql' AS target_type,
+         'tcfg-' || CAST(n_nationkey AS VARCHAR) AS target_config,
+         (CAST(n_nationkey AS BIGINT) % 5) + 1 AS trigger_id
+  FROM nation
+),
+obj AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS object_id, 'dbo' AS object_schema,
+         'obj-' || CAST(s_suppkey AS VARCHAR) AS object_name,
+         'table' AS object_type,
+         'ocfg-' || CAST(s_suppkey AS VARCHAR) AS object_config,
+         CASE WHEN s_suppkey % 3 = 0 THEN 'F' ELSE 'I' END AS load_type,
+         TIMESTAMP '2024-01-01'
+           + (CAST(s_suppkey AS BIGINT) % 180) * INTERVAL 1 DAY
+           AS last_modified_time,
+         (CAST(s_suppkey AS BIGINT) % 13) + 1 AS source_id
+  FROM supplier
+),
+sub AS (
+  SELECT tr.trigger_name, s.source_id, s.source_name, s.source_type,
+         s.source_config, t.target_name, t.target_type, t.target_config
+  FROM trig tr, src s, tgt t
+  WHERE tr.trigger_id = s.trigger_id AND tr.trigger_id = t.trigger_id
+    AND tr.trigger_name = 'trg-ASIA'
+)
+SELECT sub.*, o.object_id, o.object_schema, o.object_name, o.object_type,
+       o.object_config, o.load_type, o.last_modified_time
+FROM sub LEFT JOIN obj o ON sub.source_id = o.source_id
 """,
         "cdc_route_default_fallback": """
 WITH ev AS (

@@ -1197,6 +1197,182 @@ def cdc_route_credentials(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def config_threeway_join(
+    sf_dir: str, trigger_name: str = "trg-ASIA"
+) -> pa.Table:
+    """J5 — the ADF control-table 3-way config join, uspGetConfig.sql
+    semantics (spikes/ConfigurationDrivenPipeline/DatabaseProject/dbo/
+    StoredProcedures/uspGetConfig.sql): ConfigTrigger ⋈ ConfigSource ⋈
+    ConfigTarget on TriggerId filtered to one @TriggerName (source ×
+    target cross product within the trigger), LEFT JOIN ConfigObject on
+    SourceId — sources with no objects surface with null object columns,
+    and each object row carries the LoadType ('F'ull / 'I'ncremental) and
+    LastModifiedTime watermark columns the pipeline consumes.
+
+    Config tables are derived deterministically from the dims:
+    trigger ← region, source/target ← nation (targets regroup by
+    nationkey%5 so the cross product is non-trivial), object ← supplier
+    (SourceId = s_suppkey%13+1, so sources 14..25 have NO objects — the
+    LEFT-JOIN-null path is always exercised).
+
+    100 TB shape: trigger/source/target are dimension-tiny and composed
+    on the driver; the OBJECT side (the control table that grows with
+    the estate) streams through map_batches with the trigger's source
+    set broadcast — an index_in probe + np.repeat expansion across the
+    trigger's targets, never a shuffle join."""
+    reg = pd.read_parquet(os.path.join(sf_dir, "region.parquet"))
+    nat = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"))
+    trig = pd.DataFrame({
+        "trigger_id": reg["r_regionkey"].astype(np.int64) + 1,
+        "trigger_name": "trg-" + reg["r_name"].astype(str),
+    })
+    src = pd.DataFrame({
+        "source_id": nat["n_nationkey"].astype(np.int64) + 1,
+        "source_name": "src-" + nat["n_name"].astype(str),
+        "source_type": "blob",
+        "source_config": "scfg-" + nat["n_nationkey"].astype(str),
+        "trigger_id": nat["n_regionkey"].astype(np.int64) + 1,
+    })
+    tgt = pd.DataFrame({
+        "target_name": "tgt-" + nat["n_name"].astype(str),
+        "target_type": "sql",
+        "target_config": "tcfg-" + nat["n_nationkey"].astype(str),
+        "trigger_id": (nat["n_nationkey"].astype(np.int64) % 5) + 1,
+    })
+    tid = trig.loc[trig["trigger_name"] == trigger_name, "trigger_id"]
+    if not len(tid):
+        raise ValueError(f"no trigger named {trigger_name!r}")
+    tid = int(tid.iloc[0])
+    sub_src = src[src["trigger_id"] == tid].sort_values("source_id")
+    sub_tgt = tgt[tgt["trigger_id"] == tid].sort_values("target_name")
+
+    # broadcast the trigger's source set + target list; stream objects
+    import ray as _ray
+
+    src_keys = pa.array(sub_src["source_id"].to_numpy(), pa.int64())
+    bcast = _ray.put((
+        src_keys,
+        pa.array(sub_src["source_name"], pa.string()),
+        pa.array(sub_src["source_config"], pa.string()),
+        sub_tgt[["target_name", "target_type", "target_config"]]
+        .to_numpy(dtype=object),
+    ))
+
+    def probe_objects(b: pa.Table) -> pa.Table:
+        keys, snames, scfgs, tgts = _ray.get(bcast)
+        sk = b["s_suppkey"].to_numpy()
+        source_id = (sk % 13 + 1).astype(np.int64)
+        idx = pc.index_in(pa.array(source_id, pa.int64()), value_set=keys)
+        keep = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        if not keep.any():
+            return _THREEWAY_SCHEMA.empty_table()
+        sk = sk[keep]
+        source_id = source_id[keep]
+        idxk = pc.filter(idx, pa.array(keep))
+        n, t = int(keep.sum()), len(tgts)
+        # 1→N expansion across the trigger's targets (route-expansion idiom)
+        rep = np.repeat(np.arange(n), t)
+        tcol = np.tile(np.arange(t), n)
+        lmt = (
+            np.datetime64("2024-01-01", "us")
+            + (sk % 180).astype("timedelta64[D]").astype("timedelta64[us]")
+        )
+        return pa.table({
+            "trigger_name": pa.array([trigger_name] * n * t, pa.string()),
+            "source_id": pa.array(source_id[rep], pa.int64()),
+            "source_name": pc.take(snames, idxk).take(pa.array(rep)),
+            "source_type": pa.array(["blob"] * n * t, pa.string()),
+            "source_config": pc.take(scfgs, idxk).take(pa.array(rep)),
+            "target_name": pa.array(tgts[tcol, 0], pa.string()),
+            "target_type": pa.array(tgts[tcol, 1], pa.string()),
+            "target_config": pa.array(tgts[tcol, 2], pa.string()),
+            "object_id": pa.array(sk[rep], pa.int64()),
+            "object_schema": pa.array(["dbo"] * n * t, pa.string()),
+            "object_name": pa.array(
+                np.char.add("obj-", sk[rep].astype(np.str_)).astype(object),
+                pa.string(),
+            ),
+            "object_type": pa.array(["table"] * n * t, pa.string()),
+            "object_config": pa.array(
+                np.char.add("ocfg-", sk[rep].astype(np.str_)).astype(object),
+                pa.string(),
+            ),
+            "load_type": pa.array(
+                np.where(sk[rep] % 3 == 0, "F", "I").astype(object),
+                pa.string(),
+            ),
+            "last_modified_time": pa.array(lmt[rep], pa.timestamp("us")),
+        })
+
+    matched = (
+        _read_sized(
+            os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey"]
+        )
+        .map_batches(probe_objects, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+    _parts = [t for t in map(ray.get, matched) if t.num_rows]
+    matched = (
+        pa.concat_tables(_parts, promote_options="default")
+        if _parts
+        else _THREEWAY_SCHEMA.empty_table()
+    )
+
+    # LEFT-JOIN null side: the trigger's sources with NO objects — the
+    # distinct matched source set is tiny (≤ |sources|), so the anti side
+    # is driver arithmetic over the broadcast dims
+    have = (
+        set(matched["source_id"].to_pylist()) if matched.num_rows else set()
+    )
+    anti = sub_src[~sub_src["source_id"].isin(have)]
+    rows = []
+    for _, s in anti.iterrows():
+        for _, t_ in sub_tgt.iterrows():
+            rows.append({
+                "trigger_name": trigger_name,
+                "source_id": int(s["source_id"]),
+                "source_name": s["source_name"],
+                "source_type": s["source_type"],
+                "source_config": s["source_config"],
+                "target_name": t_["target_name"],
+                "target_type": t_["target_type"],
+                "target_config": t_["target_config"],
+                "object_id": None, "object_schema": None,
+                "object_name": None, "object_type": None,
+                "object_config": None, "load_type": None,
+                "last_modified_time": None,
+            })
+    if rows:
+        anti_t = pa.Table.from_pylist(rows, schema=_THREEWAY_SCHEMA)
+        matched = pa.concat_tables([matched, anti_t])
+    out = matched.to_pandas().sort_values(
+        ["source_id", "target_name", "object_id"],
+        kind="stable", na_position="last",
+    ).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False).cast(
+        _THREEWAY_SCHEMA
+    )
+
+
+_THREEWAY_SCHEMA = pa.schema([
+    ("trigger_name", pa.string()),
+    ("source_id", pa.int64()),
+    ("source_name", pa.string()),
+    ("source_type", pa.string()),
+    ("source_config", pa.string()),
+    ("target_name", pa.string()),
+    ("target_type", pa.string()),
+    ("target_config", pa.string()),
+    ("object_id", pa.int64()),
+    ("object_schema", pa.string()),
+    ("object_name", pa.string()),
+    ("object_type", pa.string()),
+    ("object_config", pa.string()),
+    ("load_type", pa.string()),
+    ("last_modified_time", pa.timestamp("us")),
+])
+
+
 def cdc_partition_paths(sf_dir: str) -> pa.Table:
     """Date-partition template expansion (:y/:m/:d) — rows per dest path."""
 
