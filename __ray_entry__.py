@@ -517,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_online_migration": _widen6.lake_online_migration,
         "lake_timestamp_asof": _widen6.lake_timestamp_asof,
         "cdc_debezium_roundtrip": _widen6.cdc_debezium_roundtrip,
+        "cdc_debezium_tail": _widen6.cdc_debezium_tail,
         "view_roles_via_consumer": _widen6.view_roles_via_consumer,
     }
     ordered = {n: base.pop(n) for n in _DRIVER_CERTIFIED_FIRST}
@@ -3754,6 +3755,7 @@ GROUP BY tool ORDER BY tool
         # semantic_dedup_clusters: no oracle (iterative k-means); pytest gates
         "lake_active_active_converge": _FINAL_STATE_SQL,
         "cdc_debezium_roundtrip": _FINAL_STATE_SQL,
+        "cdc_debezium_tail": _FINAL_STATE_SQL,
         "view_roles_via_consumer": _CH + """
 , last AS (
   SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn

@@ -1325,6 +1325,75 @@ class CDCLake:
                     return
                 _time.sleep(poll_interval)
 
+    def tail_debezium(
+        self,
+        stream_dir: str,
+        poll_interval: float = 2.0,
+        max_epochs: int | None = None,
+        idle_polls: int | None = None,
+        quarantine: bool = True,
+        files_per_epoch: int = 8,
+    ):
+        """Follow an EXTERNAL Debezium change feed end-to-end: tail a
+        directory of Debezium-envelope JSONL shards (the de-facto
+        binlog-to-JSON contract any Debezium-fronted database emits) and
+        apply each batch of new shards as a committed epoch. Yields each
+        ``EpochResult`` like ``tail``.
+
+        Resume/exactly-once: JSONL carries no parquet statistics, so
+        processed shard NAMES are checkpointed in a ledger next to the
+        manifest log (the Kafka-Connect offsets analog), written only
+        AFTER the epoch commits. A crash between commit and ledger write
+        re-reads at most one shard batch, whose rows the seq fence then
+        drops as no-ops — exactly-once is preserved by the fence, the
+        ledger only saves the re-read. Shards must be immutable once
+        visible (write-then-rename, the standard log-shipping contract).
+
+        Malformed lines / unknown op codes ride the parser's ``error``
+        column into quarantine (``sources.parse_debezium_lines``)."""
+        import glob as _glob
+        import json as _json
+        import time as _time
+
+        from data_exchange_routing_ray.sources import read_debezium_jsonl
+
+        ledger = os.path.join(self.store.dir, "debezium-tail.json")
+        done: set[str] = set()
+        if os.path.exists(ledger):
+            with open(ledger) as f:
+                done = set(_json.load(f).get("files", []))
+        applied = 0
+        idle = 0
+        while True:
+            files = [
+                f
+                for f in sorted(
+                    _glob.glob(os.path.join(stream_dir, "*.jsonl"))
+                )
+                if os.path.basename(f) not in done
+            ]
+            if files:
+                idle = 0
+                for i in range(0, len(files), max(1, files_per_epoch)):
+                    chunk = files[i : i + max(1, files_per_epoch)]
+                    r = self.apply_changes(
+                        read_debezium_jsonl(chunk), quarantine=quarantine
+                    )
+                    done.update(os.path.basename(f) for f in chunk)
+                    tmp = ledger + ".tmp"
+                    with open(tmp, "w") as f:
+                        _json.dump({"files": sorted(done)}, f)
+                    os.replace(tmp, ledger)
+                    applied += 1
+                    yield r
+                    if max_epochs is not None and applied >= max_epochs:
+                        return
+            else:
+                idle += 1
+                if idle_polls is not None and idle >= idle_polls:
+                    return
+                _time.sleep(poll_interval)
+
     # --------------------------------------------------------------- readers
     def manifest_at(self, epoch: int) -> Manifest:
         """Time travel: the manifest as of a committed epoch (manifests are

@@ -1823,6 +1823,54 @@ def lake_timestamp_asof(sf_dir: str) -> pa.Table:
 # ------------------------------------------ Debezium envelope source
 
 
+def _write_debezium_shards(stream, shard_dir: str, prefix: str = "shard") -> int:
+    """Serialize a CHANGE_SCHEMA dataset to Debezium-envelope JSONL shards
+    (write-then-rename, content-addressed names — immutable once visible).
+    Returns rows written. Shared by the roundtrip and tail gates."""
+    import hashlib
+    import json as _json
+    import os
+
+    from data_exchange_routing_ray.sources import to_debezium_envelope
+
+    def write_shard(b: pa.Table) -> pa.Table:
+        ts_us = pc.cast(b["ts"], pa.int64()).to_pylist()
+        seqs = b["seq"].to_pylist()
+        ops = b["op"].to_pylist()
+        fields = {
+            k: b[k].to_pylist()
+            for k in ("conv_id", "turn_idx", "role", "text", "tool")
+        }
+        lines = []
+        for i in range(b.num_rows):
+            row = {k: v[i] for k, v in fields.items()}
+            row["ts"] = ts_us[i]
+            lines.append(
+                _json.dumps(to_debezium_envelope(row, ops[i], seqs[i]))
+            )
+        blob = "\n".join(lines) + "\n"
+        # WAL-segment naming: zero-padded min-seq prefix so lexical order
+        # IS seq order (what a real log shipper emits); md5 suffix keeps
+        # names content-addressed/idempotent
+        name = hashlib.md5(blob.encode()).hexdigest()[:16]
+        lo = min(seqs) if seqs else 0
+        path = os.path.join(
+            shard_dir, f"{prefix}-{lo:015d}-{name}.jsonl"
+        )
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return pa.table({"n": pa.array([b.num_rows], pa.int64())})
+
+    return sum(
+        r["n"]
+        for r in stream.map_batches(
+            write_shard, batch_format="pyarrow"
+        ).take_all()
+    )
+
+
 def cdc_debezium_roundtrip(sf_dir: str) -> pa.Table:
     """Debezium-envelope interop, end-to-end: the derived change stream is
     serialized to Debezium JSONL shards (op codes c/u/d, before/after
@@ -1856,35 +1904,8 @@ def cdc_debezium_roundtrip(sf_dir: str) -> pa.Table:
     with tempfile.TemporaryDirectory(prefix="cdcdbz-") as d:
         shard_dir = os.path.join(d, "wal")
         os.makedirs(shard_dir, exist_ok=True)
-
-        def write_shard(b: pa.Table) -> pa.Table:
-            ts_us = pc.cast(b["ts"], pa.int64()).to_pylist()
-            seqs = b["seq"].to_pylist()
-            ops = b["op"].to_pylist()
-            fields = {
-                k: b[k].to_pylist() for k in ("conv_id", "turn_idx", "role", "text", "tool")
-            }
-            lines = []
-            for i in range(b.num_rows):
-                row = {k: v[i] for k, v in fields.items()}
-                row["ts"] = ts_us[i]
-                lines.append(
-                    _json.dumps(to_debezium_envelope(row, ops[i], seqs[i]))
-                )
-            blob = "\n".join(lines) + "\n"
-            name = hashlib.md5(blob.encode()).hexdigest()[:16]
-            path = os.path.join(shard_dir, f"shard-{name}.jsonl")
-            tmp = path + ".tmp"
-            with open(tmp, "w") as f:
-                f.write(blob)
-            os.replace(tmp, path)
-            return pa.table({"n": pa.array([b.num_rows], pa.int64())})
-
-        n_written = sum(
-            r["n"]
-            for r in derived_change_stream(sf_dir)
-            .map_batches(write_shard, batch_format="pyarrow")
-            .take_all()
+        n_written = _write_debezium_shards(
+            derived_change_stream(sf_dir), shard_dir
         )
         # poison shard: broken JSON + an unknown op code
         with open(os.path.join(shard_dir, "shard-poison.jsonl"), "w") as f:
@@ -1911,6 +1932,81 @@ def cdc_debezium_roundtrip(sf_dir: str) -> pa.Table:
         t = lake.final_table()
         assert n_written > 0
         return t
+
+
+def cdc_debezium_tail(sf_dir: str) -> pa.Table:
+    """Continuous Debezium tail, end-to-end (`CDCLake.tail_debezium`): an
+    external Debezium JSONL feed arrives in TWO waves. Session 1 tails
+    wave 1 and goes idle; session 2 — a FRESH CDCLake (process restart) —
+    resumes from the shard ledger and applies only wave 2 (engine
+    asserts: second session commits no wave-1 re-reads — zero fenced
+    rows — and the ledger names every shard). Final state must equal
+    applying the native stream: the plain final-state oracle.
+
+    100 TB shape: each poll is a shard-parallel text read → per-batch
+    JSON decode → the normal one-exchange epoch; the ledger is O(shards)
+    names written once per epoch (the Kafka-Connect offsets analog).
+    Reference parity: the reference's service-bus trigger IS a continuous
+    tail of per-message JSON change documents."""
+    import os
+    import tempfile
+
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+    from data_exchange_routing_ray.pipelines.events_cdc import (
+        _events,
+        derive_changes_batch,
+    )
+
+    hi = int(_events(sf_dir, columns=["event_id"]).max("event_id")) + 1
+
+    def wave(lo: int, up: int):
+        return (
+            _events(
+                sf_dir, columns=["event_id", "user_id", "event_type", "ts"]
+            )
+            .filter(expr=f"event_id >= {lo} and event_id < {up}")
+            .map_batches(derive_changes_batch, batch_format="pyarrow")
+        )
+
+    with tempfile.TemporaryDirectory(prefix="cdcdbztail-") as d:
+        shard_dir = os.path.join(d, "wal")
+        lake_dir = os.path.join(d, "lake")
+        os.makedirs(shard_dir, exist_ok=True)
+
+        # wave 1 arrives; session 1 tails until idle
+        _write_debezium_shards(wave(0, hi // 2), shard_dir, prefix="w1")
+        lake = CDCLake(lake_dir, num_partitions=16)
+        r1 = list(
+            lake.tail_debezium(
+                shard_dir, poll_interval=0.01, idle_polls=1, quarantine=False
+            )
+        )
+        assert r1, "wave 1 must commit at least one epoch"
+        n_w1 = len(
+            [f for f in os.listdir(shard_dir) if f.endswith(".jsonl")]
+        )
+
+        # wave 2 arrives while the tailer is DOWN; a fresh session resumes
+        _write_debezium_shards(wave(hi // 2, hi), shard_dir, prefix="w2")
+        lake2 = CDCLake(lake_dir, num_partitions=16)
+        r2 = list(
+            lake2.tail_debezium(
+                shard_dir, poll_interval=0.01, idle_polls=1, quarantine=False
+            )
+        )
+        assert r2, "wave 2 must commit"
+        assert all(r.changes_fenced == 0 for r in r2), (
+            "ledger resume must not re-read wave-1 shards"
+        )
+        import json as _json
+
+        with open(os.path.join(lake2.store.dir, "debezium-tail.json")) as f:
+            ledger = set(_json.load(f)["files"])
+        on_disk = {
+            f for f in os.listdir(shard_dir) if f.endswith(".jsonl")
+        }
+        assert ledger == on_disk and len(on_disk) > n_w1
+        return lake2.final_table()
 
 
 # ---------------------------------- consumer-offset-driven view maintenance
