@@ -109,90 +109,76 @@ def entry() -> Any:
 
 
 # The driver records CORRECTNESS rows for the FIRST 50 queries() entries
-# only, so this prefix is curated to certify the whole surface: the ~20
-# core CDC/routing/commit gates (SURVEY §2) plus the highest-risk widening
-# operators (lakehouse branch/rollback/merge, graph BSP, rank family,
-# SCD2, watermark windows, cross-lake transactions...). Every name here is
-# oracle-gated (value-hash vs DuckDB); rows-only/approx ops keep their
-# quantitative pytest gates and live below the fold.
+# only. ROUND-4 ROTATION (per the round-3 verdict): 221 of the round-3
+# queries had never held a driver CORRECTNESS row, so the prefix now
+# certifies the never-certified families — the round-4 additions (trace
+# chain, 3-way config join, Debezium tail), the widen G–J batch (DSIR,
+# curriculum, RRF, deletion vectors, incremental join view, crypto-shred,
+# RLS, PSI, partition evolution, AS OF, consumer views), then the
+# relational-join, windowing, source-adapter and LLM-training-data
+# families — keeping only the flagship CDC gates (final state x2,
+# quarantine, WAP fencing, manifest rollback) as permanent residents.
+# Everything rotated below the fold stays oracle-gated by the full
+# tools/check_queries.py sweep (re-run at sf0.001+sf0.01 each round) and
+# its pytest gates; every name here is value-hash-gated vs DuckDB.
 _DRIVER_CERTIFIED_FIRST = [
-    # core CDC / routing / commit gates (round 1, keep certified)
+    # ---- permanent flagship CDC gates ----
     "cdc_final_state",
     "cdc_final_state_multi_epoch",
     "cdc_quarantine_counts",
-    "cdc_conv_watermarks",
-    "cdc_schema_evolution",
-    "cdc_lineage_epochs",
-    "cdc_bootstrap_then_changes",
-    "orchestrate_config_pipeline",
-    "cdc_route_expansion",
-    "cdc_route_default_fallback",
-    "cdc_route_credentials",
-    # cdc_unroutable_count rotated below the fold in late round 3 (the
-    # anti-join-spill family stays certified via cdc_route_expansion /
-    # cdc_route_default_fallback / cdc_route_credentials) to certify the
-    # tombstone-GC engine mode.
-    "lake_tombstone_gc",
-    "cdc_parse_urls",
-    "cdc_partition_paths",
-    "cdc_debatch",
-    "cdc_explode_archive",
-    # csv_source_roundtrip rotated below the fold in late round 3: the
-    # external-source-adapter family is now certified by the strictly
-    # richer Debezium envelope round trip (same value-exact final-state
-    # oracle, plus poison-line quarantine and the cross-stage fail-stop
-    # error chain); the CSV path stays oracle-checked in the full sweep.
-    "cdc_debezium_roundtrip",
-    # window_tumbling_daily / sort_topk_orders rotated below the fold in
-    # round 3 (their families stay pytest+check_queries-gated; M13/M14 and
-    # §2.6 remain certified via cdc_partition_paths / grouped-topk tests)
-    # to make room for the round-3 stateful-streaming and data-skipping
-    # families in the driver-certified prefix.
-    "stream_sessionize_watermark",
-    # split_by_category rotated below the fold in late round 3 (the A5
-    # stream-split family stays certified via distinct_event_types and the
-    # orchestrator gate) to certify the online-migration cutover.
-    "lake_online_migration",
-    "lake_bloom_point_lookup",
-    # asof_join_clicks_purchases rotated below the fold in late round 3
-    # (the point-in-time join family stays certified via pit_feature_join)
-    # to certify the new multi-leader engine mode.
-    "lake_active_active_converge",
-    "dedup_exact_events_props",
-    # round-2 widening surface (driver-certified from round 3 on)
-    "lake_merge_into",
-    "lake_rollback_replay",
-    "lake_branch_isolation",
-    "group_txn_two_lakes",
-    "cdc_changefeed_envelopes",
-    "cdc_patch_merge",
-    "windowed_emit_on_watermark",
-    "scd2_turn_history",
-    # khop/rfm rotated below the fold (graph and rank families stay
-    # certified via pagerank_parts / percent_rank_orders) for the round-3
-    # CEP and incremental-index families.
-    "pagerank_parts",
-    "cep_pattern_counts",
-    "bm25_score_docs",
-    "basket_association_rules",
-    "percent_rank_orders",
-    "incr_index_tool_postings",
-    "conv_context_windows",
-    "multimodal_decode",
-    # round-3 widening surface (stateful streaming, resumable sink,
-    # substring dedup — certify the newest high-risk families)
-    "export_training_shards",
-    "stream_click_attribution_ttl",
-    "dup_span_excise",
-    "dedup_edit_distance",
-    "lake_predicate_delete",
-    "pit_feature_join",
-    "cdc_quarantine_replay",
     "cdc_wap_audit",
-    "udf_failures_quarantined",
-    "cdc_report_envelopes",
-    "dq_expectations",
-    "cdc_inflight_repair",
+    "lake_rollback_replay",
+    # ---- round-4 additions (never certified) ----
+    "cdc_trace_chain",
+    "config_threeway_join",
+    "cdc_debezium_tail",
+    # ---- widen G-J batch (never certified) ----
+    "dsir_importance_weights",
+    "curriculum_order_bins",
+    "hybrid_rrf_fusion",
+    "lake_deletion_vectors",
+    "incr_join_view_maintenance",
+    "crypto_shred_erasure",
+    "rls_masked_view",
+    "psi_value_drift",
+    "lake_partition_evolution",
+    "lake_timestamp_asof",
+    "view_roles_via_consumer",
+    # ---- relational-join family (never certified) ----
+    "agg_pricing_summary",
+    "join_broadcast_segments",
+    "join_multiway_region_revenue",
+    "rollup_region_nation_revenue",
+    "revenue_share_within_region",
+    "anti_join_customers_no_orders",
+    "semi_join_orders_building",
+    "full_outer_join_users_customers",
+    "join_copartitioned_orders_lineitem",
+    "join_salted_hotkey",
+    "bloom_semi_join_lineitem",
+    "asof_join_clicks_purchases",
+    "range_join_clicks_purchases",
+    # ---- windowing / streaming family (never certified) ----
+    "window_tumbling_daily",
+    "window_sliding_7d",
+    "sessionize_events",
+    "window_running_total",
+    "rolling_7d_active_users",
+    "late_data_split",
+    # ---- source adapters (never certified) ----
+    "csv_source_roundtrip",
+    "jsonl_source_roundtrip",
+    "orc_source_roundtrip",
+    # ---- LLM training-data pipeline family (never certified) ----
+    "text_quality",
+    "text_langid",
+    "text_token_counts",
+    "text_dup_ngram_fraction",
+    "pack_token_sequences",
+    "text_decontaminate",
+    "mix_weighted_sources",
+    "stratified_sample_per_source",
+    "training_data_prep",
 ]
 
 
@@ -518,6 +504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_timestamp_asof": _widen6.lake_timestamp_asof,
         "cdc_debezium_roundtrip": _widen6.cdc_debezium_roundtrip,
         "cdc_debezium_tail": _widen6.cdc_debezium_tail,
+        "lake_replicate_follower": _widen6.lake_replicate_follower,
         "view_roles_via_consumer": _widen6.view_roles_via_consumer,
     }
     ordered = {n: base.pop(n) for n in _DRIVER_CERTIFIED_FIRST}
@@ -3756,6 +3743,7 @@ GROUP BY tool ORDER BY tool
         "lake_active_active_converge": _FINAL_STATE_SQL,
         "cdc_debezium_roundtrip": _FINAL_STATE_SQL,
         "cdc_debezium_tail": _FINAL_STATE_SQL,
+        "lake_replicate_follower": _FINAL_STATE_SQL,
         "view_roles_via_consumer": _CH + """
 , last AS (
   SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn

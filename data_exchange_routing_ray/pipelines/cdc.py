@@ -1394,6 +1394,70 @@ class CDCLake:
                     return
                 _time.sleep(poll_interval)
 
+    def replicate_from(
+        self,
+        source: "CDCLake",
+        group: str | None = None,
+        image_cols: tuple[str, ...] = ("role", "text", "tool", "ts"),
+        max_polls: int | None = None,
+    ) -> list[EpochResult]:
+        """Cascaded lake-to-lake replication (a follower lake tailing a
+        leader's changefeed — the multi-region read-replica / downstream-
+        lake shape): each poll drains the leader's epoch diff through the
+        consumer-group API (``poll_changefeed``), applies it here as ONE
+        follower epoch with ``seq = leader head epoch``, then commits the
+        consumer offset CAS-style.
+
+        Exactly-once: the offset commit happens AFTER the follower commit;
+        a crash in between re-polls the same diff, whose rows re-arrive at
+        the same seq and are fenced to a no-op before the offset finally
+        advances. A concurrent duplicate follower loses the offset CAS.
+        ``seq = head`` is sound because a changefeed diff carries at most
+        one change per key (it diffs two committed states), and heads are
+        strictly monotone — LWW order across polls is the leader's commit
+        order. The follower must take writes ONLY via replication (its
+        seq space is the leader's epoch counter).
+
+        100 TB shape: each poll moves O(changed keys) envelope rows
+        through the follower's normal one-exchange epoch; full state is
+        only streamed once, at bootstrap. Returns the follower
+        ``EpochResult`` per poll (empty list = already caught up)."""
+        group = group or f"replica:{self.branch}:{self.lake_dir}"
+        cols = tuple(image_cols)
+        results: list[EpochResult] = []
+        polls = 0
+        while max_polls is None or polls < max_polls:
+            polls += 1
+            expect, head, feed = source.poll_changefeed(group, image_cols=cols)
+            if feed is None:
+                break
+            seq = int(head)
+
+            def to_changes(b: pa.Table) -> pa.Table:
+                out: dict = {
+                    "seq": pa.array([seq] * b.num_rows, pa.int64()),
+                    "op": b["op"],
+                    "conv_id": b["conv_id"],
+                    "turn_idx": b["turn_idx"].cast(pa.int32()),
+                }
+                for c in cols:
+                    if c == "ts":
+                        # delete envelopes carry a null after-image; the
+                        # validator (rightly) demands a ts on every change
+                        # row, so deletes inherit the before-image's ts
+                        out[c] = pc.coalesce(b["after_ts"], b["before_ts"])
+                    else:
+                        out[c] = b[f"after_{c}"]
+                return pa.table(out)
+
+            res = self.apply_changes(
+                feed.map_batches(to_changes, batch_format="pyarrow"),
+                quarantine=False,
+            )
+            source.consumers.commit(group, head, expect=expect)
+            results.append(res)
+        return results
+
     # --------------------------------------------------------------- readers
     def manifest_at(self, epoch: int) -> Manifest:
         """Time travel: the manifest as of a committed epoch (manifests are

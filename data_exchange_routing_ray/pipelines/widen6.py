@@ -2009,6 +2009,65 @@ def cdc_debezium_tail(sf_dir: str) -> pa.Table:
         return lake2.final_table()
 
 
+def lake_replicate_follower(sf_dir: str) -> pa.Table:
+    """Cascaded lake-to-lake replication (`CDCLake.replicate_from`): a
+    follower lake tails the leader's changefeed through the consumer-group
+    API. The leader commits three seq-sliced epochs; the follower
+    replicates after epoch 1 (bootstrap: full state as inserts) and again
+    after epoch 3 (ONE catch-up diff covering epochs 2-3, deletes
+    included). Engine asserts: the catch-up epoch moves only changed keys
+    (changes_applied < leader row count), a re-poll after catch-up is
+    empty (exactly-once at the offset CAS), and the follower's final
+    table must equal the leader's — the plain final-state oracle.
+
+    100 TB shape: per poll the follower pays O(changed keys) envelope
+    rows through its normal one-exchange epoch; leader state streams
+    once at bootstrap only."""
+    import os
+    import tempfile
+
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+    from data_exchange_routing_ray.pipelines.events_cdc import (
+        _events,
+        derive_changes_batch,
+    )
+
+    hi = int(_events(sf_dir, columns=["event_id"]).max("event_id")) + 1
+    bounds = [(i * hi) // 3 for i in range(4)]
+
+    def epoch_stream(i: int):
+        lo, up = bounds[i], bounds[i + 1]
+        return (
+            _events(
+                sf_dir, columns=["event_id", "user_id", "event_type", "ts"]
+            )
+            .filter(expr=f"event_id >= {lo} and event_id < {up}")
+            .map_batches(derive_changes_batch, batch_format="pyarrow")
+        )
+
+    with tempfile.TemporaryDirectory(prefix="cdcrepl-") as d:
+        leader = CDCLake(os.path.join(d, "leader"), num_partitions=16)
+        follower = CDCLake(os.path.join(d, "follower"), num_partitions=8)
+
+        leader.apply_changes(epoch_stream(0), quarantine=False)
+        r1 = follower.replicate_from(leader, group="replica-1")
+        assert len(r1) == 1, "bootstrap poll must commit one follower epoch"
+
+        leader.apply_changes(epoch_stream(1), quarantine=False)
+        leader.apply_changes(epoch_stream(2), quarantine=False)
+        r2 = follower.replicate_from(leader, group="replica-1")
+        assert len(r2) == 1, "catch-up must drain epochs 2-3 in one diff"
+        n_leader = sum(
+            e.rows for e in leader.manifest.partitions.values()
+        )
+        assert r2[0].changes_applied < n_leader, (
+            "catch-up must move only changed keys, not re-stream the lake"
+        )
+        # already-caught-up: the next poll is a no-op
+        assert follower.replicate_from(leader, group="replica-1") == []
+        return follower.final_table()
+
+
 # ---------------------------------- consumer-offset-driven view maintenance
 
 

@@ -1,0 +1,139 @@
+"""CDCLake.replicate_from — cascaded lake-to-lake replication (round 4).
+
+Follower tails the leader's changefeed via consumer-group offsets;
+exactly-once across the crash window (apply committed, offset not yet)
+is guaranteed by seq fencing + the offset CAS.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from data_exchange_routing_ray.schemas import CHANGE_SCHEMA
+
+
+def _changes(rows):
+    import ray.data
+
+    cols = {f.name: [] for f in CHANGE_SCHEMA}
+    for r in rows:
+        for f in CHANGE_SCHEMA:
+            cols[f.name].append(r.get(f.name))
+    return ray.data.from_arrow(
+        pa.table({k: pa.array(v, CHANGE_SCHEMA.field(k).type)
+                  for k, v in cols.items()})
+    )
+
+
+def _row(seq, op, conv, turn, text=None):
+    return {
+        "seq": seq, "op": op, "conv_id": conv, "turn_idx": turn,
+        "role": "user", "text": text, "tool": None,
+        "ts": 1_700_000_000_000_000 + seq,
+    }
+
+
+def _state(lake):
+    t = lake.final_table().to_pandas()
+    return dict(zip(zip(t["conv_id"], t["turn_idx"]), t["text"]))
+
+
+def test_replicate_bootstrap_catchup_and_delete(ray_session, tmp_path):
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    leader = CDCLake(str(tmp_path / "lead"), num_partitions=4)
+    follower = CDCLake(str(tmp_path / "foll"), num_partitions=2)
+
+    leader.apply_changes(
+        _changes([_row(1, "insert", "a", 0, "x"),
+                  _row(2, "insert", "b", 0, "y")]),
+        quarantine=False,
+    )
+    r1 = follower.replicate_from(leader, group="g")
+    assert len(r1) == 1 and _state(follower) == _state(leader)
+
+    # update + delete on the leader; one catch-up diff
+    leader.apply_changes(
+        _changes([_row(3, "update", "a", 0, "x2"),
+                  _row(4, "delete", "b", 0)]),
+        quarantine=False,
+    )
+    r2 = follower.replicate_from(leader, group="g")
+    assert len(r2) == 1
+    assert r2[0].changes_applied == 2, "diff moves only the 2 changed keys"
+    assert _state(follower) == _state(leader) == {("a", 0): "x2"}
+
+    # caught up: no-op poll
+    assert follower.replicate_from(leader, group="g") == []
+
+
+def test_replicate_crash_between_apply_and_offset_commit(
+    ray_session, tmp_path
+):
+    """Re-delivering the same diff (offset commit lost) is fenced to a
+    no-op — exactly-once on the follower."""
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    leader = CDCLake(str(tmp_path / "lead"), num_partitions=4)
+    follower = CDCLake(str(tmp_path / "foll"), num_partitions=2)
+    leader.apply_changes(
+        _changes([_row(1, "insert", "a", 0, "x")]), quarantine=False
+    )
+    follower.replicate_from(leader, group="g")
+    leader.apply_changes(
+        _changes([_row(2, "update", "a", 0, "x2")]), quarantine=False
+    )
+
+    # simulate the crash: apply the diff WITHOUT committing the offset
+    expect, head, feed = leader.poll_changefeed(
+        "g", image_cols=("role", "text", "tool", "ts")
+    )
+    assert feed is not None
+    seq = int(head)
+    import pyarrow.compute as pc
+
+    def to_changes(b):
+        out = {
+            "seq": pa.array([seq] * b.num_rows, pa.int64()),
+            "op": b["op"], "conv_id": b["conv_id"],
+            "turn_idx": b["turn_idx"].cast(pa.int32()),
+            "role": b["after_role"], "text": b["after_text"],
+            "tool": b["after_tool"],
+            "ts": pc.coalesce(b["after_ts"], b["before_ts"]),
+        }
+        return pa.table(out)
+
+    follower.apply_changes(
+        feed.map_batches(to_changes, batch_format="pyarrow"),
+        quarantine=False,
+    )
+    st_mid = _state(follower)
+
+    # restart: replicate_from re-polls the SAME diff, fences it, then
+    # finally advances the offset
+    r = follower.replicate_from(leader, group="g")
+    assert len(r) == 1
+    assert r[0].changes_applied == 0 and r[0].changes_fenced > 0
+    assert _state(follower) == st_mid == _state(leader)
+    assert follower.replicate_from(leader, group="g") == []
+
+
+def test_replicate_duplicate_follower_loses_cas(ray_session, tmp_path):
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    leader = CDCLake(str(tmp_path / "lead"), num_partitions=4)
+    f1 = CDCLake(str(tmp_path / "f1"), num_partitions=2)
+    leader.apply_changes(
+        _changes([_row(1, "insert", "a", 0, "x")]), quarantine=False
+    )
+    # two processes poll the same group concurrently: both read expect=None
+    expect_a, head_a, feed_a = leader.poll_changefeed("g")
+    expect_b, head_b, feed_b = leader.poll_changefeed("g")
+    assert feed_a is not None and feed_b is not None
+    leader.consumers.commit("g", head_a, expect=expect_a)
+    import pytest
+
+    with pytest.raises(Exception):
+        leader.consumers.commit("g", head_b, expect=expect_b)
+    # f1 via the API still converges
+    assert f1.replicate_from(leader, group="g2") and _state(f1) == _state(leader)
