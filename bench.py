@@ -134,6 +134,12 @@ HEADLINE = [
     # round-3 widening batch K: interop + wall-clock time travel
     "cdc_debezium_roundtrip",
     "lake_timestamp_asof",
+    # round-4: trace/config audit, 3-way config join, continuous Debezium
+    # tail, cascaded lake-to-lake replication
+    "cdc_trace_chain",
+    "config_threeway_join",
+    "cdc_debezium_tail",
+    "lake_replicate_follower",
 ]
 
 
