@@ -26,6 +26,8 @@ Subcommands:
   rollback     restore the table to an archived epoch
   branch       zero-copy branch create/list/ff
   compact      fold open delta files into fresh bases
+  replicate    drain a source lake's changefeed into this lake (follower)
+  requeue      re-enqueue dead-letter rows above the watermark
 """
 
 from __future__ import annotations
@@ -264,6 +266,57 @@ def cmd_merge(args: argparse.Namespace) -> int:
             }
         )
     )
+    return 0
+
+
+def cmd_replicate(args: argparse.Namespace) -> int:
+    """Cascaded lake-to-lake replication: drain the source lake's
+    changefeed into this lake via consumer-group offsets (exactly-once
+    across the apply/offset crash window; see CDCLake.replicate_from)."""
+    if not os.path.isdir(args.source):
+        print(f"error: no source lake at {args.source}", file=sys.stderr)
+        return 2
+    _ensure_ray(args.num_cpus)
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    src = CDCLake(args.source, branch=args.source_branch)
+    dst = CDCLake(args.lake)
+    results = dst.replicate_from(src, group=args.group)
+    for r in results:
+        print(json.dumps({
+            "epoch": r.epoch,
+            "changes_applied": r.changes_applied,
+            "changes_fenced": r.changes_fenced,
+            "total_rows": r.total_rows,
+        }))
+    if not results:
+        print(json.dumps({"skipped": "already at source head"}))
+    return 0
+
+
+def cmd_requeue(args: argparse.Namespace) -> int:
+    """Dead-letter redelivery: re-enqueue quarantined rows as a new epoch
+    with seqs re-based above the watermark; consumed dead-letter files
+    archive to quarantine-requeued/ so redelivery is one-shot."""
+    if not os.path.isdir(args.lake):
+        print(f"error: no lake at {args.lake}", file=sys.stderr)
+        return 2
+    _ensure_ray(args.num_cpus)
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    lake = CDCLake(args.lake)
+    res = lake.requeue_quarantined(
+        epoch=args.epoch, error=args.error, op_override=args.op_override
+    )
+    if res is None:
+        print(json.dumps({"skipped": "no matching dead-letter rows"}))
+        return 0
+    print(json.dumps({
+        "epoch": res.epoch,
+        "changes_applied": res.changes_applied,
+        "rows_requarantined": res.rows_quarantined,
+        "total_rows": res.total_rows,
+    }))
     return 0
 
 
@@ -551,6 +604,33 @@ def main(argv: list[str] | None = None) -> int:
     cd.add_argument("--branch", default="main")
     cd.add_argument("--num-cpus", type=int, default=None)
     cd.set_defaults(fn=cmd_card)
+
+    rl = sub.add_parser(
+        "replicate",
+        help="drain a source lake's changefeed into this lake (follower)",
+    )
+    rl.add_argument("--lake", required=True, help="the FOLLOWER lake")
+    rl.add_argument("--source", required=True, help="the leader lake dir")
+    rl.add_argument("--source-branch", default="main")
+    rl.add_argument(
+        "--group", default=None,
+        help="consumer group (default: derived from follower dir+branch)",
+    )
+    rl.add_argument("--num-cpus", type=int, default=None)
+    rl.set_defaults(fn=cmd_replicate)
+
+    rq = sub.add_parser(
+        "requeue", help="re-enqueue dead-letter rows above the watermark"
+    )
+    rq.add_argument("--lake", required=True)
+    rq.add_argument("--epoch", type=int, default=None,
+                    help="only this dead-letter epoch")
+    rq.add_argument("--error", default=None,
+                    help="only rows with this exact error class")
+    rq.add_argument("--op-override", default=None,
+                    help="repair: overwrite op before re-validation")
+    rq.add_argument("--num-cpus", type=int, default=None)
+    rq.set_defaults(fn=cmd_requeue)
 
     rb = sub.add_parser("rollback", help="restore the table to an archived epoch")
     rb.add_argument("--lake", required=True)

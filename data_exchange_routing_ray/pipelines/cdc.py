@@ -1661,6 +1661,110 @@ class CDCLake:
         ds = pads.dataset(qdir, format="parquet")
         return ds.to_table()
 
+    def requeue_quarantined(
+        self,
+        epoch: int | None = None,
+        error: str | None = None,
+        op_override: str | None = None,
+        quarantine: bool = True,
+    ) -> EpochResult | None:
+        """Dead-letter REDELIVERY (the operational requeue loop, reference
+        maxDequeueCount semantics): quarantined rows re-enter as a new
+        epoch with seq RE-BASED above the committed watermark — like a
+        real queue redelivery they get a new offset, because replaying the
+        raw seq below the watermark would be fenced (or worse, resurrect
+        keys deleted since). Relative LWW order among the requeued rows is
+        preserved (one common shift). Filters: ``epoch`` = one dead-letter
+        epoch only; ``error`` = one exact error class; ``op_override``
+        repairs a bad-op class before re-validation (rows still invalid
+        after repair simply dead-letter again under the new epoch).
+
+        Redelivery CONSUMES the message: the source dead-letter files move
+        to ``quarantine-requeued/`` after the new epoch commits, so a
+        second requeue run doesn't double-deliver. Returns the new
+        ``EpochResult`` (None when nothing matches)."""
+        qroot = os.path.join(self.lake_dir, "quarantine")
+        if not os.path.exists(qroot):
+            return None
+        subdirs = sorted(
+            d for d in os.listdir(qroot)
+            if d.startswith("epoch=")
+            and (epoch is None or int(d.split("=")[1]) == epoch)
+        )
+        if not subdirs:
+            return None
+        import glob as _glob
+
+        qfiles = [
+            f
+            for d in subdirs
+            for f in sorted(
+                _glob.glob(os.path.join(qroot, d, "*.parquet"))
+            )
+        ]
+        if not qfiles:
+            return None
+        qt = pads.dataset(qfiles, format="parquet").to_table()
+        if error is not None:
+            qt = qt.filter(pc.equal(qt["error"], pa.scalar(error)))
+        if qt.num_rows == 0:
+            return None
+        qt = qt.drop_columns(["error"])
+        if op_override is not None:
+            qt = qt.set_column(
+                qt.schema.get_field_index("op"),
+                "op",
+                pa.array([op_override] * qt.num_rows, pa.string()),
+            )
+        # rebase: one common shift puts every requeued seq above the
+        # watermark while preserving their relative order
+        lo = pc.min(qt["seq"]).as_py()
+        shift = self.applied_offset + 1 - int(lo if lo is not None else 0)
+        if shift > 0:
+            qt = qt.set_column(
+                qt.schema.get_field_index("seq"),
+                "seq",
+                pc.add(qt["seq"], pa.scalar(shift, pa.int64())),
+            )
+        res = self.apply_changes(
+            ray.data.from_arrow(qt), quarantine=quarantine
+        )
+        done_root = os.path.join(self.lake_dir, "quarantine-requeued")
+        os.makedirs(done_root, exist_ok=True)
+        for d in subdirs:
+            if error is not None:
+                # class-filtered requeue: split the source file — the
+                # consumed class archives to quarantine-requeued/ (audit
+                # trail), the rest stays live for later requeues
+                src = pads.dataset(
+                    os.path.join(qroot, d), format="parquet"
+                ).to_table()
+                eq = pc.equal(src["error"], pa.scalar(error))
+                consumed = src.filter(eq)
+                rest = src.filter(pc.invert(eq))
+                if consumed.num_rows:
+                    os.makedirs(os.path.join(done_root, d), exist_ok=True)
+                    tag = _hashlib.md5(error.encode()).hexdigest()[:8]
+                    pq.write_table(
+                        consumed,
+                        os.path.join(
+                            done_root, d, f"deadletter-{tag}.parquet"
+                        ),
+                    )
+                shutil.rmtree(os.path.join(qroot, d))
+                if rest.num_rows:
+                    os.makedirs(os.path.join(qroot, d), exist_ok=True)
+                    pq.write_table(
+                        rest,
+                        os.path.join(qroot, d, "deadletter.parquet"),
+                    )
+            else:
+                dst = os.path.join(done_root, d)
+                if os.path.exists(dst):
+                    shutil.rmtree(dst)
+                os.replace(os.path.join(qroot, d), dst)
+        return res
+
     def changed_partitions(self, since_epoch: int) -> list[int]:
         """Partitions rewritten or delta-appended AFTER ``since_epoch`` —
         a manifest-only diff (no data read), the planning step of an
