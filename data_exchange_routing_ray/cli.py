@@ -147,6 +147,7 @@ def cmd_status(args: argparse.Namespace) -> int:
         "partitions_committed": len(man.partitions),
         "total_rows": sum(e.rows for e in man.partitions.values()),
         "schema_registry": list(man.schema_names),
+        "config_version": man.config_version,
     }
     lin = lake.lineage.read_all()
     if lin.num_rows:
