@@ -270,3 +270,57 @@ def test_property_multi_leader_converges(
     exp = oracle_apply(changes)[TRANSCRIPT_COLS].reset_index(drop=True)
     for s, got in enumerate(finals):
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 10_000),
+    num_convs=st.integers(2, 40),
+    max_turns=st.integers(1, 10),
+    n_epochs=st.integers(1, 4),
+    parts=st.sampled_from([1, 4]),
+    fparts=st.sampled_from([2, 6]),
+    poll_mask=st.integers(0, 15),
+)
+def test_property_replication_converges(
+    ray_session, tmp_path_factory, seed, num_convs, max_turns, n_epochs,
+    parts, fparts, poll_mask,
+):
+    """Replication property: any seeded change stream split into E leader
+    epochs, a follower polling at ANY subset of commit points (including
+    never-in-between, i.e. one big catch-up), must end bit-identical to
+    the leader and to the serial oracle — deletes, redeliveries and a
+    different follower partition count included."""
+    import ray.data
+
+    changes = make_change_stream(
+        num_convs=num_convs, max_turns=max_turns,
+        redelivery_frac=0.15, seed=seed,
+    )
+    df = changes.to_pandas().sort_values("seq", kind="stable")
+    cuts = np.linspace(0, len(df), n_epochs + 1).astype(int)
+    tmp = tmp_path_factory.mktemp(f"repl-{seed}")
+    leader = CDCLake(str(tmp / "lead"), num_partitions=parts)
+    follower = CDCLake(str(tmp / "foll"), num_partitions=fparts)
+    for i in range(n_epochs):
+        part = df.iloc[cuts[i]: cuts[i + 1]]
+        if len(part) == 0:
+            continue
+        leader.apply_changes(
+            ray.data.from_arrow(
+                pa.Table.from_pandas(part, preserve_index=False)
+            ),
+            quarantine=False,
+        )
+        if (poll_mask >> i) & 1:
+            follower.replicate_from(leader, group="g")
+    follower.replicate_from(leader, group="g")  # final catch-up
+    exp = oracle_apply(changes)[TRANSCRIPT_COLS].reset_index(drop=True)
+    pd.testing.assert_frame_equal(_final(follower), exp, check_dtype=False)
+    pd.testing.assert_frame_equal(_final(follower), _final(leader), check_dtype=False)
+    # caught up: nothing further to drain
+    assert follower.replicate_from(leader, group="g") == []
