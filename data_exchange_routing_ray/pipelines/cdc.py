@@ -1398,7 +1398,7 @@ class CDCLake:
         self,
         source: "CDCLake",
         group: str | None = None,
-        image_cols: tuple[str, ...] = ("role", "text", "tool", "ts"),
+        image_cols: tuple[str, ...] | None = None,
         max_polls: int | None = None,
     ) -> list[EpochResult]:
         """Cascaded lake-to-lake replication (a follower lake tailing a
@@ -1423,7 +1423,16 @@ class CDCLake:
         only streamed once, at bootstrap. Returns the follower
         ``EpochResult`` per poll (empty list = already caught up)."""
         group = group or f"replica:{self.branch}:{self.lake_dir}"
-        cols = tuple(image_cols)
+        if image_cols is None:
+            # default to the leader's FULL payload surface: the core
+            # transcript columns plus every evolved column committed to
+            # the leader's schema registry — an evolved lake replicates
+            # wholesale, not just the round-1 columns
+            image_cols = (
+                "role", "text", "tool", "ts",
+                *sorted(source.manifest.schema_names),
+            )
+        cols = tuple(dict.fromkeys(image_cols))
         results: list[EpochResult] = []
         polls = 0
         while max_polls is None or polls < max_polls:
@@ -1527,7 +1536,18 @@ class CDCLake:
         if not files:
             schema = TRANSCRIPT_SCHEMA
             return ray.data.from_arrow(schema.empty_table())
-        if not any(e.deltas for e in man.partitions.values()):
+        # evolved lakes: partitions untouched since a schema evolution lack
+        # the evolved columns on disk; read under the UNION schema (footer
+        # reads only) so they backfill null instead of failing the scan
+        read_schema = None
+        if man.schema_names:
+            read_schema = pa.unify_schemas(
+                [pq.read_schema(f) for f in files],
+                promote_options="permissive",
+            )
+        if read_schema is None and not any(
+            e.deltas for e in man.partitions.values()
+        ):
             if self.multi_leader:
                 # tombstones are storage, not state: read op, filter, drop
                 rcols = (
@@ -1547,11 +1567,21 @@ class CDCLake:
                     drop_tombstones, batch_format="pyarrow"
                 )
             return ray.data.read_parquet(files, columns=columns)
-        # merge-on-read (delta policy): one task per partition folds
-        # base+deltas — distributed, never a driver materialization
+        # merge-on-read (delta policy) AND evolved lakes: one task per
+        # partition folds base+deltas — distributed, never a driver
+        # materialization. Evolved lakes route here because column
+        # selection can't push into a scan over files that predate the
+        # evolution; each partition conforms to the UNION schema (null
+        # backfill) inside its own task instead.
         from data_exchange_routing_ray.stages.upsert import fold_deltas
 
         lake_dir = self.lake_dir
+        ml = self.multi_leader
+        types = (
+            {f.name: f.type for f in read_schema}
+            if read_schema is not None
+            else None
+        )
         items = [
             {"base": e.file, "deltas": [d["file"] for d in e.deltas]}
             for _, e in sorted(man.partitions.items())
@@ -1572,7 +1602,22 @@ class CDCLake:
                             for r in drels
                         ],
                     )
-                if columns:
+                if ml and "op" in t.column_names:
+                    t = t.filter(
+                        pc.not_equal(t["op"], pa.scalar("delete"))
+                    ).drop_columns(["op"])
+                if types is not None:
+                    want = columns or [n for n in types if n != "op"]
+                    t = pa.table({
+                        c: (
+                            t[c]
+                            if c in t.column_names
+                            else pa.nulls(t.num_rows, types[c])
+                        )
+                        for c in want
+                        if c in types or c in t.column_names
+                    })
+                elif columns:
                     t = t.select([c for c in columns if c in t.column_names])
                 outs.append(t)
             return pa.concat_tables(outs, promote_options="permissive")

@@ -137,3 +137,43 @@ def test_replicate_duplicate_follower_loses_cas(ray_session, tmp_path):
         leader.consumers.commit("g", head_b, expect=expect_b)
     # f1 via the API still converges
     assert f1.replicate_from(leader, group="g2") and _state(f1) == _state(leader)
+
+
+def test_replicate_carries_evolved_columns(ray_session, tmp_path):
+    """A leader that evolved its schema (extra payload column committed to
+    the registry) replicates wholesale: the follower's table carries the
+    evolved column's values, not just the round-1 columns."""
+    import ray.data
+
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    leader = CDCLake(str(tmp_path / "lead"), num_partitions=4)
+    follower = CDCLake(str(tmp_path / "foll"), num_partitions=2)
+    leader.apply_changes(
+        _changes([_row(1, "insert", "a", 0, "x"),
+                  _row(2, "insert", "b", 0, "y")]),
+        quarantine=False,
+    )
+    # evolve: an update epoch carrying a new 'lang' column
+    t = pa.table({
+        "seq": pa.array([3], pa.int64()),
+        "op": pa.array(["update"], pa.string()),
+        "conv_id": pa.array(["a"], pa.string()),
+        "turn_idx": pa.array([0], pa.int32()),
+        "role": pa.array(["user"], pa.string()),
+        "text": pa.array(["x2"], pa.string()),
+        "tool": pa.array([None], pa.string()),
+        "ts": pa.array([1_700_000_000_000_003], pa.timestamp("us")),
+        "lang": pa.array(["en"], pa.string()),
+    })
+    leader.apply_changes(ray.data.from_arrow(t), quarantine=False)
+    assert "lang" in leader.manifest.schema_names
+
+    follower.replicate_from(leader, group="g")
+    ft = follower.final_table().to_pandas().sort_values("conv_id")
+    assert "lang" in ft.columns
+    got = dict(zip(ft["conv_id"], zip(ft["text"], ft["lang"])))
+    assert got["a"] == ("x2", "en")
+    assert got["b"][0] == "y" and (
+        got["b"][1] is None or got["b"][1] != got["b"][1]  # null/NaN
+    )
