@@ -505,6 +505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_debezium_roundtrip": _widen6.cdc_debezium_roundtrip,
         "cdc_debezium_tail": _widen6.cdc_debezium_tail,
         "lake_replicate_follower": _widen6.lake_replicate_follower,
+        "wal_ship_roundtrip": _widen6.wal_ship_roundtrip,
         "view_roles_via_consumer": _widen6.view_roles_via_consumer,
     }
     ordered = {n: base.pop(n) for n in _DRIVER_CERTIFIED_FIRST}
@@ -3744,6 +3745,7 @@ GROUP BY tool ORDER BY tool
         "cdc_debezium_roundtrip": _FINAL_STATE_SQL,
         "cdc_debezium_tail": _FINAL_STATE_SQL,
         "lake_replicate_follower": _FINAL_STATE_SQL,
+        "wal_ship_roundtrip": _FINAL_STATE_SQL,
         "view_roles_via_consumer": _CH + """
 , last AS (
   SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn

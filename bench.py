@@ -140,6 +140,7 @@ HEADLINE = [
     "config_threeway_join",
     "cdc_debezium_tail",
     "lake_replicate_follower",
+    "wal_ship_roundtrip",
 ]
 
 

@@ -1467,6 +1467,115 @@ class CDCLake:
             results.append(res)
         return results
 
+    def ship_changefeed(
+        self,
+        out_dir: str,
+        group: str = "wal-shipper",
+        image_cols: tuple[str, ...] = ("role", "text", "tool", "ts"),
+    ) -> list[str]:
+        """Outbound WAL shipping: export each newly committed epoch's
+        changefeed as ONE seq-ordered Debezium JSONL shard under
+        ``out_dir`` (WAL-segment naming: zero-padded epoch prefix), so any
+        Debezium consumer — including another lake's ``tail_debezium`` —
+        can follow this lake. The inverse of ``read_debezium_jsonl``.
+
+        Incremental + exactly-once: a consumer-group offset tracks the
+        last shipped epoch (CAS-committed AFTER the shard lands, so a
+        crash re-ships at most one epoch whose shard write is an
+        idempotent replace). Envelope ``source.sequence`` is the commit
+        epoch — the downstream tail's seq fence then reproduces this
+        lake's commit order. Deletes ship the before image.
+
+        Streaming: each epoch's diff is written via ``iter_batches`` —
+        the driver holds one batch at a time. Returns the shard paths
+        written this call."""
+        import json as _json
+
+        from data_exchange_routing_ray.sources import to_debezium_envelope
+
+        os.makedirs(out_dir, exist_ok=True)
+        expect = self.consumers.get(group)
+        head = self.manifest.epoch
+        if head < 0:
+            return []
+        start = 0 if expect is None else expect + 1
+        written: list[str] = []
+        cols = tuple(image_cols)
+        prev = expect
+        for e in range(start, head + 1):
+            if e == 0 or self.store.load_epoch(e - 1) is None:
+                # epoch 0 (or pre-archive history): ship the full state
+                feed = self.final_dataset(
+                    columns=["conv_id", "turn_idx", *cols], epoch=e
+                ).map_batches(
+                    lambda b: pa.table({
+                        "op": pa.array(["insert"] * b.num_rows),
+                        "conv_id": b["conv_id"],
+                        "turn_idx": b["turn_idx"].cast(pa.int32()),
+                        **{
+                            f"after_{c}": (
+                                b[c]
+                                if c in b.column_names
+                                else pa.nulls(b.num_rows, pa.string())
+                            )
+                            for c in cols
+                        },
+                        **{
+                            f"before_{c}": pa.nulls(
+                                b.num_rows,
+                                b.schema.field(c).type
+                                if c in b.column_names
+                                else pa.string(),
+                            )
+                            for c in cols
+                        },
+                    }),
+                    batch_format="pyarrow",
+                )
+            else:
+                feed = self.changefeed_between(e - 1, e, image_cols=cols)
+            path = os.path.join(out_dir, f"wal-{e:012d}.jsonl")
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                for b in feed.iter_batches(
+                    batch_size=8192, batch_format="pyarrow"
+                ):
+                    ops = b["op"].to_pylist()
+                    data = {
+                        c: (
+                            pc.cast(b[f"after_{c}"], pa.int64()).to_pylist()
+                            if c == "ts"
+                            else b[f"after_{c}"].to_pylist()
+                        )
+                        for c in cols
+                    }
+                    bdata = {
+                        c: (
+                            pc.cast(b[f"before_{c}"], pa.int64()).to_pylist()
+                            if c == "ts"
+                            else b[f"before_{c}"].to_pylist()
+                        )
+                        for c in cols
+                    }
+                    convs = b["conv_id"].to_pylist()
+                    turns = b["turn_idx"].to_pylist()
+                    lines = []
+                    for i, op in enumerate(ops):
+                        src = bdata if op == "delete" else data
+                        row = {c: src[c][i] for c in cols}
+                        row["conv_id"] = convs[i]
+                        row["turn_idx"] = int(turns[i])
+                        lines.append(_json.dumps(
+                            to_debezium_envelope(row, op, e), default=str
+                        ))
+                    if lines:
+                        f.write("\n".join(lines) + "\n")
+            os.replace(tmp, path)
+            written.append(path)
+            self.consumers.commit(group, e, expect=prev)
+            prev = e
+        return written
+
     # --------------------------------------------------------------- readers
     def manifest_at(self, epoch: int) -> Manifest:
         """Time travel: the manifest as of a committed epoch (manifests are

@@ -2068,6 +2068,68 @@ def lake_replicate_follower(sf_dir: str) -> pa.Table:
         return follower.final_table()
 
 
+def wal_ship_roundtrip(sf_dir: str) -> pa.Table:
+    """Full wire-format interop loop (outbound + inbound WAL): a leader
+    lake commits three seq-sliced epochs; `ship_changefeed` exports each
+    epoch as one seq-ordered Debezium JSONL WAL shard (epoch 0 ships the
+    full state as insert envelopes; later epochs ship only the diff,
+    deletes as before-images); a DOWNSTREAM lake `tail_debezium`s the
+    shard directory. Downstream final state must equal the leader's —
+    the plain final-state oracle.
+
+    Engine asserts: shipping is INCREMENTAL (the second ship call emits
+    only the two new epochs' shards — the shipper's consumer offset
+    CAS-tracks what already left), and one shard per epoch.
+
+    100 TB shape: each shard streams out via iter_batches (driver holds
+    one batch), carries O(changed keys) for diff epochs; the downstream
+    pays the normal one-exchange epoch per shard batch."""
+    import os
+    import tempfile
+
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+    from data_exchange_routing_ray.pipelines.events_cdc import (
+        _events,
+        derive_changes_batch,
+    )
+
+    hi = int(_events(sf_dir, columns=["event_id"]).max("event_id")) + 1
+    bounds = [(i * hi) // 3 for i in range(4)]
+
+    def epoch_stream(i: int):
+        lo, up = bounds[i], bounds[i + 1]
+        return (
+            _events(
+                sf_dir, columns=["event_id", "user_id", "event_type", "ts"]
+            )
+            .filter(expr=f"event_id >= {lo} and event_id < {up}")
+            .map_batches(derive_changes_batch, batch_format="pyarrow")
+        )
+
+    with tempfile.TemporaryDirectory(prefix="cdcship-") as d:
+        leader = CDCLake(os.path.join(d, "leader"), num_partitions=16)
+        wal_dir = os.path.join(d, "wal")
+
+        leader.apply_changes(epoch_stream(0), quarantine=False)
+        s1 = leader.ship_changefeed(wal_dir)
+        assert len(s1) == 1, "first ship: exactly the bootstrap shard"
+
+        leader.apply_changes(epoch_stream(1), quarantine=False)
+        leader.apply_changes(epoch_stream(2), quarantine=False)
+        s2 = leader.ship_changefeed(wal_dir)
+        assert len(s2) == 2, "incremental ship: only the two new epochs"
+        assert leader.ship_changefeed(wal_dir) == []  # caught up
+
+        down = CDCLake(os.path.join(d, "down"), num_partitions=8)
+        rs = list(
+            down.tail_debezium(
+                wal_dir, poll_interval=0.01, idle_polls=1, quarantine=False
+            )
+        )
+        assert rs and all(r.rows_quarantined == 0 for r in rs)
+        return down.final_table()
+
+
 # ---------------------------------- consumer-offset-driven view maintenance
 
 

@@ -177,3 +177,51 @@ def test_replicate_carries_evolved_columns(ray_session, tmp_path):
     assert got["b"][0] == "y" and (
         got["b"][1] is None or got["b"][1] != got["b"][1]  # null/NaN
     )
+
+
+def test_ship_changefeed_deletes_and_crash_reship(ray_session, tmp_path):
+    """Outbound WAL shipping: deletes ship as before-image envelopes; a
+    crashed shipper (offset lost for one epoch) re-ships that shard as an
+    idempotent replace, and the downstream ledger skips the known name."""
+    import os
+
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    leader = CDCLake(str(tmp_path / "lead"), num_partitions=4)
+    wal = str(tmp_path / "wal")
+    leader.apply_changes(
+        _changes([_row(1, "insert", "a", 0, "x"),
+                  _row(2, "insert", "b", 0, "y")]),
+        quarantine=False,
+    )
+    assert len(leader.ship_changefeed(wal)) == 1
+    leader.apply_changes(
+        _changes([_row(3, "delete", "a", 0),
+                  _row(4, "update", "b", 0, "y2")]),
+        quarantine=False,
+    )
+    assert len(leader.ship_changefeed(wal)) == 1
+    assert leader.ship_changefeed(wal) == []
+
+    down = CDCLake(str(tmp_path / "down"), num_partitions=2)
+    list(down.tail_debezium(wal, poll_interval=0.01, idle_polls=1))
+    assert _state(down) == _state(leader) == {("b", 0): "y2"}
+
+    # crash window: the shipper's offset regresses one epoch → re-ship
+    # rewrites the same shard name (idempotent replace) ...
+    import json
+
+    head = leader.manifest.epoch
+    with open(  # simulate the lost CAS directly in the offsets store
+        leader.consumers._path("wal-shipper"), "w"
+    ) as f:
+        json.dump({"group": "wal-shipper", "epoch": head - 1}, f)
+    reshipped = leader.ship_changefeed(wal)
+    assert [os.path.basename(p) for p in reshipped] == [
+        f"wal-{head:012d}.jsonl"
+    ]
+    # ... and the downstream ledger already knows the name: nothing re-read
+    assert list(
+        down.tail_debezium(wal, poll_interval=0.01, idle_polls=1)
+    ) == []
+    assert _state(down) == {("b", 0): "y2"}
