@@ -28,6 +28,7 @@ Subcommands:
   compact      fold open delta files into fresh bases
   replicate    drain a source lake's changefeed into this lake (follower)
   requeue      re-enqueue dead-letter rows above the watermark
+  ship         export new epochs as Debezium JSONL WAL shards
 """
 
 from __future__ import annotations
@@ -292,6 +293,25 @@ def cmd_replicate(args: argparse.Namespace) -> int:
         }))
     if not results:
         print(json.dumps({"skipped": "already at source head"}))
+    return 0
+
+
+def cmd_ship(args: argparse.Namespace) -> int:
+    """Outbound WAL shipping: export newly committed epochs as Debezium
+    JSONL WAL shards (one per epoch) under --out; incremental via the
+    shipper's consumer offset."""
+    if not os.path.isdir(args.lake):
+        print(f"error: no lake at {args.lake}", file=sys.stderr)
+        return 2
+    _ensure_ray(args.num_cpus)
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    lake = CDCLake(args.lake)
+    written = lake.ship_changefeed(args.out, group=args.group)
+    print(json.dumps({
+        "shards_written": [os.path.basename(p) for p in written],
+        "head_epoch": lake.manifest.epoch,
+    }))
     return 0
 
 
@@ -619,6 +639,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     rl.add_argument("--num-cpus", type=int, default=None)
     rl.set_defaults(fn=cmd_replicate)
+
+    sh = sub.add_parser(
+        "ship", help="export new epochs as Debezium JSONL WAL shards"
+    )
+    sh.add_argument("--lake", required=True)
+    sh.add_argument("--out", required=True, help="WAL shard output dir")
+    sh.add_argument("--group", default="wal-shipper")
+    sh.add_argument("--num-cpus", type=int, default=None)
+    sh.set_defaults(fn=cmd_ship)
 
     rq = sub.add_parser(
         "requeue", help="re-enqueue dead-letter rows above the watermark"

@@ -225,3 +225,24 @@ def test_ship_changefeed_deletes_and_crash_reship(ray_session, tmp_path):
         down.tail_debezium(wal, poll_interval=0.01, idle_polls=1)
     ) == []
     assert _state(down) == {("b", 0): "y2"}
+
+
+def test_cli_ship_then_tail(ray_session, tmp_path, capsys):
+    import json as _json
+
+    from data_exchange_routing_ray.cli import main
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    lead = str(tmp_path / "lead")
+    lake = CDCLake(lead, num_partitions=4)
+    lake.apply_changes(
+        _changes([_row(1, "insert", "a", 0, "x")]), quarantine=False
+    )
+    wal = str(tmp_path / "wal")
+    rc = main(["ship", "--lake", lead, "--out", wal])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["shards_written"] == ["wal-000000000000.jsonl"]
+    down = CDCLake(str(tmp_path / "down"), num_partitions=2)
+    list(down.tail_debezium(wal, poll_interval=0.01, idle_polls=1))
+    assert _state(down) == _state(lake)
