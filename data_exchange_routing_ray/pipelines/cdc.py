@@ -1422,6 +1422,12 @@ class CDCLake:
         through the follower's normal one-exchange epoch; full state is
         only streamed once, at bootstrap. Returns the follower
         ``EpochResult`` per poll (empty list = already caught up)."""
+        if self.multi_leader:
+            raise ValueError(
+                "replicate_from requires a single-leader follower: a "
+                "multi-leader lake's seq space is the cross-site WAL's, "
+                "and the replica's seq=epoch counter would collide with it"
+            )
         group = group or f"replica:{self.branch}:{self.lake_dir}"
         if image_cols is None:
             # default to the leader's FULL payload surface: the core

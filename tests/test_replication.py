@@ -246,3 +246,17 @@ def test_cli_ship_then_tail(ray_session, tmp_path, capsys):
     down = CDCLake(str(tmp_path / "down"), num_partitions=2)
     list(down.tail_debezium(wal, poll_interval=0.01, idle_polls=1))
     assert _state(down) == _state(lake)
+
+
+def test_replicate_refuses_multi_leader_follower(ray_session, tmp_path):
+    import pytest
+
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    leader = CDCLake(str(tmp_path / "lead"), num_partitions=4)
+    ml = CDCLake(str(tmp_path / "ml"), num_partitions=4, multi_leader=True)
+    leader.apply_changes(
+        _changes([_row(1, "insert", "a", 0, "x")]), quarantine=False
+    )
+    with pytest.raises(ValueError, match="single-leader follower"):
+        ml.replicate_from(leader, group="g")
