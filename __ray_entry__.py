@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": q.text_quality,
         "text_langid": q.text_langid,
         "text_fingerprint_md5": q.text_fingerprint_md5,
+        "text_html_encode": q.text_html_encode,
         "text_fingerprint_winnow": q.text_fingerprint_winnow,
         "text_token_counts": q.text_token_counts,
         "text_top_words": q.text_top_words,
@@ -922,6 +923,14 @@ FROM (
     length(regexp_extract_all(lower(text), '\b(der|die|das|und|ein|eine|zu|mit|von)\b')) AS s_de
   FROM documents
 )
+""",
+        "text_html_encode": """
+SELECT event_id,
+       replace(replace(replace(replace(replace(
+         '<msg id="' || CAST(event_id AS VARCHAR) || '">&''done''</msg>',
+         '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+         '"', '&quot;'), '''', '&#39;') AS text
+FROM events WHERE event_id % 100 = 0
 """,
         "text_fingerprint_md5": """
 SELECT doc_id, md5(text) AS fp_md5 FROM documents

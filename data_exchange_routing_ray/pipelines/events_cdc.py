@@ -2059,6 +2059,39 @@ def text_langid(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out[["doc_id", "lang_pred"]], preserve_index=False)
 
 
+def text_html_encode(sf_dir: str) -> pa.Table:
+    """M11 oracle gate — HTML-encode before persistence (the report
+    normalizer, FnStoreReportingEvent.kt:68-71): planted markup carrying
+    all five special characters (& < > \" ') round-trips through the
+    chained-Arrow-kernel encoder (`functions/text.html_encode_column`,
+    ampersand first) and must match DuckDB's replace chain exactly.
+    1-in-100 sample keeps the value-compare bounded at any SF."""
+    from data_exchange_routing_ray.functions.text import html_encode_column
+
+    def mk(b: pa.Table) -> pa.Table:
+        ev = b["event_id"].to_numpy()
+        ev = ev[ev % 100 == 0]
+        s = ev.astype(np.str_)
+        raw = np.char.add(
+            np.char.add('<msg id="', s),
+            "\">&'done'</msg>",
+        ).astype(object)
+        t = pa.table({
+            "event_id": pa.array(ev, pa.int64()),
+            "text": pa.array(raw, pa.string()),
+        })
+        return html_encode_column(t, "text")
+
+    out = (
+        _events(sf_dir, columns=["event_id"])
+        .map_batches(mk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def text_fingerprint_md5(sf_dir: str) -> pa.Table:
     out = (
         _documents(sf_dir, columns=["doc_id", "text"])
