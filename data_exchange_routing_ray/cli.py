@@ -283,14 +283,32 @@ def cmd_replicate(args: argparse.Namespace) -> int:
 
     src = CDCLake(args.source, branch=args.source_branch)
     dst = CDCLake(args.lake)
-    results = dst.replicate_from(src, group=args.group)
-    for r in results:
+
+    def _emit(r):
         print(json.dumps({
             "epoch": r.epoch,
             "changes_applied": r.changes_applied,
             "changes_fenced": r.changes_fenced,
             "total_rows": r.total_rows,
-        }))
+        }), flush=True)
+
+    if getattr(args, "follow", False):
+        import time as _time
+
+        idle = 0
+        while args.idle_polls is None or idle < args.idle_polls:
+            results = dst.replicate_from(src, group=args.group)
+            if results:
+                idle = 0
+                for r in results:
+                    _emit(r)
+            else:
+                idle += 1
+                _time.sleep(args.poll_interval)
+        return 0
+    results = dst.replicate_from(src, group=args.group)
+    for r in results:
+        _emit(r)
     if not results:
         print(json.dumps({"skipped": "already at source head"}))
     return 0
@@ -637,6 +655,11 @@ def main(argv: list[str] | None = None) -> int:
         "--group", default=None,
         help="consumer group (default: derived from follower dir+branch)",
     )
+    rl.add_argument("--follow", action="store_true",
+                    help="keep polling the source (continuous follower)")
+    rl.add_argument("--poll-interval", type=float, default=2.0)
+    rl.add_argument("--idle-polls", type=int, default=None,
+                    help="stop after N consecutive empty polls")
     rl.add_argument("--num-cpus", type=int, default=None)
     rl.set_defaults(fn=cmd_replicate)
 

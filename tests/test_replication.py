@@ -260,3 +260,23 @@ def test_replicate_refuses_multi_leader_follower(ray_session, tmp_path):
     )
     with pytest.raises(ValueError, match="single-leader follower"):
         ml.replicate_from(leader, group="g")
+
+
+def test_cli_replicate_follow_stops_on_idle(ray_session, tmp_path, capsys):
+    import json as _json
+
+    from data_exchange_routing_ray.cli import main
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    lead = str(tmp_path / "lead")
+    lake = CDCLake(lead, num_partitions=4)
+    lake.apply_changes(
+        _changes([_row(1, "insert", "a", 0, "x")]), quarantine=False
+    )
+    foll = str(tmp_path / "foll")
+    rc = main(["replicate", "--lake", foll, "--source", lead,
+               "--follow", "--poll-interval", "0.01", "--idle-polls", "2"])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l]
+    assert _json.loads(lines[-1])["total_rows"] == 1
+    assert _state(CDCLake(foll)) == _state(lake)
