@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- CDC engine (SURVEY.md §2.2/2.3/2.5/2.7/2.8, §7) ----
         "cdc_final_state": q.cdc_final_state,
         "cdc_final_state_multi_epoch": q.cdc_final_state_multi_epoch,
+        "lake_segmented_manifest": q.lake_segmented_manifest,
         "cdc_quarantine_counts": q.cdc_quarantine_counts,
         "cdc_conv_watermarks": q.cdc_conv_watermarks,
         "cdc_schema_evolution": q.cdc_schema_evolution,
@@ -518,6 +519,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_final_state": _FINAL_STATE_SQL,
         "cdc_final_state_multi_epoch": _FINAL_STATE_SQL,
+        "lake_segmented_manifest": _FINAL_STATE_SQL,
         "lake_rollback_replay": _FINAL_STATE_SQL,
         "cdc_quarantine_counts": _CORRUPT_CH
         + """

@@ -141,6 +141,7 @@ HEADLINE = [
     "cdc_debezium_tail",
     "lake_replicate_follower",
     "wal_ship_roundtrip",
+    "lake_segmented_manifest",
 ]
 
 

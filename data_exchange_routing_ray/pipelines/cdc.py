@@ -144,6 +144,7 @@ class CDCLake:
         branch: str = "main",
         multi_leader: bool = False,
         schema_policy: str = "evolve",
+        manifest_segment_size: int | None = None,
     ):
         # combine_batch_size: rows per fused validate/partition/combine batch.
         # Larger ⇒ better pre-shuffle dedup and fewer shuffle blocks; 256Ki
@@ -206,12 +207,25 @@ class CDCLake:
             with open(cfg_path) as f:
                 _cfg = _json.load(f)
             multi_leader = bool(_cfg.get("multi_leader", multi_leader))
+            # manifest layout is likewise a property of the on-disk lake:
+            # a segmented lake reopened without the flag would publish a
+            # monolithic root mid-log (reads tolerate the mix, but the
+            # O(dirty) commit-cost guarantee would silently vanish)
+            manifest_segment_size = _cfg.get(
+                "manifest_segment_size", manifest_segment_size
+            )
         else:
             import json as _json
 
             tmp = cfg_path + ".tmp"
             with open(tmp, "w") as f:
-                _json.dump({"multi_leader": bool(multi_leader)}, f)
+                _json.dump(
+                    {
+                        "multi_leader": bool(multi_leader),
+                        "manifest_segment_size": manifest_segment_size,
+                    },
+                    f,
+                )
             os.replace(tmp, cfg_path)
         if multi_leader and (merge_policy != "rewrite" or merge_mode != "groupby"):
             raise ValueError(
@@ -233,7 +247,10 @@ class CDCLake:
         # apply_changes; stamped into every commit's manifest+lineage
         self.config_version: str | None = None
         os.makedirs(lake_dir, exist_ok=True)
-        self.store = ManifestStore(lake_dir, branch=branch)
+        self.manifest_segment_size = manifest_segment_size
+        self.store = ManifestStore(
+            lake_dir, branch=branch, segment_size=manifest_segment_size
+        )
         self.lineage = LineageLog(lake_dir, branch=branch)
         from data_exchange_routing_ray.state.consumers import ConsumerOffsets
 
@@ -947,6 +964,11 @@ class CDCLake:
             if len(stats):
                 for row in stats.itertuples():
                     pid = int(row.partition)
+                    if int(getattr(row, "no_change", 0) or 0):
+                        # fully-fenced replay: merge skipped the rewrite;
+                        # the previous manifest entry stays (and, under the
+                        # segmented layout, its segment file is reused)
+                        continue
                     is_delta = int(getattr(row, "is_delta", 0) or 0)
                     if is_delta:
                         if int(row.row_count) == 0:

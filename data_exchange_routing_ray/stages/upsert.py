@@ -623,6 +623,7 @@ def make_merge_fn(
                         ),
                         "row_count": int(out.num_rows),
                         "is_delta": 0,
+                        "no_change": 0,
                         "extra_cols": "",
                     }
                 ]
@@ -674,12 +675,39 @@ def make_merge_fn(
                         "applied_offset": applied,
                         "row_count": int(changes.num_rows),
                         "is_delta": 1,
+                        "no_change": 0,
                         "extra_cols": ",".join(
                             sorted(set(changes.column_names) - _BASE_LAKE_COLUMNS)
                         ),
                     }
                 ]
             )
+        if rel is not None and not delta_rels:
+            live = group.filter(pc.greater(group["seq"], pa.scalar(fence_below)))
+            if live.num_rows == 0:
+                # FULLY-FENCED REPLAY for this partition: every change row
+                # is at/below the fence, so the merge result is byte-
+                # identical to the committed base — skip the read AND the
+                # rewrite (no_change=1 keeps the previous manifest entry).
+                # Without this, replaying an applied shard rewrites the
+                # whole touched key space per replay (pure write
+                # amplification) and defeats manifest-segment reuse.
+                return pd.DataFrame(
+                    [
+                        {
+                            "partition": pid,
+                            "epoch": epoch,
+                            "file": "",
+                            "changes_applied": 0,
+                            "changes_fenced": int(group.num_rows),
+                            "applied_offset": fence_below,
+                            "row_count": 0,
+                            "is_delta": 0,
+                            "no_change": 1,
+                            "extra_cols": "",
+                        }
+                    ]
+                )
         base = None
         if rel is not None:
             base = pq.read_table(os.path.join(lake_dir, rel))
@@ -702,6 +730,7 @@ def make_merge_fn(
                     "file": path,
                     **stats,
                     "is_delta": 0,
+                    "no_change": 0,
                 }
             ]
         )

@@ -92,14 +92,30 @@ class ConcurrentCommitError(RuntimeError):
 
 
 class ManifestStore:
-    """Filesystem-backed manifest log under ``<lake>/manifests/``."""
+    """Filesystem-backed manifest log under ``<lake>/manifests/``.
 
-    def __init__(self, lake_dir: str, branch: str = "main"):
+    ``segment_size`` (opt-in, persisted in lake-config.json by CDCLake)
+    switches PUBLISH to the SEGMENTED layout: the partition table is split
+    into pid-range segments of ``segment_size`` partitions each, every
+    segment serialized to a CONTENT-ADDRESSED file under
+    ``<manifests>/segments/`` and the root manifest stores only the segment
+    references. An epoch that dirtied D of P partitions writes
+    O(D/segment_size) new segment files instead of re-serializing all P
+    entries — the Iceberg manifest-list idea, sized for 10^4-10^5-partition
+    lakes where a monolithic root costs MBs of JSON per commit. Unchanged
+    segments are byte-identical, hash to the same name, and are reused for
+    free; archived roots share them, so time travel keeps working. READS
+    resolve either layout transparently, so the flag only gates writes."""
+
+    def __init__(
+        self, lake_dir: str, branch: str = "main", segment_size: int | None = None
+    ):
         # a BRANCH is a separate manifest log over the SAME data files
         # (zero-copy clone, Nessie/LakeFS-style): "main" keeps the legacy
         # layout; any other branch lives under manifests-<branch>/
         self.lake_dir = lake_dir
         self.branch = branch
+        self.segment_size = segment_size
         sub = "manifests" if branch == "main" else f"manifests-{branch}"
         self.dir = os.path.join(lake_dir, sub)
         os.makedirs(self.dir, exist_ok=True)
@@ -107,20 +123,72 @@ class ManifestStore:
     def _current_path(self) -> str:
         return os.path.join(self.dir, "current.json")
 
+    def _segments_dir(self) -> str:
+        return os.path.join(self.dir, "segments")
+
+    def _read_manifest(self, path: str) -> Manifest:
+        with open(path) as f:
+            d = json.loads(f.read())
+        segs = d.pop("segments", None)
+        if segs is not None:
+            parts: dict = {}
+            for ref in segs:
+                with open(os.path.join(self.dir, "segments", ref["file"])) as sf:
+                    parts.update(json.load(sf)["partitions"])
+            d["partitions"] = parts
+        return Manifest.from_json(json.dumps(d))
+
     def load_epoch(self, epoch: int) -> Manifest | None:
         """Archived manifest of a committed epoch (time-travel read)."""
         path = os.path.join(self.dir, f"manifest-{epoch:012d}.json")
         if not os.path.exists(path):
             return None
-        with open(path) as f:
-            return Manifest.from_json(f.read())
+        return self._read_manifest(path)
 
     def load_current(self) -> Manifest | None:
         path = self._current_path()
         if not os.path.exists(path):
             return None
-        with open(path) as f:
-            return Manifest.from_json(f.read())
+        return self._read_manifest(path)
+
+    def _segmented_payload(self, manifest: Manifest) -> str:
+        """Serialize with the partition table split into content-addressed
+        segment files; returns the root JSON referencing them."""
+        import hashlib
+
+        seg_dir = self._segments_dir()
+        os.makedirs(seg_dir, exist_ok=True)
+        size = int(self.segment_size or 0)
+        by_seg: dict[int, dict] = {}
+        for pid, e in sorted(manifest.partitions.items()):
+            by_seg.setdefault(pid // size, {})[str(pid)] = vars(e)
+        refs = []
+        for seg_id, parts in sorted(by_seg.items()):
+            body = json.dumps({"partitions": parts}, sort_keys=True)
+            h = hashlib.sha256(body.encode()).hexdigest()[:20]
+            name = f"seg-{seg_id:08d}-{h}.json"
+            path = os.path.join(seg_dir, name)
+            if not os.path.exists(path):  # content-addressed: reuse if present
+                tmp = path + ".tmp"
+                with open(tmp, "w") as f:
+                    f.write(body)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, path)
+            refs.append({"file": name, "segment": seg_id, "entries": len(parts)})
+        return json.dumps(
+            {
+                "epoch": manifest.epoch,
+                "applied_offset": manifest.applied_offset,
+                "gc_watermark": manifest.gc_watermark,
+                "config_version": manifest.config_version,
+                "num_partitions": manifest.num_partitions,
+                "schema_names": manifest.schema_names,
+                "segment_size": size,
+                "segments": refs,
+            },
+            indent=1,
+        )
 
     def publish(self, manifest: Manifest, expect_epoch: int | None = None) -> None:
         """Atomic publish: write temp, fsync, rename (the commitBlockList).
@@ -150,7 +218,10 @@ class ManifestStore:
                             f"{expect_epoch}); another writer committed — "
                             "re-run this epoch"
                         )
-                payload = manifest.to_json()
+                if self.segment_size:
+                    payload = self._segmented_payload(manifest)
+                else:
+                    payload = manifest.to_json()
                 archive = os.path.join(
                     self.dir, f"manifest-{manifest.epoch:012d}.json"
                 )
