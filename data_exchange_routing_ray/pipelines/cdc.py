@@ -49,6 +49,7 @@ from data_exchange_routing_ray.stages.upsert import (
 )
 from data_exchange_routing_ray.state.lineage import LineageLog
 from data_exchange_routing_ray.state.manifest import (
+    ConcurrentCommitError,
     Manifest,
     ManifestStore,
     PartitionEntry,
@@ -789,6 +790,7 @@ class CDCLake:
         trace_id: str | None = None,
         parent_span_id: str | None = None,
         config_version: str | None = None,
+        reconcile: bool = True,
         _raise_gc_watermark: int | None = None,
     ) -> EpochResult:
         """Apply one epoch of change events; atomically commit; return stats.
@@ -1051,9 +1053,35 @@ class CDCLake:
                 audit_fn(new_man, self.lake_dir)
             # atomic commitBlockList + optimistic single-writer fence: abort
             # if another writer published since this epoch read the manifest
-            self.store.publish(new_man, expect_epoch=man.epoch)
+            staged_epoch = epoch
+            try:
+                self.store.publish(new_man, expect_epoch=man.epoch)
+            except ConcurrentCommitError:
+                # COMMIT RECONCILIATION (Iceberg/Delta-style conflict
+                # resolution): if the concurrent commit touched a DISJOINT
+                # partition set and our applied seqs all sit above its new
+                # fence (serial-equivalence: a re-run after it would have
+                # produced byte-identical merge output), rebase our already-
+                # staged entries onto the new current and retry — no
+                # re-merge, no wasted epoch. Anything else re-raises.
+                if audit_fn is not None or not reconcile:
+                    # the audit approved a DIFFERENT candidate state; a
+                    # reconciled manifest was never audited — abort instead
+                    raise
+                new_man = self._reconcile_publish(
+                    man, new_man, epoch, stats, fenced=fence and not rebuild
+                )
+                epoch = new_man.epoch
+                new_partitions = new_man.partitions
+                applied_offset = new_man.applied_offset
+                if len(stats):
+                    stats = stats.assign(epoch=epoch)
+                if self.merge_mode == "actors" and self._pool is not None:
+                    # memtables lack the OTHER writer's committed rows;
+                    # force a cold-load from the reconciled manifest
+                    self._pool.reset()
             if max_attempts is not None:
-                self._prune_attempts(epoch)
+                self._prune_attempts(staged_epoch)
         except BaseException:
             # the actor pool's memtables were advanced by flush(); a failed
             # publish would leave them AHEAD of the committed manifest, so a
@@ -1123,7 +1151,9 @@ class CDCLake:
             )
             self.lineage.append_epoch(epoch, lineage_rows)
 
-        shutil.rmtree(os.path.join(stage_dir, f"epoch={epoch:012d}"), ignore_errors=True)
+        shutil.rmtree(
+            os.path.join(stage_dir, f"epoch={staged_epoch:012d}"), ignore_errors=True
+        )
 
         return EpochResult(
             epoch=epoch,
@@ -1137,6 +1167,113 @@ class CDCLake:
             config_version=cfg_version,
             stats=stats,
         )
+
+    def _reconcile_publish(
+        self,
+        old_man: Manifest,
+        cand: Manifest,
+        staged_epoch: int,
+        stats,
+        fenced: bool,
+    ) -> Manifest:
+        """Rebase an OCC-aborted commit onto the new current manifest and
+        retry — WITHOUT re-running the merge (Iceberg/Delta-style conflict
+        resolution; disjoint writers stop paying a full re-merge per lost
+        race). Sound iff a serial re-run AFTER the rival commit would have
+        produced byte-identical merge output, which requires ALL of:
+
+        - the rival did not touch any partition this epoch rewrote or
+          delta-appended (our merges read those pids' bases);
+        - under ``fence=True``, our lowest applied winner seq is above the
+          rival's new global fence (so the re-run would fence nothing we
+          applied — winners-only is sufficient: fenced losers never affect
+          LWW output); under ``fence=False`` the re-run fence is the gc
+          watermark, which must be unchanged;
+        - no concurrent repartition / GC / rebuild (partition count and gc
+          watermark unchanged).
+
+        Raises ConcurrentCommitError when any condition fails (caller
+        re-runs the epoch, exactly the pre-reconciliation contract)."""
+        touched: list[int] = []
+        min_seq: int | None = None
+        if stats is not None and len(stats):
+            for row in stats.itertuples():
+                if int(getattr(row, "no_change", 0) or 0):
+                    continue  # entry not ours; cur's version is correct
+                pid = int(row.partition)
+                if pid == QUARANTINE_PARTITION:
+                    continue
+                touched.append(pid)
+                ms = getattr(row, "min_seq_applied", None)
+                if ms is None or ms != ms:
+                    raise ConcurrentCommitError(
+                        "concurrent commit; this merge mode does not report "
+                        "min_seq_applied — cannot prove serial equivalence, "
+                        "re-run the epoch"
+                    )
+                if int(row.changes_applied) > 0:
+                    min_seq = (
+                        int(ms) if min_seq is None else min(min_seq, int(ms))
+                    )
+        for _ in range(8):
+            cur = self.store.load_current()
+            if cur is None:
+                raise ConcurrentCommitError("lake manifest disappeared")
+            if (
+                cur.num_partitions != cand.num_partitions
+                or cur.gc_watermark != old_man.gc_watermark
+            ):
+                raise ConcurrentCommitError(
+                    "concurrent repartition/GC — re-run the epoch"
+                )
+            for pid in touched:
+                a = old_man.partitions.get(pid)
+                b = cur.partitions.get(pid)
+                if (a is None) != (b is None) or (
+                    a is not None and vars(a) != vars(b)
+                ):
+                    raise ConcurrentCommitError(
+                        f"concurrent commit touched partition {pid} — "
+                        "conflicting write set, re-run the epoch"
+                    )
+            if fenced and min_seq is not None and min_seq <= cur.applied_offset:
+                raise ConcurrentCommitError(
+                    "concurrent commit advanced the fence past this epoch's "
+                    "applied seqs — re-run the epoch"
+                )
+            e2 = cur.epoch + 1
+            parts = dict(cur.partitions)
+            for pid in touched:
+                ent = cand.partitions[pid]
+                parts[pid] = PartitionEntry(
+                    file=ent.file,
+                    rows=ent.rows,
+                    applied_offset=ent.applied_offset,
+                    # re-stamp to the PUBLISHED epoch: changed_partitions()
+                    # and the lineage<->lake reconciliation key on entry.epoch
+                    epoch=e2 if ent.epoch == staged_epoch else ent.epoch,
+                    deltas=[
+                        {**d, "epoch": e2}
+                        if d.get("epoch") == staged_epoch
+                        else d
+                        for d in ent.deltas
+                    ],
+                )
+            merged = Manifest(
+                epoch=e2,
+                applied_offset=max(cur.applied_offset, cand.applied_offset),
+                gc_watermark=max(cur.gc_watermark, cand.gc_watermark),
+                config_version=cand.config_version,
+                num_partitions=cand.num_partitions,
+                schema_names=sorted(set(cur.schema_names) | set(cand.schema_names)),
+                partitions=parts,
+            )
+            try:
+                self.store.publish(merged, expect_epoch=cur.epoch)
+                return merged
+            except ConcurrentCommitError:
+                continue  # yet another writer landed; re-check against it
+        raise ConcurrentCommitError("reconcile retries exhausted — re-run")
 
     def merge_into(
         self,

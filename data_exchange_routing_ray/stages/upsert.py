@@ -533,6 +533,12 @@ def merge_tables(
         "changes_applied": int(changes.num_rows),
         "changes_fenced": int(n_fenced),
         "applied_offset": applied_offset,
+        # lowest applied winner seq: commit reconciliation's serial-
+        # equivalence witness (all winners above the rival's new fence
+        # means a re-run would produce byte-identical output)
+        "min_seq_applied": (
+            int(pc.min(changes["seq"]).as_py()) if changes.num_rows else 2**62
+        ),
         "row_count": n_live,
         # evolved columns this partition now stores (the driver unions
         # these into the manifest's schema registry at commit)
@@ -621,6 +627,7 @@ def make_merge_fn(
                         "applied_offset": max(
                             fence_below, qmax if qmax is not None else fence_below
                         ),
+                        "min_seq_applied": 2**62,
                         "row_count": int(out.num_rows),
                         "is_delta": 0,
                         "no_change": 0,
@@ -673,6 +680,11 @@ def make_merge_fn(
                         "changes_applied": int(changes.num_rows),
                         "changes_fenced": int(n_fenced),
                         "applied_offset": applied,
+                        "min_seq_applied": (
+                            int(pc.min(changes["seq"]).as_py())
+                            if changes.num_rows
+                            else 2**62
+                        ),
                         "row_count": int(changes.num_rows),
                         "is_delta": 1,
                         "no_change": 0,
@@ -701,6 +713,7 @@ def make_merge_fn(
                             "changes_applied": 0,
                             "changes_fenced": int(group.num_rows),
                             "applied_offset": fence_below,
+                            "min_seq_applied": 2**62,
                             "row_count": 0,
                             "is_delta": 0,
                             "no_change": 1,
