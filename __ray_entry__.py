@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reassemble_user_histories": q.reassemble_user_histories,
         "sample_hash_fraction": q.sample_hash_fraction,
         "mix_weighted_sources": q.mix_weighted_sources,
+        "mixture_temperature_weights": q.mixture_temperature_weights,
         "text_dup_ngram_fraction": q.text_dup_ngram_fraction,
         "pack_token_sequences": q.pack_token_sequences,
         "stratified_sample_per_source": q.stratified_sample_per_source,
@@ -432,6 +433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_cell_suppression": q.small_cell_suppression,
         "dp_noisy_counts": q.dp_noisy_counts,
         "conv_context_windows": q.conv_context_windows,
+        "conv_loss_mask_spans": q.conv_loss_mask_spans,
         "lake_codec_tradeoff": q.lake_codec_tradeoff,
         "pseudonymize_conv_ids": q.pseudonymize_conv_ids,
         "pit_feature_join": q.pit_feature_join,
@@ -3256,6 +3258,36 @@ SELECT event_type, n,
        round(n + (-2.0) * (CASE WHEN uu >= 0.5 THEN 1.0 ELSE -1.0 END)
                         * ln(1.0 - 2.0 * abs(uu - 0.5)), 6) AS noisy_n
 FROM u ORDER BY event_type
+""",
+        "mixture_temperature_weights": """
+WITH s AS (
+  SELECT source, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY source
+), t AS (
+  SELECT *, POWER(CAST(total_chars AS DOUBLE), 0.3) AS w FROM s
+)
+SELECT source, n_docs, total_chars,
+       w / SUM(w) OVER () AS p_sampling,
+       w / SUM(w) OVER () * 10000000.0 / total_chars AS repeat_factor
+FROM t
+""",
+        "conv_loss_mask_spans": _CH + """
+, last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM ch
+), live AS (
+  SELECT conv_id, turn_idx, role, text FROM last WHERE rn = 1 AND op <> 'delete'
+), packed AS (
+  SELECT conv_id, turn_idx, role, text,
+         COALESCE(SUM(length(role) + 2 + length(text) + 1) OVER (
+            PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM live
+)
+SELECT conv_id, turn_idx,
+       CAST(off + length(role) + 2 AS BIGINT) AS span_start,
+       CAST(off + length(role) + 2 + length(text) AS BIGINT) AS span_end
+FROM packed WHERE role = 'assistant'
 """,
         "conv_context_windows": _CH + """
 , last AS (

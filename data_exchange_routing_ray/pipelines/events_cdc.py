@@ -330,6 +330,67 @@ def conv_live(g: pd.DataFrame) -> pd.DataFrame:
     return w[w["op"] != "delete"].sort_values(["conv_id", "turn_idx"])
 
 
+def conv_loss_mask_spans(sf_dir: str) -> pa.Table:
+    """Assistant-only loss-mask span extraction (the SFT data-prep step):
+    per conversation's FINAL transcript, turns pack into one training
+    string as ``role: text\\n`` in turn order, and each assistant turn
+    contributes the [span_start, span_end) character range of its ``text``
+    within the packed string — the spans a trainer leaves unmasked while
+    user/tool turns contribute context only. Same shape as
+    conv_transcript_assembly: per-batch LWW combiner → ONE conv-hash
+    bucket exchange → vectorized per-conv prefix-sum of contribution
+    lengths inside the bucket (no packed text ever materializes; only the
+    4-column span table leaves the fold)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(
+            conv_partial_cols(b, ["role", "text"]), preserve_index=False
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        live = conv_live(g)
+        empty = pd.DataFrame(
+            {
+                "conv_id": pd.Series([], dtype=object),
+                "turn_idx": pd.Series([], dtype="int64"),
+                "span_start": pd.Series([], dtype="int64"),
+                "span_end": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(live):
+            return empty
+        rl = live["role"].str.len().to_numpy().astype(np.int64)
+        tl = live["text"].str.len().to_numpy().astype(np.int64)
+        contrib = rl + 2 + tl + 1  # "role: text\n"
+        off = (
+            pd.Series(contrib).groupby(live["conv_id"].to_numpy()).cumsum()
+            .to_numpy()
+            - contrib
+        )
+        start = off + rl + 2
+        mask = live["role"].to_numpy() == "assistant"
+        if not mask.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "conv_id": live["conv_id"].to_numpy()[mask],
+                "turn_idx": live["turn_idx"].to_numpy()[mask].astype("int64"),
+                "span_start": start[mask],
+                "span_end": (start + tl)[mask],
+            }
+        )
+
+    out = (
+        derived_change_stream(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+
+
 def conv_role_alternation_audit(sf_dir: str) -> pa.Table:
     """Transcript-health audit: per conversation, does the final state
     alternate user/assistant strictly by turn order? Reports the census
@@ -3736,6 +3797,59 @@ def sample_hash_fraction(sf_dir: str, pct: int = 10) -> pa.Table:
     out["total_value"] = np.round(out["total_value"], 4)
     out["n"] = out["n"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def mixture_temperature_weights(
+    sf_dir: str, alpha: float = 0.3, budget_chars: int = 10_000_000
+) -> pa.Table:
+    """Temperature-based mixture weights (the mT5/XLM-R ``p ∝ n^α``
+    upsampling rule): per-source corpus sizes reduce to one tiny partial
+    table (per-batch counts, one source groupby — the only exchange),
+    then the driver computes the renormalized sampling probability and
+    the per-source repeat factor a budget of ``budget_chars`` implies.
+    α<1 flattens the mixture toward low-resource sources; all heavy math
+    happens on a ≤|sources|-row table, so the op costs one pruned scan
+    regardless of corpus size."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(["source", "n_chars"]).to_pandas()
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("n_chars", "size"), total_chars=("n_chars", "sum")
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "n_docs": pa.array(g["n_docs"], pa.int64()),
+                "total_chars": pa.array(g["total_chars"], pa.int64()),
+            }
+        )
+
+    agg = (
+        _documents(sf_dir, columns=["source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_chars", alias_name="total_chars"),
+        )
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    n = agg["total_chars"].to_numpy().astype(np.float64)
+    w = n**alpha
+    p = w / w.sum()
+    return pa.table(
+        {
+            "source": pa.array(agg["source"], pa.string()),
+            "n_docs": pa.array(agg["n_docs"].astype("int64"), pa.int64()),
+            "total_chars": pa.array(
+                agg["total_chars"].astype("int64"), pa.int64()
+            ),
+            "p_sampling": pa.array(p, pa.float64()),
+            "repeat_factor": pa.array(p * budget_chars / n, pa.float64()),
+        }
+    )
 
 
 def mix_weighted_sources(sf_dir: str) -> pa.Table:
