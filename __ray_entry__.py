@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_final_state": q.cdc_final_state,
         "cdc_final_state_multi_epoch": q.cdc_final_state_multi_epoch,
         "lake_segmented_manifest": q.lake_segmented_manifest,
+        "lake_rename_drop_column": q.lake_rename_drop_column,
         "cdc_quarantine_counts": q.cdc_quarantine_counts,
         "cdc_conv_watermarks": q.cdc_conv_watermarks,
         "cdc_schema_evolution": q.cdc_schema_evolution,
@@ -522,6 +523,14 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state": _FINAL_STATE_SQL,
         "cdc_final_state_multi_epoch": _FINAL_STATE_SQL,
         "lake_segmented_manifest": _FINAL_STATE_SQL,
+        "lake_rename_drop_column": _CH + """
+, last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM ch
+)
+SELECT conv_id, turn_idx, text, tool AS tool_name, ts
+FROM last WHERE rn = 1 AND op <> 'delete'
+""",
         "lake_rollback_replay": _FINAL_STATE_SQL,
         "cdc_quarantine_counts": _CORRUPT_CH
         + """

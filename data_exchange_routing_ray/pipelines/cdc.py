@@ -374,6 +374,8 @@ class CDCLake:
             config_version=head.config_version or cur.config_version,
             num_partitions=head.num_partitions,
             schema_names=head.schema_names,
+            column_renames=dict(head.column_renames),
+            column_drops=list(head.column_drops),
             partitions=dict(head.partitions),
         )
         if audit_fn is not None:
@@ -556,12 +558,111 @@ class CDCLake:
             gc_watermark=max(target.gc_watermark, cur.gc_watermark),
             num_partitions=target.num_partitions,
             schema_names=target.schema_names,
+            column_renames=dict(target.column_renames),
+            column_drops=list(target.column_drops),
             partitions=dict(target.partitions),
         )
         self.store.publish(restored, expect_epoch=cur.epoch)
         if self.merge_mode == "actors" and self._pool is not None:
             self._pool.reset()  # memtables are ahead of the restored state
         return restored.epoch
+
+    # ------------------------------------------------------------ column DDL
+    _KEY_COLUMNS = frozenset(("conv_id", "turn_idx", "seq", "op"))
+
+    def _logical_of(self, physical: str) -> str:
+        return self.manifest.column_renames.get(physical, physical)
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only column RENAME (Iceberg-style name mapping): no
+        data file is rewritten — the manifest records physical→logical
+        and readers conform at scan time; subsequent change batches use
+        the NEW name (apply_changes translates logical→physical before
+        the merge). Key/plumbing columns (conv_id, turn_idx, seq, op)
+        cannot rename. Published as its own OCC-fenced epoch, so the DDL
+        is ordered against every data commit, branches on the archived
+        manifest chain, and rolls back with rollback_to."""
+        if not new.isidentifier():
+            raise ValueError(f"invalid column name {new!r}")
+        man = self.manifest
+        renames = dict(man.column_renames)
+        # resolve the LOGICAL name the caller sees back to its physical col
+        inv = {v: k for k, v in renames.items()}
+        phys = inv.get(old, old)
+        if phys in self._KEY_COLUMNS or old in self._KEY_COLUMNS:
+            raise ValueError(f"cannot rename key/plumbing column {old!r}")
+        known = set(TRANSCRIPT_SCHEMA.names) | set(man.schema_names)
+        if phys not in known or phys in man.column_drops:
+            raise ValueError(f"unknown column {old!r}")
+        logical_now = {renames.get(c, c) for c in known if c not in man.column_drops}
+        if new in logical_now or new in self._KEY_COLUMNS:
+            raise ValueError(f"column {new!r} already exists")
+        if new in man.column_drops:
+            # reusing a dropped name would resurrect its old bytes in
+            # partitions never rewritten since the drop
+            raise ValueError(f"column name {new!r} was dropped; pick another")
+        if new == phys:
+            renames.pop(phys, None)  # renamed back to its physical name
+        else:
+            renames[phys] = new
+        new_man = Manifest(
+            epoch=man.epoch + 1,
+            applied_offset=man.applied_offset,
+            gc_watermark=man.gc_watermark,
+            config_version=man.config_version,
+            num_partitions=man.num_partitions,
+            schema_names=man.schema_names,
+            column_renames=renames,
+            column_drops=list(man.column_drops),
+            partitions=dict(man.partitions),
+        )
+        self.store.publish(new_man, expect_epoch=man.epoch)
+        return new_man.epoch
+
+    def drop_column(self, name: str) -> int:
+        """Metadata-only column DROP: hides the physical column from every
+        reader (final_table / final_dataset / changefeed images are
+        conformed) without touching a data file; storage written before
+        the drop keeps the bytes until partitions are naturally rewritten.
+        A later rename may NOT reuse the dropped logical name for a
+        different physical column — re-adding a column of the same name is
+        a schema evolution (new physical column), never a resurrection."""
+        man = self.manifest
+        inv = {v: k for k, v in man.column_renames.items()}
+        phys = inv.get(name, name)
+        if phys in self._KEY_COLUMNS:
+            raise ValueError(f"cannot drop key/plumbing column {name!r}")
+        if phys == "ts":
+            raise ValueError("cannot drop ts (stable-order column)")
+        known = set(TRANSCRIPT_SCHEMA.names) | set(man.schema_names)
+        if phys not in known or phys in man.column_drops:
+            raise ValueError(f"unknown column {name!r}")
+        renames = dict(man.column_renames)
+        renames.pop(phys, None)
+        new_man = Manifest(
+            epoch=man.epoch + 1,
+            applied_offset=man.applied_offset,
+            gc_watermark=man.gc_watermark,
+            config_version=man.config_version,
+            num_partitions=man.num_partitions,
+            schema_names=man.schema_names,
+            column_renames=renames,
+            column_drops=sorted({*man.column_drops, phys}),
+            partitions=dict(man.partitions),
+        )
+        self.store.publish(new_man, expect_epoch=man.epoch)
+        return new_man.epoch
+
+    def _conform_ddl_table(self, t: pa.Table, man: Manifest) -> pa.Table:
+        """Apply the manifest's column DDL (drops, then physical→logical
+        renames) to a physical-schema table."""
+        if man.column_drops:
+            t = t.drop_columns([c for c in man.column_drops if c in t.column_names])
+        if man.column_renames:
+            t = t.rename_columns(
+                [man.column_renames.get(c, c) for c in t.column_names]
+            )
+        return t
 
     def rebase_from(self, branch_lake: "CDCLake") -> EpochResult:
         """Replay-based rebase for a DIVERGENT branch (the non-FF path):
@@ -863,6 +964,8 @@ class CDCLake:
                 gc_watermark=man.gc_watermark,
                 num_partitions=P,
                 schema_names=man.schema_names,
+                column_renames=dict(man.column_renames),
+                column_drops=list(man.column_drops),
                 partitions={},
             )
 
@@ -886,6 +989,20 @@ class CDCLake:
             out_of_order=self.multi_leader,
         )
 
+        if man.column_renames:
+            # writers speak the LOGICAL schema after a rename; storage keeps
+            # the physical names (metadata-only DDL, no file rewrite) — so
+            # incoming change columns translate logical -> physical here
+            _to_phys = {v: k for k, v in man.column_renames.items()}
+
+            def _rename_to_physical(b: pa.Table) -> pa.Table:
+                return b.rename_columns(
+                    [_to_phys.get(c, c) for c in b.column_names]
+                )
+
+            changes = changes.map_batches(
+                _rename_to_physical, batch_format="pyarrow", zero_copy_batch=True
+            )
         _allowed = frozenset(man.schema_names)
         prepared = changes.map_batches(
             lambda b: prepare_batch(
@@ -1044,6 +1161,8 @@ class CDCLake:
                 config_version=cfg_version,
                 num_partitions=P,
                 schema_names=schema_names,
+                column_renames=dict(man.column_renames),
+                column_drops=list(man.column_drops),
                 partitions=new_partitions,
             )
             # WRITE-AUDIT-PUBLISH: the audit sees the staged candidate state
@@ -1222,9 +1341,11 @@ class CDCLake:
             if (
                 cur.num_partitions != cand.num_partitions
                 or cur.gc_watermark != old_man.gc_watermark
+                or cur.column_renames != old_man.column_renames
+                or cur.column_drops != old_man.column_drops
             ):
                 raise ConcurrentCommitError(
-                    "concurrent repartition/GC — re-run the epoch"
+                    "concurrent repartition/GC/column-DDL — re-run the epoch"
                 )
             for pid in touched:
                 a = old_man.partitions.get(pid)
@@ -1266,6 +1387,8 @@ class CDCLake:
                 config_version=cand.config_version,
                 num_partitions=cand.num_partitions,
                 schema_names=sorted(set(cur.schema_names) | set(cand.schema_names)),
+                column_renames=dict(cand.column_renames),
+                column_drops=list(cand.column_drops),
                 partitions=parts,
             )
             try:
@@ -1806,6 +1929,34 @@ class CDCLake:
         self, columns: list[str] | None = None, epoch: int | None = None
     ) -> ray.data.Dataset:
         man = self.manifest if epoch is None else self.manifest_at(epoch)
+        if man.column_renames or man.column_drops:
+            # column DDL: translate requested LOGICAL columns to physical
+            # for the pruned scan, conform each batch on the way out
+            inv = {v: k for k, v in man.column_renames.items()}
+            dropped = set(man.column_drops)
+            if columns:
+                bad = [
+                    c for c in columns
+                    if inv.get(c, c) in dropped
+                    or (c in man.column_renames and c not in inv)
+                ]
+                if bad:
+                    raise ValueError(f"unknown or dropped column(s) {bad}")
+                phys_cols = [inv.get(c, c) for c in columns]
+            else:
+                phys_cols = None
+            ds = self._final_dataset_physical(phys_cols, man)
+            conform = self._conform_ddl_table
+            out = ds.map_batches(
+                lambda b: conform(b, man), batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            return out
+        return self._final_dataset_physical(columns, man)
+
+    def _final_dataset_physical(
+        self, columns: list[str] | None, man: Manifest
+    ) -> ray.data.Dataset:
         files = self.store.data_files(man)
         if not files:
             schema = TRANSCRIPT_SCHEMA
@@ -1969,6 +2120,7 @@ class CDCLake:
         out = out.sort_by(
             [("conv_id", "ascending"), ("turn_idx", "ascending"), ("ts", "ascending")]
         )
+        out = self._conform_ddl_table(out, man)  # column DDL (rename/drop)
         if not with_seq and "seq" in out.column_names:
             out = out.drop_columns(["seq"])
         return out

@@ -183,6 +183,47 @@ def cdc_final_state_multi_epoch(sf_dir: str, epochs: int = 4) -> pa.Table:
         return lake.final_table()
 
 
+def lake_rename_drop_column(sf_dir: str) -> pa.Table:
+    """Metadata-only column DDL mid-stream (Iceberg-style name mapping —
+    zero data files rewritten): epoch 1 applies the first half of the
+    change stream, then ``tool`` RENAMES to ``tool_name`` and ``role``
+    DROPS (two OCC-fenced metadata commits), then epoch 2 arrives FROM A
+    PRODUCER SPEAKING THE NEW SCHEMA (its batches carry ``tool_name``)
+    and must merge correctly into the physical files. The final state is
+    read through the mapping: oracle = final state with ``tool AS
+    tool_name`` and no ``role`` column. In-query asserts prove no
+    partition file was rewritten by the DDL commits themselves."""
+    hi = _events(sf_dir, columns=["event_id"]).max("event_id")
+    mid = int(hi) // 2
+
+    def epoch_stream(lo: int, up: int) -> ray.data.Dataset:
+        return _events(
+            sf_dir, columns=["event_id", "user_id", "event_type", "ts"]
+        ).filter(expr=f"event_id >= {lo} and event_id < {up}").map_batches(
+            derive_changes_batch, batch_format="pyarrow"
+        )
+
+    with tempfile.TemporaryDirectory(prefix="cdcddl-") as d:
+        lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
+        lake.apply_changes(epoch_stream(0, mid), quarantine=False)
+        files_before = sorted(lake.store.data_files(lake.manifest))
+        lake.rename_column("tool", "tool_name")
+        lake.drop_column("role")
+        assert sorted(lake.store.data_files(lake.manifest)) == files_before, (
+            "column DDL must not rewrite data files"
+        )
+        new_schema = epoch_stream(mid, int(hi) + 1).map_batches(
+            lambda b: b.rename_columns(
+                [{"tool": "tool_name"}.get(c, c) for c in b.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+        lake.apply_changes(new_schema, quarantine=False)
+        out = lake.final_table()
+        assert "tool_name" in out.column_names and "role" not in out.column_names
+        return out
+
+
 def lake_segmented_manifest(sf_dir: str, epochs: int = 4) -> pa.Table:
     """Multi-epoch replay committing through the SEGMENTED manifest layout
     (ManifestStore.segment_size): the partition table is split into

@@ -53,6 +53,11 @@ class Manifest:
     # content-hash of the route config active when this epoch committed
     # (S14 audit, FnCacheUpdater.kt:22-52) — null when none was declared
     config_version: str | None = None
+    # metadata-only column DDL (Iceberg-style name mapping — no data file
+    # is ever rewritten): renames map PHYSICAL (on-disk) name -> LOGICAL
+    # (reader-visible) name; drops hide a physical column from readers.
+    column_renames: dict = field(default_factory=dict)
+    column_drops: list = field(default_factory=list)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -61,6 +66,8 @@ class Manifest:
                 "applied_offset": self.applied_offset,
                 "gc_watermark": self.gc_watermark,
                 "config_version": self.config_version,
+                "column_renames": self.column_renames,
+                "column_drops": self.column_drops,
                 "num_partitions": self.num_partitions,
                 "schema_names": self.schema_names,
                 "partitions": {
@@ -78,6 +85,8 @@ class Manifest:
             applied_offset=d["applied_offset"],
             gc_watermark=d.get("gc_watermark", -1),
             config_version=d.get("config_version"),
+            column_renames=d.get("column_renames", {}) or {},
+            column_drops=d.get("column_drops", []) or [],
             num_partitions=d["num_partitions"],
             schema_names=d.get("schema_names", []),
             partitions={
@@ -182,6 +191,8 @@ class ManifestStore:
                 "applied_offset": manifest.applied_offset,
                 "gc_watermark": manifest.gc_watermark,
                 "config_version": manifest.config_version,
+                "column_renames": manifest.column_renames,
+                "column_drops": manifest.column_drops,
                 "num_partitions": manifest.num_partitions,
                 "schema_names": manifest.schema_names,
                 "segment_size": size,
