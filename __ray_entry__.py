@@ -118,6 +118,10 @@ def entry() -> Any:
 # relational-join, windowing, source-adapter and LLM-training-data
 # families — keeping only the flagship CDC gates (final state x2,
 # quarantine, WAP fencing, manifest rollback) as permanent residents.
+# Late-round-4 swap: the new engine features (segmented manifests, column
+# DDL) and curation ops (loss-mask spans, temperature mixture) took the
+# slots of csv_source_roundtrip / sessionize_events / text_quality /
+# window_tumbling_daily, which held driver rows in rounds 1-3.
 # Everything rotated below the fold stays oracle-gated by the full
 # tools/check_queries.py sweep (re-run at sf0.001+sf0.01 each round) and
 # its pytest gates; every name here is value-hash-gated vs DuckDB.
@@ -132,6 +136,8 @@ _DRIVER_CERTIFIED_FIRST = [
     "cdc_trace_chain",
     "config_threeway_join",
     "cdc_debezium_tail",
+    "lake_segmented_manifest",
+    "lake_rename_drop_column",
     # ---- widen G-J batch (never certified) ----
     "dsir_importance_weights",
     "curriculum_order_bins",
@@ -159,18 +165,14 @@ _DRIVER_CERTIFIED_FIRST = [
     "asof_join_clicks_purchases",
     "range_join_clicks_purchases",
     # ---- windowing / streaming family (never certified) ----
-    "window_tumbling_daily",
     "window_sliding_7d",
-    "sessionize_events",
     "window_running_total",
     "rolling_7d_active_users",
     "late_data_split",
     # ---- source adapters (never certified) ----
-    "csv_source_roundtrip",
     "jsonl_source_roundtrip",
     "orc_source_roundtrip",
     # ---- LLM training-data pipeline family (never certified) ----
-    "text_quality",
     "text_langid",
     "text_token_counts",
     "text_dup_ngram_fraction",
@@ -179,6 +181,8 @@ _DRIVER_CERTIFIED_FIRST = [
     "mix_weighted_sources",
     "stratified_sample_per_source",
     "training_data_prep",
+    "conv_loss_mask_spans",
+    "mixture_temperature_weights",
 ]
 
 

@@ -375,6 +375,41 @@ def cmd_rollback(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_alter(args: argparse.Namespace) -> int:
+    """Metadata-only column DDL: rename / drop (Iceberg-style name mapping;
+    no data file rewritten, OCC-fenced manifest commit)."""
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    if not os.path.isdir(args.lake):
+        print(f"error: no lake at {args.lake}", file=sys.stderr)
+        return 2
+    lake = CDCLake(args.lake)
+    try:
+        if args.action == "rename":
+            if not args.to:
+                print("error: rename requires --to", file=sys.stderr)
+                return 2
+            epoch = lake.rename_column(args.column, args.to)
+        else:
+            epoch = lake.drop_column(args.column)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 3
+    print(
+        json.dumps(
+            {
+                "action": args.action,
+                "column": args.column,
+                "to": args.to,
+                "epoch": epoch,
+                "column_renames": lake.manifest.column_renames,
+                "column_drops": lake.manifest.column_drops,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_diff(args: argparse.Namespace) -> int:
     """Changefeed envelopes between two committed epochs (row-level diff)."""
     if not os.path.isdir(args.lake):
@@ -684,6 +719,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="repair: overwrite op before re-validation")
     rq.add_argument("--num-cpus", type=int, default=None)
     rq.set_defaults(fn=cmd_requeue)
+
+    al = sub.add_parser("alter", help="metadata-only column rename/drop")
+    al.add_argument("action", choices=["rename", "drop"])
+    al.add_argument("--lake", required=True)
+    al.add_argument("--column", required=True)
+    al.add_argument("--to", default=None)
+    al.set_defaults(fn=cmd_alter)
 
     rb = sub.add_parser("rollback", help="restore the table to an archived epoch")
     rb.add_argument("--lake", required=True)

@@ -1753,7 +1753,36 @@ class CDCLake:
             )
             source.consumers.commit(group, head, expect=expect)
             results.append(res)
+        # column DDL is metadata-only on the leader, so the changefeed
+        # carries no trace of it (the physical files are untouched): adopt
+        # the leader's current name mapping here or the replica would show
+        # the OLD logical schema forever while bytes stay converged
+        src_man = source.manifest
+        mine = self.manifest
+        if mine.epoch >= 0 and (
+            src_man.column_renames != mine.column_renames
+            or src_man.column_drops != mine.column_drops
+        ):
+            self._adopt_column_ddl(src_man)
         return results
+
+    def _adopt_column_ddl(self, src_man: Manifest) -> int:
+        """Metadata-only commit replacing this lake's column mapping with
+        ``src_man``'s (replication DDL propagation)."""
+        man = self.manifest
+        new_man = Manifest(
+            epoch=man.epoch + 1,
+            applied_offset=man.applied_offset,
+            gc_watermark=man.gc_watermark,
+            config_version=man.config_version,
+            num_partitions=man.num_partitions,
+            schema_names=man.schema_names,
+            column_renames=dict(src_man.column_renames),
+            column_drops=list(src_man.column_drops),
+            partitions=dict(man.partitions),
+        )
+        self.store.publish(new_man, expect_epoch=man.epoch)
+        return new_man.epoch
 
     def ship_changefeed(
         self,

@@ -378,3 +378,32 @@ def test_cli_offsets(ray_session, tmp_path):
     res = json.loads(out.stdout)
     assert res["head_epoch"] == head
     assert res["groups"] == {"viewer": {"epoch": head, "lag": 0}}
+
+
+def test_cli_alter(ray_session, tmp_path):
+    from data_exchange_routing_ray.synth import make_change_stream, write_change_stream
+
+    ch = make_change_stream(num_convs=20, max_turns=4, seed=91)
+    write_change_stream(ch, str(tmp_path / "stream"), num_files=1)
+    lake = str(tmp_path / "lake")
+    _run("replay", "--lake", lake, "--stream", str(tmp_path / "stream"),
+         "--num-partitions", "4", "--num-cpus", "4")
+
+    out = _run("alter", "rename", "--lake", lake, "--column", "tool",
+               "--to", "tool_name")
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["column_renames"] == {"tool": "tool_name"}
+
+    out = _run("alter", "drop", "--lake", lake, "--column", "role")
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["column_drops"] == ["role"]
+
+    # guard: key column refuses with exit code 3
+    out = _run("alter", "rename", "--lake", lake, "--column", "conv_id",
+               "--to", "cid", check=False)
+    assert out.returncode == 3
+
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    t = CDCLake(lake).final_table()
+    assert "tool_name" in t.column_names and "role" not in t.column_names

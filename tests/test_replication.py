@@ -280,3 +280,39 @@ def test_cli_replicate_follow_stops_on_idle(ray_session, tmp_path, capsys):
     lines = [l for l in capsys.readouterr().out.strip().splitlines() if l]
     assert _json.loads(lines[-1])["total_rows"] == 1
     assert _state(CDCLake(foll)) == _state(lake)
+
+
+def test_replicate_propagates_column_ddl(ray_session, tmp_path):
+    """Leader column DDL is metadata-only (no changefeed rows), so the
+    follower must ADOPT the leader's name mapping during replication —
+    otherwise the replica shows the old logical schema forever."""
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    leader = CDCLake(str(tmp_path / "lead"), num_partitions=4)
+    follower = CDCLake(str(tmp_path / "foll"), num_partitions=2)
+
+    leader.apply_changes(
+        _changes([_row(1, "insert", "a", 0, "x"),
+                  _row(2, "insert", "b", 0, "y")]),
+        quarantine=False,
+    )
+    follower.replicate_from(leader)
+    leader.rename_column("tool", "tool_name")
+    leader.drop_column("role")
+    # a data epoch after the DDL (producer speaks the new schema on the
+    # leader side; the follower consumes physical-name envelopes)
+    leader.apply_changes(
+        _changes([_row(3, "insert", "c", 0, "z")]), quarantine=False
+    )
+    follower.replicate_from(leader)
+
+    lt = leader.final_table()
+    ft = follower.final_table()
+    assert ft.column_names == lt.column_names
+    assert "tool_name" in ft.column_names and "role" not in ft.column_names
+    assert ft.num_rows == lt.num_rows == 3
+
+    # DDL-only change with no data epoch: the next (empty) poll adopts it
+    leader.rename_column("tool_name", "tn2")
+    follower.replicate_from(leader)
+    assert "tn2" in follower.final_table().column_names
