@@ -101,3 +101,44 @@ def test_segmented_layout_persists_and_fences(ray_session, tmp_path):
     assert res2.changes_applied == 0
     assert len(_seg_files(d)) == n_before
     assert reopened.final_table().num_rows == res.total_rows
+
+
+def test_segmented_composes_with_delta_policy_and_rollback(ray_session, tmp_path):
+    """Segmented layout is orthogonal to the LSM-lite delta policy: delta
+    appends, level-triggered compaction, repartition and rollback all
+    round-trip through segment files; final state equals the oracle at
+    every step."""
+    import ray.data
+
+    base = make_change_stream(num_convs=100, max_turns=6, seed=41)
+    lake = CDCLake(
+        str(tmp_path / "lake"), num_partitions=16, manifest_segment_size=4,
+        merge_policy="delta", delta_max_files=3, delta_ratio=1.0,
+    )
+    lake.apply_changes(ray.data.from_arrow(base), quarantine=False)
+    # several small delta epochs (each touches a handful of convs)
+    seqs = 100_000
+    parts = [base.slice(i * 20, 20) for i in range(4)]
+    applied = [base]
+    for i, p in enumerate(parts):
+        import pyarrow.compute as _pc
+
+        shifted = p.set_column(
+            p.schema.get_field_index("seq"), "seq",
+            _pc.add(p["seq"], pa.scalar(seqs * (i + 1), pa.int64())),
+        )
+        applied.append(shifted)
+        lake.apply_changes(ray.data.from_arrow(shifted), quarantine=False)
+    exp = oracle_apply(pa.concat_tables(applied))
+    got = lake.final_table()
+    assert got.num_rows == len(exp)
+    pre_rollback_epoch = lake.manifest.epoch
+
+    # repartition (rebuild epoch) through the segmented store
+    lake.repartition_lake(8)
+    assert lake.final_table().num_rows == len(exp)
+    assert lake.num_partitions == 8
+
+    # rollback to the pre-repartition epoch restores partition count
+    lake.rollback_to(pre_rollback_epoch)
+    assert lake.final_table().num_rows == len(exp)
