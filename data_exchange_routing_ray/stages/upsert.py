@@ -41,6 +41,18 @@ SALT_COLUMN = "salt"
 
 _ARROW_LIMITED = False
 
+# Partition-file codec (GRAFT_PARQUET_CODEC: snappy|lz4|zstd|none).
+# snappy is the measured default; lz4 trades a few % file size for faster
+# encode on text-heavy payloads — expose it as a tunable so deployments
+# can A/B against their own storage (BASELINE.md records the sandbox A/B).
+_PARQUET_CODEC = os.environ.get("GRAFT_PARQUET_CODEC", "snappy")
+if _PARQUET_CODEC == "none":
+    _PARQUET_CODEC = None
+
+
+def write_partition_file(table: pa.Table, tmp_path: str) -> None:
+    pq.write_table(table, tmp_path, compression=_PARQUET_CODEC)
+
 
 def _limit_arrow_threads() -> None:
     """Cap Arrow's internal thread pool to the task's resource grant.
@@ -610,7 +622,7 @@ def make_merge_fn(
             )
             os.makedirs(os.path.dirname(path), exist_ok=True)
             tmp = path + ".inprogress"
-            pq.write_table(out, tmp)
+            write_partition_file(out, tmp)
             os.replace(tmp, path)
             # dead-lettered rows COUNT AS PROCESSED (the reference dead-
             # letters and moves on, never reprocessing): their max seq
@@ -664,7 +676,7 @@ def make_merge_fn(
             )
             os.makedirs(os.path.dirname(path), exist_ok=True)
             tmp = path + ".inprogress"
-            pq.write_table(changes, tmp)
+            write_partition_file(changes, tmp)
             os.replace(tmp, path)
             applied = (
                 int(pc.max(changes["seq"]).as_py())
@@ -733,7 +745,7 @@ def make_merge_fn(
         path = stage_file_path(stage_dir, epoch, pid)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".inprogress"
-        pq.write_table(out, tmp)
+        write_partition_file(out, tmp)
         os.replace(tmp, path)  # deterministic name → retry overwrites, idempotent
         return pd.DataFrame(
             [
