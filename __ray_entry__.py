@@ -337,6 +337,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_cluster_size_histogram": q.dup_cluster_size_histogram,
         "chunk_dedup_fraction": q.chunk_dedup_fraction,
         "lake_predicate_delete": q.lake_predicate_delete,
+        "lake_predicate_update": q.lake_predicate_update,
+        "cdc_txn_aligned_epochs": q.cdc_txn_aligned_epochs,
         # ---- round-2 widening, batch 10 ----
         "rolling_rows_frame": q.rolling_rows_frame,
         "dense_cross_counts": q.dense_cross_counts,
@@ -1891,6 +1893,19 @@ FROM r GROUP BY 1
 SELECT conv_id, turn_idx, role, text, tool, ts
 FROM last
 WHERE rn = 1 AND op <> 'delete' AND (tool IS NULL OR tool <> 'error')
+""",
+        "cdc_txn_aligned_epochs": _FINAL_STATE_SQL,
+        "lake_predicate_update": _CH
+        + """
+, last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM ch
+)
+SELECT conv_id, turn_idx, role,
+       CASE WHEN tool = 'error' THEN upper(text) ELSE text END AS text,
+       CASE WHEN tool = 'error' THEN 'scrubbed' ELSE tool END AS tool,
+       ts
+FROM last WHERE rn = 1 AND op <> 'delete'
 """,
         "rolling_rows_frame": """
 SELECT CAST(event_id AS BIGINT) AS event_id,

@@ -7315,6 +7315,102 @@ def lake_predicate_delete(sf_dir: str) -> pa.Table:
         return lake.final_table()
 
 
+def cdc_txn_aligned_epochs(sf_dir: str, epochs: int = 3, txn_rows: int = 97) -> pa.Table:
+    """Source-transaction-aligned epoch planning (Debezium transaction-
+    metadata semantics): change events carry a ``txn_id`` (here txn_id =
+    seq // 97 — contiguous seq runs, like a binlog's BEGIN..COMMIT spans)
+    and epoch boundaries MUST NOT split a transaction, or a reader of an
+    intermediate epoch would see half a source commit. Planning is a
+    distributed pass over the stream reducing to ONE tiny (txn_id,
+    max_seq) table of partial maxes; the driver snaps each target epoch
+    bound UP to the next transaction end. In-query asserts verify no txn
+    spans two epochs (via each epoch's applied-offset watermark) before
+    returning the final state (plain final-state oracle)."""
+    stream = derived_change_stream(sf_dir)
+
+    def txn_partial(b: pa.Table) -> pa.Table:
+        seq = b["seq"].to_numpy()
+        txn = seq // txn_rows
+        df = pd.DataFrame({"txn": txn, "seq": seq})
+        g = df.groupby("txn", as_index=False)["seq"].max()
+        return pa.table({"txn": pa.array(g["txn"]), "max_seq": pa.array(g["seq"])})
+
+    ends = (
+        stream.map_batches(txn_partial, batch_format="pyarrow")
+        .groupby("txn")
+        .aggregate(Max("max_seq", alias_name="max_seq"))
+        .to_pandas()
+        .sort_values("txn")
+    )
+    txn_end = ends["max_seq"].to_numpy()  # max seq per txn, ascending
+    hi = int(txn_end[-1])
+    targets = [((i + 1) * (hi + 1)) // epochs for i in range(epochs)]
+    bounds = [0]
+    for t in targets[:-1]:
+        # snap UP to the first transaction end >= target (exclusive bound)
+        j = int(np.searchsorted(txn_end, t - 1))
+        bounds.append(int(txn_end[min(j, len(txn_end) - 1)]) + 1)
+    bounds.append(hi + 1)
+
+    with tempfile.TemporaryDirectory(prefix="cdctxn-") as d:
+        lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
+        for lo, up in zip(bounds, bounds[1:]):
+            if lo >= up:
+                continue
+            res = lake.apply_changes(
+                stream.filter(expr=f"seq >= {lo} and seq < {up}"),
+                quarantine=False,
+            )
+            # the committed watermark must sit ON a transaction end:
+            # no txn spans this epoch boundary
+            wm = res.applied_offset
+            j = int(np.searchsorted(txn_end, wm))
+            assert j < len(txn_end) and int(txn_end[j]) == wm, (
+                f"epoch watermark {wm} splits transaction {wm // txn_rows}"
+            )
+        return lake.final_table()
+
+
+def lake_predicate_update(sf_dir: str) -> pa.Table:
+    """Predicate UPDATE against the lake (the ``UPDATE ... SET col = f(row)
+    WHERE pred`` maintenance shape — backfills, redactions, normalizations):
+    the final state is scanned DISTRIBUTED with only the needed columns,
+    matching rows (tool = 'error') become full-row ``update`` change events
+    (text upper-cased, tool rewritten to 'scrubbed') with a post-watermark
+    seq, and apply through the normal exactly-once epoch — same path as
+    ``lake_predicate_delete``, no special-case mutation, O(matching rows)
+    shipped through the one merge exchange."""
+    hi = int(_events(sf_dir, columns=["event_id"]).max("event_id"))
+
+    with tempfile.TemporaryDirectory(prefix="cdclake-") as d:
+        from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+        lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
+        lake.apply_changes(derived_change_stream(sf_dir), quarantine=False)
+
+        def to_updates(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.fill_null(pc.equal(b["tool"], "error"), False))
+            n = t.num_rows
+            return pa.table(
+                {
+                    "seq": pa.array(np.full(n, hi + 1, np.int64)),
+                    "op": pa.array(["update"] * n, pa.string()),
+                    "conv_id": t["conv_id"],
+                    "turn_idx": t["turn_idx"],
+                    "role": t["role"],
+                    "text": pc.utf8_upper(t["text"]),
+                    "tool": pa.array(["scrubbed"] * n, pa.string()),
+                    "ts": t["ts"],
+                }
+            )
+
+        updates = lake.final_dataset(
+            columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        ).map_batches(to_updates, batch_format="pyarrow")
+        lake.apply_changes(updates, quarantine=False)
+        return lake.final_table()
+
+
 # ----------------------------------------------- round-2 widening, batch 10
 
 def rolling_rows_frame(sf_dir: str) -> pa.Table:
