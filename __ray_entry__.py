@@ -338,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedup_fraction": q.chunk_dedup_fraction,
         "lake_predicate_delete": q.lake_predicate_delete,
         "lake_predicate_update": q.lake_predicate_update,
+        "lake_sync_snapshot": q.lake_sync_snapshot,
         "cdc_txn_aligned_epochs": q.cdc_txn_aligned_epochs,
         # ---- round-2 widening, batch 10 ----
         "rolling_rows_frame": q.rolling_rows_frame,
@@ -1895,6 +1896,16 @@ FROM last
 WHERE rn = 1 AND op <> 'delete' AND (tool IS NULL OR tool <> 'error')
 """,
         "cdc_txn_aligned_epochs": _FINAL_STATE_SQL,
+        "lake_sync_snapshot": _CH + """
+, last AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM ch
+)
+SELECT conv_id, turn_idx, role,
+       CASE WHEN turn_idx % 3 = 1 THEN upper(text) ELSE text END AS text,
+       tool, ts
+FROM last WHERE rn = 1 AND op <> 'delete' AND turn_idx % 3 <> 0
+""",
         "lake_predicate_update": _CH
         + """
 , last AS (

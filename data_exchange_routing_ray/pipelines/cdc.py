@@ -28,6 +28,7 @@ import shutil
 import time
 from dataclasses import dataclass, field
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -1489,6 +1490,106 @@ class CDCLake:
             .groupby(PART_COLUMN)
             .map_groups(probe, batch_format="pyarrow")
         )
+        return self.apply_changes(ops, quarantine=quarantine)
+
+    def sync_snapshot(
+        self, staging: ray.data.Dataset, quarantine: bool = False
+    ) -> EpochResult:
+        """Full snapshot sync — SQL MERGE's ``WHEN NOT MATCHED BY SOURCE
+        THEN DELETE`` composed with upserts: after this epoch the lake
+        equals the staging snapshot exactly (the periodic-full-dump ingest
+        shape for sources with no binlog). Staging rows upsert
+        (matched → update, unmatched → insert); lake keys ABSENT from
+        staging delete.
+
+        Scale shape: staging full rows and the lake's pruned key columns
+        (conv_id, turn_idx, ts — via the normal distributed merge-on-read
+        scan) union through ONE co-partitioned exchange on the lake's own
+        partition function; each group diffs its partition locally. The
+        lake side always populates every live partition, so partitions
+        with no staging rows still emit their deletes. The compiled ops
+        then flow through the normal exactly-once epoch."""
+        man = self.manifest
+        useq = man.applied_offset + 2  # upserts outrank deletes; keys disjoint
+        dseq = man.applied_offset + 1
+        P = self.num_partitions
+        payload = ("role", "text", "tool", "ts")
+
+        def stage_side(b: pa.Table) -> pa.Table:
+            cols = {
+                "conv_id": b["conv_id"],
+                "turn_idx": b["turn_idx"].cast(pa.int32()),
+                **{c: b[c] for c in payload},
+                "side": pa.array(
+                    np.ones(b.num_rows, np.int8), pa.int8()
+                ),
+            }
+            return add_partition_column(pa.table(cols), P)
+
+        def lake_side(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            cols = {
+                "conv_id": b["conv_id"],
+                "turn_idx": b["turn_idx"].cast(pa.int32()),
+                "role": pa.nulls(n, pa.string()),
+                "text": pa.nulls(n, pa.string()),
+                "tool": pa.nulls(n, pa.string()),
+                "ts": b["ts"],
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+            }
+            return add_partition_column(pa.table(cols), P)
+
+        both = staging.map_batches(stage_side, batch_format="pyarrow").union(
+            self.final_dataset(columns=["conv_id", "turn_idx", "ts"]).map_batches(
+                lake_side, batch_format="pyarrow"
+            )
+        )
+
+        def probe(g: pa.Table) -> pa.Table:
+            df = g.to_pandas()
+            st = df[df["side"] == 1].drop_duplicates(
+                ["conv_id", "turn_idx"], keep="last"
+            )
+            lk = df[df["side"] == 0]
+            st_idx = pd.MultiIndex.from_frame(st[["conv_id", "turn_idx"]])
+            lk_idx = pd.MultiIndex.from_frame(lk[["conv_id", "turn_idx"]])
+            matched = st_idx.isin(lk_idx)
+            gone = lk[~lk_idx.isin(st_idx)]
+            out = pd.DataFrame(
+                {
+                    "seq": np.concatenate(
+                        [
+                            np.full(len(st), useq, np.int64),
+                            np.full(len(gone), dseq, np.int64),
+                        ]
+                    ),
+                    "op": np.concatenate(
+                        [
+                            np.where(matched, "update", "insert"),
+                            np.full(len(gone), "delete", object),
+                        ]
+                    ),
+                    "conv_id": pd.concat(
+                        [st["conv_id"], gone["conv_id"]], ignore_index=True
+                    ),
+                    "turn_idx": pd.concat(
+                        [st["turn_idx"], gone["turn_idx"]], ignore_index=True
+                    ).astype("int32"),
+                    "role": pd.concat(
+                        [st["role"], gone["role"]], ignore_index=True
+                    ),
+                    "text": pd.concat(
+                        [st["text"], gone["text"]], ignore_index=True
+                    ),
+                    "tool": pd.concat(
+                        [st["tool"], gone["tool"]], ignore_index=True
+                    ),
+                    "ts": pd.concat([st["ts"], gone["ts"]], ignore_index=True),
+                }
+            )
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        ops = both.groupby(PART_COLUMN).map_groups(probe, batch_format="pyarrow")
         return self.apply_changes(ops, quarantine=quarantine)
 
     def set_config_version(self, version: str | None) -> None:

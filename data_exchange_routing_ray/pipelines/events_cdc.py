@@ -7371,6 +7371,36 @@ def cdc_txn_aligned_epochs(sf_dir: str, epochs: int = 3, txn_rows: int = 97) -> 
         return lake.final_table()
 
 
+def lake_sync_snapshot(sf_dir: str) -> pa.Table:
+    """Full snapshot sync (MERGE ... WHEN NOT MATCHED BY SOURCE THEN
+    DELETE): the lake is built from the full change stream, then a
+    staging snapshot arrives that KEEPS turns with turn_idx % 3 != 0,
+    UPPER-CASES text where turn_idx % 3 = 1, and the lake must equal the
+    snapshot afterwards — rows absent from staging (turn_idx % 3 = 0)
+    are deleted by the not-matched-by-source pass. Oracle = the staging
+    snapshot expressed in SQL over the final-state CTE. One
+    co-partitioned exchange of staging rows + pruned lake keys
+    (CDCLake.sync_snapshot)."""
+    with tempfile.TemporaryDirectory(prefix="cdcsync-") as d:
+        lake = CDCLake(os.path.join(d, "lake"), num_partitions=16)
+        lake.apply_changes(derived_change_stream(sf_dir), quarantine=False)
+
+        def to_snapshot(b: pa.Table) -> pa.Table:
+            ti = b["turn_idx"].to_numpy()
+            b = b.filter(pa.array(ti % 3 != 0))
+            ti = b["turn_idx"].to_numpy()
+            up = pa.array(ti % 3 == 1)
+            text = pc.if_else(up, pc.utf8_upper(b["text"]), b["text"])
+            return b.set_column(b.schema.get_field_index("text"), "text", text)
+
+        staging = lake.final_dataset(
+            columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        ).map_batches(to_snapshot, batch_format="pyarrow")
+        res = lake.sync_snapshot(staging)
+        assert res.changes_applied > 0
+        return lake.final_table()
+
+
 def lake_predicate_update(sf_dir: str) -> pa.Table:
     """Predicate UPDATE against the lake (the ``UPDATE ... SET col = f(row)
     WHERE pred`` maintenance shape — backfills, redactions, normalizations):
