@@ -88,3 +88,52 @@ def test_merge_into_refuses_delta_stack(ray_session, tmp_path):
     assert any(e.deltas for e in lake.manifest.partitions.values())
     with pytest.raises(ValueError, match="compact"):
         lake.merge_into(_staging([(1, "conv-a", 0, "u", "t", "m", "2024-02-01", False)]))
+
+
+def test_sync_snapshot_full_sync_and_partition_wipe(ray_session, tmp_path):
+    """sync_snapshot makes the lake equal the staging snapshot exactly:
+    whole conversations absent from staging (entire partitions' keys)
+    are deleted by the not-matched-by-source pass, and re-syncing the
+    same snapshot is a no-op epoch (idempotent maintenance)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+    from data_exchange_routing_ray.synth import make_change_stream, oracle_apply
+
+    base = make_change_stream(num_convs=40, max_turns=6, seed=51)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply_changes(ray.data.from_arrow(base), quarantine=False)
+
+    final = oracle_apply(base)
+    # snapshot keeps only HALF the conversations (some partitions lose
+    # every key), rewrites text of kept rows
+    keep = sorted(final["conv_id"].unique())[::2]
+    snap = final[final["conv_id"].isin(keep)].copy()
+    snap["text"] = snap["text"].str.upper()
+    staging = ray.data.from_arrow(
+        pa.Table.from_pandas(
+            snap[["conv_id", "turn_idx", "role", "text", "tool", "ts"]],
+            preserve_index=False,
+        )
+    )
+    res = lake.sync_snapshot(staging)
+    assert res.changes_applied > 0
+
+    got = lake.final_table().to_pandas()
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    pd.testing.assert_frame_equal(
+        got[cols].reset_index(drop=True),
+        snap[cols].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+    # idempotent: syncing the identical snapshot again changes nothing
+    res2 = lake.sync_snapshot(staging)
+    got2 = lake.final_table().to_pandas()
+    pd.testing.assert_frame_equal(
+        got2[cols].reset_index(drop=True),
+        got[cols].reset_index(drop=True),
+        check_dtype=False,
+    )
