@@ -1468,25 +1468,20 @@ def config_threeway_join(
         set(matched["source_id"].to_pylist()) if matched.num_rows else set()
     )
     anti = sub_src[~sub_src["source_id"].isin(have)]
-    rows = []
-    for _, s in anti.iterrows():
-        for _, t_ in sub_tgt.iterrows():
-            rows.append({
-                "trigger_name": trigger_name,
-                "source_id": int(s["source_id"]),
-                "source_name": s["source_name"],
-                "source_type": s["source_type"],
-                "source_config": s["source_config"],
-                "target_name": t_["target_name"],
-                "target_type": t_["target_type"],
-                "target_config": t_["target_config"],
-                "object_id": None, "object_schema": None,
-                "object_name": None, "object_type": None,
-                "object_config": None, "load_type": None,
-                "last_modified_time": None,
-            })
-    if rows:
-        anti_t = pa.Table.from_pylist(rows, schema=_THREEWAY_SCHEMA)
+    if len(anti):
+        cross = anti.assign(trigger_name=trigger_name).merge(
+            sub_tgt[["target_name", "target_type", "target_config"]],
+            how="cross",
+        )
+        for c in ("object_schema", "object_name", "object_type",
+                  "object_config", "load_type"):
+            cross[c] = pd.Series([None] * len(cross), dtype=object)
+        cross["object_id"] = pd.Series([None] * len(cross), dtype="Int64")
+        cross["last_modified_time"] = pd.NaT
+        anti_t = pa.Table.from_pandas(
+            cross[[f.name for f in _THREEWAY_SCHEMA]],
+            schema=_THREEWAY_SCHEMA, preserve_index=False,
+        )
         matched = pa.concat_tables([matched, anti_t])
     out = matched.to_pandas().sort_values(
         ["source_id", "target_name", "object_id"],
