@@ -519,6 +519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_replicate_follower": _widen6.lake_replicate_follower,
         "wal_ship_roundtrip": _widen6.wal_ship_roundtrip,
         "view_roles_via_consumer": _widen6.view_roles_via_consumer,
+        "blob_container_route": _widen6.blob_container_route,
     }
     ordered = {n: base.pop(n) for n in _DRIVER_CERTIFIED_FIRST}
     ordered.update(base)
@@ -3828,6 +3829,19 @@ GROUP BY tool ORDER BY tool
         "cdc_debezium_tail": _FINAL_STATE_SQL,
         "lake_replicate_follower": _FINAL_STATE_SQL,
         "wal_ship_roundtrip": _FINAL_STATE_SQL,
+        "blob_container_route": """
+WITH blobs AS (
+  SELECT doc_id, octet_length(encode(text)) AS nbytes FROM documents
+),
+routed AS (
+  SELECT 'dst-primary' AS destination, nbytes FROM blobs
+  UNION ALL
+  SELECT 'dst-replica' AS destination, nbytes FROM blobs WHERE doc_id % 3 = 0
+)
+SELECT destination, count(*) AS n_blobs,
+       CAST(sum(nbytes) AS BIGINT) AS total_bytes
+FROM routed GROUP BY destination ORDER BY destination
+""",
         "view_roles_via_consumer": _CH + """
 , last AS (
   SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn

@@ -2212,3 +2212,105 @@ def view_roles_via_consumer(sf_dir: str) -> pa.Table:
                 ),
             }
         )
+
+
+def _materialize_blob_container(sf_dir: str) -> str:
+    """Write the ``documents`` table out as a blob container fixture —
+    one opaque file per doc at ``container/<source>/<doc_id>.txt`` —
+    mirroring the reference's source store (a storage container whose
+    blob URL carries the routing metadata, RouteIngestedFile.kt:95-123).
+    Fixture creation only (at 100 TB the blobs already live in object
+    storage); cached per sf_dir behind an atomic marker so repeated
+    queries/tests reuse it."""
+    import os
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join("/tmp", f"derb-blobstore-{key}")
+    marker = os.path.join(root, "_COMPLETE")
+    if os.path.exists(marker):
+        return os.path.join(root, "container")
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+    tmp = root + ".tmp"
+    cont = os.path.join(tmp, "container")
+    os.makedirs(cont, exist_ok=True)
+    doc_id = t["doc_id"].to_numpy()
+    src = t["source"].to_pylist()
+    txt = t["text"].to_pylist()
+    for i in range(t.num_rows):
+        d = os.path.join(cont, str(src[i]))
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, f"{int(doc_id[i])}.txt"), "wb") as f:
+            f.write((txt[i] or "").encode("utf-8"))
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+        f.write("ok")
+    try:
+        os.replace(tmp, root)  # atomic publish; loser of a race cleans up
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return os.path.join(root, "container")
+
+
+def blob_container_route(sf_dir: str) -> pa.Table:
+    """S3/S5 — the reference's actual ingest shape: a container of opaque
+    blobs consumed as byte streams, metadata parsed from the blob URL,
+    then config-routed 1→N and summarized per destination
+    (RouteIngestedFile.kt:95-123 URL parse; :250 openInputStream; J6
+    route fan-out). ``ray.data.read_binary_files`` IS the blob-container
+    source: each row is (bytes, path); nothing is decoded driver-side.
+
+    Routing rule (deterministic, oracle-expressible): every blob ships to
+    ``dst-primary``; blobs whose doc_id % 3 == 0 ALSO ship to
+    ``dst-replica`` (the 1→N expansion). Output: per-destination blob
+    count + total payload bytes.
+
+    100 TB shape: read_binary_files streams file chunks as blocks (no
+    listing materialization beyond paths); path→metadata parse is one
+    vectorized regex per batch; the fan-out is an index-repeat, and the
+    only exchange is the final tiny 2-row groupby."""
+    import re
+
+    container = _materialize_blob_container(sf_dir)
+    pat = re.compile(r"container/([^/]+)/(\d+)\.txt$")
+
+    def parse_route(b: pa.Table) -> pa.Table:
+        paths = b["path"].to_pylist()
+        nbytes = pc.binary_length(b["bytes"]).to_numpy().astype(np.int64)
+        ids = np.fromiter(
+            (int(pat.search(p).group(2)) for p in paths),
+            np.int64, len(paths),
+        )
+        # 1→N: primary for all, replica where doc_id % 3 == 0
+        rep = np.nonzero(ids % 3 == 0)[0]
+        dest = np.concatenate([
+            np.repeat("dst-primary", len(ids)),
+            np.repeat("dst-replica", len(rep)),
+        ])
+        return pa.table({
+            "destination": pa.array(dest, pa.string()),
+            "nbytes": pa.array(
+                np.concatenate([nbytes, nbytes[rep]]), pa.int64()
+            ),
+        })
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ray.data.read_binary_files(container, include_paths=True)
+        .map_batches(parse_route, batch_format="pyarrow")
+        .groupby("destination")
+        .aggregate(
+            Count(alias_name="n_blobs"),
+            Sum("nbytes", alias_name="total_bytes"),
+        )
+        .to_pandas()
+        .sort_values("destination")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
