@@ -145,16 +145,20 @@ HEADLINE = [
 ]
 
 
-def _init_ray(num_cpus: int) -> None:
+def _init_ray(num_cpus: int, object_store_mb: int | None = None) -> None:
     import ray
 
     if not ray.is_initialized():
+        kw = {}
+        if object_store_mb:
+            kw["object_store_memory"] = object_store_mb * 1024 * 1024
         ray.init(
             address="local",
             num_cpus=num_cpus,
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            **kw,
         )
     from ray.data import DataContext
 
@@ -311,15 +315,43 @@ def ray_get_all(ds):
     return [ray.get(r) for r in ds.to_arrow_refs()]
 
 
+def _spill_stats() -> dict | None:
+    """Best-effort spill counters: sum the session's on-disk spilled-object
+    files (the gRPC stats API isn't available in this container)."""
+    try:
+        import glob
+
+        import ray
+
+        sess = ray._private.worker._global_node.get_session_dir_path()
+        files = [
+            f
+            for f in glob.glob(
+                os.path.join(sess, "ray_spilled_objects*", "**"),
+                recursive=True,
+            )
+            if os.path.isfile(f)
+        ]
+        return {
+            "spilled_mib": round(
+                sum(os.path.getsize(f) for f in files) / 2**20, 1
+            ),
+            "spilled_files": len(files),
+        }
+    except Exception:
+        return None
+
+
 def run_replay_once(
-    stream_dir: str, num_cpus: int, lake_dir: str, repeats: int = 2
+    stream_dir: str, num_cpus: int, lake_dir: str, repeats: int = 2,
+    object_store_mb: int | None = None,
 ) -> dict:
     """One fresh-process replay: full engine (validate→merge→commit).
 
     Runs ``repeats`` passes (fresh lake dir each) within the session and
     reports the best — measuring steady-state throughput, not page-cache /
     scheduler warmup noise."""
-    _init_ray(num_cpus)
+    _init_ray(num_cpus, object_store_mb)
     import glob
     import shutil
 
@@ -340,9 +372,13 @@ def run_replay_once(
         lake.replay_files(files, files_per_epoch=len(files), quarantine=False)
         times.append(time.time() - t0)
     dt = min(times)
-    return {"num_cpus": num_cpus, "events": n, "sec": round(dt, 3),
-            "events_per_sec": round(n / dt, 1),
-            "all_runs_sec": [round(t, 3) for t in times]}
+    out = {"num_cpus": num_cpus, "events": n, "sec": round(dt, 3),
+           "events_per_sec": round(n / dt, 1),
+           "all_runs_sec": [round(t, 3) for t in times]}
+    if object_store_mb:
+        out["object_store_mb"] = object_store_mb
+        out["spill"] = _spill_stats()
+    return out
 
 
 def run_scaling(sf_dir: str, lo: int, hi: int, multiplier: int) -> dict:
@@ -457,11 +493,56 @@ def run_sustained(sf_dir: str, multiplier: int, cpus: int) -> dict:
     }
 
 
+def run_spill(sf_dir: str, multiplier: int, cpus: int,
+              object_store_mb: int) -> dict:
+    """Backpressure/spill proof: replay a change stream whose in-flight
+    working set is far larger than a deliberately tiny object store.
+    A pipeline that materializes the dataset (or any stage of it) OOMs or
+    crashes here; the streaming executor instead admits blocks under
+    backpressure and spills what overflows — the single-node stand-in for
+    '100 TB through a 256-node object store'. Reports the same events/s
+    metric plus the session's spill counters."""
+    keep = tempfile.mkdtemp(prefix="bench-spill-")
+    stream_dir = os.path.join(keep, "stream")
+    total = _materialize_stream(sf_dir, multiplier, stream_dir)
+    import ray
+
+    ray.shutdown()
+    try:
+        out = subprocess.run(
+            [
+                sys.executable, os.path.abspath(__file__),
+                "--replay-once", stream_dir,
+                "--cpus", str(cpus),
+                "--lake", os.path.join(keep, "lake"),
+                "--object-store-mb", str(object_store_mb),
+            ],
+            capture_output=True, text=True, check=True, cwd=REPO,
+        )
+        res = json.loads(out.stdout.strip().splitlines()[-1])
+    finally:
+        shutil.rmtree(keep, ignore_errors=True)
+    return {
+        "metric": "cdc replay under constrained object store (spill proof)",
+        "value": res["events_per_sec"],
+        "unit": "events/sec",
+        "sf": sf_dir,
+        "events": total,
+        "multiplier": multiplier,
+        "num_cpus": cpus,
+        "object_store_mb": object_store_mb,
+        "run": res,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--sustained", action="store_true",
                     help="one big fresh-process replay (events/s)")
+    ap.add_argument("--spill", action="store_true",
+                    help="replay under a tiny object store (spill proof)")
+    ap.add_argument("--object-store-mb", type=int, default=None)
     ap.add_argument("--cpus-lo", type=int, default=8)
     ap.add_argument("--cpus-hi", type=int, default=32)
     ap.add_argument("--multiplier", type=int,
@@ -486,7 +567,10 @@ def main() -> None:
         os.environ.setdefault("ARROW_CPU_COUNT", "1")
         os.environ.setdefault("ARROW_IO_THREADS", "2")
         try:
-            res = run_replay_once(args.replay_once, args.cpus, args.lake)
+            res = run_replay_once(
+                args.replay_once, args.cpus, args.lake,
+                object_store_mb=args.object_store_mb,
+            )
         finally:
             if auto_lake_root is not None:
                 # the -r{i} replay lakes live under this root too
@@ -495,6 +579,9 @@ def main() -> None:
         res = run_scaling(SF_DIR, args.cpus_lo, args.cpus_hi, args.multiplier)
     elif args.sustained:
         res = run_sustained(SF_DIR, args.multiplier, args.cpus)
+    elif args.spill:
+        res = run_spill(SF_DIR, args.multiplier, args.cpus,
+                        args.object_store_mb or 512)
     else:
         res = run_headline(SF_DIR, NUM_CPUS)
     print(json.dumps(res))
