@@ -520,6 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wal_ship_roundtrip": _widen6.wal_ship_roundtrip,
         "view_roles_via_consumer": _widen6.view_roles_via_consumer,
         "blob_container_route": _widen6.blob_container_route,
+        "lake_backup_restore": _widen6.lake_backup_restore,
     }
     ordered = {n: base.pop(n) for n in _DRIVER_CERTIFIED_FIRST}
     ordered.update(base)
@@ -3829,6 +3830,7 @@ GROUP BY tool ORDER BY tool
         "cdc_debezium_tail": _FINAL_STATE_SQL,
         "lake_replicate_follower": _FINAL_STATE_SQL,
         "wal_ship_roundtrip": _FINAL_STATE_SQL,
+        "lake_backup_restore": _FINAL_STATE_SQL,
         "blob_container_route": """
 WITH blobs AS (
   SELECT doc_id, octet_length(encode(text)) AS nbytes FROM documents

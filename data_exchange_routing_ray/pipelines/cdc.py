@@ -568,6 +568,73 @@ class CDCLake:
             self._pool.reset()  # memtables are ahead of the restored state
         return restored.epoch
 
+    def backup_to(self, dst_dir: str) -> dict:
+        """Point-in-time consistent BACKUP: snapshot the lake's committed
+        state (one manifest read) into ``dst_dir`` as a fully functional
+        lake directory — restore is simply ``CDCLake(dst_dir)``.
+
+        Consistency under live writers comes for free from the CoW
+        layout (the reference's staged-blocks-then-commitBlockList
+        posture, RouteIngestedFile.kt:470-550): data files are immutable
+        and the manifest is read ONCE, so a writer committing mid-backup
+        can neither tear the copied state nor be half-included. What is
+        copied: every base + delta file the captured manifest references,
+        lineage rows for epochs ≤ the captured epoch, consumer-group
+        offsets (floored to the captured epoch so a restored consumer
+        never skips uncommitted feed), and lake-config. The manifest is
+        re-published into the backup via a fresh ManifestStore, so the
+        fence (``applied_offset``), gc watermark, schema registry and
+        column DDL all survive — a replay of already-applied shards into
+        the restored lake is a fenced no-op, which is the property that
+        makes the backup USABLE as a resume point. Archived history is
+        NOT copied (point-in-time, not log backup): time travel in the
+        restored lake starts at the captured epoch."""
+        import glob as _glob
+        import json as _json
+        import shutil as _shutil
+
+        man = self.store.load_current()
+        if man is None or man.epoch < 0:
+            raise ValueError("nothing committed; refusing empty backup")
+        os.makedirs(dst_dir, exist_ok=True)
+        if os.path.exists(os.path.join(dst_dir, "lake-config.json")):
+            raise ValueError(f"{dst_dir} already holds a lake")
+        _shutil.copy2(
+            os.path.join(self.lake_dir, "lake-config.json"),
+            os.path.join(dst_dir, "lake-config.json"),
+        )
+        n_files = 0
+        for entry in man.partitions.values():
+            for rel in [entry.file] + [d["file"] for d in entry.deltas]:
+                dst = os.path.join(dst_dir, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                _shutil.copy2(os.path.join(self.lake_dir, rel), dst)
+                n_files += 1
+        # lineage: only epochs the captured manifest covers
+        sub = "lineage" if self.branch == "main" else f"lineage-{self.branch}"
+        dst_lin = os.path.join(dst_dir, sub)
+        os.makedirs(dst_lin, exist_ok=True)
+        for f in sorted(_glob.glob(os.path.join(self.lineage.dir, "epoch-*.parquet"))):
+            ep = int(os.path.basename(f)[6:-8])
+            if ep <= man.epoch:
+                _shutil.copy2(f, os.path.join(dst_lin, os.path.basename(f)))
+        # consumer offsets, floored to the captured epoch
+        csub = os.path.basename(self.consumers.dir)
+        dst_con = os.path.join(dst_dir, csub)
+        os.makedirs(dst_con, exist_ok=True)
+        for f in _glob.glob(os.path.join(self.consumers.dir, "*.json")):
+            with open(f) as fh:
+                off = _json.load(fh)
+            off["epoch"] = min(int(off.get("epoch", -1)), man.epoch)
+            with open(os.path.join(dst_con, os.path.basename(f)), "w") as fh:
+                _json.dump(off, fh)
+        dst_store = ManifestStore(
+            dst_dir, branch=self.branch, segment_size=self.manifest_segment_size
+        )
+        dst_store.publish(man, expect_epoch=None)
+        return {"epoch": man.epoch, "applied_offset": man.applied_offset,
+                "data_files": n_files}
+
     # ------------------------------------------------------------ column DDL
     _KEY_COLUMNS = frozenset(("conv_id", "turn_idx", "seq", "op"))
 
