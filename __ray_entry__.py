@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_broadcast_segments": q.join_broadcast_segments,
         "join_multiway_region_revenue": q.join_multiway_region_revenue,
         "anti_join_customers_no_orders": q.anti_join_customers_no_orders,
+        "orders_per_customer_distribution": q.orders_per_customer_distribution,
         "semi_join_orders_building": q.semi_join_orders_building,
         "rollup_region_nation_revenue": q.rollup_region_nation_revenue,
         "union_event_streams": q.union_event_streams,
@@ -3831,6 +3832,16 @@ GROUP BY tool ORDER BY tool
         "lake_replicate_follower": _FINAL_STATE_SQL,
         "wal_ship_roundtrip": _FINAL_STATE_SQL,
         "lake_backup_restore": _FINAL_STATE_SQL,
+        "orders_per_customer_distribution": """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
         "blob_container_route": """
 WITH blobs AS (
   SELECT doc_id, octet_length(encode(text)) AS nbytes FROM documents

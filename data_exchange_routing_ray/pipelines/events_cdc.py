@@ -13610,3 +13610,51 @@ from data_exchange_routing_ray.pipelines.widen3 import (  # noqa: E402,F401
     schema_drift_audit,
     stream_click_attribution_ttl,
 )
+
+
+def orders_per_customer_distribution(sf_dir: str) -> pa.Table:
+    """TPC-H Q13 shape: the DISTRIBUTION of orders-per-customer INCLUDING
+    zero-order customers (the classic left-outer + double aggregation).
+
+    100 TB shape: never a customer⋈orders row join — (1) one
+    groupby(o_custkey).count() exchange bounded by |customers|; (2) a
+    per-block histogram partial over those counts folded by a tiny second
+    groupby (|distinct counts| rows); (3) the zero bucket is pure
+    arithmetic — |customers| (a count-only scan of one column) minus the
+    number of customers that appear in orders (sum of the histogram)."""
+    per_cust = (
+        _read_sized(
+            os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+        )
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="c_count"))
+    )
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        vals, counts = np.unique(
+            b["c_count"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table({
+            "c_count": pa.array(vals.astype(np.int64), pa.int64()),
+            "custdist": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    hist = (
+        per_cust.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+        .to_pandas()
+    )
+    n_customers = _read_sized(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    ).count()
+    zero = int(n_customers) - int(hist["custdist"].sum())
+    if zero > 0:
+        hist = pd.concat(
+            [hist, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True,
+        )
+    hist = hist.astype({"c_count": "int64", "custdist": "int64"}).sort_values(
+        ["custdist", "c_count"], ascending=[False, False], kind="stable"
+    ).reset_index(drop=True)
+    return pa.Table.from_pandas(hist, preserve_index=False)
