@@ -375,6 +375,25 @@ def cmd_rollback(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_backup(args: argparse.Namespace) -> int:
+    """Point-in-time consistent backup (CDCLake.backup_to): one manifest
+    read + immutable-file copy; restore = point any command at the backup
+    dir. Safe under live writers (CoW data files)."""
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    if not os.path.isdir(args.lake):
+        print(f"error: no lake at {args.lake}", file=sys.stderr)
+        return 2
+    lake = CDCLake(args.lake)
+    try:
+        info = lake.backup_to(args.dest)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 3
+    print(json.dumps({"dest": args.dest, **info}))
+    return 0
+
+
 def cmd_alter(args: argparse.Namespace) -> int:
     """Metadata-only column DDL: rename / drop (Iceberg-style name mapping;
     no data file rewritten, OCC-fenced manifest commit)."""
@@ -731,6 +750,11 @@ def main(argv: list[str] | None = None) -> int:
     rb.add_argument("--lake", required=True)
     rb.add_argument("--epoch", type=int, required=True)
     rb.set_defaults(fn=cmd_rollback)
+
+    bk = sub.add_parser("backup", help="point-in-time consistent backup")
+    bk.add_argument("--lake", required=True)
+    bk.add_argument("--dest", required=True)
+    bk.set_defaults(fn=cmd_backup)
 
     bp = sub.add_parser("branch", help="zero-copy branch create/list/ff")
     bp.add_argument("action", choices=["create", "list", "ff", "rebase"])

@@ -407,3 +407,26 @@ def test_cli_alter(ray_session, tmp_path):
 
     t = CDCLake(lake).final_table()
     assert "tool_name" in t.column_names and "role" not in t.column_names
+
+
+def test_cli_backup(ray_session, tmp_path):
+    from data_exchange_routing_ray.synth import make_change_stream, write_change_stream
+
+    ch = make_change_stream(num_convs=20, max_turns=4, seed=51)
+    write_change_stream(ch, str(tmp_path / "stream"), num_files=1)
+    lake = str(tmp_path / "lake")
+    _run("replay", "--lake", lake, "--stream", str(tmp_path / "stream"),
+         "--num-partitions", "4", "--num-cpus", "4")
+
+    bak = str(tmp_path / "bak")
+    out = _run("backup", "--lake", lake, "--dest", bak)
+    info = json.loads(out.stdout.strip().splitlines()[-1])
+    assert info["dest"] == bak and info["data_files"] > 0
+
+    # the backup answers status like any lake, at the captured epoch
+    st = json.loads(_run("status", "--lake", bak).stdout)
+    assert st["epoch"] == info["epoch"]
+
+    # refuses to overwrite an existing backup
+    out = _run("backup", "--lake", lake, "--dest", bak, check=False)
+    assert out.returncode == 3 and "already holds a lake" in out.stderr
