@@ -272,12 +272,19 @@ def _num_events(sf_dir: str) -> int:
 
 # ------------------------------------------------------------------ scaling
 
-def _materialize_stream(sf_dir: str, multiplier: int, out_dir: str) -> int:
+def _materialize_stream(
+    sf_dir: str, multiplier: int, out_dir: str, hot_frac: float = 0.0
+) -> int:
     """Write the derived change stream ×multiplier as seq-ordered shards.
 
     Seq ranges of the replicas are disjoint (replica j offset by j*max_seq)
     so the replay is a valid binlog; each replica re-keys a third of the
     conversations to widen the key space.  Returns total events written.
+
+    ``hot_frac`` > 0 plants key skew: that fraction of every replica's
+    events is re-keyed onto a SINGLE conversation (turn_idx fanned out so
+    rows stay distinct) — the hot-partition adversary for the salted
+    pre-reduce (``--skew`` mode).
     """
     _init_ray(NUM_CPUS)
     import pyarrow as pa
@@ -289,6 +296,28 @@ def _materialize_stream(sf_dir: str, multiplier: int, out_dir: str) -> int:
     base = derived_change_stream(sf_dir).materialize()
     tables = [ray_get_all(base)]
     tab = pa.concat_tables(tables[0])
+    if hot_frac > 0:
+        import numpy as np
+
+        n = tab.num_rows
+        k = int(n * hot_frac)
+        # deterministic pick: the k lowest seq%997 rows become the hot conv
+        order = np.argsort(tab["seq"].to_numpy() % 997, kind="stable")[:k]
+        hot = np.zeros(n, bool)
+        hot[order] = True
+        conv = np.asarray(tab["conv_id"].to_pylist(), object)
+        conv[hot] = "conv-hot"
+        turn = tab["turn_idx"].to_numpy(zero_copy_only=False).copy()
+        # fan turn_idx so hot rows are distinct keys within the hot conv
+        turn[hot] = np.arange(int(hot.sum()), dtype=turn.dtype) % 100_000
+        tab = tab.set_column(
+            tab.schema.get_field_index("conv_id"), "conv_id",
+            pa.array(conv, pa.string()),
+        )
+        tab = tab.set_column(
+            tab.schema.get_field_index("turn_idx"), "turn_idx",
+            pa.array(turn, tab["turn_idx"].type),
+        )
     span = pc.max(tab["seq"]).as_py() + 1
     total = 0
     os.makedirs(out_dir, exist_ok=True)
@@ -303,6 +332,12 @@ def _materialize_stream(sf_dir: str, multiplier: int, out_dir: str) -> int:
             conv = pc.binary_join_element_wise(
                 t["conv_id"], pa.array([f"r{j}"] * t.num_rows), "-"
             )
+            if hot_frac > 0:
+                # the hot conversation stays ONE global key across replicas
+                conv = pc.if_else(
+                    pc.equal(t["conv_id"], pa.scalar("conv-hot")),
+                    t["conv_id"], conv,
+                )
             t = t.set_column(t.schema.get_field_index("conv_id"), "conv_id", conv)
         pq.write_table(t, os.path.join(out_dir, f"changes-{j:05d}.parquet"))
         total += t.num_rows
@@ -344,7 +379,7 @@ def _spill_stats() -> dict | None:
 
 def run_replay_once(
     stream_dir: str, num_cpus: int, lake_dir: str, repeats: int = 2,
-    object_store_mb: int | None = None,
+    object_store_mb: int | None = None, num_salts: int = 1,
 ) -> dict:
     """One fresh-process replay: full engine (validate→merge→commit).
 
@@ -367,7 +402,7 @@ def run_replay_once(
     for r in range(repeats):
         d = f"{lake_dir}-r{r}"
         shutil.rmtree(d, ignore_errors=True)
-        lake = CDCLake(d, num_partitions=64)
+        lake = CDCLake(d, num_partitions=64, num_salts=num_salts)
         t0 = time.time()
         lake.replay_files(files, files_per_epoch=len(files), quarantine=False)
         times.append(time.time() - t0)
@@ -378,6 +413,8 @@ def run_replay_once(
     if object_store_mb:
         out["object_store_mb"] = object_store_mb
         out["spill"] = _spill_stats()
+    if num_salts != 1:
+        out["num_salts"] = num_salts
     return out
 
 
@@ -535,6 +572,55 @@ def run_spill(sf_dir: str, multiplier: int, cpus: int,
     }
 
 
+def run_skew(sf_dir: str, multiplier: int, cpus: int,
+             hot_frac: float) -> dict:
+    """Hot-key adversary A/B: replay a stream where ``hot_frac`` of all
+    events hit ONE conversation, with the salted pre-reduce off
+    (num_salts=1) vs on (num_salts=4). At scale a hot key pins one merge
+    partition to hot_frac of the stream; salting splits its combine work
+    across 4 sub-keys with a final per-key reduce (the north-star's
+    'hot-conversation skew broken by salted sub-partitioning')."""
+    keep = tempfile.mkdtemp(prefix="bench-skew-")
+    stream_dir = os.path.join(keep, "stream")
+    total = _materialize_stream(sf_dir, multiplier, stream_dir,
+                                hot_frac=hot_frac)
+    import ray
+
+    ray.shutdown()
+
+    def one(salts: int) -> dict:
+        out = subprocess.run(
+            [
+                sys.executable, os.path.abspath(__file__),
+                "--replay-once", stream_dir,
+                "--cpus", str(cpus),
+                "--lake", os.path.join(keep, f"lake-s{salts}"),
+                "--salts", str(salts),
+            ],
+            capture_output=True, text=True, check=True, cwd=REPO,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    try:
+        unsalted, salted = one(1), one(4)
+    finally:
+        shutil.rmtree(keep, ignore_errors=True)
+    return {
+        "metric": "cdc replay under planted hot-key skew (salting A/B)",
+        "value": round(
+            salted["events_per_sec"] / unsalted["events_per_sec"], 3
+        ),
+        "unit": "salted/unsalted speedup",
+        "sf": sf_dir,
+        "events": total,
+        "multiplier": multiplier,
+        "hot_frac": hot_frac,
+        "num_cpus": cpus,
+        "unsalted": unsalted,
+        "salted": salted,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -543,6 +629,10 @@ def main() -> None:
     ap.add_argument("--spill", action="store_true",
                     help="replay under a tiny object store (spill proof)")
     ap.add_argument("--object-store-mb", type=int, default=None)
+    ap.add_argument("--skew", action="store_true",
+                    help="hot-key stream, salted vs unsalted A/B")
+    ap.add_argument("--hot-frac", type=float, default=0.2)
+    ap.add_argument("--salts", type=int, default=1)
     ap.add_argument("--cpus-lo", type=int, default=8)
     ap.add_argument("--cpus-hi", type=int, default=32)
     ap.add_argument("--multiplier", type=int,
@@ -570,6 +660,7 @@ def main() -> None:
             res = run_replay_once(
                 args.replay_once, args.cpus, args.lake,
                 object_store_mb=args.object_store_mb,
+                num_salts=args.salts,
             )
         finally:
             if auto_lake_root is not None:
@@ -582,6 +673,8 @@ def main() -> None:
     elif args.spill:
         res = run_spill(SF_DIR, args.multiplier, args.cpus,
                         args.object_store_mb or 512)
+    elif args.skew:
+        res = run_skew(SF_DIR, args.multiplier, args.cpus, args.hot_frac)
     else:
         res = run_headline(SF_DIR, NUM_CPUS)
     print(json.dumps(res))
