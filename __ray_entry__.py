@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_multiway_region_revenue": q.join_multiway_region_revenue,
         "anti_join_customers_no_orders": q.anti_join_customers_no_orders,
         "orders_per_customer_distribution": q.orders_per_customer_distribution,
+        "top_revenue_suppliers": q.top_revenue_suppliers,
         "semi_join_orders_building": q.semi_join_orders_building,
         "rollup_region_nation_revenue": q.rollup_region_nation_revenue,
         "union_event_streams": q.union_event_streams,
@@ -3832,6 +3833,17 @@ GROUP BY tool ORDER BY tool
         "lake_replicate_follower": _FINAL_STATE_SQL,
         "wal_ship_roundtrip": _FINAL_STATE_SQL,
         "lake_backup_restore": _FINAL_STATE_SQL,
+        "top_revenue_suppliers": """
+WITH rev AS (
+  SELECT l_suppkey AS suppkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+           AS ticks
+  FROM lineitem GROUP BY 1
+)
+SELECT suppkey, CAST(ticks AS DOUBLE) / 100.0 AS total_revenue
+FROM rev WHERE ticks = (SELECT max(ticks) FROM rev)
+ORDER BY suppkey
+""",
         "orders_per_customer_distribution": """
 WITH per_cust AS (
   SELECT c.c_custkey, count(o.o_orderkey) AS c_count

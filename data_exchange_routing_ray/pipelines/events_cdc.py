@@ -13658,3 +13658,47 @@ def orders_per_customer_distribution(sf_dir: str) -> pa.Table:
         ["custdist", "c_count"], ascending=[False, False], kind="stable"
     ).reset_index(drop=True)
     return pa.Table.from_pandas(hist, preserve_index=False)
+
+
+def top_revenue_suppliers(sf_dir: str) -> pa.Table:
+    """TPC-H Q15 shape: the supplier(s) with the GLOBAL maximum revenue —
+    max-of-an-aggregate WITH ties (Q15 must return every supplier tied at
+    the max, which is why it is a view + equality, not a LIMIT 1).
+
+    Exactness: revenue is summed in integer ticks (per-row
+    round-half-away(price × (1−discount) × 100) — bit-identical to the
+    oracle's per-row rounding since both sides multiply the same doubles),
+    so the tie comparison is integer equality, never a float ULP.
+
+    100 TB shape: one fact-table scan with per-block (suppkey, ticks)
+    partials → a groupby bounded by |suppliers| (dimension-sized) → the
+    global max + tie filter is driver arithmetic on that small result."""
+    from data_exchange_routing_ray.hashing import round_half_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = b["l_extendedprice"].to_numpy() * (
+            1.0 - b["l_discount"].to_numpy()
+        )
+        ticks = round_half_away(rev * 100.0, 0).astype(np.int64)
+        g = pa.table({
+            "suppkey": b["l_suppkey"],
+            "ticks": pa.array(ticks, pa.int64()),
+        }).group_by("suppkey").aggregate([("ticks", "sum")])
+        return g.rename_columns(["suppkey", "ticks"])
+
+    per_supp = (
+        _read_sized(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("suppkey")
+        .aggregate(Sum("ticks", alias_name="ticks"))
+        .to_pandas()  # bounded by |suppliers| (dimension table size)
+    )
+    top = per_supp[per_supp["ticks"] == per_supp["ticks"].max()]
+    out = pd.DataFrame({
+        "suppkey": top["suppkey"].astype("int64"),
+        "total_revenue": (top["ticks"] / 100.0).astype("float64"),
+    }).sort_values("suppkey").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
