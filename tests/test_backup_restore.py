@@ -8,6 +8,7 @@ column DDL, consumer offsets)."""
 
 import os
 
+import pandas as pd
 import pytest
 
 from data_exchange_routing_ray.pipelines.cdc import CDCLake
@@ -78,3 +79,58 @@ def test_backup_refuses_empty_and_existing(ray_session, tmp_path):
     lake.backup_to(str(tmp_path / "bak"))
     with pytest.raises(ValueError, match="already holds a lake"):
         lake.backup_to(str(tmp_path / "bak"))
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 10_000),
+    num_convs=st.integers(2, 40),
+    max_turns=st.integers(1, 8),
+    n_files=st.integers(2, 5),
+    cut=st.integers(1, 4),
+    parts=st.sampled_from([1, 4, 16]),
+)
+def test_property_backup_resume_matches_oracle(
+    ray_session, tmp_path_factory, seed, num_convs, max_turns, n_files, cut,
+    parts,
+):
+    """Backup property: for ANY seeded stream, shard split, backup point
+    and partition count, (backup after k shards) + (resume with the rest)
+    converges to the serial oracle, and the fenced replay of the first k
+    shards into the restored lake never moves the watermark."""
+    import os
+
+    from data_exchange_routing_ray.synth import write_change_stream
+
+    changes = make_change_stream(
+        num_convs=num_convs, max_turns=max_turns,
+        redelivery_frac=0.1, seed=seed,
+    )
+    tmp = tmp_path_factory.mktemp(f"bak-{seed}")
+    files = write_change_stream(changes, str(tmp / "stream"), num_files=n_files)
+    k = min(cut, len(files))
+    lake = CDCLake(str(tmp / "lake"), num_partitions=parts)
+    lake.replay_files(files[:k], files_per_epoch=len(files[:k]))
+    lake.backup_to(str(tmp / "bak"))
+
+    restored = CDCLake(str(tmp / "bak"), num_partitions=parts)
+    before = restored.manifest.applied_offset
+    restored.replay_files(files[:k], files_per_epoch=k)
+    assert restored.manifest.applied_offset == before
+    if k < len(files):
+        restored.replay_files(files[k:], files_per_epoch=len(files) - k)
+    exp = oracle_apply(changes)[
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ].reset_index(drop=True)
+    got = restored.final_table().to_pandas()[
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
