@@ -588,7 +588,11 @@ class CDCLake:
         the restored lake is a fenced no-op, which is the property that
         makes the backup USABLE as a resume point. Archived history is
         NOT copied (point-in-time, not log backup): time travel in the
-        restored lake starts at the captured epoch."""
+        restored lake starts at the captured epoch. The one unsafe
+        concurrency is VACUUM: a vacuum racing a backup may delete a
+        just-orphaned file the captured manifest still references —
+        standard retention-window territory (don't vacuum files younger
+        than your longest backup/read)."""
         import glob as _glob
         import json as _json
         import shutil as _shutil

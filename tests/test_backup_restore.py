@@ -134,3 +134,73 @@ def test_property_backup_resume_matches_oracle(
         ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     ].reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+_WRITER_SCRIPT = """
+import sys
+sys.path.insert(0, {repo!r})
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         logging_level="ERROR")
+from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+lake = CDCLake({lake!r}, num_partitions=8)
+files = {files!r}
+for f in files:
+    lake.replay_files([f], files_per_epoch=1)
+ray.shutdown()
+"""
+
+
+def test_backup_under_live_writer_is_tear_free(ray_session, tmp_path):
+    """The claimed concurrency property, actually exercised: a writer
+    subprocess commits epochs in a loop while the main process takes
+    backups mid-flight. Every backup must open cleanly and its table must
+    BIT-EQUAL the original lake's time-travel read at the backup's epoch
+    (no torn manifest, no missing file, no half-included commit)."""
+    import subprocess
+    import sys
+    import time
+
+    from data_exchange_routing_ray.synth import write_change_stream
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    changes = make_change_stream(num_convs=120, max_turns=8, seed=77)
+    files = write_change_stream(changes, str(tmp_path / "stream"), num_files=6)
+    lake_dir = str(tmp_path / "lake")
+
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _WRITER_SCRIPT.format(
+            repo=repo, lake=lake_dir, files=files)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, cwd=repo,
+    )
+    try:
+        # wait for the first commit, then snapshot while epochs keep landing
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if os.path.exists(os.path.join(lake_dir, "manifests", "current.json")):
+                break
+            time.sleep(0.2)
+        else:
+            raise AssertionError("writer never committed")
+        taken = []
+        for i in range(3):
+            bak = str(tmp_path / f"bak{i}")
+            src = CDCLake(lake_dir, num_partitions=8)
+            try:
+                info = src.backup_to(bak)
+            except ValueError:
+                continue  # raced the very first commit; try again
+            taken.append((bak, info))
+            time.sleep(0.3)
+    finally:
+        out, err = proc.communicate(timeout=300)
+        assert proc.returncode == 0, err[-2000:]
+
+    assert taken, "no backup captured"
+    final = CDCLake(lake_dir, num_partitions=8)
+    for bak, info in taken:
+        restored = CDCLake(bak, num_partitions=8)
+        a = _sorted(restored.final_table())
+        b = _sorted(final.final_table(epoch=info["epoch"]))
+        assert a.equals(b), f"backup at epoch {info['epoch']} is torn"
