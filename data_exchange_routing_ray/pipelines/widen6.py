@@ -2274,18 +2274,18 @@ def blob_container_route(sf_dir: str) -> pa.Table:
     listing materialization beyond paths); path→metadata parse is one
     vectorized regex per batch; the fan-out is an index-repeat, and the
     only exchange is the final tiny 2-row groupby."""
-    import re
-
     container = _materialize_blob_container(sf_dir)
-    pat = re.compile(r"container/([^/]+)/(\d+)\.txt$")
 
     def parse_route(b: pa.Table) -> pa.Table:
-        paths = b["path"].to_pylist()
-        nbytes = pc.binary_length(b["bytes"]).to_numpy().astype(np.int64)
-        ids = np.fromiter(
-            (int(pat.search(p).group(2)) for p in paths),
-            np.int64, len(paths),
+        # vectorized URL→metadata parse (the RouteIngestedFile.kt:95-123
+        # blob-URL decomposition, one Arrow regex kernel per batch)
+        parts = pc.extract_regex(
+            b["path"], pattern=r"container/(?P<src>[^/]+)/(?P<id>\d+)\.txt$"
         )
+        nbytes = pc.binary_length(b["bytes"]).to_numpy().astype(np.int64)
+        ids = pc.cast(
+            pc.struct_field(parts, "id"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
         # 1→N: primary for all, replica where doc_id % 3 == 0
         rep = np.nonzero(ids % 3 == 0)[0]
         dest = np.concatenate([
