@@ -142,6 +142,9 @@ HEADLINE = [
     "lake_replicate_follower",
     "wal_ship_roundtrip",
     "lake_segmented_manifest",
+    # round-4 session 2: blob-container source, point-in-time backup
+    "blob_container_route",
+    "lake_backup_restore",
 ]
 
 
