@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_customers_no_orders": q.anti_join_customers_no_orders,
         "orders_per_customer_distribution": q.orders_per_customer_distribution,
         "top_revenue_suppliers": q.top_revenue_suppliers,
+        "idle_rich_customers": q.idle_rich_customers,
         "semi_join_orders_building": q.semi_join_orders_building,
         "rollup_region_nation_revenue": q.rollup_region_nation_revenue,
         "union_event_streams": q.union_event_streams,
@@ -3833,6 +3834,28 @@ GROUP BY tool ORDER BY tool
         "lake_replicate_follower": _FINAL_STATE_SQL,
         "wal_ship_roundtrip": _FINAL_STATE_SQL,
         "lake_backup_restore": _FINAL_STATE_SQL,
+        "idle_rich_customers": """
+WITH t AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS ticks
+  FROM customer
+),
+thr AS (
+  SELECT CAST(sum(ticks) AS BIGINT) AS s, count(*) AS n
+  FROM t WHERE ticks > 0
+),
+cutoff AS (
+  SELECT max(o_orderdate) - INTERVAL 90 DAY AS c FROM orders
+)
+SELECT nationkey, count(*) AS numcust,
+       CAST(sum(ticks) AS DOUBLE) / 100.0 AS totacctbal
+FROM t, thr
+WHERE ticks * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders o, cutoff
+                  WHERE o.o_custkey = t.c_custkey
+                    AND o.o_orderdate >= cutoff.c)
+GROUP BY nationkey ORDER BY nationkey
+""",
         "top_revenue_suppliers": """
 WITH rev AS (
   SELECT l_suppkey AS suppkey,

@@ -13702,3 +13702,102 @@ def top_revenue_suppliers(sf_dir: str) -> pa.Table:
         "total_revenue": (top["ticks"] / 100.0).astype("float64"),
     }).sort_values("suppkey").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def idle_rich_customers(sf_dir: str) -> pa.Table:
+    """TPC-H Q22 shape: customers with above-average account balance and
+    NO ORDERS IN THE TRAILING 90 DAYS (lapsed customers), rolled up per
+    nation — the scalar-subquery + anti-join composition (Q22's
+    positive-balance-average threshold, NOT EXISTS against a
+    date-filtered orders subquery, per-group count/sum).
+
+    Exactness: balances are compared in integer ticks with the threshold
+    kept RATIONAL (ticks × count > sum_ticks), so the engine and the SQL
+    oracle evaluate the identical integer inequality — no float-avg ULP
+    can flip a customer across the threshold.
+
+    100 TB shape: pass 1 is a two-number reduce (sum_ticks, count over
+    positive balances) plus a column-pruned max(o_orderdate); the
+    threshold condition then rides a map_batches filter, the anti side is
+    date-filtered BEFORE the exchange (recent orders only), survivors
+    flow through ONE co-partitioned anti-join (`filter_join_bucketed`),
+    and the rollup is bounded by |nations|."""
+    from data_exchange_routing_ray.functions.joins import filter_join_bucketed
+    from data_exchange_routing_ray.hashing import round_half_away
+
+    def tickify(b: pa.Table) -> pa.Table:
+        ticks = round_half_away(
+            b["c_acctbal"].to_numpy() * 100.0, 0
+        ).astype(np.int64)
+        return pa.table({
+            "c_custkey": b["c_custkey"],
+            "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+            "ticks": pa.array(ticks, pa.int64()),
+        })
+
+    cust = _read_sized(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    ).map_batches(tickify, batch_format="pyarrow")
+
+    # pass 1: the scalar subquery — avg over POSITIVE balances, kept as
+    # the exact rational (sum_ticks, cnt)
+    def pos_partial(b: pa.Table) -> pa.Table:
+        t = b["ticks"].to_numpy()
+        pos = t[t > 0]
+        return pa.table({
+            "s": pa.array([int(pos.sum())], pa.int64()),
+            "n": pa.array([len(pos)], pa.int64()),
+        })
+
+    agg = (
+        cust.map_batches(pos_partial, batch_format="pyarrow")
+        .sum(["s", "n"])
+    )
+    sum_ticks, cnt = int(agg["sum(s)"]), int(agg["sum(n)"])
+
+    def above_threshold(b: pa.Table) -> pa.Table:
+        # ticks × cnt > sum_ticks — the exact rational comparison
+        keep = pc.greater(
+            pc.multiply(b["ticks"], pa.scalar(cnt, pa.int64())),
+            pa.scalar(sum_ticks, pa.int64()),
+        )
+        return b.filter(keep)
+
+    rich = cust.map_batches(above_threshold, batch_format="pyarrow")
+    rich_schema = pa.schema([
+        ("c_custkey", pa.int64()), ("c_nationkey", pa.int64()),
+        ("ticks", pa.int64()),
+    ])
+    orders = _read_sized(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"],
+    )
+    max_date = orders.max("o_orderdate")
+    cutoff = np.datetime64(max_date, "us") - np.timedelta64(90, "D")
+
+    def recent_only(b: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(
+            b["o_orderdate"], pa.scalar(cutoff.item(), pa.timestamp("us"))
+        )
+        return b.filter(keep).select(["o_custkey"])
+
+    idle = filter_join_bucketed(
+        rich, rich_schema,
+        orders.map_batches(recent_only, batch_format="pyarrow"),
+        left_key="c_custkey", right_key="o_custkey", keep_matches=False,
+    ).to_pandas()  # bounded by |rich customers with no recent orders|
+    if not len(idle):
+        return pa.schema([
+            ("nationkey", pa.int64()), ("numcust", pa.int64()),
+            ("totacctbal", pa.float64()),
+        ]).empty_table()
+    g = idle.groupby("c_nationkey", as_index=False).agg(
+        numcust=("c_custkey", "size"), ticks=("ticks", "sum")
+    )
+    out = pd.DataFrame({
+        "nationkey": g["c_nationkey"].astype("int64"),
+        "numcust": g["numcust"].astype("int64"),
+        "totacctbal": (g["ticks"] / 100.0).astype("float64"),
+    }).sort_values("nationkey").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
