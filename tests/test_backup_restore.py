@@ -204,3 +204,48 @@ def test_backup_under_live_writer_is_tear_free(ray_session, tmp_path):
         a = _sorted(restored.final_table())
         b = _sorted(final.final_table(epoch=info["epoch"]))
         assert a.equals(b), f"backup at epoch {info['epoch']} is torn"
+
+
+def test_backup_multi_leader_mode_and_tombstones(ray_session, tmp_path):
+    """Multi-leader backup: the persisted engine mode rides lake-config
+    into the backup (reopen ADOPTS multi_leader without the flag), live
+    tombstone rows survive the copy (readers still filter them), and the
+    restored site keeps converging when fed a foreign WAL fence-down."""
+    import pyarrow as pa_
+    import ray.data
+
+    changes = make_change_stream(
+        num_convs=60, max_turns=6, redelivery_frac=0.1, seed=19
+    )
+    df = changes.to_pandas()
+    site = (pd.util.hash_array(df["seq"].to_numpy()) % 2).astype(int)
+
+    lake = CDCLake(str(tmp_path / "a"), num_partitions=8, multi_leader=True)
+    lake.apply_changes(
+        ray.data.from_arrow(
+            pa_.Table.from_pandas(df[site == 0], preserve_index=False)
+        ),
+        quarantine=False,
+    )
+    lake.backup_to(str(tmp_path / "bak"))
+
+    # reopen WITHOUT multi_leader: mode must be adopted from lake-config
+    restored = CDCLake(str(tmp_path / "bak"), num_partitions=8)
+    assert restored.multi_leader is True
+    assert _sorted(restored.final_table()).equals(_sorted(lake.final_table()))
+
+    # feed the other site's WAL fence-down into the restored lake:
+    # convergence to the serial oracle proves tombstones survived intact
+    restored.apply_changes(
+        ray.data.from_arrow(
+            pa_.Table.from_pandas(df[site == 1], preserve_index=False)
+        ),
+        quarantine=False, fence=False,
+    )
+    exp = oracle_apply(changes)[
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ].reset_index(drop=True)
+    got = restored.final_table().to_pandas()[
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
