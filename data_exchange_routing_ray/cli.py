@@ -394,6 +394,19 @@ def cmd_backup(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_fsck(args: argparse.Namespace) -> int:
+    """Lake integrity check: manifest-referenced files exist, footer row
+    counts match, no seq above the fence; --deep re-reads every page."""
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    if not os.path.isdir(args.lake):
+        print(f"error: no lake at {args.lake}", file=sys.stderr)
+        return 2
+    rep = CDCLake(args.lake).fsck(deep=args.deep)
+    print(json.dumps(rep))
+    return 0 if rep["ok"] else 4
+
+
 def cmd_alter(args: argparse.Namespace) -> int:
     """Metadata-only column DDL: rename / drop (Iceberg-style name mapping;
     no data file rewritten, OCC-fenced manifest commit)."""
@@ -755,6 +768,11 @@ def main(argv: list[str] | None = None) -> int:
     bk.add_argument("--lake", required=True)
     bk.add_argument("--dest", required=True)
     bk.set_defaults(fn=cmd_backup)
+
+    fs = sub.add_parser("fsck", help="lake integrity check")
+    fs.add_argument("--lake", required=True)
+    fs.add_argument("--deep", action="store_true")
+    fs.set_defaults(fn=cmd_fsck)
 
     bp = sub.add_parser("branch", help="zero-copy branch create/list/ff")
     bp.add_argument("action", choices=["create", "list", "ff", "rebase"])

@@ -2476,6 +2476,63 @@ class CDCLake:
             total += t.num_rows
         return total
 
+    def fsck(self, deep: bool = False) -> dict:
+        """Lake integrity check (the restore-side complement of
+        ``backup_to``): verifies that every base + delta file the CURRENT
+        manifest references exists, that each base file's parquet-footer
+        row count matches the manifest entry's ``rows``, and that no
+        partition's parquet-stats max(seq) exceeds the global fence
+        (``applied_offset``) — a row above the fence could be silently
+        re-fenced out of a future rebuild. ``deep=True`` additionally
+        re-reads every file end-to-end (checksum-at-rest check: a
+        truncated or bit-rotted page fails the parquet decoder).
+
+        Metadata-only by default: cost is one footer read per file, no
+        data scan, driver-side (file count = |partitions| + deltas).
+        Returns ``{"ok": bool, "files": n, "errors": [...]}`` and never
+        raises on a finding — fsck reports, callers decide."""
+        import pyarrow.parquet as pq
+
+        man = self.manifest
+        errors: list[str] = []
+        n_files = 0
+        for pid, entry in sorted(man.partitions.items()):
+            todo = [(entry.file, entry.rows)] + [
+                (d["file"], d.get("rows")) for d in entry.deltas
+            ]
+            for rel, rows in todo:
+                n_files += 1
+                path = os.path.join(self.lake_dir, rel)
+                if not os.path.exists(path):
+                    errors.append(f"p{pid}: missing file {rel}")
+                    continue
+                try:
+                    meta = pq.ParquetFile(path)
+                    got = meta.metadata.num_rows
+                    if rows is not None and got != rows:
+                        errors.append(
+                            f"p{pid}: {rel} has {got} rows, manifest says {rows}"
+                        )
+                    sidx = meta.schema_arrow.get_field_index("seq")
+                    stats = [
+                        meta.metadata.row_group(g).column(sidx).statistics
+                        for g in range(meta.metadata.num_row_groups)
+                    ] if sidx >= 0 and meta.metadata.num_rows else []
+                    if stats and all(s is not None for s in stats):
+                        mx = max(s.max for s in stats)
+                        if int(mx) > man.applied_offset:
+                            errors.append(
+                                f"p{pid}: {rel} max seq {mx} above fence "
+                                f"{man.applied_offset}"
+                            )
+                    if deep:
+                        for g in range(meta.metadata.num_row_groups):
+                            meta.read_row_group(g)
+                except Exception as e:  # corrupt footer/page
+                    errors.append(f"p{pid}: {rel} unreadable: {e}")
+        return {"ok": not errors, "epoch": man.epoch, "files": n_files,
+                "errors": errors}
+
     def vacuum(self, retain_epochs: int = 0) -> int:
         """Delete partition files not referenced by ANY branch's current
         manifest (a zero-copy branch shares main's base files, so vacuum

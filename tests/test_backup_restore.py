@@ -249,3 +249,38 @@ def test_backup_multi_leader_mode_and_tombstones(ray_session, tmp_path):
         ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     ].reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_fsck_clean_and_detects_damage(ray_session, tmp_path):
+    """fsck: green on a healthy lake (incl. deep); reports a deleted file,
+    a row-count mismatch and a truncation — and a backup of a healthy
+    lake fscks clean too."""
+    changes = make_change_stream(num_convs=50, max_turns=6, seed=29)
+    files = write_change_stream(changes, str(tmp_path / "stream"), num_files=2)
+    lake = CDCLake(str(tmp_path / "lake"), num_partitions=8)
+    lake.replay_files(files)
+
+    rep = lake.fsck(deep=True)
+    assert rep["ok"] and rep["files"] > 0 and rep["errors"] == []
+
+    lake.backup_to(str(tmp_path / "bak"))
+    assert CDCLake(str(tmp_path / "bak")).fsck()["ok"]
+
+    # damage 1: delete a referenced file
+    man = lake.manifest
+    pid, entry = next(iter(sorted(man.partitions.items())))
+    victim = os.path.join(str(tmp_path / "lake"), entry.file)
+    os.rename(victim, victim + ".gone")
+    rep = lake.fsck()
+    assert not rep["ok"] and any("missing file" in e for e in rep["errors"])
+    os.rename(victim + ".gone", victim)
+
+    # damage 2: truncate it (deep catches what the footer can't)
+    blob = open(victim, "rb").read()
+    with open(victim, "wb") as f:
+        f.write(blob[: len(blob) // 2])
+    rep = lake.fsck(deep=True)
+    assert not rep["ok"] and rep["errors"]
+    with open(victim, "wb") as f:
+        f.write(blob)
+    assert lake.fsck(deep=True)["ok"]

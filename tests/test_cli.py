@@ -430,3 +430,24 @@ def test_cli_backup(ray_session, tmp_path):
     # refuses to overwrite an existing backup
     out = _run("backup", "--lake", lake, "--dest", bak, check=False)
     assert out.returncode == 3 and "already holds a lake" in out.stderr
+
+
+def test_cli_fsck(ray_session, tmp_path):
+    from data_exchange_routing_ray.synth import make_change_stream, write_change_stream
+
+    ch = make_change_stream(num_convs=15, max_turns=4, seed=61)
+    write_change_stream(ch, str(tmp_path / "stream"), num_files=1)
+    lake = str(tmp_path / "lake")
+    _run("replay", "--lake", lake, "--stream", str(tmp_path / "stream"),
+         "--num-partitions", "4", "--num-cpus", "4")
+    rep = json.loads(_run("fsck", "--lake", lake, "--deep").stdout)
+    assert rep["ok"] and rep["files"] > 0
+
+    # break it: exit code 4 + the finding in the report
+    from data_exchange_routing_ray.pipelines.cdc import CDCLake
+
+    entry = next(iter(CDCLake(lake).manifest.partitions.values()))
+    os.remove(os.path.join(lake, entry.file))
+    out = _run("fsck", "--lake", lake, check=False)
+    assert out.returncode == 4
+    assert "missing file" in out.stdout
