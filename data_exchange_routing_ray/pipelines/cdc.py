@@ -588,7 +588,9 @@ class CDCLake:
         the restored lake is a fenced no-op, which is the property that
         makes the backup USABLE as a resume point. Archived history is
         NOT copied (point-in-time, not log backup): time travel in the
-        restored lake starts at the captured epoch. The one unsafe
+        restored lake starts at the captured epoch. Scope is THIS lake's
+        active branch: other branches' manifest logs are not captured
+        (back them up by opening the lake on that branch). The one unsafe
         concurrency is VACUUM: a vacuum racing a backup may delete a
         just-orphaned file the captured manifest still references —
         standard retention-window territory (don't vacuum files younger
