@@ -2520,7 +2520,12 @@ class CDCLake:
                         meta.metadata.row_group(g).column(sidx).statistics
                         for g in range(meta.metadata.num_row_groups)
                     ] if sidx >= 0 and meta.metadata.num_rows else []
-                    if stats and all(s is not None for s in stats):
+                    # skip the fence check if ANY row group lacks min/max
+                    # stats (has_min_max=False yields .max=None and a
+                    # TypeError here would misreport the file as unreadable)
+                    if stats and all(
+                        s is not None and s.has_min_max for s in stats
+                    ):
                         mx = max(s.max for s in stats)
                         if int(mx) > man.applied_offset:
                             errors.append(

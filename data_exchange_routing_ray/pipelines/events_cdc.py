@@ -13684,7 +13684,9 @@ def top_revenue_suppliers(sf_dir: str) -> pa.Table:
             "suppkey": b["l_suppkey"],
             "ticks": pa.array(ticks, pa.int64()),
         }).group_by("suppkey").aggregate([("ticks", "sum")])
-        return g.rename_columns(["suppkey", "ticks"])
+        # select by NAME — aggregate output column order differs across
+        # pyarrow versions, so a positional rename could swap key/value
+        return pa.table({"suppkey": g["suppkey"], "ticks": g["ticks_sum"]})
 
     per_supp = (
         _read_sized(

@@ -2223,19 +2223,25 @@ def _materialize_blob_container(sf_dir: str) -> str:
     storage); cached per sf_dir behind an atomic marker so repeated
     queries/tests reuse it."""
     import os
+    import tempfile
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # cache key folds in the source file's content fingerprint
+    # (size+mtime) so a regenerated documents.parquet invalidates the
+    # fixture instead of silently serving stale blobs
+    src_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src_path)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
     root = os.path.join("/tmp", f"derb-blobstore-{key}")
     marker = os.path.join(root, "_COMPLETE")
     if os.path.exists(marker):
         return os.path.join(root, "container")
     import pyarrow.parquet as pq
 
-    t = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "source", "text"],
-    )
-    tmp = root + ".tmp"
+    t = pq.read_table(src_path, columns=["doc_id", "source", "text"])
+    # private staging dir — concurrent builders never interleave writes
+    tmp = tempfile.mkdtemp(prefix=f"derb-blobstore-{key}-stage-", dir="/tmp")
     cont = os.path.join(tmp, "container")
     os.makedirs(cont, exist_ok=True)
     doc_id = t["doc_id"].to_numpy()
