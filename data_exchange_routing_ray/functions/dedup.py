@@ -114,13 +114,24 @@ def _dedup_pairs(pairs: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dat
         )
         return batch.append_column("pair_bucket", pa.array(b, pa.int64()))
 
-    def uniq(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["id_a", "id_b"]).drop(columns=["pair_bucket"])
+    def uniq(g: pa.Table) -> pa.Table:
+        # Arrow-native drop_duplicates(['id_a','id_b'], keep='first'):
+        # stable lexsort + run-start mask, indices re-sorted to preserve
+        # input order (pandas parity), no pandas conversion in the bucket
+        a = g["id_a"].to_numpy()
+        b2 = g["id_b"].to_numpy()
+        if len(a) == 0:
+            return g.drop_columns(["pair_bucket"])
+        order = np.lexsort((b2, a))
+        aa, bb = a[order], b2[order]
+        first = np.r_[True, (aa[1:] != aa[:-1]) | (bb[1:] != bb[:-1])]
+        keep = np.sort(order[first])
+        return g.drop_columns(["pair_bucket"]).take(pa.array(keep))
 
     return (
         pairs.map_batches(tag, batch_format="pyarrow")
         .groupby("pair_bucket")
-        .map_groups(uniq, batch_format="pandas")
+        .map_groups(uniq, batch_format="pyarrow")
     )
 
 
@@ -265,16 +276,25 @@ def exact_dedup(
         bucket = _mix_to_bucket([b["content_hash"].to_numpy()], num_buckets)
         return b.append_column("bucket", pa.array(bucket, pa.int64()))
 
-    def first_per_hash(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="stable")
-        return g.drop_duplicates("content_hash", keep="first").drop(
-            columns=["bucket", "content_hash"]
-        )
+    def first_per_hash(g: pa.Table) -> pa.Table:
+        # Arrow-native lowest-id-per-hash: lexsort by (hash, id), keep
+        # each hash run's first row, emit sorted by id (pandas parity)
+        h = g["content_hash"].to_numpy()
+        n = len(h)
+        if n == 0:
+            return g.drop_columns(["bucket", "content_hash"])
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((np.arange(n), ids, h))
+        hs = h[order]
+        first = np.r_[True, hs[1:] != hs[:-1]]
+        keep = order[first]
+        keep = keep[np.argsort(ids[keep], kind="stable")]
+        return g.drop_columns(["bucket", "content_hash"]).take(pa.array(keep))
 
     return (
         ds.map_batches(tag, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(first_per_hash, batch_format="pandas")
+        .map_groups(first_per_hash, batch_format="pyarrow")
     )
 
 
@@ -677,7 +697,7 @@ def minhash_candidate_pairs(
 
     band_rows = sig_ds.map_batches(band_and_bucket, batch_format="pyarrow")
     pairs_raw = band_rows.groupby("bucket").map_groups(
-        make_bucket_candidate_fn(id_col), batch_format="pandas"
+        make_bucket_candidate_fn(id_col), batch_format="pyarrow"
     )
     # The broadcast gate needs only n_docs (free: sig_ds is materialized),
     # keeping the raw-pair stream fully pipelined in the common case. Only
@@ -753,36 +773,51 @@ def minhash_candidate_pairs(
 
 
 def make_bucket_candidate_fn(id_col: str = "doc_id"):
-    """One coarse bucket → bare candidate id pairs (no payload columns)."""
-    empty = pd.DataFrame(
-        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+    """One coarse bucket → bare candidate id pairs (no payload columns).
+    Arrow-native: dedupe + group-run detection are one stable lexsort on
+    numpy views of the Arrow columns; the only Python loop is over
+    COLLIDING (band, key) groups (size ≥ 2 — rare by construction), each
+    emitting its pairs via one vectorized triu_indices."""
+    empty = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["band", "band_key", id_col]).sort_values(
-            ["band", "band_key", id_col], kind="stable"
-        )
+    def bucket_pairs(g: pa.Table) -> pa.Table:
         band = g["band"].to_numpy()
+        n = len(band)
+        if n == 0:
+            return empty
         key = g["band_key"].to_numpy()
+        ids_raw = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids_raw, key, band))
+        band, key, ids = band[order], key[order], ids_raw[order]
+        dedup = np.r_[
+            True,
+            (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+            | (ids[1:] != ids[:-1]),
+        ]
+        band, key, ids = band[dedup], key[dedup], ids[dedup]
         starts = _run_starts([band, key])
-        ends = np.append(starts[1:], len(g))
+        ends = np.append(starts[1:], len(band))
         multi = np.nonzero(ends - starts >= 2)[0]
         if len(multi) == 0:
             return empty
-        ids = g[id_col].to_numpy()
-        frames = []
+        a_parts, b_parts = [], []
         for r in multi:
             s, e = starts[r], ends[r]
             ia, ib = np.triu_indices(e - s, k=1)
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "id_a": ids[s:e][ia].astype(np.int64),
-                        "id_b": ids[s:e][ib].astype(np.int64),
-                    }
-                )
-            )
-        return pd.concat(frames, ignore_index=True)
+            a_parts.append(ids[s:e][ia])
+            b_parts.append(ids[s:e][ib])
+        return pa.table(
+            {
+                "id_a": pa.array(
+                    np.concatenate(a_parts).astype(np.int64), pa.int64()
+                ),
+                "id_b": pa.array(
+                    np.concatenate(b_parts).astype(np.int64), pa.int64()
+                ),
+            }
+        )
 
     return bucket_pairs
 
@@ -929,44 +964,70 @@ def make_simhash_stage(text_col="text", id_col="doc_id"):
 
 def make_simhash_pair_fn(id_col="doc_id", max_hamming: int = 3):
     """One coarse bucket → pairs; fine (band, band_key) groups resolved
-    vectorized inside the bucket (see `_mix_to_bucket` rationale above)."""
-    empty = pd.DataFrame(
-        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-         "hamming": pd.Series(dtype="int64")}
+    vectorized inside the bucket (see `_mix_to_bucket` rationale above).
+    Arrow-native: same lexsort-dedup shape as make_bucket_candidate_fn
+    with a vectorized popcount Hamming filter per colliding group."""
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64()),
+        }
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["band", "band_key", id_col]).sort_values(
-            ["band", "band_key", id_col], kind="stable"
-        )
+    def bucket_pairs(g: pa.Table) -> pa.Table:
         band = g["band"].to_numpy()
+        n = len(band)
+        if n == 0:
+            return empty
         key = g["band_key"].to_numpy()
+        ids_raw = g[id_col].to_numpy(zero_copy_only=False)
+        sh_raw = g["simhash"].to_numpy().astype(np.int64).astype(np.uint64)
+        order = np.lexsort((ids_raw, key, band))
+        band, key = band[order], key[order]
+        ids, sh_all = ids_raw[order], sh_raw[order]
+        dedup = np.r_[
+            True,
+            (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+            | (ids[1:] != ids[:-1]),
+        ]
+        band, key, ids, sh_all = (
+            band[dedup], key[dedup], ids[dedup], sh_all[dedup]
+        )
         starts = _run_starts([band, key])
-        ends = np.append(starts[1:], len(g))
+        ends = np.append(starts[1:], len(band))
         multi = np.nonzero(ends - starts >= 2)[0]
         if len(multi) == 0:
             return empty
-        sh_all = g["simhash"].to_numpy().astype(np.int64).astype(np.uint64)
-        ids = g[id_col].to_numpy()
-        frames = []
+        a_parts, b_parts, h_parts = [], [], []
         for r in multi:
             s, e = starts[r], ends[r]
             sh = sh_all[s:e]
             ia, ib = np.triu_indices(e - s, k=1)
             x = sh[ia] ^ sh[ib]
-            ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+            ham = np.unpackbits(
+                x.view(np.uint8).reshape(len(x), 8), axis=1
+            ).sum(axis=1)
             keep = ham <= max_hamming
             if keep.any():
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "id_a": ids[s:e][ia[keep]].astype(np.int64),
-                            "id_b": ids[s:e][ib[keep]].astype(np.int64),
-                            "hamming": ham[keep].astype(np.int64),
-                        }
-                    )
-                )
-        return pd.concat(frames, ignore_index=True) if frames else empty
+                a_parts.append(ids[s:e][ia[keep]])
+                b_parts.append(ids[s:e][ib[keep]])
+                h_parts.append(ham[keep])
+        if not a_parts:
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(
+                    np.concatenate(a_parts).astype(np.int64), pa.int64()
+                ),
+                "id_b": pa.array(
+                    np.concatenate(b_parts).astype(np.int64), pa.int64()
+                ),
+                "hamming": pa.array(
+                    np.concatenate(h_parts).astype(np.int64), pa.int64()
+                ),
+            }
+        )
 
     return bucket_pairs
 
@@ -989,7 +1050,7 @@ def simhash_candidate_pairs(
 
     rows = ds.map_batches(tag, batch_format="pyarrow")
     pairs = rows.groupby("bucket").map_groups(
-        make_simhash_pair_fn(id_col, max_hamming), batch_format="pandas"
+        make_simhash_pair_fn(id_col, max_hamming), batch_format="pyarrow"
     )
     return _dedup_pairs(pairs)
 
@@ -1041,7 +1102,7 @@ def phash_candidate_pairs(
 
     rows = ds.map_batches(tag, batch_format="pyarrow")
     pairs = rows.groupby("bucket").map_groups(
-        make_simhash_pair_fn(id_col, max_hamming), batch_format="pandas"
+        make_simhash_pair_fn(id_col, max_hamming), batch_format="pyarrow"
     )
     return _dedup_pairs(pairs)
 
@@ -1158,7 +1219,7 @@ def lsh_neardup_pairs(
     pairs_raw = (
         emb_ds.map_batches(band, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(make_bucket_candidate_fn(id_col), batch_format="pandas")
+        .map_groups(make_bucket_candidate_fn(id_col), batch_format="pyarrow")
     )
 
     empty = pa.table(
