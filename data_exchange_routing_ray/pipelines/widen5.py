@@ -482,12 +482,15 @@ def lake_bloom_point_lookup(sf_dir: str, n_convs: int = 5) -> pa.Table:
         for w in range(1, 5):
             lake.apply_changes(repair_wave(w), quarantine=False)
 
-        # ---- distributed sidecar build: one row per data file ----
+        # ---- distributed sidecar build: one row per data file, tagged
+        # with its LWW fold position (base=0, delta i=i+1) ----
         inventory = []
         for pid, e in lake.manifest.partitions.items():
-            inventory.append({"pid": pid, "file": e.file, "kind": "base"})
-            for dd in e.deltas:
-                inventory.append({"pid": pid, "file": dd["file"], "kind": "delta"})
+            inventory.append({"pid": pid, "file": e.file, "kind": "base", "ord": 0})
+            for i, dd in enumerate(e.deltas):
+                inventory.append(
+                    {"pid": pid, "file": dd["file"], "kind": "delta", "ord": i + 1}
+                )
         lake_dir = lake.lake_dir
 
         def build_sidecar(b: pa.Table) -> pa.Table:
@@ -497,41 +500,93 @@ def lake_bloom_point_lookup(sf_dir: str, n_convs: int = 5) -> pa.Table:
                 blooms.append(_bloom_build(t["conv_id"].to_numpy(zero_copy_only=False)))
             return b.append_column("bloom", pa.array(blooms, pa.binary()))
 
-        sidecars = (
-            ray.data.from_items(inventory)
-            .map_batches(build_sidecar, batch_format="pyarrow")
-            .to_pandas()
+        sidecars = ray.data.from_items(inventory).map_batches(
+            build_sidecar, batch_format="pyarrow"
         )
-        by_file = dict(zip(sidecars["file"], sidecars["bloom"]))
 
-        # ---- bloom-guided lookup ----
+        # ---- distributed bloom probe over the sidecar rows ----
+        # At a 10^5-file lake the (file, bloom) set is an O(files) driver
+        # structure if collected; instead each sidecar row probes its own
+        # partition's target keys inside map_batches and only MATCHED
+        # candidate rows (plus two counters) ever reach the driver.
         pids = partition_ids(np.array(targets, object), 16)
-        opened, candidates = 0, 0
-        pieces = []
-        for pid in sorted(set(int(p) for p in pids)):
-            keys = [t for t, p in zip(targets, pids) if int(p) == pid]
-            e = lake.manifest.partitions[pid]
-            files = [(e.file, "base")] + [(dd["file"], "delta") for dd in e.deltas]
-            candidates += len(files)
+        keys_by_pid = {}
+        for t, p in zip(targets, pids):
+            keys_by_pid.setdefault(int(p), []).append(t)
+        pos_by_pid = {
+            p: _bloom_positions(np.array(ks, object))
+            for p, ks in keys_by_pid.items()
+        }
+
+        def probe(b: pa.Table) -> pa.Table:
+            pid_arr = b["pid"].to_numpy()
+            blooms = b["bloom"].to_pylist()
+            cand = np.array(
+                [int(p) in pos_by_pid for p in pid_arr], dtype=bool
+            )
+            hit = np.array(
+                [
+                    c and _bloom_probe_any(bl, pos_by_pid[int(p)])
+                    for c, p, bl in zip(cand, pid_arr, blooms)
+                ],
+                dtype=bool,
+            )
+            t = b.drop_columns(["bloom"])
+            t = t.append_column("is_candidate", pa.array(cand))
+            return t.append_column("matched", pa.array(hit))
+
+        probed = sidecars.map_batches(probe, batch_format="pyarrow").materialize()
+        counts = probed.map_batches(
+            lambda b: pa.table(
+                {
+                    "candidates": pa.array(
+                        [int(pc.sum(b["is_candidate"]).as_py() or 0)], pa.int64()
+                    ),
+                    "opened": pa.array(
+                        [int(pc.sum(b["matched"]).as_py() or 0)], pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        candidates = int(counts["candidates"].sum())
+        opened = int(counts["opened"].sum())
+
+        # ---- distributed read + LWW fold, one group per partition ----
+        def fold_partition(g: pa.Table) -> pa.Table:
+            pid = int(g["pid"][0].as_py())
+            keys = keys_by_pid[pid]
             key_set = pa.array(keys)
-            # hash the partition's target keys ONCE; probes are byte lookups
-            key_pos = _bloom_positions(np.array(keys, object))
-
-            def read_if_match(f: str) -> pa.Table | None:
-                nonlocal opened
-                if not _bloom_probe_any(by_file[f], key_pos):
-                    return None
-                opened += 1
+            order = np.argsort(g["ord"].to_numpy(), kind="stable")
+            base = None
+            deltas = []
+            for i in order:
+                f = g["file"][int(i)].as_py()
                 t = pq.read_table(os.path.join(lake_dir, f))
-                return t.filter(pc.is_in(t["conv_id"], value_set=key_set))
+                t = t.filter(pc.is_in(t["conv_id"], value_set=key_set))
+                if int(g["ord"][int(i)].as_py()) == 0:
+                    base = t
+                else:
+                    deltas.append(t)
+            folded = fold_deltas(base, deltas)
+            cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+            if folded is None or not folded.num_rows:
+                from data_exchange_routing_ray.schemas import TRANSCRIPT_SCHEMA
 
-            base = read_if_match(e.file)
-            deltas = [read_if_match(dd["file"]) for dd in e.deltas]
-            folded = fold_deltas(base, [t for t in deltas if t is not None])
-            if folded is not None and folded.num_rows:
-                pieces.append(
-                    folded.select(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
-                )
+                return TRANSCRIPT_SCHEMA.empty_table().select(cols)
+            return folded.select(cols)
+
+        matched = probed.filter(expr="matched == True")
+        out = matched.groupby("pid").map_groups(
+            fold_partition, batch_format="pyarrow"
+        ).to_arrow_refs()
+        import ray as _ray
+
+        pieces = [
+            t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
+            for t in _ray.get(out)
+        ]
+        pieces = [t for t in pieces if t.num_rows]
         lake.close()
 
     assert opened < candidates, (
