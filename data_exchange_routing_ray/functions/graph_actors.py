@@ -91,6 +91,22 @@ class _BucketActor:
             {"part_id": pa.array(self.nodes), "pr": pa.array(self.r)}
         )
 
+    def write_ranks(self, path: str) -> int:
+        """Partition-wise output: each actor persists its own bucket's
+        ranks (rounded like the driver-collect path) so a 10^9-node rank
+        vector never funnels through the driver. Staged via a temp name +
+        os.replace for idempotent re-runs."""
+        t = pa.table(
+            {
+                "part_id": pa.array(self.nodes),
+                "pr": pa.array(np.round(self.r.astype(np.float64), 6)),
+            }
+        )
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        return t.num_rows
+
 
 @ray.remote
 class _KhopBucketActor:
@@ -237,12 +253,19 @@ def pagerank_actor_mode(
     iters: int = 3,
     damping: float = 0.85,
     num_buckets: int = 16,
+    out_dir: str | None = None,
 ) -> pa.Table:
     """Run damped PageRank over the undirected pair dataset with
     bucket-pinned actors. ``pairs_ds`` has (part_a, part_b) distinct
     pairs; staging writes one parquet shard per src bucket (a groupby
     exchange — the ONLY time edges move), then K rounds of ref-only
-    shard routing."""
+    shard routing.
+
+    ``out_dir``: when given, each actor writes its bucket's ranks to
+    ``out_dir/ranks-{b:04d}.parquet`` itself and only a ≤num_buckets-row
+    summary (bucket, rows, file) returns — the scale path for graphs
+    whose rank vector exceeds driver memory. Default (None) keeps the
+    driver-collect behavior (the result IS the output at query scale)."""
 
     def to_edges(t: pa.Table) -> pa.Table:
         x = t["part_a"].to_numpy()
@@ -296,6 +319,24 @@ def pagerank_actor_mode(
                 )
                 for b, a in enumerate(actors)
             ]
+        )
+    if out_dir is not None:
+        os.makedirs(out_dir, exist_ok=True)
+        files = [
+            os.path.join(out_dir, f"ranks-{b:04d}.parquet")
+            for b in range(num_buckets)
+        ]
+        rows = ray.get(
+            [a.write_ranks.remote(f) for a, f in zip(actors, files)]
+        )
+        for a in actors:
+            ray.kill(a)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(num_buckets, dtype=np.int64)),
+                "rows": pa.array(np.asarray(rows, dtype=np.int64)),
+                "file": pa.array(files, pa.string()),
+            }
         )
     tables = ray.get([a.ranks.remote() for a in actors])
     for a in actors:

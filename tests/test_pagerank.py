@@ -72,3 +72,52 @@ def test_pagerank_auto_promotes_to_actor_plan_above_edge_threshold(ray_session):
     m = a.merge(b, on="part_id", suffixes=("_ds", "_ac"))
     assert len(m) == len(a) == len(b)
     assert np.allclose(m["pr_ds"], m["pr_ac"], atol=2e-6)
+
+
+def test_pagerank_actor_mode_partitionwise_output(ray_session, tmp_path):
+    """out_dir layout: each bucket actor writes its own ranks parquet;
+    the union of the per-bucket files equals the driver-collect result."""
+    import os
+    import pyarrow as pa
+    import ray.data
+
+    from data_exchange_routing_ray.functions.graph_actors import (
+        pagerank_actor_mode,
+    )
+
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pandas().drop_duplicates()
+    m = li.merge(li, on="l_orderkey")
+    m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+    pairs_df = (
+        m[["l_partkey_x", "l_partkey_y"]]
+        .drop_duplicates()
+        .rename(columns={"l_partkey_x": "part_a", "l_partkey_y": "part_b"})
+    )
+    pairs = ray.data.from_pandas(pairs_df.reset_index(drop=True))
+
+    stage1, stage2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    out_dir = str(tmp_path / "ranks")
+    collected = pagerank_actor_mode(pairs, stage1, iters=2, num_buckets=4)
+    summary = pagerank_actor_mode(
+        pairs, stage2, iters=2, num_buckets=4, out_dir=out_dir
+    ).to_pandas()
+
+    # layout: one file per bucket, row counts as reported
+    assert sorted(os.listdir(out_dir)) == [
+        f"ranks-{b:04d}.parquet" for b in range(4)
+    ]
+    parts = []
+    for row in summary.itertuples():
+        t = pq.read_table(row.file)
+        assert t.num_rows == row.rows
+        parts.append(t)
+    got = (
+        pa.concat_tables(parts)
+        .to_pandas()
+        .sort_values("part_id")
+        .reset_index(drop=True)
+    )
+    want = collected.to_pandas().sort_values("part_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
