@@ -524,6 +524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "view_roles_via_consumer": _widen6.view_roles_via_consumer,
         "blob_container_route": _widen6.blob_container_route,
         "lake_backup_restore": _widen6.lake_backup_restore,
+        "csv_typed_translate": _widen6.csv_typed_translate,
     }
     ordered = {n: base.pop(n) for n in _DRIVER_CERTIFIED_FIRST}
     ordered.update(base)
@@ -3898,6 +3899,34 @@ FROM routed GROUP BY destination ORDER BY destination
 SELECT role, COUNT(*) AS n_turns
 FROM last WHERE rn = 1 AND op <> 'delete'
 GROUP BY role ORDER BY role
+""",
+        "csv_typed_translate": r"""
+WITH src AS (
+  SELECT event_id,
+         CAST(event_id % 1000 AS VARCHAR) || '.'
+           || CAST(event_id % 7919 AS VARCHAR)
+           || CASE WHEN event_id % 97 = 3 THEN 'x' ELSE '' END AS value_str,
+         strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_str,
+         substr(props, 1, 8) AS props8
+  FROM events
+), tr AS (
+  SELECT CASE WHEN regexp_matches(value_str, '^-?[0-9]+\.[0-9]+$')
+              THEN NULL
+              ELSE 'TypeConversion failed for column ''value'': not a valid decimal'
+         END AS error,
+         CASE WHEN regexp_matches(value_str, '^-?[0-9]+\.[0-9]+$')
+              THEN CAST(trunc(CAST(value_str AS DOUBLE)) AS BIGINT)
+         END AS value_int,
+         CAST(substr(ts_str, 1, 10) AS DATE) AS day,
+         props8
+  FROM src
+)
+SELECT coalesce(error, '(translated)') AS error,
+       count(*) AS n,
+       CAST(sum(value_int) AS DOUBLE) AS sum_val,
+       CAST(max(CASE WHEN error IS NULL THEN day END) AS VARCHAR) AS max_day,
+       max(CASE WHEN error IS NULL THEN props8 END) AS max_props8
+FROM tr GROUP BY 1 ORDER BY 1
 """,
         "lake_tombstone_gc": _FINAL_STATE_SQL,
         # online migration: final state with the migration transform applied

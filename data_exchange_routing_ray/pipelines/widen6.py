@@ -2377,3 +2377,134 @@ def lake_backup_restore(sf_dir: str) -> pa.Table:
         # (c) the never-stopped original reached the identical state
         assert out.equals(lake.final_table()), "backup disturbed the original"
         return out
+
+
+def csv_typed_translate(sf_dir: str) -> pa.Table:
+    """Typed tabular translation with truncation tolerance — the ADF
+    ``TabularTranslator`` (``typeConversion: true, allowDataTruncation:
+    true``) from the reference's PL_ReportStream pipeline
+    (spikes/PL_ReportStream/pipeline/PL_ReportStream.json, "translator"
+    block): an untyped delimited file is copied into a TYPED schema where
+    lossy-but-representable conversions succeed silently (decimal → int
+    truncates toward zero, timestamp → date drops the time part,
+    varchar → varchar(8) right-truncates) and genuinely unconvertible
+    values dead-letter the whole row with an exact error string (the
+    reference's per-row fault path).
+
+    Fixture: the events table is rendered to CSV string columns with a
+    deterministic integer-built decimal (`id%1000 . id%7919`) so no float
+    formatting is involved; every 97th id gets a trailing 'x' → a poison
+    decimal. The CSV is written and re-read with ALL columns forced to
+    string (pyarrow ConvertOptions), so the typed cast below is real.
+
+    100 TB shape: the translator is one vectorized map_batches (regex
+    validity mask + masked casts — no per-row Python); the only driver
+    data is the ≤2-rows-per-block aggregate partials."""
+    import tempfile
+
+    import pyarrow.csv as pacsv
+
+    from data_exchange_routing_ray.pipelines.events_cdc import _events
+
+    ERR = "TypeConversion failed for column 'value': not a valid decimal"
+
+    def to_csv_cols(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy()
+        m = (ids % 1000).astype(np.int64)
+        f = (ids % 7919).astype(np.int64)
+        vs = np.char.add(
+            np.char.add(m.astype("U20"), "."), f.astype("U20")
+        )
+        poison = ids % 97 == 3
+        vs = np.where(poison, np.char.add(vs, "x"), vs)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "value_str": pa.array(vs.astype(object), pa.string()),
+                "ts_str": pc.strftime(b["ts"], format="%Y-%m-%dT%H:%M:%S"),
+                "props8": pc.utf8_slice_codeunits(b["props"], 0, 8),
+            }
+        )
+
+    def translate(b: pa.Table) -> pa.Table:
+        """The typed translator: per-batch aggregate partial out."""
+        vs = b["value_str"]
+        valid = pc.match_substring_regex(vs, r"^-?[0-9]+\.[0-9]+$")
+        valid_np = valid.to_numpy(zero_copy_only=False).astype(bool)
+        # decimal → BIGINT with truncation allowed (trunc toward zero)
+        clean = pc.if_else(valid, vs, pa.scalar("0"))
+        vint = pc.cast(
+            pc.trunc(pc.cast(clean, pa.float64())), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        # timestamp-string → DATE (time part truncated)
+        day = pc.cast(
+            pc.utf8_slice_codeunits(b["ts_str"], 0, 10), pa.date32()
+        )
+        day_str = pc.cast(day, pa.string()).to_numpy(zero_copy_only=False)
+        props8 = b["props8"].to_numpy(zero_copy_only=False)
+        n_ok = int(valid_np.sum())
+        n_bad = int(len(valid_np) - n_ok)
+        rows = {
+            "error": [],
+            "n": [],
+            "sum_val": [],
+            "max_day": [],
+            "max_props8": [],
+        }
+        if n_ok:
+            ok_props = props8[valid_np]
+            ok_props = ok_props[ok_props != None]  # noqa: E711
+            rows["error"].append("(translated)")
+            rows["n"].append(n_ok)
+            rows["sum_val"].append(float(vint[valid_np].sum()))
+            rows["max_day"].append(str(day_str[valid_np].max()))
+            rows["max_props8"].append(
+                str(ok_props.max()) if len(ok_props) else None
+            )
+        if n_bad:
+            rows["error"].append(ERR)
+            rows["n"].append(n_bad)
+            rows["sum_val"].append(None)
+            rows["max_day"].append(None)
+            rows["max_props8"].append(None)
+        return pa.table(
+            {
+                "error": pa.array(rows["error"], pa.string()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "sum_val": pa.array(rows["sum_val"], pa.float64()),
+                "max_day": pa.array(rows["max_day"], pa.string()),
+                "max_props8": pa.array(rows["max_props8"], pa.string()),
+            }
+        )
+
+    with tempfile.TemporaryDirectory(prefix="csvtyped-") as d:
+        _events(
+            sf_dir, columns=["event_id", "ts", "value", "props"]
+        ).map_batches(to_csv_cols, batch_format="pyarrow").write_csv(d)
+        back = ray.data.read_csv(
+            d,
+            convert_options=pacsv.ConvertOptions(
+                column_types={
+                    "event_id": pa.string(),
+                    "value_str": pa.string(),
+                    "ts_str": pa.string(),
+                    "props8": pa.string(),
+                }
+            ),
+        )
+        partials = back.map_batches(
+            translate, batch_format="pyarrow"
+        ).to_pandas()  # ≤2 rows per block
+    agg = (
+        partials.groupby("error", as_index=False)
+        .agg(
+            n=("n", "sum"),
+            sum_val=("sum_val", lambda s: s.sum(min_count=1)),
+            max_day=("max_day", "max"),
+            max_props8=("max_props8", "max"),
+        )
+        .sort_values("error")
+        .reset_index(drop=True)
+    )
+    agg["n"] = agg["n"].astype("int64")
+    return pa.Table.from_pandas(agg, preserve_index=False)
