@@ -609,6 +609,20 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_health(args: argparse.Namespace) -> int:
+    """Cheap liveness/servability probe (HealthCheckFunction.kt:7 analog):
+    metadata-only, no Ray session, no data files opened — manifest parses,
+    fence monotone, segment roots resolve, lineage tail parses. Exit 0
+    when servable, 5 when not, 2 when the lake dir is absent."""
+    from data_exchange_routing_ray.pipelines.cdc import lake_health
+
+    rep = lake_health(args.lake, branch=args.branch)
+    print(json.dumps(rep))
+    if not os.path.isdir(args.lake):
+        return 2
+    return 0 if rep["ok"] else 5
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="data_exchange_routing_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -784,6 +798,13 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--lake", required=True)
     cp.add_argument("--num-cpus", type=int, default=None)
     cp.set_defaults(fn=cmd_compact)
+
+    hp = sub.add_parser(
+        "health", help="cheap servability probe (no Ray, metadata only)"
+    )
+    hp.add_argument("--lake", required=True)
+    hp.add_argument("--branch", default="main")
+    hp.set_defaults(fn=cmd_health)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -2703,3 +2703,112 @@ def gc_tombstones(lake: "CDCLake", sites_min_applied_offset: int) -> "EpochResul
         max_attempts=None,
         _raise_gc_watermark=watermark,
     )
+
+
+def lake_health(lake_dir: str, branch: str = "main") -> dict:
+    """Cheap servability probe — the analog of the reference's liveness
+    endpoint (fns-routing HealthCheckFunction.kt:7): one metadata-only
+    verb a scheduler can poll to answer "is this lake servable right
+    now". Unlike ``fsck`` it opens NO data files: it checks that the
+    current manifest root parses (which also resolves every referenced
+    segment file), that the fence is monotone (per-partition
+    applied_offset ≤ global fence, previous archived epoch's fence ≤
+    current, current epoch archived consistently), and that the lineage
+    tail file parses. Never raises; returns ``{"ok": bool, ...}`` with
+    per-check status so callers decide. No Ray session needed."""
+    import glob as _glob
+
+    from data_exchange_routing_ray.state.manifest import ManifestStore
+
+    checks: dict[str, str] = {}
+    errors: list[str] = []
+
+    if not os.path.isdir(lake_dir):
+        return {
+            "ok": False,
+            "lake": lake_dir,
+            "checks": {"lake_dir": "missing"},
+            "errors": [f"no lake directory at {lake_dir}"],
+        }
+
+    # 1. manifest root + segment files parse
+    man = None
+    try:
+        store = ManifestStore(lake_dir, branch=branch)
+        man = store.load_current()
+        checks["manifest"] = "ok" if man is not None else "empty"
+    except Exception as e:
+        checks["manifest"] = "damaged"
+        errors.append(f"manifest unreadable: {e}")
+
+    epoch = -1
+    fence = -1
+    n_parts = 0
+    if man is not None:
+        epoch, fence = man.epoch, man.applied_offset
+        n_parts = len(man.partitions)
+        # 2. fence monotone within the current manifest
+        bad = [
+            pid
+            for pid, e in man.partitions.items()
+            if e.applied_offset > man.applied_offset
+        ]
+        if bad:
+            checks["fence"] = "violated"
+            errors.append(
+                f"partition fence above global fence for pids {sorted(bad)[:8]}"
+            )
+        else:
+            checks["fence"] = "ok"
+        # 2b. archived history consistent: current epoch archived with the
+        # same fence; previous epoch's fence never above the current one
+        try:
+            arch = store.load_epoch(man.epoch)
+            if arch is None:
+                checks["archive"] = "missing"
+                errors.append(f"current epoch {man.epoch} has no archived manifest")
+            elif arch.applied_offset != man.applied_offset:
+                checks["archive"] = "mismatch"
+                errors.append(
+                    "archived fence "
+                    f"{arch.applied_offset} != current {man.applied_offset}"
+                )
+            else:
+                prev = store.load_epoch(man.epoch - 1) if man.epoch > 0 else None
+                if prev is not None and prev.applied_offset > man.applied_offset:
+                    checks["archive"] = "regressed"
+                    errors.append(
+                        f"fence regressed: epoch {man.epoch - 1} fence "
+                        f"{prev.applied_offset} > current {man.applied_offset}"
+                    )
+                else:
+                    checks["archive"] = "ok"
+        except Exception as e:
+            checks["archive"] = "damaged"
+            errors.append(f"archived manifest unreadable: {e}")
+
+    # 3. lineage tail parses (newest epoch file only — O(1))
+    sub = "lineage" if branch == "main" else f"lineage-{branch}"
+    lin_files = sorted(_glob.glob(os.path.join(lake_dir, sub, "epoch-*.parquet")))
+    if not lin_files:
+        checks["lineage"] = "empty"
+    else:
+        try:
+            import pyarrow.parquet as _pq
+
+            t = _pq.read_table(lin_files[-1])
+            checks["lineage"] = "ok" if t.num_rows >= 0 else "empty"
+        except Exception as e:
+            checks["lineage"] = "damaged"
+            errors.append(f"lineage tail unreadable ({lin_files[-1]}): {e}")
+
+    return {
+        "ok": not errors,
+        "lake": lake_dir,
+        "branch": branch,
+        "epoch": epoch,
+        "applied_offset": fence,
+        "partitions_committed": n_parts,
+        "checks": checks,
+        "errors": errors,
+    }
