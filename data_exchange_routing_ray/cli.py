@@ -623,6 +623,50 @@ def cmd_health(args: argparse.Namespace) -> int:
     return 0 if rep["ok"] else 5
 
 
+def cmd_onboard(args: argparse.Namespace) -> int:
+    """Onboarding generator (tools/onboarding/loadHL7Routes.py parity):
+    emit/upsert the validated multi-route config for one stream — 1
+    ingress route + 6 hl7_out_* routes for hl7 streams. Idempotent: same
+    args → same file; an existing --out is upserted by route id."""
+    from data_exchange_routing_ray.stages.route import onboard_routes
+
+    existing = None
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                existing = json.load(f)
+        except Exception as e:
+            print(f"error: existing config unreadable: {e}", file=sys.stderr)
+            return 2
+    try:
+        config = onboard_routes(
+            args.stream_id,
+            args.route,
+            args.ingress_dest,
+            args.program_dest,
+            credential=args.credential,
+            existing=existing,
+        )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 3
+    tmp = args.out + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(config, f, indent=2, sort_keys=True)
+    os.replace(tmp, args.out)
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "stream_id": args.stream_id,
+                "route": args.route,
+                "routes_total": len(config["routes"]),
+            }
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="data_exchange_routing_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -805,6 +849,17 @@ def main(argv: list[str] | None = None) -> int:
     hp.add_argument("--lake", required=True)
     hp.add_argument("--branch", default="main")
     hp.set_defaults(fn=cmd_health)
+
+    ob = sub.add_parser(
+        "onboard", help="generate/upsert the onboarding route config"
+    )
+    ob.add_argument("--stream-id", required=True)
+    ob.add_argument("--route", required=True)
+    ob.add_argument("--ingress-dest", required=True)
+    ob.add_argument("--program-dest", required=True)
+    ob.add_argument("--credential", default="")
+    ob.add_argument("--out", required=True)
+    ob.set_defaults(fn=cmd_onboard)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -413,3 +413,92 @@ def split_routed(batch: pa.Table) -> tuple[pa.Table, pa.Table]:
     """(matched, unmatched-for-quarantine) from a routed batch."""
     ok = pc.is_null(batch["error"])
     return batch.filter(ok), batch.filter(pc.invert(ok))
+
+
+# ------------------------------------------------------------- onboarding
+
+HL7_OUTPUT_ITEMS = [
+    "recdeb", "redacted", "validation_report", "json", "lake_seg", "binary",
+]
+
+
+def validate_route_config(config: dict) -> None:
+    """Schema-check a route-config document (the JSON-Schema contract of
+    cosmosdb/route-config-schema.json: required fields, non-empty match
+    keys, uniqueItems on route ids). Raises ValueError on the first
+    violation; returns None when valid."""
+    if not isinstance(config, dict) or "routes" not in config:
+        raise ValueError("config must be a dict with a 'routes' list")
+    if not isinstance(config["routes"], list):
+        raise ValueError("'routes' must be a list")
+    for i, r in enumerate(config["routes"]):
+        for field in ("id", "match", "destination"):
+            if not r.get(field):
+                raise ValueError(f"routes[{i}]: missing required '{field}'")
+        m = r["match"]
+        if not m.get(STREAM_ID_COLUMN):
+            raise ValueError(f"routes[{i}].match: missing {STREAM_ID_COLUMN}")
+        if STREAM_ROUTE_COLUMN not in m:
+            raise ValueError(
+                f"routes[{i}].match: missing {STREAM_ROUTE_COLUMN}"
+            )
+    load_route_config(config)  # enforces uniqueItems on route ids
+
+
+def onboard_routes(
+    stream_id: str,
+    route: str,
+    ingress_destination: str,
+    program_destination: str,
+    credential: str = "",
+    existing: dict | None = None,
+) -> dict:
+    """Generate (or upsert into ``existing``) the standard onboarding
+    route set — parity with the reference's operator workflow
+    (tools/onboarding/loadHL7Routes.py:25-51): ONE ingress route
+    ``<stream_id>-<route>`` into the ingress store under the fixed
+    ``dex-routing`` folder, plus — when the route is an hl7 stream — SIX
+    output routes ``<stream_id>-hl7_out_<item>`` into the program store
+    under date-partitioned folders (``hl7_out_<item>/:y/:m/:d/``).
+
+    Upsert semantics match Cosmos ``upsert_item``: an existing route with
+    the same id is replaced, others are preserved. The returned document
+    is schema-validated (``validate_route_config``) before it is handed
+    back, so a generated config can never fail ``load_route_config``
+    later."""
+    new_routes = [
+        {
+            "id": f"{stream_id}-{route}",
+            "match": {
+                STREAM_ID_COLUMN: stream_id,
+                STREAM_ROUTE_COLUMN: route,
+            },
+            "destination": ingress_destination,
+            "partition_folder": "dex-routing",
+            **({"credential": credential} if credential else {}),
+        }
+    ]
+    if route.startswith("hl7"):
+        for item in HL7_OUTPUT_ITEMS:
+            new_routes.append(
+                {
+                    "id": f"{stream_id}-hl7_out_{item}",
+                    "match": {
+                        STREAM_ID_COLUMN: stream_id,
+                        STREAM_ROUTE_COLUMN: f"hl7_out_{item}",
+                    },
+                    "destination": program_destination,
+                    "partition_folder": f"hl7_out_{item}/:y/:m/:d/",
+                    **({"credential": credential} if credential else {}),
+                }
+            )
+    config = dict(existing) if existing else {"routes": []}
+    config["routes"] = list(config.get("routes", []))
+    by_id = {r["id"]: i for i, r in enumerate(config["routes"])}
+    for r in new_routes:
+        if r["id"] in by_id:
+            config["routes"][by_id[r["id"]]] = r
+        else:
+            config["routes"].append(r)
+    validate_route_config(config)
+    return config
