@@ -4,9 +4,12 @@ The sandbox host's deliverable throughput drifts ~10x between windows
 (BASELINE.md); the round-3 verdict asks for a scaling + headline sample
 recorded in a window whose host-control ceiling is >= 0.8. This watcher
 probes ``tools/host_control.py`` every ``--interval`` seconds and, when the
-ceiling clears ``--threshold``, immediately runs ``bench.py --scaling`` and
-``bench.py --sustained`` back-to-back, appending each JSON line (probe
-history included) to ``--out``. Exits after ``--max-hours`` or after
+ceiling clears ``--threshold``, immediately runs the DRIVER-DEFAULT bench
+(plain ``bench.py`` — the full headline suite, what the driver records as
+BENCH_r{N}.json), then ``bench.py --scaling`` and ``bench.py --sustained``
+back-to-back, appending each JSON line (probe history included) to
+``--out``. ``--skip-headline`` restores the old scaling+sustained-only
+capture. Exits after ``--max-hours`` or after
 ``--shots`` successful captures.
 
 Run detached: ``nohup python tools/quiet_watch.py >/tmp/quiet_watch.log &``
@@ -50,6 +53,7 @@ def main() -> None:
     ap.add_argument("--threshold", type=float, default=0.75)
     ap.add_argument("--max-hours", type=float, default=4.0)
     ap.add_argument("--shots", type=int, default=1)
+    ap.add_argument("--skip-headline", action="store_true")
     ap.add_argument("--out", default="/tmp/quiet_bench.jsonl")
     args = ap.parse_args()
 
@@ -60,10 +64,12 @@ def main() -> None:
         rec = {"t": time.strftime("%H:%M:%S"), "probe": p}
         print(json.dumps(rec), flush=True)
         if p["ceiling_efficiency"] >= args.threshold:
+            headline = None if args.skip_headline else run_bench([])
             scaling = run_bench(["--scaling"])
             sustained = run_bench(["--sustained", "--multiplier", "960"])
             with open(args.out, "a") as f:
-                f.write(json.dumps({"probe": p, "scaling": scaling,
+                f.write(json.dumps({"probe": p, "headline": headline,
+                                    "scaling": scaling,
                                     "sustained": sustained}) + "\n")
             print("CAPTURED", flush=True)
             shots += 1
