@@ -508,7 +508,9 @@ def lake_bloom_point_lookup(sf_dir: str, n_convs: int = 5) -> pa.Table:
         # At a 10^5-file lake the (file, bloom) set is an O(files) driver
         # structure if collected; instead each sidecar row probes its own
         # partition's target keys inside map_batches and only MATCHED
-        # candidate rows (plus two counters) ever reach the driver.
+        # candidate rows ever reach the driver (O(matched files), the
+        # prune-assert bound). The candidate count needs no data pass at
+        # all — it is manifest arithmetic over the target partitions.
         pids = partition_ids(np.array(targets, object), 16)
         keys_by_pid = {}
         for t, p in zip(targets, pids):
@@ -517,40 +519,27 @@ def lake_bloom_point_lookup(sf_dir: str, n_convs: int = 5) -> pa.Table:
             p: _bloom_positions(np.array(ks, object))
             for p, ks in keys_by_pid.items()
         }
+        candidates = sum(
+            1 + len(lake.manifest.partitions[p].deltas) for p in keys_by_pid
+        )
 
         def probe(b: pa.Table) -> pa.Table:
             pid_arr = b["pid"].to_numpy()
             blooms = b["bloom"].to_pylist()
-            cand = np.array(
-                [int(p) in pos_by_pid for p in pid_arr], dtype=bool
-            )
             hit = np.array(
                 [
-                    c and _bloom_probe_any(bl, pos_by_pid[int(p)])
-                    for c, p, bl in zip(cand, pid_arr, blooms)
+                    int(p) in pos_by_pid
+                    and _bloom_probe_any(bl, pos_by_pid[int(p)])
+                    for p, bl in zip(pid_arr, blooms)
                 ],
                 dtype=bool,
             )
-            t = b.drop_columns(["bloom"])
-            t = t.append_column("is_candidate", pa.array(cand))
-            return t.append_column("matched", pa.array(hit))
+            return b.drop_columns(["bloom"]).filter(pa.array(hit))
 
-        probed = sidecars.map_batches(probe, batch_format="pyarrow").materialize()
-        counts = probed.map_batches(
-            lambda b: pa.table(
-                {
-                    "candidates": pa.array(
-                        [int(pc.sum(b["is_candidate"]).as_py() or 0)], pa.int64()
-                    ),
-                    "opened": pa.array(
-                        [int(pc.sum(b["matched"]).as_py() or 0)], pa.int64()
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-        ).to_pandas()
-        candidates = int(counts["candidates"].sum())
-        opened = int(counts["opened"].sum())
+        matched_df = (
+            sidecars.map_batches(probe, batch_format="pyarrow").to_pandas()
+        )  # O(matched files) rows
+        opened = len(matched_df)
 
         # ---- distributed read + LWW fold, one group per partition ----
         def fold_partition(g: pa.Table) -> pa.Table:
@@ -576,10 +565,12 @@ def lake_bloom_point_lookup(sf_dir: str, n_convs: int = 5) -> pa.Table:
                 return TRANSCRIPT_SCHEMA.empty_table().select(cols)
             return folded.select(cols)
 
-        matched = probed.filter(expr="matched == True")
-        out = matched.groupby("pid").map_groups(
-            fold_partition, batch_format="pyarrow"
-        ).to_arrow_refs()
+        out = (
+            ray.data.from_pandas(matched_df)
+            .groupby("pid")
+            .map_groups(fold_partition, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
         import ray as _ray
 
         pieces = [
