@@ -145,6 +145,8 @@ HEADLINE = [
     # round-4 session 2: blob-container source, point-in-time backup
     "blob_container_route",
     "lake_backup_restore",
+    # round-5: typed tabular translator (ADF TabularTranslator parity)
+    "csv_typed_translate",
 ]
 
 
