@@ -142,3 +142,37 @@ def test_asof_matches_pandas_reference(ray_session, ev):
     )
     cols = ["event_id", "user_id", "value"]
     pd.testing.assert_frame_equal(_norm(got, cols), _norm(ref, cols))
+
+
+def test_asof_positions_property_vs_bruteforce():
+    """Property: the merged lexsort+cumsum probe equals the O(n·m)
+    brute-force backward-inclusive match on random inputs, including
+    duplicate (key, on) ties (last input wins) and empty sides."""
+    from hypothesis import given, settings, strategies as st
+
+    from data_exchange_routing_ray.functions.joins import _asof_positions
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.tuples(st.integers(0, 4), st.integers(0, 20)),
+                 min_size=0, max_size=30),
+        st.lists(st.tuples(st.integers(0, 4), st.integers(0, 20)),
+                 min_size=0, max_size=30),
+    )
+    def check(left, right):
+        l_code = np.array([k for k, _ in left], np.int64)
+        l_on = np.array([t for _, t in left], np.int64)
+        r_code_raw = np.array([k for k, _ in right], np.int64)
+        r_on_raw = np.array([t for _, t in right], np.int64)
+        order = np.lexsort((r_on_raw, r_code_raw))  # stable pre-sort
+        rc, ro = r_code_raw[order], r_on_raw[order]
+        got = _asof_positions(l_code, l_on, rc, ro)
+        for i in range(len(left)):
+            cands = [
+                j for j in range(len(rc))
+                if rc[j] == l_code[i] and ro[j] <= l_on[i]
+            ]
+            want = max(cands) if cands else -1  # last in sorted order
+            assert got[i] == want, (i, got[i], want, left, right)
+
+    check()
